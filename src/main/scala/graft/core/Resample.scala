@@ -1,0 +1,71 @@
+package graft.core
+
+/** Resampling kernels shared by the warp operator and its scalar oracle
+  * (reference: alg/gdalwarpkernel.cpp :: GWKNearestNoMasksByte /
+  * GWKBilinearNoMasksT; overview reduction in gcore/overview.cpp ::
+  * GDALDownsampleChunk32R_*).
+  *
+  * `src` is a sampling function over fractional source pixel coordinates
+  * with out-of-range access returning NaN (treated as nodata).
+  */
+object Resample {
+
+  /** Nearest neighbor at fractional source coords (sx, sy). */
+  def nearest(src: (Int, Int) => Double, sx: Double, sy: Double): Double =
+    src(math.floor(sx).toInt, math.floor(sy).toInt)
+
+  /** Bilinear on the 2×2 neighborhood around (sx, sy); pixel centers at
+    * integer+0.5 — matches the reference kernel's center convention. */
+  def bilinear(src: (Int, Int) => Double, sx: Double, sy: Double): Double = {
+    val fx = sx - 0.5; val fy = sy - 0.5
+    val x0 = math.floor(fx).toInt; val y0 = math.floor(fy).toInt
+    val wx = fx - x0; val wy = fy - y0
+    val v00 = src(x0, y0); val v10 = src(x0 + 1, y0)
+    val v01 = src(x0, y0 + 1); val v11 = src(x0 + 1, y0 + 1)
+    if (v00.isNaN || v10.isNaN || v01.isNaN || v11.isNaN) {
+      // fall back to nearest of the valid corners (reference folds masks;
+      // our tiles are dense so this path only triggers at raster edges)
+      val n = nearest(src, sx, sy)
+      if (!n.isNaN) n
+      else {
+        val cands = Array(v00, v10, v01, v11).filterNot(_.isNaN)
+        if (cands.isEmpty) Double.NaN else cands(0)
+      }
+    } else {
+      val top = v00 * (1 - wx) + v10 * wx
+      val bot = v01 * (1 - wx) + v11 * wx
+      top * (1 - wy) + bot * wy
+    }
+  }
+
+  /** 2×2 average reduction of a w×h tile (w,h even) — the AVERAGE overview
+    * kernel. Order-fixed summation for bit determinism. */
+  def downsample2x2Avg(pixels: Array[Double], w: Int, h: Int): Array[Double] = {
+    val ow = w / 2; val oh = h / 2
+    val out = new Array[Double](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val i = (2 * y) * w + 2 * x
+        out(y * ow + x) = (pixels(i) + pixels(i + 1) + pixels(i + w) + pixels(i + w + 1)) / 4.0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** NEAREST reduction: top-left pixel of each 2×2 block. */
+  def downsample2x2Near(pixels: Array[Double], w: Int, h: Int): Array[Double] = {
+    val ow = w / 2; val oh = h / 2
+    val out = new Array[Double](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) { out(y * ow + x) = pixels((2 * y) * w + 2 * x); x += 1 }
+      y += 1
+    }
+    out
+  }
+}

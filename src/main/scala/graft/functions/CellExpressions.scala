@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import graft.core.{GeomIO, TileMath, ZCell}
+
+/** Cell-index expressions: the engine-native hierarchical cell key
+  * (Z-order quadtree, SURVEY.md §2.4) re-expressing the reference's tile
+  * math and quadkeys (reference: swig/python/scripts/gdal2tiles.py ::
+  * GlobalGeodetic/GlobalMercator.{LatLonToTile,TileBounds,QuadTree};
+  * port/cpl_quad_tree.cpp :: CPLQuadTree for the generic quadtree role).
+  */
+
+/** cell_encode(lon, lat, zoom) — packed geodetic cell id. */
+case class CellEncode(first: Expression, second: Expression, third: Expression,
+                      mercator: Boolean = false)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(lon0: Any, lat0: Any, z0: Any): Any = {
+    val lon = lon0.asInstanceOf[Double]; val lat = lat0.asInstanceOf[Double]
+    val z = z0.asInstanceOf[Int]
+    if (mercator) TileMath.mercCell(lon, lat, z) else TileMath.geoCell(lon, lat, z)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c, mercator)
+  override def prettyName: String = if (mercator) "cell_encode_merc" else "cell_encode"
+}
+
+/** cell_zoom / cell_tx / cell_ty accessors. */
+case class CellPart(child: Expression, part: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val c = v.asInstanceOf[Long]
+    part match {
+      case "zoom" => ZCell.zoom(c).toLong
+      case "tx"   => ZCell.tx(c)
+      case "ty"   => ZCell.ty(c)
+      case "parent" => ZCell.parent(c)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c, part)
+  override def prettyName: String = s"cell_$part"
+}
+
+/** cell_pack(zoom, tx, ty) — build a packed cell id from parts. */
+case class CellPack(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(z: Any, tx: Any, ty: Any): Any =
+    ZCell.pack(z.asInstanceOf[Int], tx.asInstanceOf[Long], ty.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+  override def prettyName: String = "cell_pack"
+}
+
+/** cell_bounds(cell) → array(west, south, east, north) in degrees. */
+case class CellBounds(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val c = v.asInstanceOf[Long]
+    val (w, s, e, n) = TileMath.geoTileBounds(ZCell.zoom(c), ZCell.tx(c), ZCell.ty(c))
+    new GenericArrayData(Array(w, s, e, n))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "cell_bounds"
+}
+
+/** cell_ring(cell, r) → array<long>: Chebyshev shell at distance r. */
+case class CellRing(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(c0: Any, r0: Any): Any = {
+    val cells = ZCell.ring(c0.asInstanceOf[Long], r0.asInstanceOf[Int], colsShift = 1)
+    new GenericArrayData(cells)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "cell_ring"
+}
+
+/** cell_disk(cell, r) → all cells with Chebyshev distance <= r. */
+case class CellDisk(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(c0: Any, r0: Any): Any = {
+    val c = c0.asInstanceOf[Long]; val r = r0.asInstanceOf[Int]
+    val out = Array.newBuilder[Long]
+    var i = 0
+    while (i <= r) { out ++= ZCell.ring(c, i, colsShift = 1); i += 1 }
+    new GenericArrayData(out.result().distinct)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "cell_disk"
+}
+
+/** cells_cover(geom_wkb, zoom) → array<long>: geodetic cells intersecting
+  * the geometry. Envelope cells first, then an exact prepared-geometry
+  * intersects refine per cell — the same two-phase filter-and-refine the
+  * reference's spatial filter does (reference:
+  * ogr/ogrsf_frmts/generic/ogrlayer.cpp :: OGRLayer::FilterGeometry). */
+case class CellsCover(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(g0: Any, z0: Any): Any = {
+    val wkb = g0.asInstanceOf[Array[Byte]]
+    val zoom = z0.asInstanceOf[Int]
+    val g = GeomIO.fromWkb(wkb)
+    val env = g.getEnvelopeInternal
+    val cand = TileMath.geoCellsForEnvelope(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, zoom)
+    val out =
+      if (cand.length <= 4) cand // tiny covers: envelope filter is enough
+      else {
+        val prep = GeomIO.prepared(wkb)
+        cand.filter { c =>
+          val (w, s, e, n) = TileMath.geoTileBounds(zoom, ZCell.tx(c), ZCell.ty(c))
+          prep.intersects(GeomIO.box(w, s, e, n))
+        }
+      }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "cells_cover"
+}

@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.Geometry
+import graft.core.{GeomIO, TileMath}
+
+/** Geometry scalar functions as native Catalyst expressions over WKB
+  * BinaryType columns, backed by JTS — semantics-identical to the
+  * reference's GEOS-backed methods (reference: ogr/ogrgeometry.cpp ::
+  * OGRGeometry::Intersects/Contains/…, ogr/ogrgeometryfactory.cpp ::
+  * createFromWkt/createFromWkb, ogr/ogrsurface.cpp :: get_Area,
+  * ogr/ogrct.cpp :: OGRCoordinateTransformation for st_transform).
+  *
+  * CodegenFallback is deliberate: the JTS calls dominate cost; these
+  * expressions sit inside WholeStageCodegen spans as leaf calls.
+  */
+object GeomOps {
+  def fromWkb(b: Array[Byte]): Geometry = GeomIO.fromWkb(b)
+}
+
+case class StGeomFromWkt(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    GeomIO.toWkb(GeomIO.fromWkt(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_geomfromwkt"
+}
+
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    GeomIO.toWkb(GeomIO.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "st_point"
+}
+
+/** geometry → string ops: astext, geometrytype */
+case class GeomUnaryToString(child: Expression, op: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeomOps.fromWkb(v.asInstanceOf[Array[Byte]])
+    val s = op match {
+      case "astext"       => GeomIO.toWkt(g)
+      case "geometrytype" => g.getGeometryType.toUpperCase
+    }
+    UTF8String.fromString(s)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c, op)
+  override def prettyName: String = s"st_$op"
+}
+
+/** geometry → double ops: area, length, x, y */
+case class GeomUnaryToDouble(child: Expression, op: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeomOps.fromWkb(v.asInstanceOf[Array[Byte]])
+    op match {
+      case "area"   => g.getArea
+      case "length" => g.getLength
+      case "x"      => g.getCoordinate.x
+      case "y"      => g.getCoordinate.y
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c, op)
+  override def prettyName: String = s"st_$op"
+}
+
+/** geometry → geometry ops: centroid, envelope, convexhull, boundary */
+case class GeomUnaryToGeom(child: Expression, op: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeomOps.fromWkb(v.asInstanceOf[Array[Byte]])
+    val r = op match {
+      case "centroid"   => g.getCentroid
+      case "envelope"   => g.getEnvelope
+      case "convexhull" => g.convexHull()
+      case "boundary"   => g.getBoundary
+    }
+    GeomIO.toWkb(r)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c, op)
+  override def prettyName: String = s"st_$op"
+}
+
+case class GeomUnaryToBool(child: Expression, op: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeomOps.fromWkb(v.asInstanceOf[Array[Byte]])
+    op match {
+      case "isvalid" => g.isValid
+      case "isempty" => g.isEmpty
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c, op)
+  override def prettyName: String = s"st_$op"
+}
+
+/** 9-IM predicates. The LEFT side goes through the per-thread
+  * PreparedGeometry LRU (GeomIO.prepared) — in a spatial join the left is
+  * the replicated polygon side, so each polygon is indexed once per task
+  * rather than re-scanned per candidate row. */
+case class GeomPredicate(left: Expression, right: Expression, op: String)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lb = l.asInstanceOf[Array[Byte]]
+    val g2 = GeomOps.fromWkb(r.asInstanceOf[Array[Byte]])
+    val p = GeomIO.prepared(lb)
+    op match {
+      case "intersects" => p.intersects(g2)
+      case "contains"   => p.contains(g2)
+      case "covers"     => p.covers(g2)
+      case "within"     => p.within(g2)
+      case "touches"    => p.touches(g2)
+      case "crosses"    => p.crosses(g2)
+      case "overlaps"   => p.overlaps(g2)
+      case "disjoint"   => p.disjoint(g2)
+      case "equals"     => p.getGeometry.equalsTopo(g2)
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r, op)
+  override def prettyName: String = s"st_$op"
+}
+
+case class GeomBinaryToGeom(left: Expression, right: Expression, op: String)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val g1 = GeomOps.fromWkb(l.asInstanceOf[Array[Byte]])
+    val g2 = GeomOps.fromWkb(r.asInstanceOf[Array[Byte]])
+    val res = op match {
+      case "intersection"  => g1.intersection(g2)
+      case "union"         => g1.union(g2)
+      case "difference"    => g1.difference(g2)
+      case "symdifference" => g1.symDifference(g2)
+    }
+    GeomIO.toWkb(res)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r, op)
+  override def prettyName: String = s"st_$op"
+}
+
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    GeomOps.fromWkb(l.asInstanceOf[Array[Byte]])
+      .distance(GeomOps.fromWkb(r.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "st_distance"
+}
+
+/** buffer / simplify: geometry + double parameter. */
+case class GeomWithDouble(left: Expression, right: Expression, op: String)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val g = GeomOps.fromWkb(l.asInstanceOf[Array[Byte]])
+    val d = r.asInstanceOf[Double]
+    val res = op match {
+      case "buffer"   => g.buffer(d)
+      case "simplify" => org.locationtech.jts.simplify.DouglasPeuckerSimplifier.simplify(g, d)
+    }
+    GeomIO.toWkb(res)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r, op)
+  override def prettyName: String = s"st_$op"
+}
+
+/** st_transform(geom, src_srid, dst_srid) — closed-form 4326↔3857 only
+  * (documented limitation, SURVEY.md §2.2). */
+case class StTransform(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(g0: Any, s0: Any, d0: Any): Any = {
+    val g = GeomOps.fromWkb(g0.asInstanceOf[Array[Byte]]).copy()
+    val src = s0.asInstanceOf[Int]; val dst = d0.asInstanceOf[Int]
+    if (src == dst) return GeomIO.toWkb(g)
+    require((src == 4326 && dst == 3857) || (src == 3857 && dst == 4326),
+      s"st_transform supports only 4326<->3857, got $src->$dst")
+    g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+        if (src == 4326) {
+          val x = TileMath.lonToMercX(c.x); val y = TileMath.latToMercY(c.y)
+          c.x = x; c.y = y
+        } else {
+          val x = TileMath.mercXToLon(c.x); val y = TileMath.mercYToLat(c.y)
+          c.x = x; c.y = y
+        }
+      }
+    })
+    g.geometryChanged()
+    GeomIO.toWkb(g)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+  override def prettyName: String = "st_transform"
+}
