@@ -1,13 +1,566 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.F
+import graft.operators.{Ann, Dedup, Knn, Raster, SpatialJoin}
+import graft.synth.Synth
+
+/** Driver contract (see /root/repo/SURVEY.md §7 + the builder prompt).
+  *
+  * Every query reads ONLY the driver parquet tables (TESTDATA.md); spatial
+  * inputs are synthesized from them with SQL-reproducible arithmetic
+  * (graft.synth.Synth), so the DuckDB oracle recomputes identical inputs
+  * from the same parquet — end-to-end bit-match, including the spatial
+  * joins, tile assignment, kNN, rasterize checksums and pyramid rollups.
+  *
+  * Column-name + type discipline: every aggregate is aliased identically
+  * in the Spark plan and the oracle SQL; oracle aggregates are CAST to the
+  * Spark result type (DuckDB sum(BIGINT) is HUGEINT otherwise); FP outputs
+  * are either exact binary fractions or fixed-point BIGINTs, so value
+  * hashes match bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the SURVEY.md §7.2 minimum slice on sf0.001 — interleaved
+    * docs table → explode text spans → parse WKT → point-in-polygon join
+    * against region polygons → zoom-12 tile assignment. */
+  def entry(spark: SparkSession): DataFrame = {
+    F.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.001"
+    val docs = Synth.docs(spark, dir)
+    val pts = docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .where(col("span.kind") === "text")
+      .select(col("doc_id"), col("span.offset").as("offset"),
+        F.st_geomfromwkt(col("span.text")).as("g"))
+      .withColumn("lon", F.st_x(col("g"))).withColumn("lat", F.st_y(col("g")))
+    val polys = Synth.regionWkt(spark, dir)
+      .withColumn("geom", F.st_geomfromwkt(col("wkt")))
+    SpatialJoin.pointInPolygon(polys, "geom", pts, "lon", "lat", zoom = 5)
+      .withColumn("tile", F.cell_encode(col("lon"), col("lat"), lit(12)))
+      .select("doc_id", "offset", "region_id", "tile")
+  }
+
+  // ---- shared SQL fragments for the oracle (DuckDB) ----
+  // points derived from lineitem: exact binary fractions (Synth.points)
+  private val ptsSql =
+    """SELECT l_orderkey*10 + l_linenumber AS pt_id,
+       CASE WHEN l_orderkey % 10 = 0
+            THEN ((l_orderkey*7919 + l_linenumber*104729 + l_partkey) % 512) / 1024.0 + 10.0
+            ELSE ((l_orderkey*7919 + l_linenumber*104729 + l_partkey) % 368640) / 1024.0 - 180.0 END AS lon,
+       CASE WHEN l_orderkey % 10 = 0
+            THEN ((l_orderkey*104729 + l_linenumber*7919 + l_suppkey) % 512) / 1024.0 + 45.0
+            ELSE ((l_orderkey*104729 + l_linenumber*7919 + l_suppkey) % 163840) / 1024.0 - 80.0 END AS lat,
+       l_orderkey AS doc_key, l_linenumber AS line_no, l_quantity
+       FROM lineitem"""
+  private val boxesSql =
+    """SELECT p_partkey AS box_id,
+       ((p_partkey*131) % 340) - 170 + 1.0/4096.0 AS xmin,
+       ((p_partkey*241) % 150) - 75  + 1.0/4096.0 AS ymin,
+       ((p_partkey*131) % 340) - 170 + 1.0/4096.0
+         + CASE WHEN p_partkey % 97 = 0 THEN 25 ELSE p_partkey % 7 + 2 END AS xmax,
+       ((p_partkey*241) % 150) - 75  + 1.0/4096.0
+         + CASE WHEN p_partkey % 97 = 0 THEN 18 ELSE p_partkey % 5 + 1 END AS ymax
+       FROM part"""
+  private val qptsSql =
+    """SELECT s_suppkey AS q_id,
+       ((s_suppkey*7919) % 368640) / 1024.0 - 180.0 AS lon,
+       ((s_suppkey*104729) % 163840) / 1024.0 - 80.0 AS lat
+       FROM supplier"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------- relational core (SURVEY.md §3.2/3.3/3.5/3.6/3.7) -------
+    "q01_agg_filter" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") < lit("1995-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+          count(lit(1)).as("n"))
+    }),
+    "q02_join_agg" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+    }),
+    "q03_topk_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+    }),
+    "q04_distinct" -> ((s, dir) =>
+      s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_mktsegment"), col("c_nationkey")).distinct()),
+    "q05_sort_limit" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("price_cents"))),
+    "q06_set_ops" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val rich = c.where(col("c_acctbal") > 5000).select(col("c_custkey"))
+      val lowNation = c.where(col("c_nationkey") < 5).select(col("c_custkey"))
+      rich.except(lowNation)
+    }),
+    "q07_scalar_funcs" -> ((s, dir) =>
+      // OGR's LIKE is case-insensitive by default (SURVEY.md §3.4) —
+      // re-expressed as lower() LIKE lower()
+      s.read.parquet(s"$dir/part.parquet")
+        .where(lower(col("p_name")).like("%wid%"))
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 5)).as("pfx"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("label"),
+          col("p_size").cast("long").as("size_l"))),
+    "q08_semi_anti" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("tag"))
+      val noO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("tag"))
+      withO.unionByName(noO)
+    }),
+    "q09_time_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"))),
+    "q10_histogram" -> ((s, dir) =>
+      // histogram / ComputeStatistics analog (reference:
+      // gcore/gdalrasterband.cpp :: GetHistogram): fixed-width buckets
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(least(greatest(floor(col("o_totalprice") / 50000.0), lit(0.0)), lit(12.0))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ------------- spatial engine (SURVEY.md §3.3 J2/J3/J4, §2.4) ---------
+    "q11_pip_broadcast" -> ((s, dir) => {
+      val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
+      SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat",
+        zoom = 5, broadcastPolys = true)
+        .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
+    }),
+    "q12_pip_salted" -> ((s, dir) => {
+      val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
+      SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat",
+        zoom = 5, broadcastPolys = false, saltFactor = 8)
+        .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
+    }),
+    "q13_tile_assign" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      Synth.points(s, dir).select(col("pt_id"),
+        F.cell_encode(col("lon"), col("lat"), lit(12)).as("cell"))
+        .select(col("pt_id"), F.cell_zoom(col("cell")).as("zoom"),
+          F.cell_tx(col("cell")).as("tx"), F.cell_ty(col("cell")).as("ty"))
+    }),
+    "q14_knn" -> ((s, dir) =>
+      Knn.knn(Synth.queryPoints(s, dir), "q_id", "lon", "lat",
+        Synth.points(s, dir), "pt_id", "lon", "lat", k = 5, zoom = 7)
+        .select(col("q_id"), col("pt_id"), col("rank").cast("long").as("rank"))),
+    "q15_zonal_stats" -> ((s, dir) => {
+      val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
+      SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat", zoom = 5)
+        .groupBy(col("region_id").cast("long").as("box_id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          min(col("pt_id")).as("min_pt"), max(col("pt_id")).as("max_pt"))
+    }),
+    "q16_docs_roundtrip" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      val docs = Synth.docs(s, dir)
+      docs.select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("span.kind") === "text", 1L).otherwise(0L)).as("n_text"),
+          sum(when(col("span.kind") === "media", 1L).otherwise(0L)).as("n_media"),
+          sum(col("span.offset").cast("long")).as("sum_offsets"),
+          min(when(col("span.kind") === "text",
+            F.st_x(F.st_geomfromwkt(col("span.text"))))).as("min_x"))
+    }),
+    "q17_rasterize_checksum" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      val geoms = Synth.boxes(s, dir)
+        .where(col("box_id") % 7 === 0)
+        .withColumn("geom", F.st_point(lit(0.0), lit(0.0))) // replaced below
+        .withColumn("geom", F.st_geomfromwkt(format_string(
+          "POLYGON((%.12f %.12f, %.12f %.12f, %.12f %.12f, %.12f %.12f, %.12f %.12f))",
+          col("xmin"), col("ymin"), col("xmax"), col("ymin"),
+          col("xmax"), col("ymax"), col("xmin"), col("ymax"), col("xmin"), col("ymin"))))
+        .withColumn("burn", (col("box_id") % 97 + 1).cast("double"))
+      Raster.rasterize(geoms, "geom", "burn", zoom = 4, mode = "add")
+        .select(col("zoom"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q18_pyramid_checksum" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      Raster.pyramidUp(Synth.tiles(s, zoom = 3), method = "average")
+        .select(col("zoom").cast("long").as("zoom"), col("tx"), col("ty"),
+          F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q19_warp_checksum" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      Raster.warpToMercator(Synth.tiles(s, zoom = 3), srcZoom = 3, dstZoom = 3,
+        method = "bilinear")
+        .select(col("zoom"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q20_mosaic_checksum" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      val a = Synth.tiles(s, zoom = 3).withColumn("prio", lit(1))
+      val b = Synth.tiles(s, zoom = 3).where(col("tx") % 2 === 0)
+        .withColumn("pixels", expr("transform(pixels, p -> p + 1.0)"))
+        .withColumn("prio", lit(2))
+      Raster.mosaic(a.unionByName(b), "prio")
+        .select(col("zoom").cast("long").as("zoom"), col("tx"), col("ty"),
+          F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q21_grid_metrics" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      // scatter→grid aggregation (reference gdalgrid data metrics):
+      // per zoom-6 cell: point count + quantity sum
+      Synth.points(s, dir)
+        .withColumn("cell", F.cell_encode(col("lon"), col("lat"), lit(6)))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(F.cell_tx(col("cell")).as("tx"), F.cell_ty(col("cell")).as("ty"),
+          col("n"), col("sum_qty"))
+    }),
+    "q32_extent_agg" -> ((s, dir) =>
+      // GetExtent / envelope aggregate per group (reference OGRLayer::GetExtent)
+      Synth.points(s, dir)
+        .groupBy((col("doc_key") % 10).as("grp"))
+        .agg(min(col("lon")).as("min_x"), max(col("lon")).as("max_x"),
+          min(col("lat")).as("min_y"), max(col("lat")).as("max_y"))),
+
+    // ------------- training-data pipeline ops ----------------------------
+    "q22_dedup_exact" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val input = d.select(col("doc_id"), col("text")).unionByName(dup)
+      Dedup.exact(input, "doc_id", "text").select(col("keeper_id"), col("dup_count"))
+    }),
+    "q23_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", k = 3, minJaccard = 0.5, blockCol = Some("lang"))
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 1000000).cast("long").as("j_micro"))),
+    "q24_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", numPerm = 64, bands = 16, shingleK = 3, minJaccard = 0.3)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 1000000).cast("long").as("j_micro"))),
+    "q25_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", maxHamming = 12)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+    "q26_ann_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.bruteTopK(e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("score"))
+    }),
+    "q27_lang_id" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), F.lang_id(col("text")).as("pred_lang"))
+    }),
+    "q28_quality" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          floor(F.quality_score(col("text")) * 1000000).cast("long").as("q_micro"))
+    }),
+    "q29_token_count" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(split(trim(lower(regexp_replace(col("text"), "\\s+", " "))), " "))
+            .cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+            .cast("long").as("bpe_tokens"))),
+    "q30_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("gap", unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+    }),
+    "q31_fingerprint" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), F.fingerprint64(col("text")).as("fp"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_filter" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+         count(*) AS n
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-09-01'
+         GROUP BY 1, 2""",
+    "q02_join_agg" ->
+      """SELECT r_name, n_name,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2""",
+    "q03_topk_window" ->
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders) WHERE rnk <= 2""",
+    "q04_distinct" -> "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q05_sort_limit" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q06_set_ops" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 5""",
+    "q07_scalar_funcs" ->
+      """SELECT p_partkey, upper(substr(p_name, 1, 5)) AS pfx,
+         concat_ws('-', p_brand, p_type) AS label, CAST(p_size AS BIGINT) AS size_l
+         FROM part WHERE lower(p_name) LIKE '%wid%'""",
+    "q08_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS tag FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT c_custkey, 'no_orders' AS tag FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "q09_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2""",
+    "q10_histogram" ->
+      """SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0.0), 12.0) AS BIGINT) AS bucket,
+         count(*) AS n FROM orders GROUP BY 1""",
+    "q11_pip_broadcast" ->
+      s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql)
+         SELECT b.box_id AS box_id, p.pt_id AS pt_id
+         FROM pts p JOIN boxes b
+           ON p.lon > b.xmin AND p.lon < b.xmax AND p.lat > b.ymin AND p.lat < b.ymax""",
+    "q12_pip_salted" ->
+      s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql)
+         SELECT b.box_id AS box_id, p.pt_id AS pt_id
+         FROM pts p JOIN boxes b
+           ON p.lon > b.xmin AND p.lon < b.xmax AND p.lat > b.ymin AND p.lat < b.ymax""",
+    "q13_tile_assign" ->
+      s"""WITH pts AS ($ptsSql)
+         SELECT pt_id, CAST(12 AS BIGINT) AS zoom,
+           CAST(least(greatest(floor((lon + 180.0) / 360.0 * 8192), 0), 8191) AS BIGINT) AS tx,
+           CAST(least(greatest(floor((90.0 - lat) / 180.0 * 4096), 0), 4095) AS BIGINT) AS ty
+         FROM pts""",
+    "q14_knn" ->
+      s"""WITH pts AS ($ptsSql), q AS ($qptsSql)
+         SELECT q_id, pt_id, CAST(rnk AS BIGINT) AS rank FROM (
+           SELECT q.q_id, p.pt_id,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY (p.lon-q.lon)*(p.lon-q.lon) + (p.lat-q.lat)*(p.lat-q.lat), p.pt_id) AS rnk
+           FROM q CROSS JOIN pts p) WHERE rnk <= 5""",
+    "q15_zonal_stats" ->
+      s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql)
+         SELECT b.box_id AS box_id, count(*) AS n_points,
+           CAST(sum(CAST(p.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           min(p.pt_id) AS min_pt, max(p.pt_id) AS max_pt
+         FROM pts p JOIN boxes b
+           ON p.lon > b.xmin AND p.lon < b.xmax AND p.lat > b.ymin AND p.lat < b.ymax
+         GROUP BY 1""",
+    "q16_docs_roundtrip" ->
+      s"""WITH pts AS ($ptsSql)
+         SELECT printf('doc-%09d', doc_key) AS doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN line_no % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+           CAST(sum(CASE WHEN line_no % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+           CAST(sum(rn - 1) AS BIGINT) AS sum_offsets,
+           min(CASE WHEN line_no % 4 <> 0 THEN lon END) AS min_x
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY line_no) AS rn FROM pts)
+         GROUP BY 1""",
+    "q17_rasterize_checksum" ->
+      // scanline-parity runs computed arithmetically per (box, tile) with
+      // the same FP op order as core.Scanline (see comment there); ADD
+      // merge; checksum = sum(v * (i%49+1)) % 65535 over the 64x64 tile
+      s"""WITH boxes AS (SELECT * FROM ($boxesSql) WHERE box_id % 7 = 0),
+         res AS (SELECT 11.25 AS res, 11.25/64 AS pres),
+         cover AS (
+           SELECT b.box_id, (b.box_id % 97 + 1) AS burn, t.tx, t.ty,
+             -180.0 + t.tx * r.res AS west, 90.0 - t.ty * r.res AS north, r.pres
+           FROM boxes b, res r,
+             (SELECT gx.x AS tx, gy.y AS ty
+                FROM generate_series(0, 31) gx(x), generate_series(0, 15) gy(y)) t
+           WHERE t.tx BETWEEN CAST(least(greatest(floor((b.xmin+180.0)/360.0*32),0),31) AS BIGINT)
+                          AND CAST(least(greatest(floor((b.xmax+180.0)/360.0*32),0),31) AS BIGINT)
+             AND t.ty BETWEEN CAST(least(greatest(floor((90.0-b.ymax)/180.0*16),0),15) AS BIGINT)
+                          AND CAST(least(greatest(floor((90.0-b.ymin)/180.0*16),0),15) AS BIGINT)),
+         runs AS (
+           SELECT c.tx, c.ty, c.burn, py.py AS py,
+             greatest(CAST(ceil((b.xmin - c.west)/c.pres - 0.5) AS BIGINT), 0) AS xs,
+             least(CAST(ceil((b.xmax - c.west)/c.pres - 0.5) AS BIGINT), 64) AS xe
+           FROM cover c JOIN boxes b ON b.box_id = c.box_id,
+             generate_series(0, 63) py(py)
+           WHERE (py.py + 0.5) >= (c.north - b.ymax)/c.pres
+             AND (py.py + 0.5) <  (c.north - b.ymin)/c.pres),
+         px AS (
+           SELECT r.tx, r.ty, (r.py*64 + x.x) AS i, r.burn
+           FROM runs r, generate_series(0, 63) x(x)
+           WHERE x.x >= r.xs AND x.x < r.xe),
+         tilepx AS (
+           SELECT tx, ty, i, sum(burn) AS v FROM px GROUP BY 1, 2, 3)
+         SELECT CAST(4 AS BIGINT) AS zoom, tx, ty,
+           CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM tilepx GROUP BY 1, 2, 3""",
+    "q18_pyramid_checksum" ->
+      // parent(zoom 2) pixel = avg of the 2x2 block of child(zoom 3) tile
+      // (2tx+qx, 2ty+qy); child pixel value is the closed-form synth
+      s"""WITH parent AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 7) gx(x), generate_series(0, 3) gy(y)),
+         px AS (
+           SELECT p.tx, p.ty, i.i AS i,
+             (i.i % 64) AS px, (i.i // 64) AS py,
+             (i.i % 64) // 32 AS qx, (i.i // 64) // 32 AS qy,
+             (i.i % 64) % 32 AS x, (i.i // 64) % 32 AS y
+           FROM parent p, generate_series(0, 4095) i(i)),
+         vals AS (
+           SELECT tx, ty, i,
+             ((( (2*tx+qx)*131 + (2*ty+qy)*173 + (2*x)*7   + (2*y)*11   + 3) % 256)
+            + (( (2*tx+qx)*131 + (2*ty+qy)*173 + (2*x+1)*7 + (2*y)*11   + 3) % 256)
+            + (( (2*tx+qx)*131 + (2*ty+qy)*173 + (2*x)*7   + (2*y+1)*11 + 3) % 256)
+            + (( (2*tx+qx)*131 + (2*ty+qy)*173 + (2*x+1)*7 + (2*y+1)*11 + 3) % 256)) / 4.0 AS v
+           FROM px)
+         SELECT CAST(2 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(floor(v) AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM vals GROUP BY 1, 2, 3""",
+    "q20_mosaic_checksum" ->
+      s"""WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256
+               + CASE WHEN t.tx % 2 = 0 THEN 1 ELSE 0 END AS v
+           FROM tiles t, generate_series(0, 4095) i(i))
+         SELECT CAST(3 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM px GROUP BY 1, 2, 3""",
+    "q21_grid_metrics" ->
+      s"""WITH pts AS ($ptsSql)
+         SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * 128), 0), 127) AS BIGINT) AS tx,
+           CAST(least(greatest(floor((90.0 - lat) / 180.0 * 64), 0), 63) AS BIGINT) AS ty,
+           count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM pts GROUP BY 1, 2""",
+    "q32_extent_agg" ->
+      s"""WITH pts AS ($ptsSql)
+         SELECT doc_key % 10 AS grp, min(lon) AS min_x, max(lon) AS max_x,
+           min(lat) AS min_y, max(lat) AS max_y
+         FROM pts GROUP BY 1""",
+    "q22_dedup_exact" ->
+      """WITH input AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+         SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+         FROM input GROUP BY text""",
+    "q23_ngram_jaccard" ->
+      """WITH base AS (
+           SELECT doc_id AS id, lang AS blk, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+           FROM documents WHERE length(lower(regexp_replace(text, '\s+', ' ', 'g'))) >= 3),
+         grams AS (
+           SELECT DISTINCT id, blk, substr(norm, CAST(i.i AS INT), 3) AS g
+           FROM base, generate_series(1, 100000) i(i)
+           WHERE i.i <= length(base.norm) - 2),
+         counts AS (SELECT id, count(*) AS n FROM grams GROUP BY 1),
+         inter AS (
+           SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+           FROM grams a JOIN grams b ON a.blk = b.blk AND a.g = b.g AND a.id < b.id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           CAST(floor(CAST(i AS DOUBLE) / (ca.n + cb.n - i) * 1000000) AS BIGINT) AS j_micro
+         FROM inter JOIN counts ca ON ca.id = id_a JOIN counts cb ON cb.id = id_b
+         WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""",
+    "q26_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             (SELECT CAST(sum(CAST(floor(CAST(q.qv[i.i] AS DOUBLE)*1000000.0) AS BIGINT)
+                         * CAST(floor(CAST(e.embedding[i.i] AS DOUBLE)*1000000.0) AS BIGINT)) AS BIGINT)
+              FROM generate_series(1, 64) i(i)) AS score
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+         SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+           FROM scored) WHERE rnk <= 5""",
+    "q27_lang_id" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ts
+           FROM documents),
+         scores AS (
+           SELECT doc_id,
+             len(list_filter(ts, x -> x IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(ts, x -> x IN ('der','und','die','nicht','ist'))) AS s_de,
+             len(list_filter(ts, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+             len(list_filter(ts, x -> x IN ('el','la','de','que','los'))) AS s_es,
+             len(list_filter(ts, x -> x IN ('的','是','了','在','我'))) AS s_zh
+           FROM toks)
+         SELECT doc_id,
+           CASE
+             WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es >= s_zh THEN 'es'
+             ELSE 'zh' END AS pred_lang
+         FROM scores""",
+    "q28_quality" ->
+      """WITH n AS (
+           SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+         feat AS (
+           SELECT doc_id,
+             CASE WHEN length(norm) >= 20 AND length(norm) <= 2000 THEN 1.0 ELSE 0.0 END AS len_ok,
+             CAST(length(regexp_replace(norm, '[^a-z ]', '', 'g')) AS DOUBLE) / length(norm) AS alpha_ratio,
+             CASE WHEN CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(string_split(norm, ' ')) >= 2.0
+                   AND CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(string_split(norm, ' ')) <= 12.0
+                  THEN 1.0 ELSE 0.0 END AS word_ok
+           FROM n WHERE length(norm) > 0)
+         SELECT doc_id,
+           CAST(floor((len_ok + alpha_ratio + word_ok) / 3.0 * 1000000) AS BIGINT) AS q_micro
+         FROM feat""",
+    "q29_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+         FROM documents""",
+    "q30_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+           FROM events),
+         s AS (
+           SELECT user_id, event_id,
+             sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM g)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(event_id) AS first_event
+         FROM s GROUP BY 1, 2""",
+    "q31_fingerprint" ->
+      """SELECT doc_id,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             list_transform(range(1, length(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) + 1),
+               i -> CAST(unicode(substr(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), CAST(i AS INT), 1)) AS HUGEINT))),
+           (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS fp
+         FROM documents"""
+  )
 }

@@ -16,13 +16,14 @@ import org.apache.spark.sql.graftshim.Register
   * the functions exist both for the Column API (via call_function) and for
   * spark.sql text. */
 object F {
-  private val registered = java.util.Collections.synchronizedSet(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]().keySet())
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   def ensureRegistered(spark: SparkSession): Unit = {
-    if (registered.contains(spark)) return
+    if (registered.containsKey(spark)) return
     registered.synchronized {
-      if (registered.contains(spark)) return
+      if (registered.containsKey(spark)) return
       val defs: Seq[(String, Seq[Expression] => Expression)] = Seq(
         "st_geomfromwkt" -> (e => StGeomFromWkt(e.head)),
         "st_point"       -> (e => StPoint(e(0), e(1))),
@@ -77,7 +78,7 @@ object F {
         "cosine_sim"     -> (e => CosineSim(e(0), e(1))),
         "checksum_px"    -> (e => ChecksumPx(e.head)))
       defs.foreach { case (name, b) => Register.function(spark, name, b) }
-      registered.add(spark)
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
   }
 

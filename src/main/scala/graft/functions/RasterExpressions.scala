@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import graft.core.{GeomIO, Resample, Scanline, TileMath, ZCell}
+
+/** Raster-side expressions: scanline burn runs, warp source-window
+  * computation, and the per-tile warp kernel. */
+
+/** raster_runs(geom_wkb, cell) → array<struct<py:int, xs:int, xe:int>>:
+  * the pixel runs of the geometry burned into the 64×64 grid of the given
+  * geodetic cell — the reference's scanline parity fill emitted as data
+  * (reference: alg/llrasterize.cpp :: GDALdllImageFilledPolygon via
+  * alg/gdalrasterize.cpp :: gv_rasterize_one_shape). Array-returning
+  * expression + explode ≡ a Generator with less Catalyst surface
+  * (SURVEY.md §3.10). */
+case class RasterRuns(left: Expression, right: Expression, tileW: Int, tileH: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("py", IntegerType, nullable = false),
+      StructField("xs", IntegerType, nullable = false),
+      StructField("xe", IntegerType, nullable = false))), containsNull = false)
+  override def nullSafeEval(g0: Any, c0: Any): Any = {
+    val g = GeomIO.fromWkb(g0.asInstanceOf[Array[Byte]])
+    val cell = c0.asInstanceOf[Long]
+    val z = ZCell.zoom(cell)
+    val (w, s, e, n) = TileMath.geoTileBounds(z, ZCell.tx(cell), ZCell.ty(cell))
+    val pw = (e - w) / tileW; val ph = (n - s) / tileH
+    val runs = Scanline.fillGeometry(g, w, n, pw, ph, tileW, tileH)
+    new GenericArrayData(runs.map { case (py, xs, xe) =>
+      InternalRow(py, xs, xe)
+    }.toArray[Any])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r, tileW, tileH)
+  override def prettyName: String = "raster_runs"
+}
+
+/** warp_src_cells(dst_cell_merc, src_zoom) → array<long>: the geodetic
+  * source cells a mercator destination tile needs, one source pixel of
+  * halo included — the reference's source-window computation
+  * (reference: alg/gdalwarpoperation.cpp ::
+  * GDALWarpOperation::ComputeSourceWindow). */
+case class WarpSrcCells(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(d0: Any, sz0: Any): Any = {
+    val dst = d0.asInstanceOf[Long]
+    val srcZoom = sz0.asInstanceOf[Int]
+    val (w, s, e, n) = TileMath.mercTileBoundsDeg(ZCell.zoom(dst), ZCell.tx(dst), ZCell.ty(dst))
+    val halo = 180.0 / (1L << srcZoom).toDouble / 64.0 * 1.5 // 1.5 src pixels
+    val cells = TileMath.geoCellsForEnvelope(
+      math.max(-180.0, w - halo), math.max(-90.0, s - halo),
+      math.min(180.0, e + halo), math.min(90.0, n + halo), srcZoom)
+    new GenericArrayData(cells)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "warp_src_cells"
+}
+
+/** warp_tile(dst_cell_merc, src_zoom, srcs: array<struct<cell:long,
+  * pixels:array<double>>>, method) → array<double> 64×64 dst pixels.
+  * Inverse-projects each dst pixel center to lon/lat, samples the geodetic
+  * source mosaic with the shared Resample kernel (reference:
+  * alg/gdalwarpkernel.cpp :: GWKBilinearNoMasksT / GWKNearestNoMasksByte;
+  * chunk orchestration alg/gdalwarpoperation.cpp :: WarpRegion). */
+case class WarpTile(first: Expression, second: Expression, third: Expression,
+                    fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  final val TW = 64; final val TH = 64
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(d0: Any, sz0: Any, srcs0: Any, m0: Any): Any = {
+    val dst = d0.asInstanceOf[Long]
+    val srcZoom = sz0.asInstanceOf[Int]
+    val method = m0.toString
+    val srcArr = srcs0.asInstanceOf[ArrayData]
+    // global geodetic pixel grid at srcZoom: (2^(z+1)*64) × (2^z*64) px
+    val tiles = new java.util.HashMap[Long, Array[Double]]()
+    var i = 0
+    while (i < srcArr.numElements()) {
+      val row = srcArr.getStruct(i, 2)
+      tiles.put(row.getLong(0), row.getArray(1).toDoubleArray())
+      i += 1
+    }
+    val srcFn: (Int, Int) => Double = (gx, gy) => {
+      val nx = (1L << (srcZoom + 1)) * TW; val ny = (1L << srcZoom) * TH
+      if (gx < 0 || gy < 0 || gx >= nx || gy >= ny) Double.NaN
+      else {
+        val key = ZCell.pack(srcZoom, gx.toLong / TW, gy.toLong / TH)
+        val px = tiles.get(key)
+        if (px == null) Double.NaN else px((gy % TH) * TW + (gx % TW))
+      }
+    }
+    val (z, tx, ty) = ZCell.unpack(dst)
+    val (xm0, ym0, xm1, ym1) = TileMath.mercTileBoundsMeters(z, tx, ty)
+    val dxm = (xm1 - xm0) / TW; val dym = (ym1 - ym0) / TH
+    val srcResX = 360.0 / ((1L << (srcZoom + 1)) * TW).toDouble
+    val srcResY = 180.0 / ((1L << srcZoom) * TH).toDouble
+    val out = new Array[Double](TW * TH)
+    var py = 0
+    while (py < TH) {
+      val ym = ym1 - (py + 0.5) * dym // top row first
+      val lat = TileMath.mercYToLat(ym)
+      val gy = (90.0 - lat) / srcResY // fractional src pixel row
+      var px = 0
+      while (px < TW) {
+        val xm = xm0 + (px + 0.5) * dxm
+        val lon = TileMath.mercXToLon(xm)
+        val gx = (lon + 180.0) / srcResX
+        val v = method match {
+          case "near" => Resample.nearest(srcFn, gx, gy)
+          case _      => Resample.bilinear(srcFn, gx, gy)
+        }
+        out(py * TW + px) = if (v.isNaN) 0.0 else v
+        px += 1
+      }
+      py += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression = copy(a, b, c, d)
+  override def prettyName: String = "warp_tile"
+}

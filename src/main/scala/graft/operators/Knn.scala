@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.F
+import graft.core.TileMath
+
+/** Distributed k-nearest-neighbor via cell-ring expansion + secondary sort
+  * (SURVEY.md §3.3 J4), re-expressing the reference's nearest-neighbor
+  * scatter search (reference: alg/gdalgrid.cpp :: GDALGridNearestNeighbor
+  * — radius search ellipse; alg/gdalproximity.cpp :: GDALComputeProximity
+  * — ring-by-ring neighborhood walk).
+  *
+  * Algorithm: iterative doubling of a cell-disk radius. In round i the
+  * still-unresolved queries explode cell_disk(qcell, r_i), equi-join the
+  * point table on cell, rank candidates per query by (dist, pt_id) —
+  * secondary sort — and ACCEPT a query only when its k-th candidate lies
+  * within the ring guarantee distance r_i * cellSize: any point outside
+  * the searched disk is at least that far away (Chebyshev argument), so
+  * the k found are provably the global top-k. Unresolved queries continue
+  * with doubled radius; after maxRounds the stragglers fall back to a
+  * brute-force join (correct for arbitrarily empty neighborhoods).
+  *
+  * Distance: planar euclidean in lon/lat degrees (documented; ties broken
+  * by pt_id ascending — FIXTURES.md golden_knn rule).
+  */
+object Knn {
+
+  def knn(queries: DataFrame, qId: String, qLon: String, qLat: String,
+          points: DataFrame, pId: String, pLon: String, pLat: String,
+          k: Int, zoom: Int, maxRounds: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    F.ensureRegistered(spark)
+    import spark.implicits._
+
+    val cellSize = 180.0 / (1L << zoom).toDouble // geodetic cells are square
+    val pts = points.select(
+      col(pId).as("__pid"), col(pLon).as("__plon"), col(pLat).as("__plat"),
+      F.cell_encode(col(pLon), col(pLat), lit(zoom)).as("__pcell"))
+
+    var pending = queries.select(
+      col(qId).as("__qid"), col(qLon).as("__qlon"), col(qLat).as("__qlat"),
+      F.cell_encode(col(qLon), col(qLat), lit(zoom)).as("__qcell"))
+    var results: DataFrame = null
+    var r = 1
+    var round = 0
+
+    val dist2 = (col("__plon") - col("__qlon")) * (col("__plon") - col("__qlon")) +
+      (col("__plat") - col("__qlat")) * (col("__plat") - col("__qlat"))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("__dist2"), col("__pid"))
+
+    while (round < maxRounds && !pending.isEmpty) {
+      val guarantee = r.toDouble * cellSize
+      val cand = pending
+        .withColumn("__cell", explode(F.cell_disk(col("__qcell"), lit(r))))
+        .join(pts.withColumnRenamed("__pcell", "__cell"), Seq("__cell"), "inner")
+        .withColumn("__dist2", dist2)
+        .withColumn("__rank", row_number().over(w))
+        .where(col("__rank") <= k)
+      // a query is resolved iff it has k candidates and the k-th is within
+      // the guarantee radius (otherwise a closer point may hide outside)
+      val kth = cand.groupBy("__qid")
+        .agg(count(lit(1)).as("__n"), max(sqrt(col("__dist2"))).as("__kthDist"))
+        .where(col("__n") === k && col("__kthDist") <= guarantee)
+        .select("__qid")
+      val resolved = cand.join(kth, Seq("__qid"), "left_semi")
+        .select("__qid", "__pid", "__dist2", "__rank")
+      results = if (results == null) resolved else results.unionByName(resolved)
+      pending = pending.join(kth, Seq("__qid"), "left_anti")
+      r *= 2
+      round += 1
+    }
+
+    if (!pending.isEmpty) {
+      // brute-force stragglers (few): cross join against all points
+      val brute = pending.drop("__qcell")
+        .crossJoin(pts.drop("__pcell"))
+        .withColumn("__dist2", dist2)
+        .withColumn("__rank", row_number().over(w))
+        .where(col("__rank") <= k)
+        .select("__qid", "__pid", "__dist2", "__rank")
+      results = if (results == null) brute else results.unionByName(brute)
+    }
+
+    results.select(
+      col("__qid").as(qId), col("__pid").as(pId),
+      sqrt(col("__dist2")).as("dist"), col("__rank").as("rank"))
+  }
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.{F, RasterRuns, WarpSrcCells, WarpTile}
+import org.apache.spark.sql.Column
+
+/** Raster operators: rasterize (vector→raster burn), overview pyramid,
+  * warp (geodetic→mercator reprojection), and mosaic. Tiles are rows of a
+  * DataFrame — `(zoom:int, tx:long, ty:long, band:int, w:int, h:int,
+  * pixels:array<double>)` — never an in-memory 2-D array (SURVEY.md §2.1),
+  * so every stage is an ordinary shuffle/aggregate that scales by
+  * partitioning on the cell key. */
+object Raster {
+  final val TW = 64
+  final val TH = 64
+
+  import org.apache.spark.sql.graftshim.Columns.{of => expr2col, expr => asExpr}
+
+  case class BurnRun(py: Int, xs: Int, xe: Int, burn: Double)
+
+  /** Paints burn runs into a w×h pixel buffer.
+    * mode "add":     pixel += burn   (MERGE_ALG=ADD; exact for integer burns)
+    * mode "max":     pixel = max(pixel, burn) — deterministic REPLACE:
+    * equals the reference's last-wins when burn encodes layer order
+    * (reference: alg/gdalrasterize.cpp :: GDALRasterizeOptions MERGE_ALG). */
+  class TileAssemble(w: Int, h: Int, mode: String)
+      extends Aggregator[BurnRun, Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = new Array[Double](w * h)
+    override def reduce(buf: Array[Double], r: BurnRun): Array[Double] = {
+      var x = r.xs
+      while (x < r.xe) {
+        val i = r.py * w + x
+        if (mode == "add") buf(i) += r.burn
+        else if (r.burn > buf(i)) buf(i) = r.burn
+        x += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) {
+        if (mode == "add") a(i) += b(i)
+        else if (b(i) > a(i)) a(i) = b(i)
+        i += 1
+      }
+      a
+    }
+    override def finish(buf: Array[Double]): Seq[Double] = buf.toSeq
+    override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Rasterize geometries into 64×64 tiles at a geodetic zoom.
+    * @param geoms (idCol, geomCol WKB, burnCol double)
+    * @return (cell, zoom, tx, ty, pixels) — one row per touched tile.
+    * Plan shape: cells_cover explode → per-(geom,cell) scanline runs
+    * (map-side, no shuffle) → ONE partial+final aggregate keyed by cell.
+    * The reference's sequential burn loop (apps/gdal_rasterize.cpp →
+    * alg/gdalrasterize.cpp :: GDALRasterizeLayers) becomes an
+    * embarrassingly-parallel generate + hash aggregate. */
+  def rasterize(geoms: DataFrame, geomCol: String, burnCol: String,
+                zoom: Int, mode: String = "max"): DataFrame = {
+    val spark = geoms.sparkSession
+    F.ensureRegistered(spark)
+    val assembler = udaf(new TileAssemble(TW, TH, mode))
+    val withCells = geoms
+      .withColumn("__cell", explode(F.cells_cover(col(geomCol), lit(zoom))))
+    val runs = withCells
+      .withColumn("__run", explode(expr2col(
+        RasterRuns(asExpr(col(geomCol)), asExpr(col("__cell")), TW, TH))))
+      .select(col("__cell"),
+        col("__run.py").as("py"), col("__run.xs").as("xs"),
+        col("__run.xe").as("xe"), col(burnCol).cast("double").as("burn"))
+    runs.groupBy(col("__cell").as("cell"))
+      .agg(assembler(col("py"), col("xs"), col("xe"), col("burn")).as("pixels"))
+      .select(col("cell"), F.cell_zoom(col("cell")).as("zoom"),
+        F.cell_tx(col("cell")).as("tx"), F.cell_ty(col("cell")).as("ty"),
+        col("pixels"))
+  }
+
+  case class Quad(qx: Int, qy: Int, pixels: Seq[Double])
+
+  /** Assembles a parent tile from up to 4 half-resolution children. */
+  class PyramidAssemble(w: Int, h: Int, method: String)
+      extends Aggregator[Quad, Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = new Array[Double](w * h)
+    override def reduce(buf: Array[Double], q: Quad): Array[Double] = {
+      val child = q.pixels.toArray
+      val down = if (method == "near") graft.core.Resample.downsample2x2Near(child, w, h)
+                 else graft.core.Resample.downsample2x2Avg(child, w, h)
+      val ox = q.qx * (w / 2); val oy = q.qy * (h / 2)
+      var y = 0
+      while (y < h / 2) {
+        var x = 0
+        while (x < w / 2) { buf((oy + y) * w + ox + x) = down(y * (w / 2) + x); x += 1 }
+        y += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      // children write disjoint quadrants; nonzero wins
+      var i = 0
+      while (i < a.length) { if (a(i) == 0.0) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Double]): Seq[Double] = buf.toSeq
+    override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** One pyramid level up: tiles at zoom z → tiles at z-1 (AVERAGE or
+    * NEAR), 2×2 children per parent — a partial+final hash aggregate per
+    * parent cell (reference: gcore/overview.cpp ::
+    * GDALRegenerateOverviews; swig/python/scripts/gdal2tiles.py ::
+    * create_overview_tiles). Expects (zoom,tx,ty,pixels). */
+  def pyramidUp(tiles: DataFrame, method: String = "average"): DataFrame = {
+    val spark = tiles.sparkSession
+    F.ensureRegistered(spark)
+    val assembler = udaf(new PyramidAssemble(TW, TH, method))
+    tiles
+      .withColumn("__pz", col("zoom") - 1)
+      .withColumn("__ptx", floor(col("tx") / 2).cast("long"))
+      .withColumn("__pty", floor(col("ty") / 2).cast("long"))
+      .withColumn("__qx", (col("tx") % 2).cast("int"))
+      .withColumn("__qy", (col("ty") % 2).cast("int"))
+      .groupBy(col("__pz").as("zoom"), col("__ptx").as("tx"), col("__pty").as("ty"))
+      .agg(assembler(col("__qx"), col("__qy"), col("pixels")).as("pixels"))
+  }
+
+  /** Full pyramid from base zoom down to `toZoom` (inclusive), reusing
+    * each level for the next (the reference reuses level z for z-1;
+    * .cache() where reuse exists — SURVEY.md §5 block-cache row). */
+  def pyramid(base: DataFrame, baseZoom: Int, toZoom: Int,
+              method: String = "average"): DataFrame = {
+    var cur = base.select(col("zoom"), col("tx"), col("ty"), col("pixels"))
+    var out = cur
+    var z = baseZoom
+    while (z > toZoom) {
+      cur = pyramidUp(cur, method)
+      out = out.unionByName(cur)
+      z -= 1
+    }
+    out
+  }
+
+  /** Warp geodetic tiles to mercator tiles at dstZoom (near|bilinear).
+    * Source-window join: each dst tile explodes to the src cells it needs
+    * (WarpSrcCells = the reference's ComputeSourceWindow), equi-joins the
+    * tile table on cell, regroups per dst tile, then the WarpTile kernel
+    * resamples — reference: alg/gdalwarpoperation.cpp ::
+    * ChunkAndWarpImage/WarpRegion + alg/gdalwarpkernel.cpp. */
+  def warpToMercator(srcTiles: DataFrame, srcZoom: Int, dstZoom: Int,
+                     method: String = "bilinear"): DataFrame = {
+    val spark = srcTiles.sparkSession
+    F.ensureRegistered(spark)
+    val nDst = 1L << dstZoom
+    val dst = spark.range(nDst * nDst).select(
+      F.cell_pack(lit(dstZoom), col("id") % nDst, col("id") / nDst).as("dst_cell"))
+    val src = srcTiles.select(
+      F.cell_pack(col("zoom"), col("tx"), col("ty")).as("src_cell"), col("pixels"))
+    val needed = dst.withColumn("src_cell",
+      explode(expr2col(WarpSrcCells(asExpr(col("dst_cell")), asExpr(lit(srcZoom))))))
+    val gathered = needed.join(src, Seq("src_cell"), "inner")
+      .groupBy("dst_cell")
+      .agg(collect_list(struct(col("src_cell").as("cell"), col("pixels"))).as("srcs"))
+    gathered.select(
+      col("dst_cell").as("cell"),
+      F.cell_zoom(col("dst_cell")).as("zoom"),
+      F.cell_tx(col("dst_cell")).as("tx"),
+      F.cell_ty(col("dst_cell")).as("ty"),
+      expr2col(WarpTile(asExpr(col("dst_cell")), asExpr(lit(srcZoom)),
+        asExpr(col("srcs")), asExpr(lit(method)))).as("pixels"))
+  }
+
+  /** Mosaic: priority coalesce of overlapping tile sources
+    * (reference: apps/gdalbuildvrt.cpp, swig/python/scripts/gdal_merge.py)
+    * — highest priority wins per tile via max_by. */
+  def mosaic(tiles: DataFrame, priorityCol: String): DataFrame =
+    tiles.groupBy("zoom", "tx", "ty")
+      .agg(max_by(col("pixels"), col(priorityCol)).as("pixels"))
+}

@@ -30,6 +30,7 @@ object Synth {
       (col("l_orderkey") * 10 + col("l_linenumber")).as("pt_id"),
       col("l_orderkey").as("doc_key"),
       col("l_linenumber").as("line_no"),
+      col("l_quantity"),
       when(col("l_orderkey") % 10 === 0,
         ((col("l_orderkey") * 7919 + col("l_linenumber") * 104729 + col("l_partkey")) % 512) / 1024.0 + 10.0)
         .otherwise(
@@ -112,7 +113,7 @@ object Synth {
   def tiles(spark: SparkSession, zoom: Int): DataFrame = {
     val nx = 1L << (zoom + 1); val ny = 1L << zoom
     spark.range(nx * ny)
-      .select((col("id") % nx).as("tx"), (col("id") / nx).as("ty"))
+      .select((col("id") % nx).as("tx"), floor(col("id") / nx).cast("long").as("ty"))
       .withColumn("zoom", lit(zoom))
       .withColumn("band", lit(1))
       .withColumn("w", lit(TileW)).withColumn("h", lit(TileH))
