@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Multimodal-column plumbing: media spans are opaque refs/bytes plus
+  * typed metadata; decode is STUBBED deterministically (no image/audio
+  * codecs in this container — the Spark-side schema, joins, partitioning
+  * and feature extraction are the real, tested part).
+  *
+  * Mirrors the reference's raster-as-dataset view where a media ref
+  * resolves to tiled pixel blocks (reference: gcore/gdaldataset.cpp ::
+  * GDALDataset / gcore/gdalrasterband.cpp :: IReadBlock), with
+  * `tile://z/tx/ty/band` as the synthetic resolver (FIXTURES.md F3).
+  */
+object Media {
+
+  /** Explode a docs table's media spans and resolve `tile://z/tx/ty/band`
+    * refs against a tile table (zoom,tx,ty,band,pixels) — a broadcast-or-
+    * shuffle equi-join on the tile key. */
+  def resolveMedia(docs: DataFrame, tiles: DataFrame): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .where(col("span.kind") === "media")
+      .select(col("doc_id"), col("span.offset").as("offset"), col("span.media_ref").as("media_ref"))
+      .withColumn("zoom", regexp_extract(col("media_ref"), "tile://(\\d+)/(\\d+)/(\\d+)/(\\d+)", 1).cast("int"))
+      .withColumn("tx", regexp_extract(col("media_ref"), "tile://(\\d+)/(\\d+)/(\\d+)/(\\d+)", 2).cast("long"))
+      .withColumn("ty", regexp_extract(col("media_ref"), "tile://(\\d+)/(\\d+)/(\\d+)/(\\d+)", 3).cast("long"))
+      .withColumn("band", regexp_extract(col("media_ref"), "tile://(\\d+)/(\\d+)/(\\d+)/(\\d+)", 4).cast("int"))
+    spans.join(tiles, Seq("zoom", "tx", "ty", "band"), "left")
+  }
+
+  /** Per-media feature extraction over the pixel array — pure
+    * higher-order-function SQL (codegen'd, no UDF): mean/min/max plus an
+    * 8×8 stride-sampled thumbnail. */
+  def mediaFeatures(resolved: DataFrame): DataFrame =
+    resolved
+      .withColumn("px_mean", expr(
+        "aggregate(pixels, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p) / size(pixels)"))
+      .withColumn("px_min", array_min(col("pixels")))
+      .withColumn("px_max", array_max(col("pixels")))
+      .withColumn("thumb8", expr(
+        "transform(sequence(0, 63), i -> pixels[CAST(i / 8 AS INT) * 512 + (i % 8) * 8])"))
+
+  /** DETERMINISTIC DECODE STUB — stands in for a real image/audio decoder
+    * (none available in this container). Maps opaque bytes to a fixed-
+    * shape float array from a seeded hash of the content; the surrounding
+    * plumbing (binary column, batch shape, schema) is production-shaped. */
+  def decodeStub(df: DataFrame, binCol: String, outLen: Int = 16): DataFrame =
+    df.withColumn("decoded", expr(
+      s"transform(sequence(0, ${outLen - 1}), i -> " +
+      s"CAST(pmod(xxhash64($binCol, i), 256) AS DOUBLE))"))
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.io.CatalogIO
+import graft.operators.Streaming
+
+/** Checkpoint/lineage (idempotent resume) + Structured Streaming suites. */
+class IoStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("commitStage is atomic + idempotent; lineage rows recorded") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val df1 = spark.range(100).withColumn("v", col("id") * 2)
+    val n1 = CatalogIO.commitStage(spark, df1, root, "job1", "stage_a")
+    assert(n1 == 100)
+    assert(CatalogIO.isCommitted(root, "job1", "stage_a"))
+    // re-commit with DIFFERENT data: must be a no-op (resume semantics)
+    val df2 = spark.range(999).withColumn("v", col("id"))
+    val n2 = CatalogIO.commitStage(spark, df2, root, "job1", "stage_a")
+    assert(n2 == 100, "committed stage was recomputed")
+    val back = CatalogIO.readStage(spark, root, "job1", "stage_a")
+    assert(back.count() == 100)
+    assert(back.agg(sum("v")).collect()(0).getLong(0) == 9900)
+    val lin = CatalogIO.lineage(spark, root, "job1", "stage_a")
+    assert(lin.agg(sum("rows")).collect()(0).getLong(0) == 100)
+    assert(lin.columns.contains("job_id") && lin.columns.contains("committed_at"))
+  }
+
+  test("multi-stage pipeline resumes stage-by-stage") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    var stage1Computed = 0
+    def stage1() = { stage1Computed += 1; spark.range(10).toDF("id") }
+    // first run commits stage1; second run must not re-execute it
+    CatalogIO.commitStage(spark, stage1(), root, "j", "s1")
+    if (!CatalogIO.isCommitted(root, "j", "s1")) CatalogIO.commitStage(spark, stage1(), root, "j", "s1")
+    assert(stage1Computed == 1)
+    val s2in = CatalogIO.readStage(spark, root, "j", "s1").withColumn("sq", col("id") * col("id"))
+    CatalogIO.commitStage(spark, s2in, root, "j", "s2")
+    assert(CatalogIO.readStage(spark, root, "j", "s2").count() == 10)
+  }
+
+  test("streaming: windowed event counts over file source reach memory sink") {
+    val events = spark.read.parquet(s"${TestSpark.SfSmall}/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q = Streaming.eventWindowCounts(spark, events.schema, dir)
+      .writeStream.outputMode("complete").format("memory").queryName("win_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT sum(n) FROM win_counts").collect()(0).getLong(0)
+    assert(got == events.count())
+  }
+
+  test("streaming: tile assignment on a stream matches batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
+    graft.synth.Synth.points(spark, TestSpark.SfSmall)
+      .select("pt_id", "lon", "lat").write.mode("overwrite").parquet(dir)
+    val batch = spark.read.parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = Streaming.tileAssignStream(stream, 8)
+      .writeStream.outputMode("append").format("memory").queryName("tiles_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT pt_id, cell FROM tiles_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Streaming.tileAssignStream(batch, 8).select("pt_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("streaming dedup drops same-fingerprint rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream3").toString
+    val docs = spark.read.parquet(s"${TestSpark.SfSmall}/documents.parquet")
+      .select(col("doc_id"), col("text"), lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 5000))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streaming.streamingDedup(stream, "text", "ts")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT count(*) FROM dedup_stream").collect()(0).getLong(0) == 500)
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.operators.{Ann, Dedup, Media}
+import graft.synth.Synth
+import graft.core.TextCore
+
+/** Dedup / ANN / media / invariant suites. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docsTable = spark.read.parquet(s"${TestSpark.SfSmall}/documents.parquet")
+
+  test("exact dedup finds injected duplicates, keeper = min id") {
+    val d = docsTable.select(col("doc_id"), col("text"))
+    val input = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+    val out = Dedup.exact(input, "doc_id", "text").collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getLong(2) == 2)) // every text exactly twice
+    assert(out.forall(_.getLong(1) < 1000000)) // keeper is the original
+  }
+
+  test("minhash LSH pairs are a subset of true-jaccard pairs and recall high-sim pairs") {
+    val docs = docsTable.limit(120).select(col("doc_id"), col("text"))
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+      numPerm = 64, bands = 16, shingleK = 3, minJaccard = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force true jaccard on driver
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val sh = rows.map { case (id, t) => id -> TextCore.wordShingles(t, 3) }.toMap
+    val truePairs = (for {
+      (a, _) <- rows; (b, _) <- rows if a < b
+      j = TextCore.jaccard(sh(a), sh(b)) if j >= 0.3
+    } yield (a, b)).toSet
+    assert(lsh.subsetOf(truePairs), s"LSH emitted false positives: ${lsh -- truePairs}")
+    // recall on strongly-similar pairs (j >= 0.5 with 16 bands of 4 rows:
+    // p(hit) = 1-(1-j^4)^16 >= 0.65; data has few such pairs, require all
+    // j>=0.6 pairs found)
+    val strong = (for {
+      (a, _) <- rows; (b, _) <- rows if a < b
+      j = TextCore.jaccard(sh(a), sh(b)) if j >= 0.6
+    } yield (a, b)).toSet
+    assert(strong.subsetOf(lsh), s"missed strong pairs: ${strong -- lsh}")
+  }
+
+  test("simhash pigeonhole is exhaustive for hamming <= 3") {
+    val d = docsTable.limit(150).select(col("doc_id"), col("text"))
+    // inject near-dups: same text + one extra token -> small hamming
+    val input = d.unionByName(
+      d.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" zz"))))
+    val got = Dedup.simhashPairs(input, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = input.collect().map(r => (r.getLong(0), r.getString(1)))
+    val hs = rows.map { case (id, t) => id -> TextCore.simhash64(t) }.toMap
+    val brute = (for {
+      (a, _) <- rows; (b, _) <- rows if a < b
+      if TextCore.hamming64(hs(a), hs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "test vacuous: no near pairs")
+  }
+
+  test("ngram jaccard join matches driver brute force") {
+    val docs = docsTable.limit(80).select(col("doc_id"), col("text"), col("lang"))
+    val got = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, minJaccard = 0.5,
+      blockCol = Some("lang"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val grams = rows.map { case (id, t, _) => id -> TextCore.charNgrams(t, 3) }.toMap
+    val brute = (for {
+      (a, _, la) <- rows; (b, _, lb) <- rows if a < b && la == lb
+      ga = grams(a); gb = grams(b)
+      j = ga.intersect(gb).size.toDouble / ga.union(gb).size if j >= 0.5
+    } yield (a, b)).toSet
+    assert(got == brute)
+  }
+
+  test("ANN brute topk == driver brute force; LSH candidates are exact-in-bucket") {
+    val e = spark.read.parquet(s"${TestSpark.SfSmall}/embeddings.parquet")
+    val got = Ann.bruteTopK(e.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val all = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def fdot(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * 1e6).toLong * math.floor(y.toDouble * 1e6).toLong
+      }.sum
+    val brute = all.filter(_._1 % 100 == 0).flatMap { case (q, qv) =>
+      all.filter(_._1 != q).map { case (d, dv) => (d, fdot(qv, dv)) }
+        .sortBy { case (d, s) => (-s, d) }.take(3).zipWithIndex
+        .map { case ((d, _), i) => (q, i + 1, d) }
+    }.toSet
+    assert(got == brute)
+
+    val lsh = Ann.lshTopK(e.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 3, planes = 4)
+      .select("query_id", "rank").collect()
+    assert(lsh.nonEmpty) // recall < 1 by design; plumbing must produce rows
+  }
+
+  test("span-sequence invariant: pipeline output reconstructs input spans exactly") {
+    F.ensureRegistered(spark)
+    val docs = Synth.docs(spark, TestSpark.SfSmall).cache()
+    // a pipeline: explode -> enrich (tile assign + lang of text) -> reassemble
+    val exploded = docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .withColumn("enrich", when(col("span.kind") === "text",
+        F.cell_encode(F.st_x(F.st_geomfromwkt(col("span.text"))),
+          F.st_y(F.st_geomfromwkt(col("span.text"))), lit(8))).otherwise(lit(null)))
+    val reassembled = exploded
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("span.offset").as("offset"),
+        col("span.kind").as("kind"), col("span.text").as("text"),
+        col("span.media_ref").as("media_ref")))).as("ordered"))
+      .select(col("doc_id"),
+        expr("transform(ordered, s -> struct(s.kind as kind, s.text as text, s.media_ref as media_ref, s.offset as offset))").as("spans"))
+    val a = docs.select(col("doc_id"), to_json(col("spans")).as("j_in"))
+    val b = reassembled.select(col("doc_id"), to_json(col("spans")).as("j_out"))
+    val joined = a.join(b, Seq("doc_id"), "full_outer")
+    val bad = joined.where(col("j_in").isNull || col("j_out").isNull ||
+      col("j_in") =!= col("j_out")).count()
+    assert(bad == 0, s"$bad docs violate span-sequence invariant")
+  }
+
+  test("media resolve + features: every media_ref resolves, features computed") {
+    F.ensureRegistered(spark)
+    val docs = Synth.docs(spark, TestSpark.SfSmall)
+    val tiles = Synth.tiles(spark, 8)
+    val resolved = Media.resolveMedia(docs, tiles)
+    val n = resolved.count()
+    val unresolved = resolved.where(col("pixels").isNull).count()
+    assert(n > 0 && unresolved == 0, s"$unresolved of $n media refs unresolved")
+    val feats = Media.mediaFeatures(resolved)
+      .select("doc_id", "offset", "px_mean", "px_min", "px_max", "thumb8")
+    val r = feats.limit(5).collect()
+    assert(r.forall(row => row.getSeq[Double](5).length == 64))
+    assert(r.forall(row => row.getDouble(3) <= row.getDouble(2) && row.getDouble(2) <= row.getDouble(4)))
+  }
+
+  test("decode stub: deterministic fixed-shape output from binary") {
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](1, 2, 3)), (3L, Array[Byte](9)))
+      .toDF("id", "bin")
+    val out = graft.operators.Media.decodeStub(df, "bin").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](2)))
+    assert(out.forall(_._2.length == 16))
+    assert(out(0)._2 == out(1)._2) // same bytes -> same decode
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.operators.Raster
+import graft.synth.Synth
+import graft.core.{Checksum, GeomIO, Resample, Scanline, TileMath, ZCell}
+
+/** Distributed raster operators vs single-threaded scalar oracles built
+  * from the same core kernels (single source of truth — SURVEY.md §6.1):
+  * what these tests validate is the DISTRIBUTED part (cell cover, shuffle,
+  * aggregation, source-window join), since the kernels themselves are
+  * pinned against JTS/hand cases in ScanlineSpec/CoreSpec. */
+class RasterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def synthPixel(zoom: Int, tx: Long, ty: Long, px: Int, py: Int): Double =
+    ((tx * 131 + ty * 173 + px * 7 + py * 11 + zoom) % 256).toDouble
+
+  test("rasterize ADD matches scalar oracle checksums") {
+    F.ensureRegistered(spark)
+    val boxes = Synth.boxes(spark, TestSpark.SfSmall).where(col("box_id") % 7 === 0)
+    val rows = boxes.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val geoms = boxes
+      .withColumn("geom", F.st_geomfromwkt(format_string(
+        "POLYGON((%.12f %.12f, %.12f %.12f, %.12f %.12f, %.12f %.12f, %.12f %.12f))",
+        col("xmin"), col("ymin"), col("xmax"), col("ymin"),
+        col("xmax"), col("ymax"), col("xmin"), col("ymax"), col("xmin"), col("ymin"))))
+      .withColumn("burn", (col("box_id") % 97 + 1).cast("double"))
+    val got = Raster.rasterize(geoms, "geom", "burn", zoom = 4, mode = "add")
+      .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+
+    // scalar oracle: sequential burn into a map of tiles
+    val tiles = scala.collection.mutable.Map.empty[(Long, Long), Array[Double]]
+    for ((id, xmin, ymin, xmax, ymax) <- rows) {
+      val burn = (id % 97 + 1).toDouble
+      val poly = GeomIO.box(xmin, ymin, xmax, ymax).asInstanceOf[org.locationtech.jts.geom.Polygon]
+      val cells = TileMath.geoCellsForEnvelope(xmin, ymin, xmax, ymax, 4)
+      for (c <- cells) {
+        val (tx, ty) = (ZCell.tx(c), ZCell.ty(c))
+        val (w, s, e, n) = TileMath.geoTileBounds(4, tx, ty)
+        val runs = Scanline.fillPolygon(poly, w, n, (e - w) / 64, (n - s) / 64, 64, 64)
+        if (runs.nonEmpty) {
+          val buf = tiles.getOrElseUpdate((tx, ty), new Array[Double](64 * 64))
+          runs.foreach { case (py, xs, xe) =>
+            (xs until xe).foreach(x => buf(py * 64 + x) += burn)
+          }
+        }
+      }
+    }
+    val want = tiles.map { case (k, v) => (k, Checksum.checksum(v, 64, 64)) }.toMap
+    assert(got == want, s"got ${got.size} tiles vs want ${want.size}")
+  }
+
+  test("rasterize MAX (REPLACE-by-priority) deterministic overlap") {
+    F.ensureRegistered(spark)
+    import spark.implicits._
+    val two = Seq(
+      (1L, "POLYGON((0 0, 20 0, 20 20, 0 20, 0 0))", 1.0),
+      (2L, "POLYGON((10 10, 30 10, 30 30, 10 30, 10 10))", 2.0))
+      .toDF("id", "wkt", "burn")
+      .withColumn("geom", F.st_geomfromwkt(col("wkt")))
+    val out = Raster.rasterize(two, "geom", "burn", zoom = 3, mode = "max")
+      .select(col("tx"), col("ty"), col("pixels")).collect()
+    // tile containing (15,15) must have burn 2 there (priority wins)
+    val res = 180.0 / 8
+    val tx = TileMath.geoTileX(15.0, 3); val ty = TileMath.geoTileY(15.0, 3)
+    val tile = out.find(r => r.getLong(0) == tx && r.getLong(1) == ty).get
+    val (w, s, e, n) = TileMath.geoTileBounds(3, tx, ty)
+    val px = ((15.0 - w) / ((e - w) / 64)).toInt
+    val py = ((n - 15.0) / ((n - s) / 64)).toInt
+    assert(tile.getSeq[Double](2)(py * 64 + px) == 2.0)
+  }
+
+  test("pyramid 3->0 matches scalar oracle") {
+    F.ensureRegistered(spark)
+    val base = Synth.tiles(spark, 3)
+    val got = Raster.pyramid(base, 3, 0)
+      .select(col("zoom"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), r.getInt(3))).toMap
+
+    // scalar: build zoom-3 grid, reduce level by level with core kernel
+    var level = (for (tx <- 0L until 16L; ty <- 0L until 8L) yield {
+      val px = Array.tabulate(64 * 64)(i => synthPixel(3, tx, ty, i % 64, i / 64))
+      ((tx, ty), px)
+    }).toMap
+    val want = scala.collection.mutable.Map.empty[(Int, Long, Long), Int]
+    level.foreach { case ((tx, ty), px) => want((3, tx, ty)) = Checksum.checksum(px, 64, 64) }
+    for (z <- 2 to 0 by -1) {
+      val next = level.groupBy { case ((tx, ty), _) => (tx / 2, ty / 2) }.map {
+        case ((ptx, pty), children) =>
+          val buf = new Array[Double](64 * 64)
+          children.foreach { case ((ctx, cty), cpx) =>
+            val down = Resample.downsample2x2Avg(cpx, 64, 64)
+            val ox = (ctx % 2).toInt * 32; val oy = (cty % 2).toInt * 32
+            for (y <- 0 until 32; x <- 0 until 32)
+              buf((oy + y) * 64 + ox + x) = down(y * 32 + x)
+          }
+          ((ptx, pty), buf)
+      }
+      next.foreach { case ((tx, ty), px) => want((z, tx, ty)) = Checksum.checksum(px, 64, 64) }
+      level = next
+    }
+    assert(got == want.toMap, s"got ${got.size} vs want ${want.size}")
+  }
+
+  test("warp to mercator matches scalar oracle") {
+    F.ensureRegistered(spark)
+    val srcZoom = 3; val dstZoom = 3
+    val got = Raster.warpToMercator(Synth.tiles(spark, srcZoom), srcZoom, dstZoom, "bilinear")
+      .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // scalar oracle: direct global sampling (no tile join) via the same kernels
+    val srcFn: (Int, Int) => Double = (gx, gy) => {
+      val nx = (1L << (srcZoom + 1)) * 64; val ny = (1L << srcZoom) * 64
+      if (gx < 0 || gy < 0 || gx >= nx || gy >= ny) Double.NaN
+      else synthPixel(srcZoom, gx / 64, gy / 64, gx % 64, gy % 64)
+    }
+    val srcResX = 360.0 / ((1L << (srcZoom + 1)) * 64).toDouble
+    val srcResY = 180.0 / ((1L << srcZoom) * 64).toDouble
+    val want = (for (tx <- 0L until 8L; ty <- 0L until 8L) yield {
+      val (xm0, ym0, xm1, ym1) = TileMath.mercTileBoundsMeters(dstZoom, tx, ty)
+      val dxm = (xm1 - xm0) / 64; val dym = (ym1 - ym0) / 64
+      val buf = Array.tabulate(64 * 64) { i =>
+        val px = i % 64; val py = i / 64
+        val lat = TileMath.mercYToLat(ym1 - (py + 0.5) * dym)
+        val lon = TileMath.mercXToLon(xm0 + (px + 0.5) * dxm)
+        val v = Resample.bilinear(srcFn, (lon + 180.0) / srcResX, (90.0 - lat) / srcResY)
+        if (v.isNaN) 0.0 else v
+      }
+      ((tx, ty), Checksum.checksum(buf, 64, 64))
+    }).toMap
+    assert(got == want)
+  }
+
+  test("mosaic max_by priority") {
+    F.ensureRegistered(spark)
+    val a = Synth.tiles(spark, 2).withColumn("prio", lit(1))
+    val b = Synth.tiles(spark, 2).where(col("tx") === 0)
+      .withColumn("pixels", expr("transform(pixels, p -> p + 5.0)"))
+      .withColumn("prio", lit(2))
+    val out = Raster.mosaic(a.unionByName(b), "prio")
+      .where(col("tx") === 0 && col("ty") === 0)
+      .select(col("pixels")).collect()(0).getSeq[Double](0)
+    assert(out(0) == synthPixel(2, 0, 0, 0, 0) + 5.0)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.operators.{Knn, SpatialJoin}
+import graft.synth.Synth
+import graft.core.GeomIO
+
+/** Engine vs brute-force oracles for the spatial join paths — including
+  * non-box geometries (concave, holes) that the DuckDB range oracle cannot
+  * cover, and the broadcast/shuffle/salted plan equivalence. */
+class SpatialJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val pts = Synth.points(spark, TestSpark.SfSmall)
+    .select("pt_id", "lon", "lat").collect()
+    .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+
+  test("PIP broadcast == PIP shuffle == PIP salted == JTS brute force") {
+    F.ensureRegistered(spark)
+    val polys = Synth.regionWkt(spark, TestSpark.SfSmall)
+      .withColumn("geom", F.st_geomfromwkt(col("wkt")))
+    val points = Synth.points(spark, TestSpark.SfSmall)
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("region_id").cast("long"), col("pt_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val bc = pairs(SpatialJoin.pointInPolygon(polys, "geom", points, "lon", "lat", 5))
+    val sh = pairs(SpatialJoin.pointInPolygon(polys, "geom", points, "lon", "lat", 5,
+      broadcastPolys = false))
+    val salt = pairs(SpatialJoin.pointInPolygon(polys, "geom", points, "lon", "lat", 5,
+      broadcastPolys = false, saltFactor = 4))
+    assert(bc == sh, "broadcast vs shuffle mismatch")
+    assert(bc == salt, "broadcast vs salted mismatch")
+
+    // JTS brute force on driver
+    val polyGeoms = Synth.regionWkt(spark, TestSpark.SfSmall).collect()
+      .map(r => (r.getLong(0), GeomIO.fromWkt(r.getString(1))))
+    val brute = (for {
+      (rid, g) <- polyGeoms
+      prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
+      (pid, lon, lat) <- pts
+      if prep.contains(GeomIO.point(lon, lat))
+    } yield (rid, pid)).toSet
+    assert(bc == brute, s"engine ${bc.size} vs brute ${brute.size}")
+  }
+
+  test("PIP with concave polygon and polygon-with-hole matches brute force") {
+    F.ensureRegistered(spark)
+    val shapes = Seq(
+      (1L, "POLYGON((0 0, 40 0, 40 8, 8 8, 8 40, 0 40, 0 0))"),          // L
+      (2L, "POLYGON((-60 -30, -20 -30, -20 10, -60 10, -60 -30), (-50 -20, -30 -20, -30 0, -50 0, -50 -20))"), // hole
+      (3L, "POLYGON((100 -40, 140 -40, 120 10, 100 -40))"))               // triangle
+    val polys = shapes.toDF("region_id", "wkt")
+      .withColumn("geom", F.st_geomfromwkt(col("wkt")))
+    val points = Synth.points(spark, TestSpark.SfSmall)
+    val got = SpatialJoin.pointInPolygon(polys, "geom", points, "lon", "lat", 4)
+      .select(col("region_id"), col("pt_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (rid, wkt) <- shapes
+      prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(GeomIO.fromWkt(wkt))
+      (pid, lon, lat) <- pts
+      if prep.contains(GeomIO.point(lon, lat))
+    } yield (rid, pid)).toSet
+    assert(got == brute, s"engine ${got.size} vs brute ${brute.size}")
+  }
+
+  test("geomJoin intersects: poly x poly with dedup matches brute force") {
+    F.ensureRegistered(spark)
+    val left = Synth.regionWkt(spark, TestSpark.SfSmall).limit(60)
+      .withColumn("geom_l", F.st_geomfromwkt(col("wkt")))
+      .select(col("region_id").as("lid"), col("geom_l"))
+    val right = Synth.regionWkt(spark, TestSpark.SfSmall)
+      .withColumn("shifted", F.st_geomfromwkt(col("wkt")))
+      .select((col("region_id") + 10000).as("rid"), col("shifted").as("geom_r"))
+    val got = SpatialJoin.geomJoin(left, "lid", "geom_l", right, "rid", "geom_r", 4)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ls = Synth.regionWkt(spark, TestSpark.SfSmall).limit(60).collect()
+      .map(r => (r.getLong(0), GeomIO.fromWkt(r.getString(1))))
+    val rs = Synth.regionWkt(spark, TestSpark.SfSmall).collect()
+      .map(r => (r.getLong(0) + 10000, GeomIO.fromWkt(r.getString(1))))
+    val brute = (for ((l, gl) <- ls; (r, gr) <- rs if gl.intersects(gr)) yield (l, r)).toSet
+    assert(got == brute, s"engine ${got.size} vs brute ${brute.size}")
+  }
+
+  test("kNN matches brute force incl. guarantee boundary") {
+    val queries = Synth.queryPoints(spark, TestSpark.SfSmall)
+    val points = Synth.points(spark, TestSpark.SfSmall)
+    val got = Knn.knn(queries, "q_id", "lon", "lat", points, "pt_id", "lon", "lat",
+      k = 5, zoom = 7)
+      .select("q_id", "pt_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val qs = queries.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val brute = qs.flatMap { case (qid, qx, qy) =>
+      pts.map { case (pid, px, py) =>
+        (qid, pid, (px - qx) * (px - qx) + (py - qy) * (py - qy))
+      }.sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((q, p, _), i) => (q, p, i + 1) }
+    }.toSet
+    assert(got == brute, s"engine ${got.size} vs brute ${brute.size}")
+  }
+
+  test("kNN with k larger than any ring round (forces brute-force fallback)") {
+    val queries = Synth.queryPoints(spark, TestSpark.SfSmall).limit(3)
+    val points = Synth.points(spark, TestSpark.SfSmall).limit(40)
+    val got = Knn.knn(queries, "q_id", "lon", "lat", points, "pt_id", "lon", "lat",
+      k = 25, zoom = 10, maxRounds = 2) // sparse points at deep zoom -> fallback
+      .groupBy("q_id").count().collect()
+    assert(got.forall(_.getLong(1) == 25))
+  }
+}
