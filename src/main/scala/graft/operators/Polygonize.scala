@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Ccl
+
+/** Distributed polygonize (raster→vector) — SURVEY.md §3.8 R2, the
+  * re-expression of the reference's sequential two-row enumerator
+  * (reference: alg/polygonize.cpp :: GDALPolygonize /
+  * GDALRasterPolygonEnumeratorT::ProcessLine) for a tiled raster that no
+  * single machine can hold:
+  *
+  *   1. LOCAL:  each tile labels its own 4-connected equal-DN components
+  *              with the shared scalar kernel (core.Ccl.labelLocal); the
+  *              local label is the component's min global pixel id, so
+  *              labels are globally comparable without coordination.
+  *   2. SEAM:   tiles emit their E/S border pixels keyed by the NEIGHBOR
+  *              pixel coordinate and their W/N border pixels keyed by their
+  *              OWN coordinate; an equi-join on (gx, gy, dn) yields the
+  *              cross-tile label-equivalence edges — each seam pair exactly
+  *              once, shuffle carries only border pixels (O(perimeter), not
+  *              O(area)).
+  *   3. MERGE:  hash-to-min label propagation with pointer jumping over the
+  *              equivalence graph to fixpoint — O(log diameter) rounds, and
+  *              the graph holds one node per LOCAL COMPONENT (not per
+  *              pixel), so at 100 TB it is orders of magnitude smaller than
+  *              the raster.
+  *   4. OUTPUT: stats per global component (one shuffle), or full ring
+  *              assembly per component (shell + holes) via the same scalar
+  *              tracer the oracle uses.
+  *
+  * Determinism: the global label is the component's min global pixel id —
+  * independent of partitioning and iteration order (idempotent-resume safe).
+  */
+object Polygonize {
+
+  /** Unified per-tile emission (one pass over tiles):
+    * kind 0 = local component stats, 1 = seam edge keyed by neighbor pixel
+    * (E/S sides), 2 = seam edge keyed by own pixel (W/N sides),
+    * 3 = intra-tile adjacency between DIFFERENT components (for sieve). */
+  // public (not private) so whole-stage codegen can reference the accessors
+  final case class Emit(kind: Int, lbl: Long, dn: Double, n: Long,
+                        minGx: Long, maxGx: Long, minGy: Long, maxGy: Long,
+                        gx: Long, gy: Long, other: Long)
+
+  final case class PxRow(gx: Long, gy: Long, dn: Double, lbl: Long)
+
+  /** Local labeling pass. `tiles` must have (tx: long, ty: long,
+    * pixels: array<double>) at a single zoom; `gridW`/`gridH` are the full
+    * raster dimensions in pixels; `mask` selects polygonizable pixels
+    * (the reference's mask band); `dnOf` buckets pixel values into the DN
+    * that defines "same component" (identity = exact equality). */
+  private def emitLocal(tiles: DataFrame, w: Int, h: Int, gridW: Long, gridH: Long,
+                        mask: Double => Boolean, dnOf: Double => Double): Dataset[Emit] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.select(col("tx").cast("long"), col("ty").cast("long"), col("pixels"))
+      .as[(Long, Long, Seq[Double])]
+      .flatMap { case (tx, ty, px) =>
+        val vals = px.toArray
+        val dn = vals.map(dnOf)
+        val m = vals.map(mask)
+        val labels = Ccl.labelLocal(dn, m, w, h)
+        val x0 = tx * w; val y0 = ty * h
+        def gid(i: Int): Long = (y0 + i / w) * gridW + (x0 + i % w)
+        val out = Array.newBuilder[Emit]
+        // component stats keyed by root local index
+        val stats = new java.util.HashMap[Int, Array[Long]]() // n,minGx,maxGx,minGy,maxGy
+        var i = 0
+        while (i < labels.length) {
+          val r = labels(i)
+          if (r >= 0) {
+            val gx = x0 + i % w; val gy = y0 + i / w
+            val s = stats.get(r)
+            if (s == null) stats.put(r, Array(1L, gx, gx, gy, gy))
+            else {
+              s(0) += 1
+              if (gx < s(1)) s(1) = gx
+              if (gx > s(2)) s(2) = gx
+              if (gy < s(3)) s(3) = gy
+              if (gy > s(4)) s(4) = gy
+            }
+            // intra-tile adjacency between different components (sieve input)
+            if (i % w > 0 && labels(i - 1) >= 0 && labels(i - 1) != r) {
+              val a = gid(math.min(labels(i - 1), r)); val b = gid(math.max(labels(i - 1), r))
+              out += Emit(3, a, 0.0, 0, 0, 0, 0, 0, 0, 0, b)
+            }
+            if (i / w > 0 && labels(i - w) >= 0 && labels(i - w) != r) {
+              val a = gid(math.min(labels(i - w), r)); val b = gid(math.max(labels(i - w), r))
+              out += Emit(3, a, 0.0, 0, 0, 0, 0, 0, 0, 0, b)
+            }
+          }
+          i += 1
+        }
+        val it = stats.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next(); val s = e.getValue
+          out += Emit(0, gid(e.getKey), dn(e.getKey), s(0), s(1), s(2), s(3), s(4), 0, 0, 0)
+        }
+        // seam emissions: E/S keyed by neighbor pixel, W/N keyed by own pixel
+        var yy = 0
+        while (yy < h) {
+          val iE = yy * w + (w - 1)
+          if (labels(iE) >= 0 && x0 + w < gridW)
+            out += Emit(1, gid(labels(iE)), dn(iE), 0, 0, 0, 0, 0, x0 + w, y0 + yy, 0)
+          val iW = yy * w
+          if (labels(iW) >= 0)
+            out += Emit(2, gid(labels(iW)), dn(iW), 0, 0, 0, 0, 0, x0, y0 + yy, 0)
+          yy += 1
+        }
+        var xx = 0
+        while (xx < w) {
+          val iS = (h - 1) * w + xx
+          if (labels(iS) >= 0 && y0 + h < gridH)
+            out += Emit(1, gid(labels(iS)), dn(iS), 0, 0, 0, 0, 0, x0 + xx, y0 + h, 0)
+          val iN = xx
+          if (labels(iN) >= 0)
+            out += Emit(2, gid(labels(iN)), dn(iN), 0, 0, 0, 0, 0, x0 + xx, y0, 0)
+          xx += 1
+        }
+        out.result()
+      }
+  }
+
+  /** Hash-to-min + pointer-jumping label resolution: (node) × (a,b) edges →
+    * (node, rep) with rep = component min. Iterates to fixpoint (bounded);
+    * the graph has one node per local component, so each round is a small
+    * shuffle even at full scale. */
+  def resolveLabels(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("a").as("x"), col("b").as("y"))
+      .union(edges.select(col("b").as("x"), col("a").as("y")))
+      .distinct().localCheckpoint(true)
+    var rep = nodes.select(col("node"), col("node").as("rep")).localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = sym.join(rep.withColumnRenamed("node", "y"), Seq("y"))
+        .groupBy(col("x").as("node")).agg(min("rep").as("nbr_rep"))
+      val stepped = rep.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+      // pointer jumping: rep := rep(rep)
+      val jumped = stepped.alias("l")
+        .join(stepped.select(col("node").as("rep"), col("rep").as("rep2")).alias("r"),
+          Seq("rep"), "left")
+        .select(col("node"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      val diff = jumped.withColumnRenamed("rep", "rep_new")
+        .join(rep, Seq("node"))
+        .where(col("rep_new") =!= col("rep")).limit(1).count()
+      rep = jumped
+      done = diff == 0
+      iter += 1
+    }
+    rep
+  }
+
+  /** Global components with stats: (label, dn, n_pixels, min_gx, max_gx,
+    * min_gy, max_gy). label = min global pixel id of the component. */
+  def components(tiles: DataFrame, w: Int, h: Int, gridW: Long, gridH: Long,
+                 mask: Double => Boolean,
+                 dnOf: Double => Double = identity): DataFrame = {
+    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf).toDF().localCheckpoint(true)
+    val comps = emits.where(col("kind") === 0)
+      .select(col("lbl"), col("dn"), col("n"),
+        col("minGx"), col("maxGx"), col("minGy"), col("maxGy"))
+    val seamEdges = seams(emits)
+    val rep = resolveLabels(comps.select(col("lbl").as("node")), seamEdges)
+    comps.join(rep, comps("lbl") === rep("node"))
+      .groupBy(col("rep").as("label"))
+      .agg(first(col("dn")).as("dn"), sum(col("n")).as("n_pixels"),
+        min(col("minGx")).as("min_gx"), max(col("maxGx")).as("max_gx"),
+        min(col("minGy")).as("min_gy"), max(col("maxGy")).as("max_gy"))
+  }
+
+  /** Cross-tile same-DN equivalence edges from the seam emissions. */
+  private def seams(emits: DataFrame): DataFrame = {
+    val outE = emits.where(col("kind") === 1)
+      .select(col("gx"), col("gy"), col("dn"), col("lbl").as("a"))
+    val inE = emits.where(col("kind") === 2)
+      .select(col("gx"), col("gy"), col("dn"), col("lbl").as("b"))
+    outE.join(inE, Seq("gx", "gy", "dn")).select(col("a"), col("b"))
+      .where(col("a") =!= col("b")).distinct()
+  }
+
+  /** Full polygonize: per global component, assemble boundary rings
+    * (shell + holes) into WKT in global pixel coordinates. The per-
+    * component assembly is sequential (as in the reference) but components
+    * assemble in parallel across the cluster; memory per task is
+    * O(component pixels) — the same bound the reference needs for one
+    * polygon. Output: (label, dn, n_pixels, wkt). */
+  def polygonizeWkt(tiles: DataFrame, w: Int, h: Int, gridW: Long, gridH: Long,
+                    mask: Double => Boolean,
+                    dnOf: Double => Double = identity): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf).toDF().localCheckpoint(true)
+    val comps = emits.where(col("kind") === 0).select(col("lbl"), col("dn"))
+    val rep = resolveLabels(comps.select(col("lbl").as("node")), seams(emits))
+    // pixel-level emission (second pass; only rows that polygonize)
+    val pxl = tiles.select(col("tx").cast("long"), col("ty").cast("long"), col("pixels"))
+      .as[(Long, Long, Seq[Double])]
+      .flatMap { case (tx, ty, px) =>
+        val vals = px.toArray
+        val dn = vals.map(dnOf)
+        val m = vals.map(mask)
+        val labels = Ccl.labelLocal(dn, m, w, h)
+        val x0 = tx * w; val y0 = ty * h
+        val out = Array.newBuilder[PxRow]
+        var i = 0
+        while (i < labels.length) {
+          if (labels(i) >= 0) {
+            val r = labels(i)
+            val rg = (y0 + r / w) * gridW + (x0 + r % w)
+            out += PxRow(x0 + i % w, y0 + i / w, dn(i), rg)
+          }
+          i += 1
+        }
+        out.result()
+      }
+    val globalPx = pxl.join(rep, pxl("lbl") === rep("node"))
+      .select(col("rep").as("label"), col("dn"), col("gx"), col("gy"))
+    globalPx.as[(Long, Double, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (label, rows) =>
+        val buf = rows.toArray
+        val poly = Ccl.toPolygon(buf.map(r => (r._3, r._4)))
+        (label, buf.head._2, buf.length.toLong, poly.toText)
+      }
+      .toDF("label", "dn", "n_pixels", "wkt")
+  }
+
+  /** Sieve filter (reference: alg/gdalsievefilter.cpp :: GDALSieveFilter):
+    * components smaller than `threshold` pixels merge into their largest
+    * neighbor (ties → smallest neighbor label). One merge round per call
+    * (the reference iterates; callers can too). Returns the merged
+    * component stats in the same shape as components(). */
+  def sieve(tiles: DataFrame, w: Int, h: Int, gridW: Long, gridH: Long,
+            threshold: Long,
+            mask: Double => Boolean,
+            dnOf: Double => Double = identity): DataFrame = {
+    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf).toDF().localCheckpoint(true)
+    val comps = emits.where(col("kind") === 0)
+      .select(col("lbl"), col("dn"), col("n"),
+        col("minGx"), col("maxGx"), col("minGy"), col("maxGy"))
+    val rep = resolveLabels(comps.select(col("lbl").as("node")), seams(emits))
+      .localCheckpoint(true)
+    // global components + their pairwise adjacency (any DN)
+    val globalComps = comps.join(rep, comps("lbl") === rep("node"))
+      .groupBy(col("rep").as("label"))
+      .agg(first(col("dn")).as("dn"), sum(col("n")).as("n_pixels"),
+        min(col("minGx")).as("min_gx"), max(col("maxGx")).as("max_gx"),
+        min(col("minGy")).as("min_gy"), max(col("maxGy")).as("max_gy"))
+      .localCheckpoint(true)
+    val localNbr = emits.where(col("kind") === 3).select(col("lbl").as("a"), col("other").as("b"))
+    // cross-tile different-DN adjacency: seam join WITHOUT dn equality
+    val outE = emits.where(col("kind") === 1).select(col("gx"), col("gy"), col("lbl").as("a"))
+    val inE = emits.where(col("kind") === 2).select(col("gx"), col("gy"), col("lbl").as("b"))
+    val seamNbr = outE.join(inE, Seq("gx", "gy")).select(col("a"), col("b"))
+    val nbrLocal = localNbr.union(seamNbr)
+    // lift local-label adjacency to global labels
+    val repA = rep.select(col("node").as("a"), col("rep").as("la"))
+    val repB = rep.select(col("node").as("b"), col("rep").as("lb"))
+    val nbrGlobal = nbrLocal.join(repA, Seq("a")).join(repB, Seq("b"))
+      .select(col("la"), col("lb")).where(col("la") =!= col("lb")).distinct()
+    val sym = nbrGlobal.union(nbrGlobal.select(col("lb").as("la"), col("la").as("lb")))
+    // for each small component: neighbor with max pixel count (tie → min label)
+    val small = globalComps.where(col("n_pixels") < threshold)
+      .select(col("label"), col("n_pixels"))
+    val target = small.join(sym, small("label") === sym("la"))
+      .join(globalComps.select(col("label").as("lb"), col("n_pixels").as("nbr_n")), Seq("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(max_by(col("lb"), struct(col("nbr_n"), -col("lb"))).as("merged_into"))
+    globalComps.join(target, Seq("label"), "left")
+      .withColumn("final_label", coalesce(col("merged_into"), col("label")))
+      .groupBy(col("final_label").as("label"))
+      .agg(max_by(col("dn"), col("n_pixels")).as("dn"), sum(col("n_pixels")).as("n_pixels"),
+        min(col("min_gx")).as("min_gx"), max(col("max_gx")).as("max_gx"),
+        min(col("min_gy")).as("min_gy"), max(col("max_gy")).as("max_gy"))
+  }
+}

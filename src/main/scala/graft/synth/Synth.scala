@@ -110,6 +110,22 @@ object Synth {
     * integer-valued so checksums are SQL-reproducible (FIXTURES.md F3). */
   final val TileW = 64
   final val TileH = 64
+
+  /** Small w×h tiles over the full geodetic grid at a zoom with pixel =
+    * (tx*131 + ty*173 + px*7 + py*11) % 16 — integer-valued and
+    * SQL-reproducible; the canonical input for the polygonize / proximity /
+    * focal oracle queries (a binary mask `v < 7` yields components that
+    * cross tile seams). */
+  def maskTiles(spark: SparkSession, zoom: Int, w: Int = 8, h: Int = 8): DataFrame = {
+    val nx = 1L << (zoom + 1); val ny = 1L << zoom
+    spark.range(nx * ny)
+      .select((col("id") % nx).as("tx"), floor(col("id") / nx).cast("long").as("ty"))
+      .withColumn("zoom", lit(zoom))
+      .withColumn("pixels", expr(
+        s"transform(sequence(0, ${w * h - 1}), i -> " +
+        s"CAST((tx*131 + ty*173 + (i % $w)*7 + CAST(i / $w AS INT)*11) % 16 AS DOUBLE))"))
+      .select("zoom", "tx", "ty", "pixels")
+  }
   def tiles(spark: SparkSession, zoom: Int): DataFrame = {
     val nx = 1L << (zoom + 1); val ny = 1L << zoom
     spark.range(nx * ny)

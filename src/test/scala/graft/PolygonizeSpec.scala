@@ -1,0 +1,213 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Ccl
+import graft.operators.Polygonize
+import graft.synth.Synth
+import org.locationtech.jts.geom.{Geometry, GeometryFactory, Coordinate}
+import org.locationtech.jts.operation.union.CascadedPolygonUnion
+
+/** Polygonize: distributed CCL vs the whole-grid scalar oracle, ring
+  * assembly vs JTS union-of-pixel-squares, sieve semantics. */
+class PolygonizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val gf = new GeometryFactory()
+
+  /** Whole-grid oracle: label the fully-assembled raster as ONE tile with
+    * the same scalar kernel, then aggregate stats per component. */
+  private def oracleComponents(vals: Array[Double], gw: Int, gh: Int,
+                               mask: Double => Boolean): Map[Long, (Double, Long, Long, Long, Long, Long)] = {
+    val m = vals.map(mask)
+    val labels = Ccl.labelLocal(vals, m, gw, gh)
+    val acc = scala.collection.mutable.Map.empty[Long, (Double, Long, Long, Long, Long, Long)]
+    for (i <- labels.indices if labels(i) >= 0) {
+      val l = labels(i).toLong
+      val gx = (i % gw).toLong; val gy = (i / gw).toLong
+      acc.get(l) match {
+        case None => acc(l) = (vals(i), 1L, gx, gx, gy, gy)
+        case Some((dn, n, x0, x1, y0, y1)) =>
+          acc(l) = (dn, n + 1, math.min(x0, gx), math.max(x1, gx), math.min(y0, gy), math.max(y1, gy))
+      }
+    }
+    acc.toMap
+  }
+
+  private def synthVals(zoom: Int, w: Int, h: Int): (Array[Double], Int, Int) = {
+    val nx = (1 << (zoom + 1)); val ny = (1 << zoom)
+    val gw = nx * w; val gh = ny * h
+    val vals = new Array[Double](gw * gh)
+    for (gy <- 0 until gh; gx <- 0 until gw) {
+      val tx = gx / w; val ty = gy / h; val px = gx % w; val py = gy % h
+      vals(gy * gw + gx) = ((tx * 131 + ty * 173 + px * 7 + py * 11) % 16).toDouble
+    }
+    (vals, gw, gh)
+  }
+
+  test("distributed components == whole-grid scalar oracle (synthetic mask, zoom 2)") {
+    val zoom = 2; val w = 8; val h = 8
+    val (vals, gw, gh) = synthVals(zoom, w, h)
+    val mask = (v: Double) => v < 7.0
+    val want = oracleComponents(vals, gw, gh, mask)
+    val got = Polygonize.components(Synth.maskTiles(spark, zoom, w, h), w, h, gw, gh, mask, _ => 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // oracle groups by dn too; with dnOf=const the grouping is mask-only, so
+    // run the oracle with constant dn as well
+    val wantConst = {
+      val m = vals.map(mask)
+      val labels = Ccl.labelLocal(vals.map(_ => 1.0), m, gw, gh)
+      val acc = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long, Long)]
+      for (i <- labels.indices if labels(i) >= 0) {
+        val l = labels(i).toLong
+        val gx = (i % gw).toLong; val gy = (i / gw).toLong
+        acc.get(l) match {
+          case None => acc(l) = (1L, gx, gx, gy, gy)
+          case Some((n, x0, x1, y0, y1)) =>
+            acc(l) = (n + 1, math.min(x0, gx), math.max(x1, gx), math.min(y0, gy), math.max(y1, gy))
+        }
+      }
+      acc.toMap
+    }
+    assert(got.size == wantConst.size, s"component count ${got.size} vs ${wantConst.size}")
+    wantConst.foreach { case (l, (n, x0, x1, y0, y1)) =>
+      val g = got(l)
+      assert((g._2, g._3, g._4, g._5, g._6) == ((n, x0, x1, y0, y1)), s"comp $l: $g vs ${(n, x0, x1, y0, y1)}")
+    }
+  }
+
+  test("equal-DN grouping: distributed == oracle with identity dn") {
+    val zoom = 1; val w = 8; val h = 8
+    val (vals, gw, gh) = synthVals(zoom, w, h)
+    // coarse DN buckets so equal-valued neighbors exist
+    val dnOf = (v: Double) => math.floor(v / 8.0)
+    val mask = (_: Double) => true
+    val got = Polygonize.components(Synth.maskTiles(spark, zoom, w, h), w, h, gw, gh, mask, dnOf)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val want = oracleComponents(vals.map(dnOf), gw, gh, _ => true)
+    assert(got.size == want.size)
+    want.foreach { case (l, (dn, n, _, _, _, _)) =>
+      assert(got(l) == ((dn, n)), s"comp $l")
+    }
+  }
+
+  test("cross-tile snake merges into one component") {
+    // a 1-px-wide snake crossing a 4x2-tile grid (w=h=4): row y=2 all the
+    // way across, plus verticals connecting to row y=5 — one component
+    val w = 4; val h = 4; val gw = 16; val gh = 8
+    val snake = (for (gx <- 0 until 16) yield (gx, 2)) ++
+      Seq((15, 3), (15, 4), (15, 5)) ++ (for (gx <- 0 until 16) yield (gx, 5))
+    val set = snake.toSet
+    val tiles = (for (ty <- 0 until 2; tx <- 0 until 4) yield {
+      val px = Array.tabulate(w * h) { i =>
+        val gx = tx * w + i % w; val gy = ty * h + i / w
+        if (set.contains((gx, gy))) 1.0 else 0.0
+      }
+      (tx.toLong, ty.toLong, px.toSeq)
+    }).toDF("tx", "ty", "pixels")
+    val comps = Polygonize.components(tiles, w, h, gw, gh, _ > 0.5).collect()
+    assert(comps.length == 1)
+    assert(comps.head.getAs[Long]("n_pixels") == set.size)
+    assert(comps.head.getAs[Long]("label") == 2L * gw + 0) // min pixel id: (gy=2,gx=0)
+  }
+
+  test("ring assembly equals JTS union of pixel squares (random blobs, incl. holes)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 8) {
+      val w = 12; val h = 10
+      val pts = (0 until 40).map(_ => (rnd.nextInt(w).toLong, rnd.nextInt(h).toLong)).distinct.toArray
+      // label into components first (toPolygon expects ONE component)
+      val mask = Array.fill(w * h)(false)
+      pts.foreach { case (x, y) => mask((y * w + x).toInt) = true }
+      val labels = Ccl.labelLocal(Array.fill(w * h)(1.0), mask, w, h)
+      val byComp = pts.groupBy { case (x, y) => labels((y * w + x).toInt) }
+      byComp.foreach { case (_, comp) =>
+        val got = Ccl.toPolygon(comp)
+        val squares = comp.map { case (x, y) =>
+          gf.createPolygon(Array(
+            new Coordinate(x, y), new Coordinate(x + 1, y),
+            new Coordinate(x + 1, y + 1), new Coordinate(x, y + 1),
+            new Coordinate(x, y))).asInstanceOf[Geometry]
+        }
+        val want = CascadedPolygonUnion.union(java.util.Arrays.asList(squares: _*))
+        assert(got.equalsTopo(want),
+          s"trial $trial comp of ${comp.length}px: ${got.toText} vs ${want.toText}")
+      }
+    }
+  }
+
+  test("explicit hole: 3x3 ring of pixels yields shell + 1 hole") {
+    val comp = (for (x <- 0 to 2; y <- 0 to 2 if !(x == 1 && y == 1)) yield (x.toLong, y.toLong)).toArray
+    val poly = Ccl.toPolygon(comp)
+    assert(poly.getNumInteriorRing == 1)
+    assert(poly.getArea == 8.0)
+  }
+
+  test("corner-touch pixels stay separate rings (4-connectivity)") {
+    // pixels (0,0) and (1,1) touch only at the corner — two components
+    val mask = Array(true, false, false, true)
+    val labels = Ccl.labelLocal(Array(1.0, 1.0, 1.0, 1.0), mask, 2, 2)
+    assert(labels(0) == 0 && labels(3) == 3)
+    val p0 = Ccl.toPolygon(Array((0L, 0L)))
+    val p1 = Ccl.toPolygon(Array((1L, 1L)))
+    assert(p0.getArea == 1.0 && p1.getArea == 1.0)
+  }
+
+  test("polygonizeWkt matches JTS union per component on the synthetic grid") {
+    val zoom = 1; val w = 8; val h = 8
+    val (vals, gw, gh) = synthVals(zoom, w, h)
+    val mask = (v: Double) => v < 7.0
+    val rows = Polygonize.polygonizeWkt(Synth.maskTiles(spark, zoom, w, h), w, h, gw, gh, mask, _ => 1.0)
+      .collect()
+    val reader = new org.locationtech.jts.io.WKTReader()
+    // oracle: label whole grid, union squares per component
+    val m = vals.map(mask)
+    val labels = Ccl.labelLocal(vals.map(_ => 1.0), m, gw, gh)
+    val byComp = labels.zipWithIndex.filter(_._1 >= 0)
+      .groupBy(_._1).view.mapValues(_.map { case (_, i) => ((i % gw).toLong, (i / gw).toLong) })
+    assert(rows.length == byComp.size)
+    rows.foreach { r =>
+      val label = r.getAs[Long]("label")
+      val got = reader.read(r.getAs[String]("wkt"))
+      val comp = byComp(label.toInt)
+      val squares = comp.map { case (x, y) =>
+        gf.createPolygon(Array(
+          new Coordinate(x, y), new Coordinate(x + 1, y),
+          new Coordinate(x + 1, y + 1), new Coordinate(x, y + 1),
+          new Coordinate(x, y))).asInstanceOf[Geometry]
+      }
+      val want = CascadedPolygonUnion.union(java.util.Arrays.asList(squares.toSeq: _*))
+      assert(got.equalsTopo(want), s"component $label")
+      assert(r.getAs[Long]("n_pixels") == comp.length.toLong)
+    }
+  }
+
+  test("sieve merges small components into largest neighbor") {
+    // two tiles side by side; left tile: big blob dn=1 (12px) + the rest
+    // dn=0; right tile: tiny blob dn=2 (2px) adjacent to the dn=0 sea
+    val w = 4; val h = 4
+    val left = Array(
+      1.0, 1.0, 1.0, 0.0,
+      1.0, 1.0, 1.0, 0.0,
+      1.0, 1.0, 1.0, 0.0,
+      1.0, 1.0, 1.0, 0.0)
+    val right = Array(
+      2.0, 2.0, 0.0, 0.0,
+      0.0, 0.0, 0.0, 0.0,
+      0.0, 0.0, 0.0, 0.0,
+      0.0, 0.0, 0.0, 0.0)
+    val tiles = Seq((0L, 0L, left.toSeq), (1L, 0L, right.toSeq)).toDF("tx", "ty", "pixels")
+    val before = Polygonize.components(tiles, w, h, 8, 4, _ => true).collect()
+    assert(before.length == 3)
+    val after = Polygonize.sieve(tiles, w, h, 8, 4, threshold = 3, _ => true).collect()
+    assert(after.length == 2)
+    val total = after.map(_.getAs[Long]("n_pixels")).sum
+    assert(total == 32L)
+    // the 2px dn=2 blob merged into the dn=0 sea (its only/largest
+    // neighbor): 18 sea px + 2 absorbed px
+    val sea = after.filter(_.getAs[Double]("dn") == 0.0)
+    assert(sea.length == 1 && sea.head.getAs[Long]("n_pixels") == 20L)
+  }
+}

@@ -35,7 +35,7 @@ fails = 0
 for name in sorted(oracle):
     if only and name not in only:
         continue
-    outp = os.path.join(outdir, name)
+    outp = os.path.join(outdir, name + '.parquet')
     if not os.path.isdir(outp):
         print(f"FAIL {name}: no engine output dir"); fails += 1; continue
     try:
@@ -75,8 +75,11 @@ for name in sorted(oracle):
         fails += 1
 
 # queries without oracle: rows-only check
-for name in sorted(os.listdir(outdir)):
-    p = os.path.join(outdir, name)
+for entry in sorted(os.listdir(outdir)):
+    if not entry.endswith('.parquet'):
+        continue
+    name = entry[:-len('.parquet')]
+    p = os.path.join(outdir, entry)
     if os.path.isdir(p) and name not in oracle and (not only or name in only):
         try:
             n = con.execute(f"SELECT count(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
