@@ -1,0 +1,111 @@
+package graft.core
+
+/** 3×3 focal kernels — the scalar core of the DEM operators (reference:
+  * apps/gdaldem.cpp :: GDALHillshade / GDALSlope / GDALAspect /
+  * GDALTRI / GDALTPI / GDALRoughness). Operates on a HALO-PADDED buffer of
+  * (w+2)×(h+2) pixels and emits the w×h interior, so the distributed
+  * operator's only job is assembling halos (SURVEY.md §3.6 O5).
+  *
+  * Window naming follows the reference (row-major, y down):
+  *   a b c
+  *   d e f
+  *   g h i
+  *
+  * Border semantics: callers pad by clamping at the raster edge
+  * (the reference's -compute_edges style), documented in FocalSpec.
+  */
+object Focal {
+
+  final case class Params(ewres: Double = 1.0, nsres: Double = 1.0,
+                          z: Double = 1.0, scale: Double = 1.0,
+                          altDeg: Double = 45.0, azDeg: Double = 315.0)
+
+  /** Apply `mode` to the padded buffer. Modes: hillshade, slope_deg,
+    * aspect_deg, tri, tpi, roughness. */
+  def apply(padded: Array[Double], w: Int, h: Int, mode: String,
+            p: Params = Params()): Array[Double] = {
+    val pw = w + 2
+    val out = new Array[Double](w * h)
+    val degToRad = math.Pi / 180.0
+    val altRad = p.altDeg * degToRad
+    val azRad = p.azDeg * degToRad
+    val sinAlt = math.sin(altRad)
+    val cosAlt = math.cos(altRad)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cx = x + 1; val cy = y + 1
+        val a = padded((cy - 1) * pw + cx - 1); val b = padded((cy - 1) * pw + cx); val c = padded((cy - 1) * pw + cx + 1)
+        val d = padded(cy * pw + cx - 1);       val e = padded(cy * pw + cx);       val f = padded(cy * pw + cx + 1)
+        val g = padded((cy + 1) * pw + cx - 1); val hh = padded((cy + 1) * pw + cx); val i = padded((cy + 1) * pw + cx + 1)
+        val v = mode match {
+          case "tri" =>
+            // mean absolute difference center vs 8 neighbors (Wilson 2007;
+            // reference: gdaldem TRI)
+            (math.abs(a - e) + math.abs(b - e) + math.abs(c - e) + math.abs(d - e) +
+              math.abs(f - e) + math.abs(g - e) + math.abs(hh - e) + math.abs(i - e)) / 8.0
+          case "tpi" =>
+            // center minus mean of 8 neighbors
+            e - (a + b + c + d + f + g + hh + i) / 8.0
+          case "roughness" =>
+            // max - min over the full 3×3 window
+            val mx = math.max(math.max(math.max(a, b), math.max(c, d)),
+              math.max(math.max(e, f), math.max(g, math.max(hh, i))))
+            val mn = math.min(math.min(math.min(a, b), math.min(c, d)),
+              math.min(math.min(e, f), math.min(g, math.min(hh, i))))
+            mx - mn
+          case "slope_deg" =>
+            // Horn's formula (reference: gdaldem slope)
+            val dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * p.ewres)
+            val dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / (8.0 * p.nsres)
+            math.atan(p.z * math.sqrt(dzdx * dzdx + dzdy * dzdy) / p.scale) / degToRad
+          case "aspect_deg" =>
+            // azimuth the slope faces, degrees clockwise from north
+            val dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / 8.0
+            val dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / 8.0
+            if (dzdx == 0 && dzdy == 0) -9999.0
+            else {
+              val deg = math.atan2(dzdy, -dzdx) / degToRad
+              val az = 90.0 - deg
+              if (az < 0) az + 360.0 else if (az >= 360.0) az - 360.0 else az
+            }
+          case "hillshade" =>
+            // Horn hillshade, byte 1..255 (reference: gdaldem hillshade)
+            val xx = p.z * ((a + 2 * d + g) - (c + 2 * f + i)) / (8.0 * p.ewres * p.scale)
+            val yy = p.z * ((g + 2 * hh + i) - (a + 2 * b + c)) / (8.0 * p.nsres * p.scale)
+            val slope = math.Pi / 2.0 - math.atan(math.sqrt(xx * xx + yy * yy))
+            val aspect = math.atan2(yy, xx)
+            val cang = sinAlt * math.sin(slope) +
+              cosAlt * math.cos(slope) * math.cos(azRad - math.Pi / 2.0 - aspect)
+            if (cang <= 0.0) 1.0 else math.rint(1.0 + 254.0 * cang)
+          case other => throw new IllegalArgumentException(s"focal mode $other")
+        }
+        out(y * w + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Whole-grid scalar oracle: pad a gw×gh raster by edge clamping and run
+    * the kernel — the single-node golden path for FocalSpec. */
+  def wholeGrid(vals: Array[Double], gw: Int, gh: Int, mode: String,
+                p: Params = Params()): Array[Double] = {
+    val pw = gw + 2
+    val padded = new Array[Double]((gw + 2) * (gh + 2))
+    var y = -1
+    while (y <= gh) {
+      var x = -1
+      while (x <= gw) {
+        val sx = math.max(0, math.min(gw - 1, x))
+        val sy = math.max(0, math.min(gh - 1, y))
+        padded((y + 1) * pw + (x + 1)) = vals(sy * gw + sx)
+        x += 1
+      }
+      y += 1
+    }
+    apply(padded, gw, gh, mode, p)
+  }
+}

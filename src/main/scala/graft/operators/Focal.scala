@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Focal => FocalKernel}
+
+/** Distributed 3×3 focal / DEM operators (reference: apps/gdaldem.cpp ::
+  * GDALHillshade / GDALSlope / GDALAspect / GDALTRI / GDALTPI /
+  * GDALRoughness) — SURVEY.md §3.6 O5.
+  *
+  * The reference scans scanlines with a 3-row rolling window; tiled-raster
+  * re-expression is a 1-pixel HALO EXCHANGE:
+  *
+  *   1. each tile emits itself (full) plus eight border strips — one
+  *      column/row/corner pixel strip per neighbor — keyed by the
+  *      neighbor's tile id. Shuffle volume is O(perimeter), not O(area):
+  *      ~6% overhead at 64×64, independent of raster size.
+  *   2. groupByKey(tile) assembles the (w+2)×(h+2) padded buffer; halos
+  *      missing at the raster border are edge-clamped (the reference's
+  *      -compute_edges behavior).
+  *   3. the shared scalar kernel (core.Focal — also the test oracle's
+  *      whole-grid path) produces the w×h interior.
+  *
+  * Every tile is independent after one shuffle → linear scaling; no
+  * global barrier, no iteration.
+  */
+object Focal {
+
+  /** kind 0 = full tile; 1..8 = strip, with (sdx, sdy) = where the strip
+    * sits relative to the TARGET tile: -1 = its west/north halo, +1 = its
+    * east/south halo. */
+  final case class Strip(ttx: Long, tty: Long, sdx: Int, sdy: Int, pixels: Array[Double])
+
+  /** Apply a focal mode to a (zoom, tx, ty, pixels) tile table.
+    * `nxTiles`/`nyTiles` bound the tile grid (strips are not emitted past
+    * the border; the padder clamps there instead). Output: the same tile
+    * shape with the kernel applied. */
+  def focal(tiles: DataFrame, w: Int, h: Int, nxTiles: Long, nyTiles: Long,
+            mode: String, params: FocalKernel.Params = FocalKernel.Params()): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val strips = tiles.select(col("tx").cast("long"), col("ty").cast("long"), col("pixels"))
+      .as[(Long, Long, Seq[Double])]
+      .flatMap { case (tx, ty, px) =>
+        val p = px.toArray
+        val out = Array.newBuilder[Strip]
+        out += Strip(tx, ty, 0, 0, p)
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            if ((dx != 0 || dy != 0)) {
+              val ntx = tx + dx; val nty = ty + dy
+              if (ntx >= 0 && ntx < nxTiles && nty >= 0 && nty < nyTiles) {
+                // neighbor (ntx,nty) sees this strip at relative (-dx,-dy)
+                val strip = extractStrip(p, w, h, -dx, -dy)
+                out += Strip(ntx, nty, -dx, -dy, strip)
+              }
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        out.result()
+      }
+    strips.groupByKey(s => (s.ttx, s.tty))
+      .mapGroups { (key: (Long, Long), it: Iterator[Strip]) =>
+        val buf = it.toArray
+        val padded = assemble(buf, w, h)
+        val res = FocalKernel.apply(padded, w, h, mode, params)
+        (key._1, key._2, res.toSeq)
+      }
+      .toDF("tx", "ty", "pixels")
+  }
+
+  /** The 1-px strip of `p` that a neighbor at relative (sdx, sdy) needs:
+    * sdx=-1 → my EAST column becomes its west halo … i.e. the strip is
+    * taken from the side of me FACING the neighbor, which from the
+    * target's view sits at (sdx, sdy). */
+  private def extractStrip(p: Array[Double], w: Int, h: Int, sdx: Int, sdy: Int): Array[Double] = {
+    // from the SOURCE's perspective the neighbor is at (-sdx, -sdy), so the
+    // facing side is: x side = if (-sdx == 1) east (w-1) else if (-sdx == -1) west (0)
+    val takeX: Option[Int] = -sdx match {
+      case 1 => Some(w - 1); case -1 => Some(0); case _ => None
+    }
+    val takeY: Option[Int] = -sdy match {
+      case 1 => Some(h - 1); case -1 => Some(0); case _ => None
+    }
+    (takeX, takeY) match {
+      case (Some(x), Some(y)) => Array(p(y * w + x))                       // corner pixel
+      case (Some(x), None)    => Array.tabulate(h)(y => p(y * w + x))      // column
+      case (None, Some(y))    => Array.tabulate(w)(x => p(y * w + x))      // row
+      case _ => throw new IllegalStateException("center is not a strip")
+    }
+  }
+
+  /** Build the padded (w+2)×(h+2) buffer from the full tile + whatever
+    * strips arrived; absent halos (raster border) are edge-clamped. */
+  private def assemble(parts: Array[Strip], w: Int, h: Int): Array[Double] = {
+    val pw = w + 2
+    val padded = Array.fill((w + 2) * (h + 2))(Double.NaN)
+    parts.foreach { s =>
+      (s.sdx, s.sdy) match {
+        case (0, 0) =>
+          var y = 0
+          while (y < h) {
+            System.arraycopy(s.pixels, y * w, padded, (y + 1) * pw + 1, w); y += 1
+          }
+        case (-1, 0) => var y = 0; while (y < h) { padded((y + 1) * pw) = s.pixels(y); y += 1 }
+        case (1, 0)  => var y = 0; while (y < h) { padded((y + 1) * pw + w + 1) = s.pixels(y); y += 1 }
+        case (0, -1) => var x = 0; while (x < w) { padded(x + 1) = s.pixels(x); x += 1 }
+        case (0, 1)  => var x = 0; while (x < w) { padded((h + 1) * pw + x + 1) = s.pixels(x); x += 1 }
+        case (-1, -1) => padded(0) = s.pixels(0)
+        case (1, -1)  => padded(w + 1) = s.pixels(0)
+        case (-1, 1)  => padded((h + 1) * pw) = s.pixels(0)
+        case (1, 1)   => padded((h + 1) * pw + w + 1) = s.pixels(0)
+      }
+    }
+    // Edge-clamp missing halos PER AXIS, matching the whole-grid clamp:
+    // a side's halo is missing iff the raster ends there, so clamp only
+    // that coordinate (a missing NW corner next to a present W neighbor
+    // must read the W neighbor's top pixel, not this tile's interior).
+    val hasW = parts.exists(s => s.sdx == -1 && s.sdy == 0)
+    val hasE = parts.exists(s => s.sdx == 1 && s.sdy == 0)
+    val hasN = parts.exists(s => s.sdx == 0 && s.sdy == -1)
+    val hasS = parts.exists(s => s.sdx == 0 && s.sdy == 1)
+    var y = 0
+    while (y < h + 2) {
+      var x = 0
+      while (x < w + 2) {
+        if (padded(y * pw + x).isNaN) {
+          val cx = if (x == 0 && !hasW) 1 else if (x == w + 1 && !hasE) w else x
+          val cy = if (y == 0 && !hasN) 1 else if (y == h + 1 && !hasS) h else y
+          padded(y * pw + x) = padded(cy * pw + cx)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    padded
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{Focal => FocalKernel}
+import graft.operators.{Contour, Focal, Proximity}
+import graft.synth.Synth
+
+/** Focal (gdaldem), proximity, contour: the distributed tiled plan must
+  * equal the whole-grid scalar path (halo/seam correctness), and kernels
+  * are pinned with hand-computed cases. */
+class FocalProxContourSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def synthVals(zoom: Int, w: Int, h: Int): (Array[Double], Int, Int) = {
+    val nx = 1 << (zoom + 1); val ny = 1 << zoom
+    val gw = nx * w; val gh = ny * h
+    val vals = new Array[Double](gw * gh)
+    for (gy <- 0 until gh; gx <- 0 until gw) {
+      val tx = gx / w; val ty = gy / h; val px = gx % w; val py = gy % h
+      vals(gy * gw + gx) = ((tx * 131 + ty * 173 + px * 7 + py * 11) % 16).toDouble
+    }
+    (vals, gw, gh)
+  }
+
+  test("focal tiled == whole-grid oracle for every mode (zoom 2, 8x8 tiles)") {
+    val zoom = 2; val w = 8; val h = 8
+    val (vals, gw, gh) = synthVals(zoom, w, h)
+    val tiles = Synth.maskTiles(spark, zoom, w, h)
+    for (mode <- Seq("tri", "tpi", "roughness", "slope_deg", "aspect_deg", "hillshade")) {
+      val want = FocalKernel.wholeGrid(vals, gw, gh, mode)
+      val got = Focal.focal(tiles, w, h, 1 << (zoom + 1), 1 << zoom, mode)
+        .collect()
+      val flat = new Array[Double](gw * gh)
+      got.foreach { r =>
+        val tx = r.getLong(0); val ty = r.getLong(1)
+        val px = r.getSeq[Double](2)
+        for (i <- px.indices)
+          flat(((ty * h + i / w) * gw + tx * w + i % w).toInt) = px(i)
+      }
+      for (i <- flat.indices)
+        assert(flat(i) == want(i) || (flat(i).isNaN && want(i).isNaN),
+          s"$mode px $i (${i % gw},${i / gw}): ${flat(i)} vs ${want(i)}")
+    }
+  }
+
+  test("kernel hand-pins: flat raster and a single spike") {
+    // flat 3x3=5 everywhere: TRI=0, TPI=0, roughness=0, slope=0, hillshade = flat-face value
+    val flat = Array.fill(25)(5.0)
+    assert(FocalKernel.wholeGrid(flat, 5, 5, "tri").forall(_ == 0.0))
+    assert(FocalKernel.wholeGrid(flat, 5, 5, "tpi").forall(_ == 0.0))
+    assert(FocalKernel.wholeGrid(flat, 5, 5, "roughness").forall(_ == 0.0))
+    assert(FocalKernel.wholeGrid(flat, 5, 5, "slope_deg").forall(_ == 0.0))
+    // flat hillshade = round(1 + 254*sin(alt=45°)) = round(1+254*0.7071) = 181
+    assert(FocalKernel.wholeGrid(flat, 5, 5, "hillshade").forall(_ == 181.0))
+    // spike at center of 3x3 zeros
+    val spike = Array(0.0, 0.0, 0.0, 0.0, 9.0, 0.0, 0.0, 0.0, 0.0)
+    val tri = FocalKernel.wholeGrid(spike, 3, 3, "tri")
+    assert(tri(4) == 9.0)           // center: all 8 neighbors differ by 9
+    assert(tri(0) == 9.0 / 8.0)     // corner (clamped halo): one neighbor is the spike
+    val tpi = FocalKernel.wholeGrid(spike, 3, 3, "tpi")
+    assert(tpi(4) == 9.0)           // 9 - mean(0)
+    val rough = FocalKernel.wholeGrid(spike, 3, 3, "roughness")
+    assert(rough.forall(_ == 9.0))  // every window contains the spike (clamping)
+  }
+
+  test("proximity tiled == brute force (zoom 2, 8x8 tiles, maxDist 10)") {
+    val zoom = 2; val w = 8; val h = 8
+    val (vals, gw, gh) = synthVals(zoom, w, h)
+    val mask = (v: Double) => v < 1.0 // sparse targets
+    val maxD = 10.0
+    val targets = for (i <- vals.indices if mask(vals(i))) yield ((i % gw).toLong, (i / gw).toLong)
+    assert(targets.nonEmpty)
+    val want = (for (gy <- 0 until gh; gx <- 0 until gw) yield {
+      val d2 = targets.map { case (tx2, ty2) =>
+        (gx - tx2) * (gx - tx2) + (gy - ty2) * (gy - ty2)
+      }.min
+      ((gx.toLong, gy.toLong), d2)
+    }).filter(_._2 <= maxD * maxD).toMap
+    val got = Proximity.proximity(Synth.maskTiles(spark, zoom, w, h), w, h,
+      1 << (zoom + 1), 1 << zoom, mask, maxD)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.size == want.size, s"${got.size} vs ${want.size}")
+    want.foreach { case (k, d2) => assert(got(k) == d2, s"pixel $k") }
+  }
+
+  test("contour segments: tiled == single-giant-tile (seam correctness)") {
+    val zoom = 1; val w = 8; val h = 8
+    val (vals, gw, gh) = synthVals(zoom, w, h)
+    val level2x = 15L // level 7.5
+    val tiled = Contour.segments(Synth.maskTiles(spark, zoom, w, h), w, h,
+      1 << (zoom + 1), 1 << zoom, level2x)
+      .collect().map(_.toSeq).toSet
+    val giant = Seq((0L, 0L, vals.toSeq)).toDF("tx", "ty", "pixels")
+    val whole = Contour.segments(giant, gw, gh, 1, 1, level2x)
+      .collect().map(_.toSeq).toSet
+    assert(tiled == whole, s"${tiled.size} vs ${whole.size} segments; " +
+      s"onlyTiled=${(tiled -- whole).take(3)} onlyWhole=${(whole -- tiled).take(3)}")
+    assert(tiled.nonEmpty)
+  }
+
+  test("contour hand-pin: single high pixel yields a closed 4-segment diamond") {
+    // 3x3 zeros with v(1,1)=1, level 0.5 → diamond around the center pixel
+    val px = Array(0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+    val tiles = Seq((0L, 0L, px.toSeq)).toDF("tx", "ty", "pixels")
+    val segs = Contour.segments(tiles, 3, 3, 1, 1, level2x = 1L)
+    assert(segs.count() == 4)
+    val stitched = Contour.stitch(segs).collect()
+    assert(stitched.length == 1 && stitched.head.getAs[Long]("n_segments") == 4L)
+  }
+
+  test("contour stitch: polyline count is partitioning-independent") {
+    val zoom = 1; val w = 8; val h = 8
+    val segs = Contour.segments(Synth.maskTiles(spark, zoom, w, h), w, h,
+      1 << (zoom + 1), 1 << zoom, level2x = 15L)
+    val a = Contour.stitch(segs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Contour.stitch(segs.repartition(7)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
