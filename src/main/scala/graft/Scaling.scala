@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.operators.SpatialJoin
+import graft.io.CatalogIO
+import java.nio.file.{Files, Paths}
+
+/** Two-cluster-size scaling evidence (BASELINE.md protocol): the same
+  * spatial-join + tile-assignment job on the SAME input at N = local[8]
+  * (shuffle.partitions=64) and 4N = local[32] (=256); efficiency =
+  * (throughput_4N / throughput_N) / 4, pass >= 0.8 per
+  * BASELINE.json:north_rule. A real multi-executor cluster is unavailable
+  * in this sandbox; parallelism levels stand in per the driver instruction.
+  *
+  * Input: a deterministically synthesized interleaved docs table in the
+  * BASELINE.json input_hint shape (doc_id, spans array<struct<kind, text,
+  * media_ref, offset>>), with a 10% hot-spot cluster to exercise the salted
+  * shuffle path. Generated once to parquet; both runs read the same files.
+  *
+  * Measured job (the north-star flagship): read docs → posexplode spans →
+  * parse WKT points → point-in-polygon join against region boxes on the
+  * zoom-5 cell grid (salted shuffle, salt=8) → zoom-12 tile assignment →
+  * committed via CatalogIO (parquet + per-partition lineage rows).
+  * Writes BENCH/BASELINE.md and prints one JSON line.
+  */
+object Scaling {
+
+  private def session(cores: Int, parts: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Interleaved docs: 4 spans/doc, every 4th media, 10% of docs in a
+    * 0.5-degree hot spot (same mixture as synth.Synth/FIXTURES.md F1). */
+  private def genDocs(spark: SparkSession, nDocs: Long): DataFrame = {
+    spark.range(nDocs)
+      .withColumn("hot", col("id") % 10 === 0)
+      .withColumn("spans", expr(
+        """transform(sequence(0, 3), j -> named_struct(
+             'kind', IF(j = 3, 'media', 'text'),
+             'text', IF(j = 3, '',
+               concat('POINT(',
+                 CAST(IF(id % 10 = 0,
+                   ((id * 7919 + j * 104729) % 512) / 1024.0 + 10.0,
+                   ((id * 7919 + j * 104729) % 368640) / 1024.0 - 180.0) AS STRING),
+                 ' ',
+                 CAST(IF(id % 10 = 0,
+                   ((id * 104729 + j * 7919) % 512) / 1024.0 + 45.0,
+                   ((id * 104729 + j * 7919) % 163840) / 1024.0 - 80.0) AS STRING),
+                 ')')),
+             'media_ref', IF(j = 3, concat('tile://8/', CAST(id % 512 AS STRING), '/',
+               CAST(id % 256 AS STRING), '/1'), ''),
+             'offset', CAST(j AS INT)))"""))
+      .select(format_string("doc-%09d", col("id")).as("doc_id"), col("spans"))
+  }
+
+  private def regions(spark: SparkSession, n: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("region_id"),
+      format_string("POLYGON((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f))",
+        ((col("id") * 131) % 340 - 170).cast("double"),
+        ((col("id") * 241) % 150 - 75).cast("double"),
+        ((col("id") * 131) % 340 - 170 + (col("id") % 7 + 2)).cast("double"),
+        ((col("id") * 241) % 150 - 75).cast("double"),
+        ((col("id") * 131) % 340 - 170 + (col("id") % 7 + 2)).cast("double"),
+        ((col("id") * 241) % 150 - 75 + (col("id") % 5 + 1)).cast("double"),
+        ((col("id") * 131) % 340 - 170).cast("double"),
+        ((col("id") * 241) % 150 - 75 + (col("id") % 5 + 1)).cast("double"),
+        ((col("id") * 131) % 340 - 170).cast("double"),
+        ((col("id") * 241) % 150 - 75).cast("double")).as("wkt"))
+
+  /** One measured run; returns wall seconds of the join+tiling action. */
+  private def runJob(spark: SparkSession, docsPath: String, nRegions: Int,
+                     salted: Boolean, outRoot: String, tag: String): (Double, Long) = {
+    F.ensureRegistered(spark)
+    val docs = spark.read.parquet(docsPath)
+    val pts = docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .where(col("span.kind") === "text")
+      .select(col("doc_id"), col("span.offset").as("offset"),
+        F.st_geomfromwkt(col("span.text")).as("g"))
+      .withColumn("lon", F.st_x(col("g"))).withColumn("lat", F.st_y(col("g")))
+      .drop("g")
+    val polys = regions(spark, nRegions)
+      .withColumn("geom", F.st_geomfromwkt(col("wkt")))
+    val joined = SpatialJoin.pointInPolygon(polys, "geom", pts, "lon", "lat",
+      zoom = 5, broadcastPolys = false, saltFactor = if (salted) 8 else 1)
+      .withColumn("tile", F.cell_encode(col("lon"), col("lat"), lit(12)))
+      .select(col("doc_id"), col("offset"), col("region_id"), col("tile"))
+    val t0 = System.nanoTime()
+    val rows = CatalogIO.commitStage(spark, joined, outRoot, s"scaling-$tag", "join_tiles")
+    val dt = (System.nanoTime() - t0) / 1e9
+    (dt, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "4000000").toLong
+    val nRegions = 2000
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scaling")
+    val docsPath = s"$work/docs_$nDocs"
+    // one-time input materialization (not measured)
+    if (!Files.exists(Paths.get(docsPath))) {
+      val s = session(32, 64)
+      genDocs(s, nDocs).write.mode("overwrite").parquet(docsPath)
+      s.stop()
+    }
+    val results = Seq((8, 64), (32, 256)).map { case (cores, parts) =>
+      val s = session(cores, parts)
+      val (dtSalted, rows) = runJob(s, docsPath, nRegions, salted = true,
+        s"$work/out", s"salted-c$cores-${System.nanoTime()}")
+      val (dtUnsalted, _) = runJob(s, docsPath, nRegions, salted = false,
+        s"$work/out", s"unsalted-c$cores-${System.nanoTime()}")
+      s.stop()
+      (cores, parts, dtSalted, dtUnsalted, rows)
+    }
+    val Seq((_, _, t8s, t8u, rows8), (_, _, t32s, t32u, rows32)) = results
+    val tp8 = nDocs / t8s; val tp32 = nDocs / t32s
+    val eff = (tp32 / tp8) / 4.0
+    val tp8u = nDocs / t8u; val tp32u = nDocs / t32u
+    val effU = (tp32u / tp8u) / 4.0
+    val commit = try {
+      new String(java.lang.Runtime.getRuntime.exec(Array("git", "-C", "/root/repo",
+        "rev-parse", "--short", "HEAD")).getInputStream.readAllBytes()).trim
+    } catch { case _: Throwable => "unknown" }
+    val md =
+      s"""# BENCH/BASELINE — two-cluster-size scaling evidence
+         |
+         |Protocol: BASELINE.md (N = local[8]/64 partitions, 4N = local[32]/256),
+         |same parquet input, salted spatial join (salt=8) + zoom-12 tile
+         |assignment committed via CatalogIO with per-partition lineage rows.
+         |
+         |- commit: $commit
+         |- input: $nDocs interleaved docs (3 text spans/doc, 10% hot-spot), $nRegions regions
+         |- output rows (join+tile): $rows8 (N) / $rows32 (4N) — identical input, same job
+         |
+         || config | wall s (salted) | docs/sec (salted) | wall s (unsalted) | docs/sec (unsalted) |
+         ||---|---|---|---|---|
+         || N  = local[8],  sp=64  | ${f"$t8s%.1f"} | ${f"$tp8%.0f"} | ${f"$t8u%.1f"} | ${f"$tp8u%.0f"} |
+         || 4N = local[32], sp=256 | ${f"$t32s%.1f"} | ${f"$tp32%.0f"} | ${f"$t32u%.1f"} | ${f"$tp32u%.0f"} |
+         |
+         |**Scaling efficiency (salted, the bench path): ${f"$eff%.3f"}**  (pass >= 0.8: ${if (eff >= 0.8) "YES" else "NO"})
+         |Unsalted context: ${f"$effU%.3f"}
+         |""".stripMargin
+    Files.createDirectories(Paths.get("/root/repo/BENCH"))
+    Files.writeString(Paths.get("/root/repo/BENCH/BASELINE.md"), md)
+    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","throughput_docs_per_sec":{"n8":$tp8,"n32":$tp32},"unsalted_efficiency":$effU,"n_docs":$nDocs}""")
+  }
+}

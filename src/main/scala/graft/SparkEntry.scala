@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.F
-import graft.operators.{Ann, Dedup, Knn, Raster, SpatialJoin}
+import graft.operators.{Ann, Contour, Dedup, Focal, Knn, Media, Polygonize, Proximity, Raster, SpatialJoin}
 import graft.synth.Synth
 
 /** Driver contract (see /root/repo/SURVEY.md §7 + the builder prompt).
@@ -53,7 +53,8 @@ object SparkEntry {
        CASE WHEN l_orderkey % 10 = 0
             THEN ((l_orderkey*104729 + l_linenumber*7919 + l_suppkey) % 512) / 1024.0 + 45.0
             ELSE ((l_orderkey*104729 + l_linenumber*7919 + l_suppkey) % 163840) / 1024.0 - 80.0 END AS lat,
-       l_orderkey AS doc_key, l_linenumber AS line_no, l_quantity
+       l_orderkey AS doc_key, l_linenumber AS line_no,
+       l_partkey AS part_key, l_suppkey AS supp_key, l_quantity
        FROM lineitem"""
   private val boxesSql =
     """SELECT p_partkey AS box_id,
@@ -302,8 +303,121 @@ object SparkEntry {
       F.ensureRegistered(s)
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), F.fingerprint64(col("text")).as("fp"))
+    }),
+
+    // ------------- polygonize / DEM / proximity / contour (R2,R4,R5,O5) --
+    "q33_polygonize_comps" -> ((s, dir) =>
+      Polygonize.components(Synth.maskTiles(s, 2), 8, 8, 64, 32, _ < 7.0, _ => 1.0)
+        .select(col("label"), col("n_pixels"),
+          col("min_gx"), col("max_gx"), col("min_gy"), col("max_gy"))),
+    "q34_polygonize_wkt" -> ((s, dir) =>
+      // full ring assembly (rows-only: WKT golden-matched in PolygonizeSpec
+      // vs JTS union-of-squares; no SQL-expressible oracle)
+      Polygonize.polygonizeWkt(Synth.maskTiles(s, 1), 8, 8, 32, 16, _ < 7.0, _ => 1.0)),
+    "q35_sieve" -> ((s, dir) =>
+      // sieve small components (rows-only; semantics pinned in PolygonizeSpec)
+      Polygonize.sieve(Synth.maskTiles(s, 1), 8, 8, 32, 16, threshold = 3, _ => true,
+        v => math.floor(v / 4.0))),
+    "q36_focal_tri" -> ((s, dir) => focalPixels(s, "tri")),
+    "q37_focal_tpi" -> ((s, dir) => focalPixels(s, "tpi")),
+    "q38_focal_roughness" -> ((s, dir) => focalPixels(s, "roughness")),
+    "q39_hillshade" -> ((s, dir) =>
+      // trig output — not bit-stable across engines (rows-only; kernel
+      // pinned by hand cases + whole-grid oracle in FocalProxContourSpec)
+      focalPixels(s, "hillshade")),
+    "q40_proximity" -> ((s, dir) =>
+      Proximity.proximity(Synth.maskTiles(s, 2), 8, 8, 8, 4, _ < 1.0, maxDistPx = 10.0)),
+    "q41_contour_segments" -> ((s, dir) =>
+      Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = 15L)),
+    "q42_contour_stitch" -> ((s, dir) =>
+      // endpoint-graph polyline assembly (rows-only; partitioning-
+      // independence pinned in FocalProxContourSpec)
+      Contour.stitch(Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = 15L))),
+
+    // ------------- embedding near-dup + ANN scale path --------------------
+    "q43_cosine_dup" -> ((s, dir) => {
+      // exact integer test for cos >= 0.35 = 7/20: dot > 0 AND
+      // 400·dot² >= 49·|a|²·|b|² in 1e3 fixed point — bit-reproducible
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val fp = "zip_with(%s, %s, (x, y) -> CAST(floor(CAST(x AS DOUBLE)*1000.0) AS BIGINT) * CAST(floor(CAST(y AS DOUBLE)*1000.0) AS BIGINT))"
+      def dot(a: String, b: String) =
+        expr(s"aggregate(${fp.format(a, b)}, 0L, (acc, v) -> acc + v)")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
+        .withColumn("dot_fp", dot("va", "vb"))
+        .withColumn("na2", dot("va", "va")).withColumn("nb2", dot("vb", "vb"))
+        .where(col("dot_fp") > 0 &&
+          col("dot_fp") * col("dot_fp") * 400 >= col("na2") * col("nb2") * 49)
+        .select(col("id_a"), col("id_b"), col("dot_fp"))
+    }),
+    "q45_ann_lsh" -> ((s, dir) => {
+      // sign-LSH bucketed ANN — the brute-force q26's scale path
+      // (approximate recall by design → rows-only)
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.lshTopK(e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 5, planes = 6)
+    }),
+
+    // ------------- multimodal resolver ------------------------------------
+    "q44_media_mean" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      val docs = Synth.docs(s, dir)
+      // resolver: distinct tile:// refs regenerate their zoom-8 pixel block
+      val spans = docs.select(posexplode(col("spans")).as(Seq("pos", "span")))
+        .where(col("span.kind") === "media")
+        .select(col("span.media_ref").as("media_ref"))
+      val pat = "tile://(\\d+)/(\\d+)/(\\d+)/(\\d+)"
+      val tiles = spans
+        .select(regexp_extract(col("media_ref"), pat, 2).cast("long").as("tx"),
+          regexp_extract(col("media_ref"), pat, 3).cast("long").as("ty"))
+        .distinct()
+        .withColumn("zoom", lit(8)).withColumn("band", lit(1))
+        .withColumn("pixels", expr(
+          "transform(sequence(0, 4095), i -> " +
+          "CAST((tx*131 + ty*173 + (i % 64)*7 + CAST(i / 64 AS INT)*11 + 8) % 256 AS DOUBLE))"))
+      Media.mediaFeatures(Media.resolveMedia(docs, tiles))
+        .select(col("doc_id"), col("offset"), col("px_mean"))
     })
   )
+
+  /** Shared body of the focal queries: apply the 3×3 kernel on the
+    * zoom-2 synthetic grid and explode tiles to per-pixel rows. */
+  private def focalPixels(s: SparkSession, mode: String): DataFrame =
+    Focal.focal(Synth.maskTiles(s, 2), 8, 8, 8, 4, mode)
+      .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "val")))
+      .select((col("tx") * 8 + col("i") % 8).as("gx"),
+        (col("ty") * 8 + (col("i") / 8).cast("long")).as("gy"), col("val"))
+
+  /** TRI/TPI/roughness oracle over the zoom-2 synthetic grid (64×32 px):
+    * neighbor values come from the closed-form pixel function with edge
+    * clamping — exactly core.Focal.wholeGrid's padding rule. All three
+    * modes are integer-ratio arithmetic, so doubles compare bit-exactly. */
+  private def focalOracle(mode: String): String = {
+    val agg = mode match {
+      case "tri" =>
+        "CAST(sum(CASE WHEN NOT (dx = 0 AND dy = 0) THEN abs(v - ce) END) AS DOUBLE) / 8.0"
+      case "tpi" =>
+        "any_value(ce) - CAST(sum(CASE WHEN NOT (dx = 0 AND dy = 0) THEN v END) AS DOUBLE) / 8.0"
+      case "roughness" => "CAST(max(v) - min(v) AS DOUBLE)"
+    }
+    s"""WITH px AS (
+         SELECT gx.x AS gx, gy.y AS gy
+         FROM generate_series(0, 63) gx(x), generate_series(0, 31) gy(y)),
+       nbr AS (SELECT dx.d AS dx, dy.d AS dy
+         FROM generate_series(-1, 1) dx(d), generate_series(-1, 1) dy(d)),
+       vals AS (
+         SELECT p.gx, p.gy, n.dx, n.dy,
+           ((least(greatest(p.gx + n.dx, 0), 63) // 8) * 131
+          + (least(greatest(p.gy + n.dy, 0), 31) // 8) * 173
+          + (least(greatest(p.gx + n.dx, 0), 63) % 8) * 7
+          + (least(greatest(p.gy + n.dy, 0), 31) % 8) * 11) % 16 AS v
+         FROM px p, nbr n),
+       ctr AS (SELECT gx, gy, v AS ce FROM vals WHERE dx = 0 AND dy = 0)
+       SELECT w.gx, w.gy, $agg AS val
+       FROM (SELECT v.*, c.ce FROM vals v JOIN ctr c ON c.gx = v.gx AND c.gy = v.gy) w
+       GROUP BY 1, 2"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_filter" ->
@@ -388,7 +502,7 @@ object SparkEntry {
            CAST(sum(CASE WHEN line_no % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
            CAST(sum(rn - 1) AS BIGINT) AS sum_offsets,
            min(CASE WHEN line_no % 4 <> 0 THEN lon END) AS min_x
-         FROM (SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY line_no) AS rn FROM pts)
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY line_no, part_key, supp_key) AS rn FROM pts)
          GROUP BY 1""",
     "q17_rasterize_checksum" ->
       // scanline-parity runs computed arithmetically per (box, tile) with
@@ -554,6 +668,140 @@ object SparkEntry {
          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            count(*) AS n_events, min(event_id) AS first_event
          FROM s GROUP BY 1, 2""",
+    "q33_polygonize_comps" ->
+      // connected components of the synthetic mask (v < 7) on the zoom-2
+      // 8x8-tile grid via recursive transitive closure; label = min pixel id
+      """WITH px AS (
+           SELECT (t.tx * 8 + i.i % 8) AS gx, (t.ty * 8 + i.i // 8) AS gy,
+                  (t.tx*131 + t.ty*173 + (i.i % 8)*7 + (i.i // 8)*11) % 16 AS v
+           FROM (SELECT gx.x AS tx, gy.y AS ty
+                 FROM generate_series(0, 7) gx(x), generate_series(0, 3) gy(y)) t,
+                generate_series(0, 63) i(i)),
+         nodes AS (SELECT gx, gy, gy * 64 + gx AS id FROM px WHERE v < 7),
+         edges AS (
+           SELECT a.id AS a, b.id AS b FROM nodes a JOIN nodes b
+             ON (b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1)
+           UNION ALL
+           SELECT b.id AS a, a.id AS b FROM nodes a JOIN nodes b
+             ON (b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1)),
+         reach AS (
+           WITH RECURSIVE r(id, root) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.a, r.root FROM r JOIN edges e ON e.b = r.id WHERE r.root < e.a
+           ) SELECT * FROM r),
+         lbl AS (SELECT id, min(root) AS label FROM reach GROUP BY id)
+         SELECT l.label, count(*) AS n_pixels,
+           min(n.gx) AS min_gx, max(n.gx) AS max_gx,
+           min(n.gy) AS min_gy, max(n.gy) AS max_gy
+         FROM lbl l JOIN nodes n ON n.id = l.id GROUP BY 1""",
+    "q36_focal_tri" -> focalOracle("tri"),
+    "q37_focal_tpi" -> focalOracle("tpi"),
+    "q38_focal_roughness" -> focalOracle("roughness"),
+    "q40_proximity" ->
+      """WITH px AS (
+           SELECT gx.x AS gx, gy.y AS gy,
+             ((gx.x // 8)*131 + (gy.y // 8)*173 + (gx.x % 8)*7 + (gy.y % 8)*11) % 16 AS v
+           FROM generate_series(0, 63) gx(x), generate_series(0, 31) gy(y)),
+         t AS (SELECT gx, gy FROM px WHERE v < 1)
+         SELECT p.gx, p.gy,
+           min((p.gx - t.gx)*(p.gx - t.gx) + (p.gy - t.gy)*(p.gy - t.gy)) AS dist2
+         FROM px p CROSS JOIN t
+         GROUP BY 1, 2
+         HAVING min((p.gx - t.gx)*(p.gx - t.gx) + (p.gy - t.gy)*(p.gy - t.gy)) <= 100""",
+    "q41_contour_segments" ->
+      // marching squares at level 7.5 (level2x = 15) over the zoom-2 grid;
+      // endpoints as reduced integer rationals — exactly core.Contour's math
+      """WITH b AS (
+           SELECT gx.x AS gx, gy.y AS gy
+           FROM generate_series(0, 62) gx(x), generate_series(0, 30) gy(y)),
+         c AS (
+           SELECT gx, gy,
+             ((gx//8)*131 + (gy//8)*173 + (gx%8)*7 + (gy%8)*11) % 16 AS v00,
+             (((gx+1)//8)*131 + (gy//8)*173 + ((gx+1)%8)*7 + (gy%8)*11) % 16 AS v10,
+             ((gx//8)*131 + ((gy+1)//8)*173 + (gx%8)*7 + ((gy+1)%8)*11) % 16 AS v01,
+             (((gx+1)//8)*131 + ((gy+1)//8)*173 + ((gx+1)%8)*7 + ((gy+1)%8)*11) % 16 AS v11
+           FROM b),
+         i AS (
+           SELECT *,
+             (CASE WHEN 2*v00 >= 15 THEN 1 ELSE 0 END) + (CASE WHEN 2*v10 >= 15 THEN 2 ELSE 0 END)
+           + (CASE WHEN 2*v11 >= 15 THEN 4 ELSE 0 END) + (CASE WHEN 2*v01 >= 15 THEN 8 ELSE 0 END) AS idx
+           FROM c WHERE (CASE WHEN 2*v00 >= 15 THEN 1 ELSE 0 END) + (CASE WHEN 2*v10 >= 15 THEN 2 ELSE 0 END)
+           + (CASE WHEN 2*v11 >= 15 THEN 4 ELSE 0 END) + (CASE WHEN 2*v01 >= 15 THEN 8 ELSE 0 END) NOT IN (0, 15)),
+         pts0 AS (
+           SELECT gx, gy, e.e AS edge,
+             CASE e.e WHEN 'T' THEN gx*(2*(v10-v00)) + (15 - 2*v00)
+                      WHEN 'B' THEN gx*(2*(v11-v01)) + (15 - 2*v01)
+                      WHEN 'R' THEN gx + 1 ELSE gx END AS xn,
+             CASE e.e WHEN 'T' THEN 2*(v10-v00)
+                      WHEN 'B' THEN 2*(v11-v01) ELSE 1 END AS xd,
+             CASE e.e WHEN 'L' THEN gy*(2*(v01-v00)) + (15 - 2*v00)
+                      WHEN 'R' THEN gy*(2*(v11-v10)) + (15 - 2*v10)
+                      WHEN 'B' THEN gy + 1 ELSE gy END AS yn,
+             CASE e.e WHEN 'L' THEN 2*(v01-v00)
+                      WHEN 'R' THEN 2*(v11-v10) ELSE 1 END AS yd
+           FROM i, (VALUES ('T'), ('R'), ('B'), ('L')) e(e)),
+         pts AS (
+           SELECT gx, gy, edge,
+             (CASE WHEN xd < 0 THEN -xn ELSE xn END) // gcd(abs(xn), abs(xd)) AS xn,
+             (CASE WHEN xd < 0 THEN -xd ELSE xd END) // gcd(abs(xn), abs(xd)) AS xd,
+             (CASE WHEN yd < 0 THEN -yn ELSE yn END) // gcd(abs(yn), abs(yd)) AS yn,
+             (CASE WHEN yd < 0 THEN -yd ELSE yd END) // gcd(abs(yn), abs(yd)) AS yd
+           FROM pts0),
+         s AS (
+           SELECT i.gx, i.gy, i.idx, sg.si AS seg_idx, sg.a AS ea, sg.b AS eb
+           FROM i, unnest(CASE
+             WHEN idx IN (1, 14) THEN [{'si': 0, 'a': 'L', 'b': 'T'}]
+             WHEN idx IN (2, 13) THEN [{'si': 0, 'a': 'T', 'b': 'R'}]
+             WHEN idx IN (4, 11) THEN [{'si': 0, 'a': 'R', 'b': 'B'}]
+             WHEN idx IN (8, 7)  THEN [{'si': 0, 'a': 'B', 'b': 'L'}]
+             WHEN idx IN (3, 12) THEN [{'si': 0, 'a': 'L', 'b': 'R'}]
+             WHEN idx IN (6, 9)  THEN [{'si': 0, 'a': 'T', 'b': 'B'}]
+             WHEN idx = 5 AND v00+v10+v01+v11 >= 30
+               THEN [{'si': 0, 'a': 'L', 'b': 'T'}, {'si': 1, 'a': 'R', 'b': 'B'}]
+             WHEN idx = 5
+               THEN [{'si': 0, 'a': 'T', 'b': 'R'}, {'si': 1, 'a': 'B', 'b': 'L'}]
+             WHEN idx = 10 AND v00+v10+v01+v11 >= 30
+               THEN [{'si': 0, 'a': 'T', 'b': 'R'}, {'si': 1, 'a': 'B', 'b': 'L'}]
+             ELSE [{'si': 0, 'a': 'L', 'b': 'T'}, {'si': 1, 'a': 'R', 'b': 'B'}]
+             END) t(sg))
+         SELECT s.gx, s.gy, CAST(s.idx AS INT) AS case_idx, CAST(s.seg_idx AS INT) AS seg_idx,
+           a.xn AS x0n, a.xd AS x0d, a.yn AS y0n, a.yd AS y0d,
+           b.xn AS x1n, b.xd AS x1d, b.yn AS y1n, b.yd AS y1d
+         FROM s
+         JOIN pts a ON a.gx = s.gx AND a.gy = s.gy AND a.edge = s.ea
+         JOIN pts b ON b.gx = s.gx AND b.gy = s.gy AND b.edge = s.eb""",
+    "q43_cosine_dup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(floor(CAST(a.embedding[i] AS DOUBLE)*1000.0) AS BIGINT) *
+               CAST(floor(CAST(b.embedding[i] AS DOUBLE)*1000.0) AS BIGINT))) AS dot_fp,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(floor(CAST(a.embedding[i] AS DOUBLE)*1000.0) AS BIGINT) *
+               CAST(floor(CAST(a.embedding[i] AS DOUBLE)*1000.0) AS BIGINT))) AS na2,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(floor(CAST(b.embedding[i] AS DOUBLE)*1000.0) AS BIGINT) *
+               CAST(floor(CAST(b.embedding[i] AS DOUBLE)*1000.0) AS BIGINT))) AS nb2
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, CAST(dot_fp AS BIGINT) AS dot_fp
+         FROM p WHERE dot_fp > 0 AND 400*dot_fp*dot_fp >= 49*na2*nb2""",
+    "q44_media_mean" ->
+      s"""WITH pts AS ($ptsSql),
+         spans AS (
+           SELECT printf('doc-%09d', doc_key) AS doc_id, CAST(rn - 1 AS INT) AS offset,
+             CAST(floor((lon + 180.0) / 360.0 * 512) AS BIGINT) AS tx,
+             CAST(floor((90.0 - lat) / 180.0 * 256) AS BIGINT) AS ty
+           FROM (SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY line_no, part_key, supp_key) AS rn FROM pts)
+           WHERE line_no % 4 = 0),
+         tilemean AS (
+           SELECT s.tx, s.ty,
+             sum((s.tx*131 + s.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 8) % 256) / 4096.0 AS px_mean
+           FROM (SELECT DISTINCT tx, ty FROM spans) s, generate_series(0, 4095) i(i)
+           GROUP BY 1, 2)
+         SELECT s.doc_id, s.offset, t.px_mean
+         FROM spans s JOIN tilemean t ON t.tx = s.tx AND t.ty = s.ty""",
     "q31_fingerprint" ->
       """SELECT doc_id,
          CAST(list_reduce(

@@ -30,6 +30,11 @@ object Synth {
       (col("l_orderkey") * 10 + col("l_linenumber")).as("pt_id"),
       col("l_orderkey").as("doc_key"),
       col("l_linenumber").as("line_no"),
+      // (orderkey, linenumber) is NOT unique in the driver data; partkey +
+      // suppkey complete a unique key — needed as a deterministic span-
+      // order tiebreaker in docs()
+      col("l_partkey").as("part_key"),
+      col("l_suppkey").as("supp_key"),
       col("l_quantity"),
       when(col("l_orderkey") % 10 === 0,
         ((col("l_orderkey") * 7919 + col("l_linenumber") * 104729 + col("l_partkey")) % 512) / 1024.0 + 10.0)
@@ -84,7 +89,8 @@ object Synth {
     * %.10f prints k/1024 coordinates exactly → WKT round-trips losslessly. */
   def docs(spark: SparkSession, sfDir: String): DataFrame = {
     val pts = points(spark, sfDir)
-    val w = Window.partitionBy(col("doc_key")).orderBy(col("line_no"))
+    val w = Window.partitionBy(col("doc_key"))
+      .orderBy(col("line_no"), col("part_key"), col("supp_key"))
     val spans = pts
       .withColumn("offset", (row_number().over(w) - 1).cast("int"))
       .withColumn("kind", when(col("line_no") % 4 === 0, "media").otherwise("text"))
