@@ -359,6 +359,46 @@ object SparkEntry {
         e, "vec_id", "embedding", k = 5, planes = 6)
     }),
 
+    // ------------- SQL-text surface (ExecuteSQL analog) -------------------
+    "q46_ogr_sql" -> ((s, dir) => {
+      // the reference's OGRDataSource::ExecuteSQL path: SQL TEXT over a
+      // registered layer with injected st_*/cell_* functions — parse →
+      // analyze → optimize all Catalyst (SURVEY.md §4.1)
+      F.ensureRegistered(s)
+      Synth.regionWkt(s, dir).createOrReplaceTempView("regions_v")
+      s.sql("""
+        SELECT region_id,
+               st_area(st_geomfromwkt(wkt)) AS area,
+               cell_tx(cell_encode(st_x(st_centroid(st_geomfromwkt(wkt))),
+                                   st_y(st_centroid(st_geomfromwkt(wkt))), 7)) AS ctx,
+               cell_ty(cell_encode(st_x(st_centroid(st_geomfromwkt(wkt))),
+                                   st_y(st_centroid(st_geomfromwkt(wkt))), 7)) AS cty
+        FROM regions_v""")
+    }),
+
+    // ------------- translate / band algebra / mode pyramid ----------------
+    "q47_translate" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      Raster.translate(Synth.tiles(s, 3), 64, 64, x0 = 100, y0 = 50,
+        outW = 300, outH = 200, scale = 2.0, offset = 1.0, clampMin = 0.0, clampMax = 255.0)
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q48_calc" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      val a = Synth.tiles(s, 3)
+      val b = Synth.tiles(s, 3)
+        .withColumn("pixels", expr("transform(pixels, p -> (p * 3.0 + 1.0) % 128.0)"))
+      Raster.calc(a, b, "a + 2.0 * b")
+        .select(col("zoom").cast("long").as("zoom"), col("tx"), col("ty"),
+          F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q49_pyramid_mode" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      Raster.pyramidUp(Synth.tiles(s, 3), method = "mode")
+        .select(col("zoom").cast("long").as("zoom"), col("tx"), col("ty"),
+          F.checksum_px(col("pixels")).as("cks"))
+    }),
+
     // ------------- multimodal resolver ------------------------------------
     "q44_media_mean" -> ((s, dir) => {
       F.ensureRegistered(s)
@@ -787,6 +827,64 @@ object SparkEntry {
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, CAST(dot_fp AS BIGINT) AS dot_fp
          FROM p WHERE dot_fp > 0 AND 400*dot_fp*dot_fp >= 49*na2*nb2""",
+    "q46_ogr_sql" ->
+      // area: both sides exact (coords are multiples of 2^-12 → shoelace
+      // terms exactly representable); centroid never lands on a zoom-7
+      // cell edge (parity argument: 2048m+1 ≠ 5760k), so floor is stable
+      s"""WITH boxes AS ($boxesSql)
+         SELECT box_id AS region_id,
+           (xmax - xmin) * (ymax - ymin) AS area,
+           CAST(least(greatest(floor(((xmin + xmax)/2 + 180.0)/360.0*256), 0), 255) AS BIGINT) AS ctx,
+           CAST(least(greatest(floor((90.0 - (ymin + ymax)/2)/180.0*128), 0), 127) AS BIGINT) AS cty
+         FROM boxes""",
+    "q47_translate" ->
+      // window [100,400)×[50,250) of the zoom-3 synth raster, v' = 2v+1
+      // clamped to byte, re-tiled to a 64x64 grid at the window origin
+      """WITH dst AS (
+           SELECT dx.x AS dx, dy.y AS dy FROM generate_series(0, 299) dx(x), generate_series(0, 199) dy(y)),
+         v AS (
+           SELECT dx // 64 AS tx, dy // 64 AS ty, (dy % 64) * 64 + (dx % 64) AS i,
+             least(greatest(
+               (((100 + dx) // 64)*131 + ((50 + dy) // 64)*173
+                + ((100 + dx) % 64)*7 + ((50 + dy) % 64)*11 + 3) % 256 * 2 + 1, 0), 255) AS val
+           FROM dst)
+         SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM v GROUP BY 1, 2""",
+    "q48_calc" ->
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS a
+           FROM tiles t, generate_series(0, 4095) i(i)),
+         v AS (SELECT tx, ty, i, a + 2 * ((a * 3 + 1) % 128) AS val FROM px)
+         SELECT CAST(3 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM v GROUP BY 1, 2, 3""",
+    "q49_pyramid_mode" ->
+      // parent pixel = mode of the 2x2 child block (tie → smallest value)
+      """WITH parent AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 7) gx(x), generate_series(0, 3) gy(y)),
+         cells AS (
+           SELECT p.tx, p.ty, i.i AS i,
+             2*p.tx + ((i.i % 64) // 32) AS ctx, 2*p.ty + ((i.i // 64) // 32) AS cty,
+             2*((i.i % 64) % 32) AS cx, 2*((i.i // 64) % 32) AS cy
+           FROM parent p, generate_series(0, 4095) i(i)),
+         quad AS (
+           SELECT tx, ty, i, u.v AS v
+           FROM cells, unnest([
+             (ctx*131 + cty*173 + cx*7     + cy*11     + 3) % 256,
+             (ctx*131 + cty*173 + (cx+1)*7 + cy*11     + 3) % 256,
+             (ctx*131 + cty*173 + cx*7     + (cy+1)*11 + 3) % 256,
+             (ctx*131 + cty*173 + (cx+1)*7 + (cy+1)*11 + 3) % 256]) u(v)),
+         m AS (
+           SELECT tx, ty, i, v,
+             row_number() OVER (PARTITION BY tx, ty, i ORDER BY count(*) DESC, v ASC) AS rk
+           FROM quad GROUP BY tx, ty, i, v)
+         SELECT CAST(2 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM m WHERE rk = 1 GROUP BY 1, 2, 3""",
     "q44_media_mean" ->
       s"""WITH pts AS ($ptsSql),
          spans AS (

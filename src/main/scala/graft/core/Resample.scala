@@ -56,6 +56,37 @@ object Resample {
     out
   }
 
+  /** MODE reduction: most frequent value of each 2×2 block, ties broken by
+    * smallest value (deterministic; the reference's GDALDownsampleChunk32R
+    * mode kernel keeps the first-seen max count — ours pins smallest for
+    * partitioning independence, documented divergence). */
+  def downsample2x2Mode(pixels: Array[Double], w: Int, h: Int): Array[Double] = {
+    val ow = w / 2; val oh = h / 2
+    val out = new Array[Double](ow * oh)
+    val v = new Array[Double](4)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val i = (2 * y) * w + 2 * x
+        v(0) = pixels(i); v(1) = pixels(i + 1); v(2) = pixels(i + w); v(3) = pixels(i + w + 1)
+        java.util.Arrays.sort(v)
+        // after sort: best = value with max run length; ties → smallest (first)
+        var best = v(0); var bestN = 1; var cur = v(0); var curN = 1
+        var j = 1
+        while (j < 4) {
+          if (v(j) == cur) curN += 1 else { cur = v(j); curN = 1 }
+          if (curN > bestN) { best = cur; bestN = curN }
+          j += 1
+        }
+        out(y * ow + x) = best
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** NEAREST reduction: top-left pixel of each 2×2 block. */
   def downsample2x2Near(pixels: Array[Double], w: Int, h: Int): Array[Double] = {
     val ow = w / 2; val oh = h / 2

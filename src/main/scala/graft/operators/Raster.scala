@@ -89,8 +89,11 @@ object Raster {
     override def zero: Array[Double] = new Array[Double](w * h)
     override def reduce(buf: Array[Double], q: Quad): Array[Double] = {
       val child = q.pixels.toArray
-      val down = if (method == "near") graft.core.Resample.downsample2x2Near(child, w, h)
-                 else graft.core.Resample.downsample2x2Avg(child, w, h)
+      val down = method match {
+        case "near" => graft.core.Resample.downsample2x2Near(child, w, h)
+        case "mode" => graft.core.Resample.downsample2x2Mode(child, w, h)
+        case _      => graft.core.Resample.downsample2x2Avg(child, w, h)
+      }
       val ox = q.qx * (w / 2); val oy = q.qy * (h / 2)
       var y = 0
       while (y < h / 2) {
@@ -181,4 +184,79 @@ object Raster {
   def mosaic(tiles: DataFrame, priorityCol: String): DataFrame =
     tiles.groupBy("zoom", "tx", "ty")
       .agg(max_by(col("pixels"), col(priorityCol)).as("pixels"))
+
+  final case class Chunk(dtx: Long, dty: Long, off: Int, vals: Array[Double])
+
+  /** gdal_translate analog (reference: apps/gdal_translate.cpp /
+    * gcore/rasterio.cpp dtype convert + `-srcwin` + `-scale`): crop the
+    * global pixel window [x0, x0+outW) × [y0, y0+outH), re-tile it to a
+    * fresh w×h dst grid anchored at the window origin, and apply
+    * v' = clamp(v·scale + offset). Re-tiling is row-run chunk exchange —
+    * each src tile ships only its overlapping row segments, split at dst
+    * tile boundaries (no per-pixel shuffle rows), then one aggregate
+    * assembles each dst tile. Missing coverage stays 0 (nodata analog).
+    * Output: (tx, ty, pixels) on the dst grid. */
+  def translate(tiles: DataFrame, w: Int, h: Int,
+                x0: Long, y0: Long, outW: Long, outH: Long,
+                scale: Double = 1.0, offset: Double = 0.0,
+                clampMin: Double = Double.NegativeInfinity,
+                clampMax: Double = Double.PositiveInfinity): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val chunks = tiles.select(col("tx").cast("long"), col("ty").cast("long"), col("pixels"))
+      .as[(Long, Long, Seq[Double])]
+      .flatMap { case (tx, ty, px) =>
+        val p = px.toArray
+        val out = Array.newBuilder[Chunk]
+        var py = 0
+        while (py < h) {
+          val gy = ty * h + py
+          if (gy >= y0 && gy < y0 + outH) {
+            val dy = gy - y0
+            val dty = dy / h
+            val rowGx0 = math.max(tx * w, x0)
+            val rowGx1 = math.min(tx * w + w, x0 + outW) // exclusive
+            var gx = rowGx0
+            while (gx < rowGx1) {
+              val dx = gx - x0
+              val dtx = dx / w
+              // run extends to min(end of src row overlap, end of dst tile)
+              val runEnd = math.min(rowGx1, x0 + (dtx + 1) * w)
+              val n = (runEnd - gx).toInt
+              val vals = new Array[Double](n)
+              var i = 0
+              while (i < n) {
+                val v = p(py * w + (gx + i - tx * w).toInt) * scale + offset
+                vals(i) = math.max(clampMin, math.min(clampMax, v))
+                i += 1
+              }
+              out += Chunk(dtx, dy / h, ((dy % h) * w + dx % w).toInt, vals)
+              gx = runEnd
+            }
+          }
+          py += 1
+        }
+        out.result()
+      }
+    chunks.groupByKey(c => (c.dtx, c.dty))
+      .mapGroups { (key: (Long, Long), it: Iterator[Chunk]) =>
+        val buf = new Array[Double](w * h)
+        it.foreach { c => System.arraycopy(c.vals, 0, buf, c.off, c.vals.length) }
+        (key._1, key._2, buf.toSeq)
+      }
+      .toDF("tx", "ty", "pixels")
+  }
+
+  /** gdal_calc / VRT pixel-function analog (reference:
+    * swig/python/scripts/gdal_calc.py; frmts/vrt/vrtderivedrasterband.cpp):
+    * per-pixel algebra over two co-registered tile tables, expressed as a
+    * codegen'd higher-order function over the zipped pixel arrays — one
+    * equi-join on the tile key, no custom kernel. `exprAB` sees scalars
+    * `a` and `b`. */
+  def calc(ta: DataFrame, tb: DataFrame, exprAB: String): DataFrame =
+    ta.select(col("zoom"), col("tx"), col("ty"), col("pixels").as("__pa"))
+      .join(tb.select(col("zoom"), col("tx"), col("ty"), col("pixels").as("__pb")),
+        Seq("zoom", "tx", "ty"))
+      .withColumn("pixels", expr(s"zip_with(__pa, __pb, (a, b) -> $exprAB)"))
+      .drop("__pa", "__pb")
 }

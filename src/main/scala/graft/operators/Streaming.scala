@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.functions.F
@@ -37,5 +37,49 @@ object Streaming {
     docs.withColumn("fp", F.fingerprint64(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicates("fp")
+  }
+
+  final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  final case class SessState(startMs: Long, lastMs: Long, n: Long, firstEvent: Long)
+  final case class SessionOut(user_id: Long, start_ms: Long, n_events: Long, first_event: Long)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState — the
+    * custom-state surface of §3.9. Sessions close when an in-batch gap
+    * exceeds `gapSec` (emitted immediately) or when the event-time
+    * watermark times the open session out. Input needs (user_id, event_id,
+    * ts) with a watermark-compatible `ts`. */
+  def sessionizeStream(events: DataFrame, gapSec: Long = 1800,
+                       watermark: String = "2 hours"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(userId: Long, rows: Iterator[Ev], state: GroupState[SessState]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      if (rows.isEmpty && state.hasTimedOut) {
+        state.getOption.foreach(s => out += SessionOut(userId, s.startMs, s.n, s.firstEvent))
+        state.remove()
+      } else {
+        val evs = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption.orNull
+        evs.foreach { e =>
+          val t = e.ts.getTime
+          if (cur == null) cur = SessState(t, t, 1, e.event_id)
+          else if (t - cur.lastMs > gapSec * 1000) {
+            out += SessionOut(userId, cur.startMs, cur.n, cur.firstEvent)
+            cur = SessState(t, t, 1, e.event_id)
+          } else cur = cur.copy(lastMs = math.max(cur.lastMs, t), n = cur.n + 1,
+            firstEvent = math.min(cur.firstEvent, e.event_id))
+        }
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.lastMs + gapSec * 1000)
+        }
+      }
+      out.iterator
+    }
+    events.selectExpr("user_id", "event_id", "ts").as[Ev]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

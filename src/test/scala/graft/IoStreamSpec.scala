@@ -71,6 +71,28 @@ class IoStreamSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stateful sessionize (flatMapGroupsWithState) closes in-batch gap sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream4").toString
+    // user 1: two sessions separated by a 2h gap; user 2: one session — the
+    // open (last) session per user stays in state, so 2 closed sessions emit
+    val rows = Seq(
+      (1L, 10L, "2024-01-01 00:00:00"), (1L, 11L, "2024-01-01 00:10:00"),
+      (1L, 12L, "2024-01-01 02:30:00"), (1L, 13L, "2024-01-01 02:40:00"),
+      (2L, 20L, "2024-01-01 00:00:00"), (2L, 21L, "2024-01-01 00:05:00"),
+      (2L, 22L, "2024-01-01 03:00:00"))
+      .toDF("user_id", "event_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    rows.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = Streaming.sessionizeStream(stream, gapSec = 1800)
+      .writeStream.outputMode("append").format("memory").queryName("sess_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT user_id, n_events, first_event FROM sess_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 10L), (2L, 2L, 20L)), s"got $got")
+  }
+
   test("streaming dedup drops same-fingerprint rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream3").toString
     val docs = spark.read.parquet(s"${TestSpark.SfSmall}/documents.parquet")
