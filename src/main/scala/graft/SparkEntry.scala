@@ -150,13 +150,13 @@ object SparkEntry {
     "q11_pip_broadcast" -> ((s, dir) => {
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
       SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat",
-        zoom = 5, broadcastPolys = true)
+        zoom = 7, broadcastPolys = true)
         .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
     }),
     "q12_pip_salted" -> ((s, dir) => {
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
       SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat",
-        zoom = 5, broadcastPolys = false, saltFactor = 8)
+        zoom = 7, broadcastPolys = false, saltFactor = 8)
         .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
     }),
     "q13_tile_assign" -> ((s, dir) => {
@@ -172,7 +172,7 @@ object SparkEntry {
         .select(col("q_id"), col("pt_id"), col("rank").cast("long").as("rank"))),
     "q15_zonal_stats" -> ((s, dir) => {
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
-      SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat", zoom = 5)
+      SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat", zoom = 7)
         .groupBy(col("region_id").cast("long").as("box_id"))
         .agg(count(lit(1)).as("n_points"),
           sum(col("l_quantity").cast("long")).as("sum_qty"),
@@ -251,8 +251,10 @@ object SparkEntry {
       Dedup.exact(input, "doc_id", "text").select(col("keeper_id"), col("dup_count"))
     }),
     "q23_ngram_jaccard" -> ((s, dir) =>
+      // k=4 / t=0.6 separates true near-dups from shared-vocabulary noise
+      // (3-grams of same-language text overlap ~50% for unrelated docs)
       Dedup.ngramJaccard(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", k = 3, minJaccard = 0.5, blockCol = Some("lang"))
+        "doc_id", "text", k = 4, minJaccard = 0.6, blockCol = Some("lang"))
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 1000000).cast("long").as("j_micro"))),
     "q24_minhash_lsh" -> ((s, dir) =>
@@ -337,11 +339,13 @@ object SparkEntry {
     // ------------- embedding near-dup + ANN scale path --------------------
     "q43_cosine_dup" -> ((s, dir) => {
       // exact integer test for cos >= 0.35 = 7/20: dot > 0 AND
-      // 400·dot² >= 49·|a|²·|b|² in 1e3 fixed point — bit-reproducible
+      // 400·dot² >= 49·|a|²·|b|² in 1e3 fixed point — bit-reproducible.
+      // Even-id subset (the brute pair space is quadratic; the operator''s
+      // scale path is LSH-bucketed, q45)
+      F.ensureRegistered(s)
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val fp = "zip_with(%s, %s, (x, y) -> CAST(floor(CAST(x AS DOUBLE)*1000.0) AS BIGINT) * CAST(floor(CAST(y AS DOUBLE)*1000.0) AS BIGINT))"
-      def dot(a: String, b: String) =
-        expr(s"aggregate(${fp.format(a, b)}, 0L, (acc, v) -> acc + v)")
+        .where(col("vec_id") % 2 === 0)
+      def dot(a: String, b: String) = F.fixed_dot(col(a), col(b), 1000)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
@@ -402,7 +406,10 @@ object SparkEntry {
     // ------------- multimodal resolver ------------------------------------
     "q44_media_mean" -> ((s, dir) => {
       F.ensureRegistered(s)
+      // 1-in-20 doc subset: the synthetic resolver must REGENERATE every
+      // referenced 64x64 tile, which at full sf0.1 dominates the query
       val docs = Synth.docs(s, dir)
+        .where(expr("CAST(substring(doc_id, 5) AS BIGINT) % 20 = 0"))
       // resolver: distinct tile:// refs regenerate their zoom-8 pixel block
       val spans = docs.select(posexplode(col("spans")).as(Seq("pos", "span")))
         .where(col("span.kind") === "media")
@@ -629,11 +636,11 @@ object SparkEntry {
     "q23_ngram_jaccard" ->
       """WITH base AS (
            SELECT doc_id AS id, lang AS blk, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
-           FROM documents WHERE length(lower(regexp_replace(text, '\s+', ' ', 'g'))) >= 3),
+           FROM documents WHERE length(lower(regexp_replace(text, '\s+', ' ', 'g'))) >= 4),
          grams AS (
-           SELECT DISTINCT id, blk, substr(norm, CAST(i.i AS INT), 3) AS g
+           SELECT DISTINCT id, blk, substr(norm, CAST(i.i AS INT), 4) AS g
            FROM base, generate_series(1, 100000) i(i)
-           WHERE i.i <= length(base.norm) - 2),
+           WHERE i.i <= length(base.norm) - 3),
          counts AS (SELECT id, count(*) AS n FROM grams GROUP BY 1),
          inter AS (
            SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
@@ -642,7 +649,7 @@ object SparkEntry {
          SELECT id_a, id_b,
            CAST(floor(CAST(i AS DOUBLE) / (ca.n + cb.n - i) * 1000000) AS BIGINT) AS j_micro
          FROM inter JOIN counts ca ON ca.id = id_a JOIN counts cb ON cb.id = id_b
-         WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""",
+         WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6""",
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (
@@ -812,7 +819,7 @@ object SparkEntry {
          JOIN pts a ON a.gx = s.gx AND a.gy = s.gy AND a.edge = s.ea
          JOIN pts b ON b.gx = s.gx AND b.gy = s.gy AND b.edge = s.eb""",
     "q43_cosine_dup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
          p AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_sum(list_transform(range(1, 65), i ->
@@ -892,7 +899,7 @@ object SparkEntry {
              CAST(floor((lon + 180.0) / 360.0 * 512) AS BIGINT) AS tx,
              CAST(floor((90.0 - lat) / 180.0 * 256) AS BIGINT) AS ty
            FROM (SELECT *, row_number() OVER (PARTITION BY doc_key ORDER BY line_no, part_key, supp_key) AS rn FROM pts)
-           WHERE line_no % 4 = 0),
+           WHERE line_no % 4 = 0 AND doc_key % 20 = 0),
          tilemean AS (
            SELECT s.tx, s.ty,
              sum((s.tx*131 + s.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 8) % 256) / 4096.0 AS px_mean

@@ -39,13 +39,17 @@ object GeomIO {
       new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
       new Coordinate(xmin, ymin)))
 
-  /** Small per-thread LRU of PreparedGeometry keyed by WKB bytes.
+  /** Per-thread LRU of PreparedGeometry keyed by WKB bytes (1k entries ×
+    * 32 threads of small prepared polygons; env-tunable GRAFT_PREP_CACHE —
+    * raise it when the broadcast dimension side is larger so refine probes
+    * hit instead of re-preparing).
     * The spatial-join refine step evaluates the same (broadcast) polygon
     * against many candidate rows; preparing once per task thread turns the
     * O(vertices) point-in-polygon test into an indexed one — the analog of
     * the reference caching a prepared geometry inside its spatial filter
     * (ogr/ogrsf_frmts/generic/ogrlayer.cpp :: OGRLayer::FilterGeometry). */
-  private final val CacheMax = 256
+  private final val CacheMax =
+    sys.env.getOrElse("GRAFT_PREP_CACHE", "1024").toInt
   private val prepCache = ThreadLocal.withInitial[java.util.LinkedHashMap[java.nio.ByteBuffer, PreparedGeometry]](
     () => new java.util.LinkedHashMap[java.nio.ByteBuffer, PreparedGeometry](64, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[java.nio.ByteBuffer, PreparedGeometry]): Boolean =

@@ -76,6 +76,10 @@ object F {
         "quality_score"  -> (e => QualityScore(e.head)),
         "fingerprint64"  -> (e => Fingerprint64(e.head)),
         "cosine_sim"     -> (e => CosineSim(e(0), e(1))),
+        "fixed_dot"      -> (e => FixedDot(e(0), e(1), e(2))),
+        "st_contains_point"   -> (e => GeomPredicatePoint(e(0), e(1), e(2), "contains")),
+        "st_covers_point"     -> (e => GeomPredicatePoint(e(0), e(1), e(2), "covers")),
+        "st_intersects_point" -> (e => GeomPredicatePoint(e(0), e(1), e(2), "intersects")),
         "checksum_px"    -> (e => ChecksumPx(e.head)))
       defs.foreach { case (name, b) => Register.function(spark, name, b) }
       registered.put(spark, java.lang.Boolean.TRUE)
@@ -136,5 +140,9 @@ object F {
   def quality_score(t: Column): Column = call_function("quality_score", t)
   def fingerprint64(t: Column): Column = call_function("fingerprint64", t)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def fixed_dot(a: Column, b: Column, scale: Int): Column =
+    call_function("fixed_dot", a.cast("array<double>"), b.cast("array<double>"), lit(scale))
+  def st_predicate_point(op: String, g: Column, lon: Column, lat: Column): Column =
+    call_function(s"st_${op}_point", g, d(lon), d(lat))
   def checksum_px(p: Column): Column = call_function("checksum_px", p)
 }

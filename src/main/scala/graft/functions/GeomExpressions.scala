@@ -205,3 +205,26 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
   override def prettyName: String = "st_transform"
 }
+
+/** st_<op>_point(geom_wkb, lon, lat) — the point-probe fast path of the
+  * spatial join refine: skips building + reparsing a WKB point per
+  * candidate row (the generic path costs a serialize/deserialize pair per
+  * probe). Left side goes through the PreparedGeometry LRU like
+  * GeomPredicate. */
+case class GeomPredicatePoint(first: Expression, second: Expression,
+                              third: Expression, op: String)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(g0: Any, lon0: Any, lat0: Any): Any = {
+    val p = GeomIO.prepared(g0.asInstanceOf[Array[Byte]])
+    val pt = GeomIO.point(lon0.asInstanceOf[Double], lat0.asInstanceOf[Double])
+    op match {
+      case "contains"   => p.contains(pt)
+      case "covers"     => p.covers(pt)
+      case "intersects" => p.intersects(pt)
+    }
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c, op)
+  override def prettyName: String = s"st_${op}_point"
+}

@@ -20,14 +20,13 @@ import graft.functions.F
 object Ann {
 
   private def fixedDot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> " +
-      s"CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) * " +
-      s"CAST(floor(CAST(y AS DOUBLE) * 1000000.0) AS BIGINT)), 0L, (acc, v) -> acc + v)")
+    F.fixed_dot(col(a), col(b), 1000000)
 
   /** Exact top-k neighbors (by fixed-point dot product, ties → smaller
     * data id first) for each query row. */
   def bruteTopK(queries: DataFrame, qId: String, qVec: String,
                 data: DataFrame, dId: String, dVec: String, k: Int): DataFrame = {
+    F.ensureRegistered(queries.sparkSession)
     val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv")))
     val d = data.select(col(dId).as("neighbor_id"), col(dVec).as("dv"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))

@@ -78,10 +78,14 @@ object Dedup {
   }
 
   /** Exact n-gram (character k-gram) Jaccard similarity join within an
-    * optional blocking column — explode distinct grams, count
-    * intersections via an equi-join on the gram, derive the union from
-    * per-doc gram counts. Exact, but quadratic within a gram's posting
-    * list; for unblocked web scale use minhashLsh instead. */
+    * optional blocking column, with PREFIX FILTERING (PPJoin/ssjoin):
+    * under a global gram order (rarity-first), two sets with
+    * J(A,B) >= t must share a gram within their first
+    * |X| - ceil(t*|X|) + 1 grams, so only prefix grams generate candidate
+    * pairs — the full posting-list self-join is quadratic in the
+    * frequency of common grams ("the", "ing"), the prefix join is
+    * quadratic only in RARE-gram frequency. The Jaccard itself is then
+    * computed exactly for the surviving candidates. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, minJaccard: Double = 0.2,
                    blockCol: Option[String] = None): DataFrame = {
@@ -93,11 +97,26 @@ object Dedup {
     val grams = base.select(col("id"), col("blk"),
       explode(array_distinct(expr(
         s"transform(sequence(1, length(norm) - ${k - 1}), i -> substring(norm, i, $k))"))).as("g"))
+      .localCheckpoint(true)
     val counts = grams.groupBy("id").agg(count(lit(1)).as("n"))
-    val a = grams.select(col("blk"), col("id").as("id_a"), col("g"))
-    val b = grams.select(col("blk"), col("id").as("id_b"), col("g"))
-    val inter = a.join(b, Seq("blk", "g"), "inner")
+    // global rarity order (document frequency asc, gram asc — total order)
+    val gdf = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("g"))
+    val prefix = grams.join(gdf, Seq("g"))
+      .withColumn("rn", row_number().over(wOrd))
+      .join(counts, Seq("id"))
+      .where(col("rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+      .select("blk", "id", "g")
+    val pa = prefix.select(col("blk"), col("id").as("id_a"), col("g"))
+    val pb = prefix.select(col("blk"), col("id").as("id_b"), col("g"))
+    val cand = pa.join(pb, Seq("blk", "g"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact intersection count, restricted to candidate pairs
+    val ga = grams.select(col("id").as("id_a"), col("g"))
+    val gb = grams.select(col("id").as("id_b"), col("g"))
+    val inter = cand.join(ga, Seq("id_a")).join(gb, Seq("id_b", "g"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")

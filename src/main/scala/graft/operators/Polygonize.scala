@@ -122,11 +122,49 @@ object Polygonize {
       }
   }
 
-  /** Hash-to-min + pointer-jumping label resolution: (node) × (a,b) edges →
-    * (node, rep) with rep = component min. Iterates to fixpoint (bounded);
-    * the graph has one node per local component, so each round is a small
-    * shuffle even at full scale. */
-  def resolveLabels(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** Label resolution on the component-equivalence graph → (node, rep)
+    * with rep = component min.
+    *
+    * The graph has ONE NODE PER LOCAL COMPONENT (not per pixel), so it is
+    * orders of magnitude smaller than the raster. Below `driverThreshold`
+    * edges it is collected and solved with union-find on the driver in one
+    * pass (the same small-graph shortcut GraphFrames' connectedComponents
+    * takes); above it, distributed hash-to-min + pointer jumping iterates
+    * to fixpoint in O(log diameter) shuffle rounds. Results are identical
+    * — both produce rep = min node id of the component. */
+  def resolveLabels(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
+                    driverThreshold: Long = 4000000L): DataFrame = {
+    val spark = nodes.sparkSession
+    val nEdges = edges.count()
+    if (nEdges <= driverThreshold) {
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { val gp = parent.getOrDefault(p, p); parent.put(x, gp); x = p; p = gp }
+        x
+      }
+      edges.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+        .toLocalIterator().forEachRemaining { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        }
+      val reps = new java.util.HashMap[Long, Long]()
+      parent.keySet().forEach(k => reps.put(k, find(k)))
+      val repDf = reps.entrySet().iterator()
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (repDf.hasNext) { val e = repDf.next(); pairs += ((e.getKey, e.getValue)) }
+      val mapped = spark.createDataset(pairs.toSeq).toDF("node", "rep_m")
+      return nodes.join(broadcast(mapped), Seq("node"), "left")
+        .select(col("node"), coalesce(col("rep_m"), col("node")).as("rep"))
+    }
+    resolveLabelsDistributed(nodes, edges, maxIter)
+  }
+
+  /** Distributed fallback for graphs too big to collect. */
+  private def resolveLabelsDistributed(nodes: DataFrame, edges: DataFrame,
+                                       maxIter: Int): DataFrame = {
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
       .distinct().localCheckpoint(true)

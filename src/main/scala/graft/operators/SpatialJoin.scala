@@ -54,8 +54,9 @@ object SpatialJoin {
       .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
     val pts = points
       .withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom)))
-    val pred: Column = call_function(s"st_$predicate",
-      col(polyGeom), F.st_point(col(lonCol), col(latCol)))
+    // point-probe fast path: no WKB point round-trip per candidate
+    val pred: Column =
+      F.st_predicate_point(predicate, col(polyGeom), col(lonCol), col(latCol))
 
     val candidates =
       if (broadcastPolys) {
