@@ -148,12 +148,14 @@ object SparkEntry {
 
     // ------------- spatial engine (SURVEY.md §3.3 J2/J3/J4, §2.4) ---------
     "q11_pip_broadcast" -> ((s, dir) => {
+      F.ensureRegistered(s)
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
       SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat",
         zoom = 7, broadcastPolys = true)
         .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
     }),
     "q12_pip_salted" -> ((s, dir) => {
+      F.ensureRegistered(s)
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
       SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat",
         zoom = 7, broadcastPolys = false, saltFactor = 8)
@@ -171,6 +173,7 @@ object SparkEntry {
         Synth.points(s, dir), "pt_id", "lon", "lat", k = 5, zoom = 7)
         .select(col("q_id"), col("pt_id"), col("rank").cast("long").as("rank"))),
     "q15_zonal_stats" -> ((s, dir) => {
+      F.ensureRegistered(s)
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
       SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat", zoom = 7)
         .groupBy(col("region_id").cast("long").as("box_id"))

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions — the 100-TB design invariants (SURVEY.md §5):
+  * filters reach the parquet scan, column pruning holds, dimension sides
+  * broadcast, the spatial prune is an equi-join (not BNLJ), and the hot
+  * path stays inside whole-stage codegen. These are the properties that
+  * decide whether a plan survives a 1000× scale-up, asserted so a
+  * refactor cannot silently regress them. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String = {
+    graft.functions.F.ensureRegistered(spark)
+    val qe = SparkEntry.queries(name)(spark, TestSpark.SfSmall).queryExecution
+    // formatted mode annotates codegen spans ("[codegen id : N]") even
+    // under AQE, where executedPlan.toString is the pre-adaptive skeleton
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: predicate pushdown reaches the parquet scan + columns pruned") {
+    val p = plan("q01_agg_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    // projection needs only 5 of 16 lineitem columns
+    assert(p.contains("l_returnflag") && !p.contains("l_comment"), p)
+  }
+
+  test("q02: small dimensions broadcast (no shuffle of nation/region)") {
+    val p = plan("q02_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q11: spatial prune is a broadcast equi-join on the cell key, not BNLJ") {
+    val p = plan("q11_pip_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q12: salted path shuffles on (cell, salt) — an equi-join, and no broadcast of the big side") {
+    val p = plan("q12_pip_salted")
+    assert(p.contains("__cell") && p.contains("__salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q01/q09: aggregates are partial+final hash aggregates (map-side combine)") {
+    for (q <- Seq("q01_agg_filter", "q09_time_window")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q: $p")
+      assert(p.toLowerCase.contains("partial"), s"$q misses partial agg: $p")
+    }
+  }
+
+  test("relational core stays inside whole-stage codegen") {
+    graft.functions.F.ensureRegistered(spark)
+    for (q <- Seq("q01_agg_filter", "q02_join_agg", "q04_distinct", "q10_histogram")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.SfSmall)
+      val qe = df.queryExecution
+      qe.toRdd.count() // AQE finalizes THIS plan only on execution
+      val p = qe.executedPlan.toString
+      assert(p.contains("*("), s"$q has no WholeStageCodegen span (star marker): $p")
+    }
+  }
+
+  test("q13: tile assignment is a pure map (no shuffle at all)") {
+    val p = plan("q13_tile_assign")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q26: ANN data side never shuffles (broadcast queries, window on data side)") {
+    val p = plan("q26_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
