@@ -103,24 +103,30 @@ object Dedup {
     val gdf = grams.groupBy("g").agg(count(lit(1)).as("df"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("g"))
+    // checkpointed: the prefix feeds BOTH sides of the self-join — without
+    // materialization the df-join + window recompute twice
     val prefix = grams.join(gdf, Seq("g"))
       .withColumn("rn", row_number().over(wOrd))
       .join(counts, Seq("id"))
       .where(col("rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
       .select("blk", "id", "g")
+      .localCheckpoint(true)
     val pa = prefix.select(col("blk"), col("id").as("id_a"), col("g"))
     val pb = prefix.select(col("blk"), col("id").as("id_b"), col("g"))
     val cand = pa.join(pb, Seq("blk", "g"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // exact intersection count, restricted to candidate pairs
-    val ga = grams.select(col("id").as("id_a"), col("g"))
-    val gb = grams.select(col("id").as("id_b"), col("g"))
-    val inter = cand.join(ga, Seq("id_a")).join(gb, Seq("id_b", "g"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+    // exact verify per candidate pair via array_intersect on the per-doc
+    // gram arrays (codegen'd hash intersection) — O(|A|+|B|) per pair with
+    // NO pair×gram shuffle. The gram-array table is one row per doc (tiny
+    // next to the corpus) and broadcasts; at scales where it cannot, this
+    // becomes two ordinary payload joins keyed by doc id.
+    val docGrams = grams.groupBy("id")
+      .agg(collect_list(col("g")).as("garr"), count(lit(1)).as("n"))
+    cand
+      .join(broadcast(docGrams.select(col("id").as("id_a"), col("garr").as("ga"), col("n").as("n_a"))), Seq("id_a"))
+      .join(broadcast(docGrams.select(col("id").as("id_b"), col("garr").as("gb"), col("n").as("n_b"))), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
