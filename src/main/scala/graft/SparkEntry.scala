@@ -406,6 +406,36 @@ object SparkEntry {
           F.checksum_px(col("pixels")).as("cks"))
     }),
 
+    "q51_geom_selfjoin" -> ((s, dir) => {
+      // geometry×geometry spatial join + intersection overlay (the
+      // reference's layer-algebra Intersection): cell equi-join prune →
+      // pair dedup → exact JTS refine → overlay area. Axis-aligned inputs
+      // make the overlay area exact arithmetic → oracle-matched.
+      F.ensureRegistered(s)
+      val r = Synth.regionWkt(s, dir).withColumn("g", F.st_geomfromwkt(col("wkt")))
+      val a = r.select(col("region_id").as("id_a"), col("g").as("ga"))
+      val b = r.select(col("region_id").as("id_b"), col("g").as("gb"))
+      SpatialJoin.geomJoin(a, "id_a", "ga", b, "id_b", "gb", zoom = 7)
+        .where(col("id_a") < col("id_b"))
+        .withColumn("inter_area", F.st_area(F.st_intersection(col("ga"), col("gb"))))
+        .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
+          col("inter_area"))
+    }),
+    "q50_geom_funcs" -> ((s, dir) => {
+      // scalar geometry surface: boundary length (perimeter), envelope
+      // area, type, validity, point distance — all exact arithmetic on
+      // 2^-12-aligned coords, so doubles compare bit-exactly vs the oracle
+      F.ensureRegistered(s)
+      val r = Synth.regionWkt(s, dir).withColumn("g", F.st_geomfromwkt(col("wkt")))
+      r.select(col("region_id"),
+        F.st_length(call_function("st_boundary", col("g"))).as("perimeter"),
+        F.st_area(call_function("st_envelope", col("g"))).as("env_area"),
+        call_function("st_geometrytype", col("g")).as("gtype"),
+        F.st_isvalid(col("g")).as("valid"),
+        F.st_distance(F.st_point(F.st_x(col("g")), F.st_y(col("g"))),
+          F.st_point(lit(0.0), lit(0.0))).as("dist0"))
+    }),
+
     // ------------- multimodal resolver ------------------------------------
     "q44_media_mean" -> ((s, dir) => {
       F.ensureRegistered(s)
@@ -895,6 +925,28 @@ object SparkEntry {
          SELECT CAST(2 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
            CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM m WHERE rk = 1 GROUP BY 1, 2, 3""",
+    "q51_geom_selfjoin" ->
+      // axis-aligned boxes: intersects ⟺ closed-interval overlap (JTS
+      // counts boundary touch); overlap area = clamped interval product,
+      // exact on 2^-12-aligned coords (degenerate touch → area 0)
+      s"""WITH boxes AS ($boxesSql)
+         SELECT a.box_id AS id_a, b.box_id AS id_b,
+           greatest(least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin), 0)
+           * greatest(least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin), 0) AS inter_area
+         FROM boxes a JOIN boxes b
+           ON a.box_id < b.box_id
+          AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+          AND a.ymin <= b.ymax AND b.ymin <= a.ymax""",
+    "q50_geom_funcs" ->
+      // first vertex of the shell is (xmin, ymin); sqrt is IEEE correctly
+      // rounded, so identical inputs → identical double on both engines
+      s"""WITH boxes AS ($boxesSql)
+         SELECT box_id AS region_id,
+           2*((xmax - xmin) + (ymax - ymin)) AS perimeter,
+           (xmax - xmin) * (ymax - ymin) AS env_area,
+           'POLYGON' AS gtype, TRUE AS valid,
+           sqrt(xmin*xmin + ymin*ymin) AS dist0
+         FROM boxes""",
     "q44_media_mean" ->
       s"""WITH pts AS ($ptsSql),
          spans AS (
