@@ -13,7 +13,10 @@ import graft.core.{GeomIO, TileMath, ZCell}
   * port/cpl_quad_tree.cpp :: CPLQuadTree for the generic quadtree role).
   */
 
-/** cell_encode(lon, lat, zoom) — packed geodetic cell id. */
+/** cell_encode(lon, lat, zoom) — packed geodetic cell id. Inputs must be
+  * (double, double, int); SQL text callers cast explicitly (a DECIMAL
+  * literal like 0.0 needs CAST — AbstractDataType/implicit coercion is
+  * private[sql] in Spark 4). */
 case class CellEncode(first: Expression, second: Expression, third: Expression,
                       mercator: Boolean = false)
     extends TernaryExpression with CodegenFallback {

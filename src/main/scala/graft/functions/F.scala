@@ -20,11 +20,10 @@ object F {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  def ensureRegistered(spark: SparkSession): Unit = {
-    if (registered.containsKey(spark)) return
-    registered.synchronized {
-      if (registered.containsKey(spark)) return
-      val defs: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** The complete function surface, name → expression builder — consumed
+    * by both per-session registration (ensureRegistered) and cluster-wide
+    * injection (graft.GraftExtensions via spark.sql.extensions). */
+  lazy val defs: Seq[(String, Seq[Expression] => Expression)] = Seq(
         "st_geomfromwkt" -> (e => StGeomFromWkt(e.head)),
         "st_point"       -> (e => StPoint(e(0), e(1))),
         "st_astext"      -> (e => GeomUnaryToString(e.head, "astext")),
@@ -81,6 +80,11 @@ object F {
         "st_covers_point"     -> (e => GeomPredicatePoint(e(0), e(1), e(2), "covers")),
         "st_intersects_point" -> (e => GeomPredicatePoint(e(0), e(1), e(2), "intersects")),
         "checksum_px"    -> (e => ChecksumPx(e.head)))
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    if (registered.containsKey(spark)) return
+    registered.synchronized {
+      if (registered.containsKey(spark)) return
       defs.foreach { case (name, b) => Register.function(spark, name, b) }
       registered.put(spark, java.lang.Boolean.TRUE)
     }

@@ -16,6 +16,26 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions installs the function surface via the extensions seam") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark // force TestSpark init first
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions().apply _)
+      .getOrCreate() // new session over the running SparkContext
+    try {
+      val a = s2.sql(
+        "SELECT st_area(st_geomfromwkt('POLYGON((0 0,2 0,2 3,0 3,0 0))')) AS a")
+        .collect().head.getDouble(0)
+      assert(a == 6.0)
+      val c = s2.sql("SELECT cell_zoom(cell_encode(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 5)) AS z")
+        .collect().head.getLong(0)
+      assert(c == 5L)
+    } finally {
+      SparkSession.setDefaultSession(orig); SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("oracle coverage: every query has an oracle or is a documented rows-only op") {
     val rowsOnly = Set(
       "q19_warp_checksum",   // mercator trig — not bit-stable across engines
