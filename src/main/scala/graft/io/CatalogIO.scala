@@ -62,6 +62,69 @@ object CatalogIO {
   def readStage(spark: SparkSession, root: String, jobId: String, stage: String): DataFrame =
     spark.read.parquet(Paths.get(root, jobId, stage, "data").toString)
 
+  /** PARTITION-GRANULAR idempotent commit (the north-star "resume without
+    * reprocessing committed tiles"): output is hive-partitioned by
+    * `partCol`; a manifest lists the partition values already committed.
+    * On re-run, committed partition values are ANTI-JOINED out of the
+    * input before any work happens (their upstream compute is pruned with
+    * them), and only the remainder is written — dynamic partition
+    * overwrite keeps a half-written crash partition safe to rewrite.
+    * Returns the number of NEW partition values committed. */
+  def commitPartitioned(spark: SparkSession, df: DataFrame, root: String,
+                        jobId: String, stage: String, partCol: String): Long = {
+    val dir = Paths.get(root, jobId, stage)
+    Files.createDirectories(dir)
+    val manifest = dir.resolve("PARTS.json")
+    val committed: Set[String] =
+      if (Files.exists(manifest))
+        "\"([^\"]+)\"".r.findAllMatchIn(Files.readString(manifest)).map(_.group(1)).toSet
+      else Set.empty
+    import org.apache.spark.sql.functions.{col, lit}
+    val pending =
+      if (committed.isEmpty) df
+      else df.where(!col(partCol).cast("string").isin(committed.toSeq: _*))
+    val newVals = pending.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (newVals.nonEmpty) {
+      pending.write
+        .partitionBy(partCol)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(dir.resolve("data").toString)
+      // lineage row per newly committed partition value
+      val lineageDir = dir.resolve("lineage")
+      val lines = newVals.map(v =>
+        s"""{"job_id":"$jobId","stage":"$stage","part":"$v","committed_at_ms":${System.currentTimeMillis()}}""")
+      Files.createDirectories(lineageDir)
+      Files.writeString(lineageDir.resolve(s"parts-${System.nanoTime()}.json"),
+        lines.mkString("\n"), StandardCharsets.UTF_8)
+      // manifest updated LAST (atomic rename) — crash before this line
+      // leaves the new partitions uncommitted and safely rewritable
+      val all = (committed ++ newVals).toSeq.sorted
+      val tmp = dir.resolve(s".PARTS.json.tmp-${System.nanoTime()}")
+      Files.writeString(tmp, all.map(v => "\"" + v + "\"").mkString("[", ",", "]"),
+        StandardCharsets.UTF_8)
+      Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    newVals.length.toLong
+  }
+
+  /** Read only the partitions the manifest lists as committed. */
+  def readCommittedPartitions(spark: SparkSession, root: String, jobId: String,
+                              stage: String, partCol: String): DataFrame = {
+    val dir = Paths.get(root, jobId, stage)
+    val manifest = dir.resolve("PARTS.json")
+    val committed: Seq[String] =
+      if (Files.exists(manifest))
+        "\"([^\"]+)\"".r.findAllMatchIn(Files.readString(manifest)).map(_.group(1)).toSeq
+      else Seq.empty
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet(dir.resolve("data").toString)
+    if (committed.isEmpty) all.where(org.apache.spark.sql.functions.lit(false))
+    else all.where(col(partCol).cast("string").isin(committed: _*))
+  }
+
   def isCommitted(root: String, jobId: String, stage: String): Boolean =
     Files.exists(Paths.get(root, jobId, stage, "MANIFEST.json"))
 

@@ -42,6 +42,27 @@ class IoStreamSpec extends AnyFunSuite {
     assert(CatalogIO.readStage(spark, root, "j", "s2").count() == 10)
   }
 
+  test("partition-granular resume: committed partitions never reprocess") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString
+    val full = spark.range(100).toDF("id")
+      .withColumn("part", col("id") % 10).withColumn("v", col("id") * 2)
+    // crash simulation: first run only got through partitions 0..4
+    val n1 = CatalogIO.commitPartitioned(spark, full.where(col("part") < 5), root, "j", "s", "part")
+    assert(n1 == 5)
+    // re-run with the FULL input, but poison rows of already-committed
+    // partitions — if resume reprocessed them, poison would surface
+    val poisoned = full.withColumn("v",
+      when(col("part") < 5, lit(-999L)).otherwise(col("v")))
+    val n2 = CatalogIO.commitPartitioned(spark, poisoned, root, "j", "s", "part")
+    assert(n2 == 5) // only partitions 5..9 are new work
+    val back = CatalogIO.readCommittedPartitions(spark, root, "j", "s", "part")
+    assert(back.count() == 100)
+    assert(back.where(col("v") === -999L).count() == 0, "committed partition was reprocessed")
+    assert(back.agg(sum("v")).collect()(0).getLong(0) == (0 until 100).map(_ * 2).sum)
+    // third run: nothing new
+    assert(CatalogIO.commitPartitioned(spark, full, root, "j", "s", "part") == 0)
+  }
+
   test("streaming: windowed event counts over file source reach memory sink") {
     val events = spark.read.parquet(s"${TestSpark.SfSmall}/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
