@@ -161,6 +161,15 @@ object SparkEntry {
         zoom = 7, broadcastPolys = false, saltFactor = 8)
         .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
     }),
+    "q52_pip_adaptive" -> ((s, dir) => {
+      // adaptive skew handling: only cells the pre-agg flags hot are
+      // salted (here the 0.5° hot-spot cluster); identical row set to q11
+      F.ensureRegistered(s)
+      val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
+      SpatialJoin.pointInPolygonAdaptive(polys, "geom", Synth.points(s, dir), "lon", "lat",
+        zoom = 7, saltFactor = 8, hotThreshold = 2000L)
+        .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
+    }),
     "q13_tile_assign" -> ((s, dir) => {
       F.ensureRegistered(s)
       Synth.points(s, dir).select(col("pt_id"),
@@ -550,6 +559,11 @@ object SparkEntry {
          FROM pts p JOIN boxes b
            ON p.lon > b.xmin AND p.lon < b.xmax AND p.lat > b.ymin AND p.lat < b.ymax""",
     "q12_pip_salted" ->
+      s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql)
+         SELECT b.box_id AS box_id, p.pt_id AS pt_id
+         FROM pts p JOIN boxes b
+           ON p.lon > b.xmin AND p.lon < b.xmax AND p.lat > b.ymin AND p.lat < b.ymax""",
+    "q52_pip_adaptive" ->
       s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql)
          SELECT b.box_id AS box_id, p.pt_id AS pt_id
          FROM pts p JOIN boxes b

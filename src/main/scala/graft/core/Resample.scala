@@ -38,6 +38,37 @@ object Resample {
     }
   }
 
+  /** Cubic convolution on the 4×4 neighborhood (Keys 1981, a = -0.5 — the
+    * reference's CUBIC kernel coefficients: alg/gdalwarpkernel.cpp ::
+    * CubicConvolution). Falls back to bilinear when any tap is nodata. */
+  def cubic(src: (Int, Int) => Double, sx: Double, sy: Double): Double = {
+    val fx = sx - 0.5; val fy = sy - 0.5
+    val x0 = math.floor(fx).toInt; val y0 = math.floor(fy).toInt
+    val dx = fx - x0; val dy = fy - y0
+    def w(t: Double): Double = {
+      val a = -0.5
+      val at = math.abs(t)
+      if (at <= 1.0) (a + 2.0) * at * at * at - (a + 3.0) * at * at + 1.0
+      else if (at < 2.0) a * at * at * at - 5.0 * a * at * at + 8.0 * a * at - 4.0 * a
+      else 0.0
+    }
+    var sum = 0.0
+    var j = -1
+    while (j <= 2) {
+      var rowSum = 0.0
+      var i = -1
+      while (i <= 2) {
+        val v = src(x0 + i, y0 + j)
+        if (v.isNaN) return bilinear(src, sx, sy)
+        rowSum += v * w(dx - i)
+        i += 1
+      }
+      sum += rowSum * w(dy - j)
+      j += 1
+    }
+    sum
+  }
+
   /** 2×2 average reduction of a w×h tile (w,h even) — the AVERAGE overview
     * kernel. Order-fixed summation for bit determinism. */
   def downsample2x2Avg(pixels: Array[Double], w: Int, h: Int): Array[Double] = {

@@ -51,7 +51,7 @@ case class WarpSrcCells(left: Expression, right: Expression)
     val dst = d0.asInstanceOf[Long]
     val srcZoom = sz0.asInstanceOf[Int]
     val (w, s, e, n) = TileMath.mercTileBoundsDeg(ZCell.zoom(dst), ZCell.tx(dst), ZCell.ty(dst))
-    val halo = 180.0 / (1L << srcZoom).toDouble / 64.0 * 1.5 // 1.5 src pixels
+    val halo = 180.0 / (1L << srcZoom).toDouble / 64.0 * 2.5 // covers cubic's 4×4 taps
     val cells = TileMath.geoCellsForEnvelope(
       math.max(-180.0, w - halo), math.max(-90.0, s - halo),
       math.min(180.0, e + halo), math.min(90.0, n + halo), srcZoom)
@@ -111,8 +111,9 @@ case class WarpTile(first: Expression, second: Expression, third: Expression,
         val lon = TileMath.mercXToLon(xm)
         val gx = (lon + 180.0) / srcResX
         val v = method match {
-          case "near" => Resample.nearest(srcFn, gx, gy)
-          case _      => Resample.bilinear(srcFn, gx, gy)
+          case "near"  => Resample.nearest(srcFn, gx, gy)
+          case "cubic" => Resample.cubic(srcFn, gx, gy)
+          case _       => Resample.bilinear(srcFn, gx, gy)
         }
         out(py * TW + px) = if (v.isNaN) 0.0 else v
         px += 1

@@ -74,6 +74,41 @@ object SpatialJoin {
     candidates.where(pred).drop("__cell")
   }
 
+  /** ADAPTIVE hot-cell salting (SURVEY.md §5 skew row): a cheap pre-agg
+    * counts points per cell; only cells whose count exceeds
+    * `hotThreshold` are salted (×saltFactor replication of the polygon
+    * side), the cold remainder joins plainly — so replication cost is
+    * paid exactly where skew exists. Returns the same rows as
+    * pointInPolygon (verified in SpatialJoinSpec). The hot-cell set is a
+    * small broadcast (cells, not rows). */
+  def pointInPolygonAdaptive(polys: DataFrame, polyGeom: String,
+                             points: DataFrame, lonCol: String, latCol: String,
+                             zoom: Int, saltFactor: Int = 8,
+                             hotThreshold: Long = 100000L): DataFrame = {
+    val spark = polys.sparkSession
+    F.ensureRegistered(spark)
+    val cov = polys
+      .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
+      .localCheckpoint(true)
+    val pts = points
+      .withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom)))
+    val hotCells = pts.groupBy("__cell").count()
+      .where(col("count") > hotThreshold)
+      .select("__cell").collect().map(_.getLong(0)).toSet
+    val pred: Column =
+      F.st_predicate_point("contains", col(polyGeom), col(lonCol), col(latCol))
+    val isHot = col("__cell").isInCollection(
+      if (hotCells.isEmpty) Seq(Long.MinValue) else hotCells.toSeq)
+    val cold = pts.where(!isHot).join(cov.where(!isHot), Seq("__cell"))
+    val s = saltFactor
+    val hot = pts.where(isHot)
+      .withColumn("__salt", pmod(hash(col(lonCol), col(latCol)), lit(s)))
+      .join(cov.where(isHot).withColumn("__salt", explode(sequence(lit(0), lit(s - 1)))),
+        Seq("__cell", "__salt"))
+      .drop("__salt")
+    cold.unionByName(hot).where(pred).drop("__cell")
+  }
+
   /** Geometry × geometry join (both sides arbitrary WKB geometries).
     * Both sides explode to covering cells; candidate pairs dedup on the id
     * pair before the exact refine (a pair can meet in several cells).

@@ -107,12 +107,9 @@ class RasterSpec extends AnyFunSuite {
     assert(got == want.toMap, s"got ${got.size} vs want ${want.size}")
   }
 
-  test("warp to mercator matches scalar oracle") {
+  test("warp to mercator matches scalar oracle (near, bilinear, cubic)") {
     F.ensureRegistered(spark)
     val srcZoom = 3; val dstZoom = 3
-    val got = Raster.warpToMercator(Synth.tiles(spark, srcZoom), srcZoom, dstZoom, "bilinear")
-      .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     // scalar oracle: direct global sampling (no tile join) via the same kernels
     val srcFn: (Int, Int) => Double = (gx, gy) => {
       val nx = (1L << (srcZoom + 1)) * 64; val ny = (1L << srcZoom) * 64
@@ -121,19 +118,39 @@ class RasterSpec extends AnyFunSuite {
     }
     val srcResX = 360.0 / ((1L << (srcZoom + 1)) * 64).toDouble
     val srcResY = 180.0 / ((1L << srcZoom) * 64).toDouble
-    val want = (for (tx <- 0L until 8L; ty <- 0L until 8L) yield {
-      val (xm0, ym0, xm1, ym1) = TileMath.mercTileBoundsMeters(dstZoom, tx, ty)
-      val dxm = (xm1 - xm0) / 64; val dym = (ym1 - ym0) / 64
-      val buf = Array.tabulate(64 * 64) { i =>
-        val px = i % 64; val py = i / 64
-        val lat = TileMath.mercYToLat(ym1 - (py + 0.5) * dym)
-        val lon = TileMath.mercXToLon(xm0 + (px + 0.5) * dxm)
-        val v = Resample.bilinear(srcFn, (lon + 180.0) / srcResX, (90.0 - lat) / srcResY)
-        if (v.isNaN) 0.0 else v
+    for (method <- Seq("near", "bilinear", "cubic")) {
+      val got = Raster.warpToMercator(Synth.tiles(spark, srcZoom), srcZoom, dstZoom, method)
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      val kernel: ((Int, Int) => Double, Double, Double) => Double = method match {
+        case "near"  => Resample.nearest
+        case "cubic" => Resample.cubic
+        case _       => Resample.bilinear
       }
-      ((tx, ty), Checksum.checksum(buf, 64, 64))
-    }).toMap
-    assert(got == want)
+      val want = (for (tx <- 0L until 8L; ty <- 0L until 8L) yield {
+        val (xm0, ym0, xm1, ym1) = TileMath.mercTileBoundsMeters(dstZoom, tx, ty)
+        val dxm = (xm1 - xm0) / 64; val dym = (ym1 - ym0) / 64
+        val buf = Array.tabulate(64 * 64) { i =>
+          val px = i % 64; val py = i / 64
+          val lat = TileMath.mercYToLat(ym1 - (py + 0.5) * dym)
+          val lon = TileMath.mercXToLon(xm0 + (px + 0.5) * dxm)
+          val v = kernel(srcFn, (lon + 180.0) / srcResX, (90.0 - lat) / srcResY)
+          if (v.isNaN) 0.0 else v
+        }
+        ((tx, ty), Checksum.checksum(buf, 64, 64))
+      }).toMap
+      assert(got == want, s"method $method")
+    }
+  }
+
+  test("cubic kernel reproduces linear ramps exactly (Keys a=-0.5)") {
+    val src: (Int, Int) => Double = (x, y) => 3.0 * x + 2.0 * y + 1.0
+    for (sx <- Seq(5.1, 5.5, 6.9); sy <- Seq(4.2, 4.5, 5.8)) {
+      val want = 3.0 * (sx - 0.5) + 2.0 * (sy - 0.5) + 1.0
+      assert(math.abs(Resample.cubic(src, sx, sy) - want) < 1e-9, s"($sx,$sy)")
+    }
+    // constant field preserved (within kernel-weight rounding)
+    assert(math.abs(Resample.cubic((_, _) => 7.0, 3.3, 2.7) - 7.0) < 1e-12)
   }
 
   test("mosaic max_by priority") {

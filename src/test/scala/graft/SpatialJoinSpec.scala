@@ -35,6 +35,11 @@ class SpatialJoinSpec extends AnyFunSuite {
       broadcastPolys = false, saltFactor = 4))
     assert(bc == sh, "broadcast vs shuffle mismatch")
     assert(bc == salt, "broadcast vs salted mismatch")
+    // adaptive: low threshold forces BOTH paths (hot-spot cells salted,
+    // cold cells plain) — must still be the identical row set
+    val adaptive = pairs(SpatialJoin.pointInPolygonAdaptive(polys, "geom", points,
+      "lon", "lat", 5, saltFactor = 4, hotThreshold = 50L))
+    assert(bc == adaptive, "broadcast vs adaptive mismatch")
 
     // JTS brute force on driver
     val polyGeoms = Synth.regionWkt(spark, TestSpark.SfSmall).collect()
