@@ -107,10 +107,11 @@ object Scaling {
       count(lit(1)).as("n"),
       sum(hash(col("doc_id"), col("offset"), col("region_id"), col("tile")).cast("long")).as("sig"))
       .collect()(0)
-    // warmup on ~1/8 of the docs: JIT + codegen + page cache, untimed —
-    // without this the FIRST config measured in a fresh JVM pays one-time
-    // compilation that the second config doesn't, skewing the ratio
-    action(joined.where(pmod(hash(col("doc_id")), lit(8)) === 0))
+    // FULL-SIZE untimed warmup: all configs share one JVM, so the config
+    // measured first would otherwise pay JIT/codegen the later ones get
+    // for free (which inflates the ratio into fake superlinearity) — one
+    // full pass saturates compilation before any timing starts
+    action(joined)
     // best-of-reps to damp GC/OS noise (protocol: same reps per config)
     var best = Double.MaxValue
     var rows = 0L
@@ -170,8 +171,11 @@ object Scaling {
          |outside the timing because this sandbox has one shared local disk,
          |which serializes a write that a real cluster spreads per executor.
          |The 4N run commits the output once as lineage-table evidence.
-         |Each config runs one untimed 1/8-size warmup (JIT + codegen + page
-         |cache) then takes the best of $reps timed repetitions.
+         |Each config runs one untimed FULL-SIZE warmup (all configs share a
+         |JVM; this keeps JIT state comparable) then best of $reps timed reps.
+         |Launcher: `/opt/spark/bin/spark-submit --class graft.Scaling
+         |--master local[32] target/scala-2.13/gdalsvnspark_2.13-0.1.0.jar`
+         |(the job builds its own local[8] / local[32] sessions per config).
          |
          |- commit: $commit
          |- input: $nDocs interleaved docs (3 text spans/doc, 10% hot-spot), $nRegions regions
