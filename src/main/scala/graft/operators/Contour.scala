@@ -139,8 +139,10 @@ object Contour {
     * hash-to-min label resolution. Returns (polyline_id, n_segments)
     * with polyline_id = min member seg_id. */
   def stitch(segs: DataFrame): DataFrame = {
+    // bit-packed unique node id: gy:30 | gx:31 | seg_idx:2 — collision-free
+    // for rasters up to 2^31 px wide / 2^30 tall (zoom ≈ 24 at 64-px tiles)
     val withId = segs.withColumn("seg_id",
-      (col("gy") * 1000000000L + col("gx")) * 4 + col("seg_idx"))
+      shiftleft(shiftleft(col("gy"), 31) + col("gx"), 2) + col("seg_idx"))
       .localCheckpoint(true)
     def key(xn: String, xd: String, yn: String, yd: String) =
       concat_ws(":", col(xn), col(xd), col(yn), col(yd))
