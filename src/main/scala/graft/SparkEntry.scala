@@ -341,6 +341,11 @@ object SparkEntry {
       focalPixels(s, "hillshade")),
     "q40_proximity" -> ((s, dir) =>
       Proximity.proximity(Synth.maskTiles(s, 2), 8, 8, 8, 4, _ < 1.0, maxDistPx = 10.0)),
+    "q53_fillnodata" -> ((s, dir) =>
+      Raster.fillNodata(Synth.maskTiles(s, 2), 8, 8, 8, 4, _ < 1.0, radiusPx = 4)
+        .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "val")))
+        .select((col("tx") * 8 + col("i") % 8).as("gx"),
+          (col("ty") * 8 + (col("i") / 8).cast("long")).as("gy"), col("val"))),
     "q41_contour_segments" -> ((s, dir) =>
       Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = 15L)),
     "q42_contour_stitch" -> ((s, dir) =>
@@ -803,6 +808,24 @@ object SparkEntry {
          FROM px p CROSS JOIN t
          GROUP BY 1, 2
          HAVING min((p.gx - t.gx)*(p.gx - t.gx) + (p.gy - t.gy)*(p.gy - t.gy)) <= 100""",
+    "q53_fillnodata" ->
+      // nodata (v < 1) pixels take the mean of in-grid valid pixels with
+      // d² <= 16; integer sums / counts → exact double on both engines
+      """WITH px AS (
+           SELECT gx.x AS gx, gy.y AS gy,
+             ((gx.x // 8)*131 + (gy.y // 8)*173 + (gx.x % 8)*7 + (gy.y % 8)*11) % 16 AS v
+           FROM generate_series(0, 63) gx(x), generate_series(0, 31) gy(y)),
+         filled AS (
+           SELECT p.gx, p.gy,
+             (SELECT CAST(sum(q.v) AS DOUBLE) / count(*)
+              FROM px q
+              WHERE q.v >= 1
+                AND (q.gx - p.gx)*(q.gx - p.gx) + (q.gy - p.gy)*(q.gy - p.gy) <= 16) AS fill
+           FROM px p WHERE p.v < 1)
+         SELECT p.gx, p.gy,
+           CASE WHEN p.v >= 1 THEN CAST(p.v AS DOUBLE)
+                ELSE coalesce(f.fill, CAST(p.v AS DOUBLE)) END AS val
+         FROM px p LEFT JOIN filled f ON f.gx = p.gx AND f.gy = p.gy""",
     "q41_contour_segments" ->
       // marching squares at level 7.5 (level2x = 15) over the zoom-2 grid;
       // endpoints as reduced integer rationals — exactly core.Contour's math

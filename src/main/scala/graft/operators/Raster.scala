@@ -247,6 +247,107 @@ object Raster {
       .toDF("tx", "ty", "pixels")
   }
 
+  final case class RStrip(ttx: Long, tty: Long, sdx: Int, sdy: Int,
+                          sw: Int, sh: Int, pixels: Array[Double])
+
+  /** Fill nodata (reference: alg/rasterfill.cpp :: GDALFillNodata) —
+    * SURVEY.md §3.8 R6. Each nodata pixel takes the MEAN of valid pixels
+    * within `radiusPx` (Euclidean, d² ≤ r²); pixels with no valid neighbor
+    * stay nodata. The reference interpolates inverse-distance from a ring
+    * search; the mean variant keeps the arithmetic exact-integer so the
+    * SQL oracle matches bit-for-bit (documented divergence).
+    *
+    * Distribution: radius-px halo block exchange (the focal pattern
+    * widened to r pixels — shuffle stays O(perimeter·r)), then each tile
+    * fills independently. Requires radiusPx <= min(w, h).
+    * Output: (tx, ty, pixels) with fills applied. */
+  def fillNodata(tiles: DataFrame, w: Int, h: Int, nxTiles: Long, nyTiles: Long,
+                 isNodata: Double => Boolean, radiusPx: Int): DataFrame = {
+    require(radiusPx <= math.min(w, h), "radius must fit one tile halo")
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val r = radiusPx
+    val strips = tiles.select(col("tx").cast("long"), col("ty").cast("long"), col("pixels"))
+      .as[(Long, Long, Seq[Double])]
+      .flatMap { case (tx, ty, px) =>
+        val p = px.toArray
+        val out = Array.newBuilder[RStrip]
+        out += RStrip(tx, ty, 0, 0, w, h, p)
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            if (dx != 0 || dy != 0) {
+              val ntx = tx + dx; val nty = ty + dy
+              if (ntx >= 0 && ntx < nxTiles && nty >= 0 && nty < nyTiles) {
+                // the block of me FACING neighbor (dx,dy): r columns/rows
+                val x0 = if (dx == 1) w - r else 0
+                val sw = if (dx == 0) w else r
+                val y0 = if (dy == 1) h - r else 0
+                val sh = if (dy == 0) h else r
+                val blk = new Array[Double](sw * sh)
+                var yy = 0
+                while (yy < sh) {
+                  var xx = 0
+                  while (xx < sw) { blk(yy * sw + xx) = p((y0 + yy) * w + x0 + xx); xx += 1 }
+                  yy += 1
+                }
+                out += RStrip(ntx, nty, -dx, -dy, sw, sh, blk)
+              }
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        out.result()
+      }
+    strips.groupByKey(s => (s.ttx, s.tty))
+      .mapGroups { (key: (Long, Long), it: Iterator[RStrip]) =>
+        val pw = w + 2 * r; val ph = h + 2 * r
+        val padded = Array.fill(pw * ph)(Double.NaN)
+        it.foreach { s =>
+          // strip at relative (sdx, sdy) lands at the matching halo block
+          val ox = s.sdx match { case -1 => 0; case 0 => r; case _ => r + w }
+          val oy = s.sdy match { case -1 => 0; case 0 => r; case _ => r + h }
+          var yy = 0
+          while (yy < s.sh) {
+            System.arraycopy(s.pixels, yy * s.sw, padded, (oy + yy) * pw + ox, s.sw)
+            yy += 1
+          }
+        }
+        val outPx = new Array[Double](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = padded((y + r) * pw + x + r)
+            outPx(y * w + x) =
+              if (!isNodata(v)) v
+              else {
+                var sum = 0.0; var n = 0L
+                var dy2 = -r
+                while (dy2 <= r) {
+                  var dx2 = -r
+                  while (dx2 <= r) {
+                    if (dx2 * dx2 + dy2 * dy2 <= r * r) {
+                      val nv = padded((y + r + dy2) * pw + x + r + dx2)
+                      if (!nv.isNaN && !isNodata(nv)) { sum += nv; n += 1 }
+                    }
+                    dx2 += 1
+                  }
+                  dy2 += 1
+                }
+                if (n == 0) v else sum / n
+              }
+            x += 1
+          }
+          y += 1
+        }
+        (key._1, key._2, outPx.toSeq)
+      }
+      .toDF("tx", "ty", "pixels")
+  }
+
   /** gdal_calc / VRT pixel-function analog (reference:
     * swig/python/scripts/gdal_calc.py; frmts/vrt/vrtderivedrasterband.cpp):
     * per-pixel algebra over two co-registered tile tables, expressed as a

@@ -85,6 +85,41 @@ class FocalProxContourSpec extends AnyFunSuite {
     want.foreach { case (k, d2) => assert(got(k) == d2, s"pixel $k") }
   }
 
+  test("fillNodata tiled == whole-grid scalar (radius halo correctness)") {
+    val zoom = 2; val w = 8; val h = 8
+    val (vals, gw, gh) = synthVals(zoom, w, h)
+    val r = 4
+    val isNd = (v: Double) => v < 1.0
+    // whole-grid oracle
+    val want = new Array[Double](gw * gh)
+    for (gy <- 0 until gh; gx <- 0 until gw) {
+      val v = vals(gy * gw + gx)
+      want(gy * gw + gx) =
+        if (!isNd(v)) v
+        else {
+          var sum = 0.0; var n = 0
+          for (dy <- -r to r; dx <- -r to r
+               if dx * dx + dy * dy <= r * r
+               if gx + dx >= 0 && gx + dx < gw && gy + dy >= 0 && gy + dy < gh) {
+            val nv = vals((gy + dy) * gw + gx + dx)
+            if (!isNd(nv)) { sum += nv; n += 1 }
+          }
+          if (n == 0) v else sum / n
+        }
+    }
+    val got = graft.operators.Raster.fillNodata(
+      Synth.maskTiles(spark, zoom, w, h), w, h, 1 << (zoom + 1), 1 << zoom, isNd, r)
+      .collect()
+    val flat = new Array[Double](gw * gh)
+    got.foreach { row =>
+      val tx = row.getLong(0); val ty = row.getLong(1)
+      val px = row.getSeq[Double](2)
+      for (i <- px.indices)
+        flat(((ty * h + i / w) * gw + tx * w + i % w).toInt) = px(i)
+    }
+    for (i <- flat.indices) assert(flat(i) == want(i), s"px (${i % gw},${i / gw})")
+  }
+
   test("contour segments: tiled == single-giant-tile (seam correctness)") {
     val zoom = 1; val w = 8; val h = 8
     val (vals, gw, gh) = synthVals(zoom, w, h)
