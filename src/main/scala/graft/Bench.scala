@@ -19,14 +19,29 @@ object Bench {
       // toRdd.count() materializes every output row in full — plain
       // count() would let Catalyst prune the computed columns away and
       // benchmark a skeleton of the query
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // a failed query must not masquerade as a fast success: negate it
+      name -> (if (ok) secs else -secs)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // sole stdout line (build.sbt sets run/outputStrategy=StdoutOutput so
+    // sbt does not [info]-prefix it) + a file copy for the driver
+    println(line)
+    try {
+      val dir = java.nio.file.Paths.get("BENCH")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("RESULT.json"), line)
+    } catch { case _: Throwable => }
     spark.stop()
   }
 }
