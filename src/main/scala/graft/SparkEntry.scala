@@ -274,9 +274,12 @@ object SparkEntry {
         "doc_id", "text", numPerm = 64, bands = 16, shingleK = 3, minJaccard = 0.3)
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 1000000).cast("long").as("j_micro"))),
+    // maxHamming = 6 (was 12 in round 1, where the 4-chunk pigeonhole was
+    // only complete for <= 3 and silently lost recall; 7 chunks of >= 9
+    // bits keep candidate generation bucketed while staying exhaustive)
     "q25_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", maxHamming = 12)
+        "doc_id", "text", maxHamming = 6)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     "q26_ann_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")

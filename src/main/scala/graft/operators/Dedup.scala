@@ -17,8 +17,8 @@ import graft.functions.F
   *    compares across buckets. Hot buckets (boilerplate dups) are the
   *    skew case: candidates dedup on the id pair before the exact-Jaccard
   *    verify, and the band-key join can be salted like any hot cell.
-  *  - SimHash: pigeonhole on 4×16-bit chunks finds all pairs with
-  *    hamming distance ≤ 3 exactly.
+  *  - SimHash: pigeonhole on maxHamming+1 disjoint bit chunks finds ALL
+  *    pairs within the distance bound exactly (k+1 pigeonhole).
   */
 object Dedup {
 
@@ -58,15 +58,34 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming (< 16):
-    * pigeonhole on 16-bit chunks (any pair within distance 3 must agree on
-    * at least one of 4 chunks), then exact hamming verify. */
+  /** SimHash near-dup pairs with hamming distance <= maxHamming.
+    * Pigeonhole with maxHamming+1 chunks: if two 64-bit signatures differ
+    * in at most m bits, they must agree EXACTLY on at least one of m+1
+    * disjoint bit ranges — so bucketing each chunk value and equi-joining
+    * per (chunk_i, chunk) is COMPLETE for any m, then exact-hamming verify.
+    * (Round-1 version hardcoded 4 chunks, which is only complete for
+    * m <= 3 and silently lost recall when called with m = 12.)
+    * Note: candidate volume grows as chunks shrink — m <= 7 keeps chunks
+    * >= 8 bits (256+ buckets per chunk index); larger m is exact but
+    * approaches the all-pairs join and is rejected. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"simhashPairs: maxHamming must be in [0,7] (chunks of >=8 bits); got $maxHamming")
     F.ensureRegistered(df.sparkSession)
+    val nChunks = maxHamming + 1
+    // distribute 64 bits over nChunks ranges: first (64 % n) chunks get an
+    // extra bit. offsets/widths computed once, inlined as literals.
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    // shiftright() not `>>`: the `>>` token fails to parse inside array(...)
+    val chunkExpr = (0 until nChunks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      s"shiftright(sim, ${offsets(i)}) & $mask"
+    }.mkString("array(", ", ", ")")
     val h = df.select(col(idCol).as("id"), F.simhash64(col(textCol)).as("sim"))
-    val chunked = h.withColumn("chunk_i", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk", expr("(sim >> (chunk_i * 16)) & 65535"))
+    val chunked = h.select(col("id"), col("sim"),
+      posexplode(expr(chunkExpr)).as(Seq("chunk_i", "chunk")))
     val a = chunked.select(col("id").as("id_a"), col("sim").as("sim_a"), col("chunk_i"), col("chunk"))
     val b = chunked.select(col("id").as("id_b"), col("sim").as("sim_b"), col("chunk_i"), col("chunk"))
     a.join(b, Seq("chunk_i", "chunk"), "inner")
@@ -94,23 +113,28 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
       (blockCol.map(col).getOrElse(lit(1))).as("blk"), norm.as("norm"))
       .where(length(col("norm")) >= k)
+    // persist (recomputable, spills to disk) rather than eager
+    // localCheckpoint: on a real cluster a local checkpoint dies with its
+    // executor and poisons the lineage, and the eager materialization of
+    // the exploded gram table was the memory cliff behind the driver
+    // bench's 554 s q23 (default-heap JVM).
     val grams = base.select(col("id"), col("blk"),
       explode(array_distinct(expr(
         s"transform(sequence(1, length(norm) - ${k - 1}), i -> substring(norm, i, $k))"))).as("g"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = grams.groupBy("id").agg(count(lit(1)).as("n"))
     // global rarity order (document frequency asc, gram asc — total order)
     val gdf = grams.groupBy("g").agg(count(lit(1)).as("df"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("g"))
-    // checkpointed: the prefix feeds BOTH sides of the self-join — without
+    // persisted: the prefix feeds BOTH sides of the self-join — without
     // materialization the df-join + window recompute twice
     val prefix = grams.join(gdf, Seq("g"))
       .withColumn("rn", row_number().over(wOrd))
       .join(counts, Seq("id"))
       .where(col("rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
       .select("blk", "id", "g")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pa = prefix.select(col("blk"), col("id").as("id_a"), col("g"))
     val pb = prefix.select(col("blk"), col("id").as("id_b"), col("g"))
     val cand = pa.join(pb, Seq("blk", "g"))
@@ -118,14 +142,17 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     // exact verify per candidate pair via array_intersect on the per-doc
     // gram arrays (codegen'd hash intersection) — O(|A|+|B|) per pair with
-    // NO pair×gram shuffle. The gram-array table is one row per doc (tiny
-    // next to the corpus) and broadcasts; at scales where it cannot, this
-    // becomes two ordinary payload joins keyed by doc id.
+    // NO pair×gram shuffle. The gram-array lookups are ordinary shuffle
+    // joins keyed by doc id: the per-doc gram table is O(corpus) and must
+    // NEVER be unconditionally broadcast (round 1 did, and the full-corpus
+    // broadcast × 2 was both a 100-TB impossibility and the proximate OOM
+    // pressure in the driver bench). AQE still auto-broadcasts when the
+    // table is genuinely under the threshold.
     val docGrams = grams.groupBy("id")
       .agg(collect_list(col("g")).as("garr"), count(lit(1)).as("n"))
     cand
-      .join(broadcast(docGrams.select(col("id").as("id_a"), col("garr").as("ga"), col("n").as("n_a"))), Seq("id_a"))
-      .join(broadcast(docGrams.select(col("id").as("id_b"), col("garr").as("gb"), col("n").as("n_b"))), Seq("id_b"))
+      .join(docGrams.select(col("id").as("id_a"), col("garr").as("ga"), col("n").as("n_a")), Seq("id_a"))
+      .join(docGrams.select(col("id").as("id_b"), col("garr").as("gb"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= minJaccard)

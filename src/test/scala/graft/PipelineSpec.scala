@@ -64,6 +64,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "test vacuous: no near pairs")
   }
 
+  test("simhash pigeonhole is exhaustive at q25's parameters (maxHamming = 6)") {
+    // round-1 regression: the 4-chunk pigeonhole was only complete for
+    // hamming <= 3 but was called with 12; now chunks = maxHamming+1.
+    val d = docsTable.limit(150).select(col("doc_id"), col("text"))
+    val input = d.unionByName(
+      d.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" zz qq"))))
+    val got = Dedup.simhashPairs(input, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = input.collect().map(r => (r.getLong(0), r.getString(1)))
+    val hs = rows.map { case (id, t) => id -> TextCore.simhash64(t) }.toMap
+    val brute = (for {
+      (a, _) <- rows; (b, _) <- rows if a < b
+      if TextCore.hamming64(hs(a), hs(b)) <= 6
+    } yield (a, b)).toSet
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    // vacuity guard: require pairs in the 4..6 band that the old 4-chunk
+    // scheme could have missed
+    val band46 = (for {
+      (a, _) <- rows; (b, _) <- rows if a < b
+      h = TextCore.hamming64(hs(a), hs(b)) if h >= 4 && h <= 6
+    } yield (a, b)).toSet
+    assert(band46.nonEmpty, "test vacuous: no pairs with hamming in [4,6]")
+    assert(Dedup.simhashPairs(input, "doc_id", "text", maxHamming = 6)
+      .where(col("hamming") >= 4).count() == band46.size)
+  }
+
   test("ngram jaccard join matches driver brute force") {
     val docs = docsTable.limit(80).select(col("doc_id"), col("text"), col("lang"))
     val got = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, minJaccard = 0.5,
