@@ -358,29 +358,33 @@ object SparkEntry {
 
     // ------------- embedding near-dup + ANN scale path --------------------
     "q43_cosine_dup" -> ((s, dir) => {
-      // exact integer test for cos >= 0.35 = 7/20: dot > 0 AND
-      // 400·dot² >= 49·|a|²·|b|² in 1e3 fixed point — bit-reproducible.
-      // Even-id subset (the brute pair space is quadratic; the operator''s
-      // scale path is LSH-bucketed, q45)
+      // Embedding near-dup over a near-dup-RICH derived corpus: the raw
+      // synthetic embeddings are near-orthogonal (max pair cos ≈ 0.51), so
+      // each vector gets a deterministically perturbed twin (integer
+      // fixed-point deltas, reproducible in the SQL oracle) at cos ≈
+      // 0.9999; threshold cos >= 0.8 = 4/5 separates planted pairs from
+      // random ones with a huge margin. The operator is LSH-bucketed
+      // candidate generation + EXACT rational fixed-point verify — no
+      // cross join anywhere (round 1 brute-forced an even-id subset).
+      // Brute == bucketed equality is pinned in PipelineSpec.
       F.ensureRegistered(s)
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .where(col("vec_id") % 2 === 0)
-      def dot(a: String, b: String) = F.fixed_dot(col(a), col(b), 1000)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
-        .withColumn("dot_fp", dot("va", "vb"))
-        .withColumn("na2", dot("va", "va")).withColumn("nb2", dot("vb", "vb"))
-        .where(col("dot_fp") > 0 &&
-          col("dot_fp") * col("dot_fp") * 400 >= col("na2") * col("nb2") * 49)
-        .select(col("id_a"), col("id_b"), col("dot_fp"))
+      val base = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val pert = e.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "(floor(CAST(element_at(embedding, i) AS DOUBLE) * 1000.0) " +
+          "+ ((vec_id * 31 + i) % 13) - 6) / 1000.0)").as("v"))
+      Ann.cosineDupPairs(base.unionByName(pert), "vec_id", "v",
+        minCosNum = 4L, minCosDen = 5L, fixedScale = 1000)
     }),
     "q45_ann_lsh" -> ((s, dir) => {
-      // sign-LSH bucketed ANN — the brute-force q26's scale path
-      // (approximate recall by design → rows-only)
+      // banded sign-LSH ANN — the brute-force q26's scale path
+      // (approximate recall by design → rows-only; recall vs q26 measured
+      // and pinned in PipelineSpec)
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.lshTopK(e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
-        e, "vec_id", "embedding", k = 5, planes = 6)
+        e, "vec_id", "embedding", k = 5, bands = 4, rowsPerBand = 8)
     }),
 
     // ------------- SQL-text surface (ExecuteSQL analog) -------------------
@@ -892,21 +896,29 @@ object SparkEntry {
          JOIN pts a ON a.gx = s.gx AND a.gy = s.gy AND a.edge = s.ea
          JOIN pts b ON b.gx = s.gx AND b.gy = s.gy AND b.edge = s.eb""",
     "q43_cosine_dup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+      // brute-force oracle over the same derived corpus (base + perturbed
+      // twins): the engine's LSH-bucketed candidates must reproduce the
+      // full pair set exactly (cos >= 4/5 in 1e3 fixed point). `pid`
+      // avoids DuckDB's lateral alias binding shadowing vec_id.
+      """WITH base AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         pert AS (
+           SELECT vec_id + 10000000 AS pid,
+             list_transform(range(1, 65), i ->
+               (floor(CAST(embedding[i] AS DOUBLE) * 1000.0) + ((vec_id * 31 + i) % 13) - 6) / 1000.0) AS v
+           FROM embeddings),
+         u AS (SELECT vec_id, v FROM base UNION ALL SELECT pid AS vec_id, v FROM pert),
          p AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_sum(list_transform(range(1, 65), i ->
-               CAST(floor(CAST(a.embedding[i] AS DOUBLE)*1000.0) AS BIGINT) *
-               CAST(floor(CAST(b.embedding[i] AS DOUBLE)*1000.0) AS BIGINT))) AS dot_fp,
+               CAST(floor(a.v[i]*1000.0) AS BIGINT) * CAST(floor(b.v[i]*1000.0) AS BIGINT))) AS dot_fp,
              list_sum(list_transform(range(1, 65), i ->
-               CAST(floor(CAST(a.embedding[i] AS DOUBLE)*1000.0) AS BIGINT) *
-               CAST(floor(CAST(a.embedding[i] AS DOUBLE)*1000.0) AS BIGINT))) AS na2,
+               CAST(floor(a.v[i]*1000.0) AS BIGINT) * CAST(floor(a.v[i]*1000.0) AS BIGINT))) AS na2,
              list_sum(list_transform(range(1, 65), i ->
-               CAST(floor(CAST(b.embedding[i] AS DOUBLE)*1000.0) AS BIGINT) *
-               CAST(floor(CAST(b.embedding[i] AS DOUBLE)*1000.0) AS BIGINT))) AS nb2
-           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+               CAST(floor(b.v[i]*1000.0) AS BIGINT) * CAST(floor(b.v[i]*1000.0) AS BIGINT))) AS nb2
+           FROM u a JOIN u b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, CAST(dot_fp AS BIGINT) AS dot_fp
-         FROM p WHERE dot_fp > 0 AND 400*dot_fp*dot_fp >= 49*na2*nb2""",
+         FROM p WHERE dot_fp > 0 AND 25*dot_fp*dot_fp >= 16*na2*nb2""",
     "q46_ogr_sql" ->
       // area: both sides exact (coords are multiples of 2^-12 → shoelace
       // terms exactly representable); centroid never lands on a zoom-7

@@ -76,6 +76,7 @@ object F {
         "fingerprint64"  -> (e => Fingerprint64(e.head)),
         "cosine_sim"     -> (e => CosineSim(e(0), e(1))),
         "fixed_dot"      -> (e => FixedDot(e(0), e(1), e(2))),
+        "sign_lsh_buckets" -> (e => SignLshBuckets(e(0), e(1), e(2))),
         "st_contains_point"   -> (e => GeomPredicatePoint(e(0), e(1), e(2), "contains")),
         "st_covers_point"     -> (e => GeomPredicatePoint(e(0), e(1), e(2), "covers")),
         "st_intersects_point" -> (e => GeomPredicatePoint(e(0), e(1), e(2), "intersects")),
@@ -146,6 +147,8 @@ object F {
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def fixed_dot(a: Column, b: Column, scale: Int): Column =
     call_function("fixed_dot", a.cast("array<double>"), b.cast("array<double>"), lit(scale))
+  def sign_lsh_buckets(v: Column, bands: Int, rowsPerBand: Int): Column =
+    call_function("sign_lsh_buckets", v.cast("array<double>"), lit(bands), lit(rowsPerBand))
   def st_predicate_point(op: String, g: Column, lon: Column, lat: Column): Column =
     call_function(s"st_${op}_point", g, d(lon), d(lat))
   def checksum_px(p: Column): Column = call_function("checksum_px", p)

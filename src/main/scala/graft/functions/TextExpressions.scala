@@ -162,3 +162,64 @@ case class FixedDot(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
   override def prettyName: String = "fixed_dot"
 }
+
+/** sign_lsh_buckets(vec, bands, rowsPerBand) → array<long> of length
+  * `bands`: banded random-hyperplane (sign) LSH keys. Plane p's weight for
+  * dimension i is a deterministic pseudo-uniform in (-0.5, 0.5] derived
+  * from SplitMix64 (same stream family as the engine's other hashing), so
+  * buckets are identical across executors, runs, and partitionings. Band b
+  * packs the sign bits of planes [b*rows, (b+1)*rows) into one long; a
+  * candidate join ORs over bands (any shared band ⇒ candidate), giving
+  * 1-(1-p^rows)^bands recall per pair at per-plane agreement p = 1-θ/π. */
+case class SignLshBuckets(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // weight table lazily built once per (planes, dim) — bands/rows are
+  // literals in practice so this caches across rows within a task
+  @transient private var wPlanes = -1
+  @transient private var wDim = -1
+  @transient private var wTab: Array[Double] = _
+  private def weights(planes: Int, dim: Int): Array[Double] = {
+    if (wTab == null || wPlanes != planes || wDim != dim) {
+      val t = new Array[Double](planes * dim)
+      var p = 0
+      while (p < planes) {
+        var i = 0
+        while (i < dim) {
+          t(p * dim + i) =
+            (graft.core.TextCore.mix64(p.toLong * 131071 + i) % 1000L).toDouble / 1000.0 - 0.5 + 0.0005
+          i += 1
+        }
+        p += 1
+      }
+      wPlanes = planes; wDim = dim; wTab = t
+    }
+    wTab
+  }
+  override def nullSafeEval(v0: Any, b0: Any, r0: Any): Any = {
+    val v = v0.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val bands = b0.asInstanceOf[Int]
+    val rows = r0.asInstanceOf[Int]
+    val w = weights(bands * rows, v.length)
+    val out = new Array[Long](bands)
+    var band = 0
+    while (band < bands) {
+      var key = 0L
+      var r = 0
+      while (r < rows) {
+        val base = (band * rows + r) * v.length
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i) * w(base + i); i += 1 }
+        if (dot >= 0) key |= (1L << r)
+        r += 1
+      }
+      out(band) = key
+      band += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+  override def prettyName: String = "sign_lsh_buckets"
+}

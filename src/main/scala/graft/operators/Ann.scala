@@ -13,9 +13,12 @@ import graft.functions.F
   *    top-k via window). Scores are computed in integer fixed point
   *    (floor(x*1e6) per element, summed as BIGINT) so ranking is exact,
   *    order-independent, and bit-reproducible by a SQL oracle.
-  *  - lshTopK: the scale path — random-hyperplane (sign) LSH buckets the
-  *    data once; queries probe only their bucket. Recall<1 by design;
-  *    re-rank within bucket is exact.
+  *  - lshTopK: the scale path — banded random-hyperplane (sign) LSH
+  *    buckets the data once per band; queries probe their bucket in every
+  *    band (OR-amplification). Recall<1 by design (measured vs bruteTopK
+  *    in PipelineSpec); re-rank within candidates is exact.
+  *  - cosineDupPairs: near-dup pair mining, LSH-bucketed candidates +
+  *    exact rational-threshold fixed-point verify.
   */
 object Ann {
 
@@ -38,50 +41,85 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
-  /** Sign-LSH bucketed top-k: `planes` deterministic hyperplanes (from
-    * SplitMix64 streams), bucket = sign-bit key; exact re-rank in-bucket.
-    * Returns same shape as bruteTopK but with approximate recall. */
+  /** Banded sign-LSH top-k: `bands` independent hash tables of
+    * `rowsPerBand` deterministic hyperplanes each (sign_lsh_buckets);
+    * candidates = data points sharing ANY band bucket with the query
+    * (OR-amplification: recall per neighbor = 1-(1-p^rows)^bands at
+    * per-plane agreement p = 1-θ/π), exact fixed-point re-rank.
+    * Returns the bruteTopK shape with approximate recall; a query whose
+    * buckets are all empty yields < k (or zero) rows by design.
+    * bands=1 degenerates to the single-table probe. */
   def lshTopK(queries: DataFrame, qId: String, qVec: String,
               data: DataFrame, dId: String, dVec: String,
-              k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
+              k: Int, bands: Int = 4, rowsPerBand: Int = 8,
+              probeHamming: Int = 2): DataFrame = {
     F.ensureRegistered(queries.sparkSession)
-    // plane p, dim i weight: deterministic pseudo-gaussian from mix64 via
-    // centered uniform sum; expressed in SQL for codegen
-    def bucketOf(vec: String) = {
-      val bits = (0 until planes).map { p =>
-        // dot(v, plane_p) sign bit, plane weights from a fixed hash grid
-        val dot = (0 until dim).map { i =>
-          val wgt = (graft.core.TextCore.mix64(p.toLong * 131071 + i) % 1000L).toDouble / 1000.0 - 0.5 + 0.0005
-          s"(CAST(element_at($vec, ${i + 1}) AS DOUBLE) * $wgt)"
-        }.mkString(" + ")
-        s"(CASE WHEN ($dot) >= 0 THEN ${1L << p}L ELSE 0L END)"
-      }.mkString(" + ")
-      expr(bits)
-    }
     val d = data.select(col(dId).as("neighbor_id"), col(dVec).as("dv"))
-      .withColumn("bucket", bucketOf("dv"))
+      .select(col("neighbor_id"), col("dv"),
+        posexplode(F.sign_lsh_buckets(col("dv"), bands, rowsPerBand)).as(Seq("band_i", "bucket")))
+    // multi-probe: each query also probes every bucket within hamming
+    // distance `probeHamming` of its own (flip-mask XOR). The data side is
+    // indexed ONCE; only the small broadcast query side fans out
+    // (sum_{h<=probe} C(rows,h) keys per band), trading query fan-out for
+    // recall instead of replicating the corpus into more tables.
+    val probeMasks = (0 until (1 << rowsPerBand))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
+      .map(_.toLong)
     val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
-      .withColumn("bucket", bucketOf("qv")))
+      .select(col("query_id"), col("qv"),
+        posexplode(F.sign_lsh_buckets(col("qv"), bands, rowsPerBand)).as(Seq("band_i", "bucket0")))
+      .withColumn("bucket",
+        explode(array(probeMasks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)))
+      .drop("bucket0"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    d.join(q, Seq("bucket"), "inner")
+    d.join(q, Seq("band_i", "bucket"), "inner")
       .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "dv")
+      .dropDuplicates("query_id", "neighbor_id") // same pair may share several bands
       .withColumn("score", fixedDot("qv", "dv"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
-  /** Embedding near-duplicate pairs: cosine >= minCos via brute pairing
-    * (exact; use lsh buckets at scale). */
+  /** Embedding near-duplicate pairs with an EXACT rational cosine
+    * threshold cos >= num/den: banded sign-LSH candidate generation (a
+    * bucketed equi-join — never all-pairs) + exact integer fixed-point
+    * verify (dot > 0 AND den²·dot² >= num²·|a|²·|b|², all in BIGINT), so
+    * the surviving pair set is bit-reproducible by a SQL oracle.
+    * Recall is 1-(1-p^rows)^bands per qualifying pair; at near-duplicate
+    * thresholds (num/den >= 0.8) and the defaults (8 bands × 8 rows) the
+    * miss probability per pair is < 1e-8 at cos 0.999 — verified exactly
+    * vs brute force in PipelineSpec on the synthetic corpus.
+    * Overflow bound: |element|·scale ≤ ~46k keeps den²·dot² within Long
+    * for dim 64 (defaults: elements in [-2,2], scale 1000 ⇒ dot ≤ 2.6e8,
+    * 25·dot² ≤ 1.7e18 < 2^63). */
   def cosineDupPairs(data: DataFrame, dId: String, dVec: String,
-                     minCos: Double): DataFrame = {
+                     minCosNum: Long, minCosDen: Long, fixedScale: Int = 1000,
+                     bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
+    require(minCosNum > 0 && minCosDen >= minCosNum,
+      s"cosineDupPairs: need 0 < num/den <= 1; got $minCosNum/$minCosDen")
     F.ensureRegistered(data.sparkSession)
-    val a = data.select(col(dId).as("id_a"), col(dVec).as("va"))
-    val b = data.select(col(dId).as("id_b"), col(dVec).as("vb"))
-    a.crossJoin(broadcast(b))
+    val d = data.select(col(dId).as("id"), col(dVec).as("v"))
+    val keyed = d.select(col("id"),
+      posexplode(F.sign_lsh_buckets(col("v"), bands, rowsPerBand)).as(Seq("band_i", "bucket")))
+    val cand = keyed.select(col("band_i"), col("bucket"), col("id").as("id_a"))
+      .join(keyed.select(col("band_i"), col("bucket"), col("id").as("id_b")),
+        Seq("band_i", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", F.cosine_sim(col("va"), col("vb")))
-      .where(col("cos") >= minCos)
-      .select("id_a", "id_b", "cos")
+      .select("id_a", "id_b").distinct()
+    // vector payloads join back by id (shuffle joins; candidates are the
+    // small side after LSH pruning — AQE broadcasts when genuinely small)
+    val va = d.select(col("id").as("id_a"), col("v").as("va"))
+    val vb = d.select(col("id").as("id_b"), col("v").as("vb"))
+    def fdot(a: String, b: String) = F.fixed_dot(col(a), col(b), fixedScale)
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("dot_fp", fdot("va", "vb"))
+      .withColumn("na2", fdot("va", "va"))
+      .withColumn("nb2", fdot("vb", "vb"))
+      .where(col("dot_fp") > 0 &&
+        col("dot_fp") * col("dot_fp") * lit(minCosDen * minCosDen) >=
+          col("na2") * col("nb2") * lit(minCosNum * minCosNum))
+      .select("id_a", "id_b", "dot_fp")
   }
 }

@@ -126,9 +126,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == brute)
 
     val lsh = Ann.lshTopK(e.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
-      e, "vec_id", "embedding", k = 3, planes = 4)
+      e, "vec_id", "embedding", k = 3, bands = 2, rowsPerBand = 4)
       .select("query_id", "rank").collect()
     assert(lsh.nonEmpty) // recall < 1 by design; plumbing must produce rows
+  }
+
+  test("banded LSH ANN recall vs brute force at q45 parameters") {
+    // deterministic planes + deterministic data → recall is a constant;
+    // pin a floor so a regression in bucketing or candidate dedup shows up
+    val e = spark.read.parquet(s"${TestSpark.SfSmall}/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Ann.bruteTopK(e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 5))
+    val lsh = pairs(Ann.lshTopK(e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 5, bands = 4, rowsPerBand = 8))
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(f"lsh recall at q45 params: $recall%.3f (${(brute intersect lsh).size}/${brute.size})")
+    // measured 0.82 on this deterministic corpus (near-orthogonal vectors —
+    // the hostile case for sign-LSH; clustered real corpora do better)
+    assert(recall >= 0.6, f"banded-LSH recall collapsed: $recall%.3f")
+  }
+
+  test("cosineDupPairs: LSH-bucketed pair set == brute force on the q43 derived corpus") {
+    F.ensureRegistered(spark)
+    val e = spark.read.parquet(s"${TestSpark.SfSmall}/embeddings.parquet")
+    val base = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val pert = e.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      expr("transform(sequence(1, 64), i -> " +
+        "(floor(CAST(element_at(embedding, i) AS DOUBLE) * 1000.0) " +
+        "+ ((vec_id * 31 + i) % 13) - 6) / 1000.0)").as("v"))
+    val corpus = base.unionByName(pert)
+    val got = Ann.cosineDupPairs(corpus, "vec_id", "v",
+      minCosNum = 4L, minCosDen = 5L, fixedScale = 1000)
+      .select("id_a", "id_b", "dot_fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = corpus.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    def fd(x: String, y: String) = F.fixed_dot(col(x), col(y), 1000)
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("dot_fp", fd("va", "vb"))
+      .withColumn("na2", fd("va", "va")).withColumn("nb2", fd("vb", "vb"))
+      .where(col("dot_fp") > 0 &&
+        col("dot_fp") * col("dot_fp") * 25 >= col("na2") * col("nb2") * 16)
+      .select("id_a", "id_b", "dot_fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "test vacuous: no qualifying pairs")
+    // every planted twin pair must qualify (cos ≈ 0.9999 >> 0.8)
+    assert(brute.size >= e.count(), s"expected >= ${e.count()} planted pairs, got ${brute.size}")
+    assert(got == brute, s"bucketed ${got.size} vs brute ${brute.size}; " +
+      s"missed: ${(brute -- got).take(3)}; extra: ${(got -- brute).take(3)}")
   }
 
   test("span-sequence invariant: pipeline output reconstructs input spans exactly") {

@@ -16,6 +16,9 @@ for f in glob.glob(os.path.join(sfdir, '*.parquet')):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 
 oracle = json.load(open(os.path.join(outdir, 'oracle_sql.json')))
+# Verify emits each oracle under both "<name>" and "<name>.parquet" (the
+# driver keys by output-dir name); this replica uses the bare names.
+oracle = {k: v for k, v in oracle.items() if not k.endswith('.parquet')}
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
