@@ -19,8 +19,13 @@ import graft.core.TileMath
   * within the ring guarantee distance r_i * cellSize: any point outside
   * the searched disk is at least that far away (Chebyshev argument), so
   * the k found are provably the global top-k. Unresolved queries continue
-  * with doubled radius; after maxRounds the stragglers fall back to a
-  * brute-force join (correct for arbitrarily empty neighborhoods).
+  * with doubled radius; after maxRounds the radius jumps straight to the
+  * covering radius (disk ⊇ whole grid — the ring generator clamps to grid
+  * bounds), where every point is a candidate and results are accepted
+  * unconditionally (fewer than k rows iff the corpus has fewer than k
+  * points). There is NO cross-join fallback: every round is a bounded
+  * cell equi-join, so a sparse region with millions of stragglers shuffles
+  * (stragglers × reached cells) rows, never (stragglers × all points).
   *
   * Distance: planar euclidean in lon/lat degrees (documented; ties broken
   * by pt_id ascending — FIXTURES.md golden_knn rule).
@@ -50,7 +55,14 @@ object Knn {
       (col("__plat") - col("__qlat")) * (col("__plat") - col("__qlat"))
     val w = Window.partitionBy(col("__qid")).orderBy(col("__dist2"), col("__pid"))
 
-    while (round < maxRounds && !pending.isEmpty) {
+    // radius at which the Chebyshev disk (Y-clamped, X-wrapped) covers the
+    // whole geodetic grid: grid is 2^(z+1) × 2^z cells
+    val coveringR = (1L << zoom).toInt + 1
+    var covered = false
+    while (!covered && !pending.isEmpty) {
+      // after maxRounds of doubling, jump straight to full coverage
+      if (round >= maxRounds && r < coveringR) r = coveringR
+      covered = r >= coveringR
       val guarantee = r.toDouble * cellSize
       val cand = pending
         .withColumn("__cell", explode(F.cell_disk(col("__qcell"), lit(r))))
@@ -59,28 +71,21 @@ object Knn {
         .withColumn("__rank", row_number().over(w))
         .where(col("__rank") <= k)
       // a query is resolved iff it has k candidates and the k-th is within
-      // the guarantee radius (otherwise a closer point may hide outside)
-      val kth = cand.groupBy("__qid")
-        .agg(count(lit(1)).as("__n"), max(sqrt(col("__dist2"))).as("__kthDist"))
-        .where(col("__n") === k && col("__kthDist") <= guarantee)
-        .select("__qid")
+      // the guarantee radius (otherwise a closer point may hide outside);
+      // on the covering round the disk holds every point, so accept
+      // whatever was found (fewer than k only if the corpus has fewer)
+      val kth =
+        if (covered) cand.select("__qid").distinct()
+        else cand.groupBy("__qid")
+          .agg(count(lit(1)).as("__n"), max(sqrt(col("__dist2"))).as("__kthDist"))
+          .where(col("__n") === k && col("__kthDist") <= guarantee)
+          .select("__qid")
       val resolved = cand.join(kth, Seq("__qid"), "left_semi")
         .select("__qid", "__pid", "__dist2", "__rank")
       results = if (results == null) resolved else results.unionByName(resolved)
-      pending = pending.join(kth, Seq("__qid"), "left_anti")
+      if (!covered) pending = pending.join(kth, Seq("__qid"), "left_anti")
       r *= 2
       round += 1
-    }
-
-    if (!pending.isEmpty) {
-      // brute-force stragglers (few): cross join against all points
-      val brute = pending.drop("__qcell")
-        .crossJoin(pts.drop("__pcell"))
-        .withColumn("__dist2", dist2)
-        .withColumn("__rank", row_number().over(w))
-        .where(col("__rank") <= k)
-        .select("__qid", "__pid", "__dist2", "__rank")
-      results = if (results == null) brute else results.unionByName(brute)
     }
 
     results.select(
