@@ -117,6 +117,17 @@ object TileMath {
     ZCell.range(zoom, tx0, ty0, tx1, ty1)
   }
 
+  /** Cell count geoCellsForEnvelope would return, without materializing —
+    * the cells_cover cap probes zooms with this before allocating. */
+  def geoCellCountForEnvelope(minLon: Double, minLat: Double, maxLon: Double,
+                              maxLat: Double, zoom: Int): Long = {
+    val tx0 = geoTileX(minLon, zoom)
+    val tx1 = geoTileX(maxLon, zoom) max tx0
+    val ty0 = geoTileY(maxLat, zoom)
+    val ty1 = geoTileY(minLat, zoom) max ty0
+    (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+  }
+
   /** Size of one geodetic cell in degrees at a zoom: (width, height). */
   def geoCellSizeDeg(zoom: Int): (Double, Double) = {
     val res = 180.0 / (1L << zoom).toDouble

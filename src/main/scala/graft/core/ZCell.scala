@@ -57,6 +57,13 @@ object ZCell {
     pack(z - 1, tx(cell) >> 1, ty(cell) >> 1)
   }
 
+  /** Ancestor of `cell` at zoom `z` (identity when z >= the cell's zoom). */
+  def ancestorAt(cell: Long, z: Int): Long = {
+    val cz = zoom(cell)
+    if (z >= cz) cell
+    else { val d = cz - z; pack(z, tx(cell) >> d, ty(cell) >> d) }
+  }
+
   /** The 4 children one zoom down. */
   def children(cell: Long): Array[Long] = {
     val z = zoom(cell); val x = tx(cell) << 1; val y = ty(cell) << 1

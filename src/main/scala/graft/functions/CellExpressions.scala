@@ -103,15 +103,33 @@ case class CellDisk(left: Expression, right: Expression)
   * the geometry. Envelope cells first, then an exact prepared-geometry
   * intersects refine per cell — the same two-phase filter-and-refine the
   * reference's spatial filter does (reference:
-  * ogr/ogrsf_frmts/generic/ogrlayer.cpp :: OGRLayer::FilterGeometry). */
-case class CellsCover(left: Expression, right: Expression)
+  * ogr/ogrsf_frmts/generic/ogrlayer.cpp :: OGRLayer::FilterGeometry).
+  *
+  * maxCells > 0 caps the per-row array: if the envelope needs more than
+  * maxCells cells at the requested zoom, the cover COARSENS (zoom-1,
+  * zoom-2, …) until it fits — a continental polygon at deep zoom yields a
+  * bounded array of coarser cells instead of a task-OOM-sized one. Cell
+  * ids carry their zoom, and join consumers fan the opposing side out to
+  * every zoom actually present (see SpatialJoin), so pruning stays
+  * complete; the exact JTS refine unchanged. maxCells <= 0 disables the
+  * cap (rasterize needs the exact requested zoom). */
+case class CellsCover(left: Expression, right: Expression, maxCells: Int = 4096)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(g0: Any, z0: Any): Any = {
     val wkb = g0.asInstanceOf[Array[Byte]]
-    val zoom = z0.asInstanceOf[Int]
+    val zoomReq = z0.asInstanceOf[Int]
     val g = GeomIO.fromWkb(wkb)
     val env = g.getEnvelopeInternal
+    // pick the zoom FIRST via the arithmetic tile-range count (a hemisphere
+    // at z15 is ~5·10^8 cells — materializing it before coarsening would
+    // itself be the OOM the cap exists to prevent), then materialize once
+    var zoom = zoomReq
+    if (maxCells > 0) {
+      while (zoom > 0 && TileMath.geoCellCountForEnvelope(
+          env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, zoom) > maxCells)
+        zoom -= 1
+    }
     val cand = TileMath.geoCellsForEnvelope(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, zoom)
     val out =
       if (cand.length <= 4) cand // tiny covers: envelope filter is enough
@@ -124,6 +142,20 @@ case class CellsCover(left: Expression, right: Expression)
       }
     new GenericArrayData(out)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r, maxCells)
   override def prettyName: String = "cells_cover"
+}
+
+/** cell_at_zoom(cell, z) → the cell's ancestor at zoom z (identity when
+  * z >= the cell's zoom). The consumer-side half of the cells_cover cap:
+  * a point's fine cell re-keys to whatever coarser zoom a capped cover
+  * emitted. */
+case class CellAtZoom(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(c0: Any, z0: Any): Any =
+    ZCell.ancestorAt(c0.asInstanceOf[Long], z0.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "cell_at_zoom"
 }

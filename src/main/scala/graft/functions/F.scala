@@ -66,6 +66,7 @@ object F {
         "cell_ring"      -> (e => CellRing(e(0), e(1))),
         "cell_disk"      -> (e => CellDisk(e(0), e(1))),
         "cells_cover"    -> (e => CellsCover(e(0), e(1))),
+        "cell_at_zoom"   -> (e => CellAtZoom(e(0), e(1))),
         "minhash_sig"    -> (e => MinhashSig(e(0), e(1), e(2))),
         "lsh_bands"      -> (e => LshBands(e(0), e(1), e(2))),
         "simhash64"      -> (e => Simhash64(e.head)),
@@ -132,6 +133,13 @@ object F {
   def cell_ring(c: Column, r: Column): Column = call_function("cell_ring", c, i(r))
   def cell_disk(c: Column, r: Column): Column = call_function("cell_disk", c, i(r))
   def cells_cover(g: Column, zoom: Column): Column = call_function("cells_cover", g, i(zoom))
+  /** Uncapped variant: exact cover at the requested zoom (rasterize needs
+    * pixel-grid-aligned cells; the cap would silently move the grid). */
+  def cells_cover_exact(g: Column, zoom: Column): Column =
+    org.apache.spark.sql.graftshim.Columns.of(CellsCover(
+      org.apache.spark.sql.graftshim.Columns.expr(g),
+      org.apache.spark.sql.graftshim.Columns.expr(i(zoom)), maxCells = 0))
+  def cell_at_zoom(c: Column, z: Column): Column = call_function("cell_at_zoom", c, i(z))
 
   def minhash_sig(t: Column, numPerm: Int, k: Int): Column =
     call_function("minhash_sig", t, lit(numPerm), lit(k))

@@ -61,6 +61,42 @@ case class WarpSrcCells(left: Expression, right: Expression)
   override def prettyName: String = "warp_src_cells"
 }
 
+/** warp_dst_cells(src_cell_geo, dst_zoom) → array<long>: the mercator
+  * destination tiles whose source window could include this geodetic
+  * source cell — the FORWARD direction of warp_src_cells, used to derive
+  * the dst-tile universe from actual source coverage instead of
+  * enumerating every tile on Earth (4^20 rows at z20). Guaranteed a
+  * superset of {d : src ∈ warp_src_cells(d)} (the halo here matches the
+  * source-window halo, padded one dst pixel); the inner join against real
+  * source tiles then drops the spares, so the output tile set is
+  * IDENTICAL to the full-enumeration plan's. */
+case class WarpDstCells(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s0: Any, dz0: Any): Any = {
+    val src = s0.asInstanceOf[Long]
+    val dstZoom = dz0.asInstanceOf[Int]
+    val srcZoom = ZCell.zoom(src)
+    val (w, s, e, n) = TileMath.geoTileBounds(srcZoom, ZCell.tx(src), ZCell.ty(src))
+    // mirror warp_src_cells' halo (2.5 src px) + one dst px of slack
+    val halo = 180.0 / (1L << srcZoom).toDouble / 64.0 * 2.5
+    val nDst = 1L << dstZoom
+    val dstPxDeg = 360.0 / (nDst * 64).toDouble
+    val w2 = w - halo - dstPxDeg; val e2 = e + halo + dstPxDeg
+    val n2 = math.min(TileMath.WebMercatorMaxLat, n + halo + dstPxDeg)
+    val s2 = math.max(-TileMath.WebMercatorMaxLat, s - halo - dstPxDeg)
+    if (s2 >= TileMath.WebMercatorMaxLat || n2 <= -TileMath.WebMercatorMaxLat)
+      return new GenericArrayData(Array.emptyLongArray) // fully polar cell
+    val tx0 = math.max(0L, TileMath.mercTileX(math.max(-180.0, w2), dstZoom))
+    val tx1 = math.min(nDst - 1, TileMath.mercTileX(math.min(180.0, e2), dstZoom)) max tx0
+    val ty0 = math.max(0L, TileMath.mercTileY(n2, dstZoom))
+    val ty1 = math.min(nDst - 1, TileMath.mercTileY(s2, dstZoom)) max ty0
+    new GenericArrayData(ZCell.range(dstZoom, tx0, ty0, tx1, ty1))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "warp_dst_cells"
+}
+
 /** warp_tile(dst_cell_merc, src_zoom, srcs: array<struct<cell:long,
   * pixels:array<double>>>, method) → array<double> 64×64 dst pixels.
   * Inverse-projects each dst pixel center to lon/lat, samples the geodetic

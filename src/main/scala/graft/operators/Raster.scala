@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import graft.functions.{F, RasterRuns, WarpSrcCells, WarpTile}
+import graft.functions.{F, RasterRuns, WarpDstCells, WarpSrcCells, WarpTile}
 import org.apache.spark.sql.Column
 
 /** Raster operators: rasterize (vector→raster burn), overview pyramid,
@@ -66,8 +66,10 @@ object Raster {
     val spark = geoms.sparkSession
     F.ensureRegistered(spark)
     val assembler = udaf(new TileAssemble(TW, TH, mode))
+    // exact (uncapped) cover: burn tiles must live at the requested zoom —
+    // the join-prune cap would silently emit coarser cells here
     val withCells = geoms
-      .withColumn("__cell", explode(F.cells_cover(col(geomCol), lit(zoom))))
+      .withColumn("__cell", explode(F.cells_cover_exact(col(geomCol), lit(zoom))))
     val runs = withCells
       .withColumn("__run", explode(expr2col(
         RasterRuns(asExpr(col(geomCol)), asExpr(col("__cell")), TW, TH))))
@@ -142,7 +144,11 @@ object Raster {
     var out = cur
     var z = baseZoom
     while (z > toZoom) {
+      // persist each level: it feeds BOTH the output union and the next
+      // coarser level — without it level z-k re-executes the whole chain
+      // from base (O(levels²) work)
       cur = pyramidUp(cur, method)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out = out.unionByName(cur)
       z -= 1
     }
@@ -159,11 +165,16 @@ object Raster {
                      method: String = "bilinear"): DataFrame = {
     val spark = srcTiles.sparkSession
     F.ensureRegistered(spark)
-    val nDst = 1L << dstZoom
-    val dst = spark.range(nDst * nDst).select(
-      F.cell_pack(lit(dstZoom), col("id") % nDst, col("id") / nDst).as("dst_cell"))
     val src = srcTiles.select(
       F.cell_pack(col("zoom"), col("tx"), col("ty")).as("src_cell"), col("pixels"))
+    // dst universe DERIVED from source coverage (forward-projected tile
+    // bounds), not enumerated: spark.range(4^dstZoom) was 10^12 rows at
+    // z20 regardless of how little source existed. warp_dst_cells is a
+    // guaranteed superset of the inverse source-window relation, and the
+    // inner join below drops the spares, so output tiles are identical.
+    val dst = src.select(explode(expr2col(WarpDstCells(
+        asExpr(col("src_cell")), asExpr(lit(dstZoom))))).as("dst_cell"))
+      .distinct()
     val needed = dst.withColumn("src_cell",
       explode(expr2col(WarpSrcCells(asExpr(col("dst_cell")), asExpr(lit(srcZoom))))))
     val gathered = needed.join(src, Seq("src_cell"), "inner")

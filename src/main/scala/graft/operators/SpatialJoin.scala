@@ -28,11 +28,36 @@ import graft.functions.F
   *     deterministic salt in [0, s), polygons replicate ×s — bounding any
   *     single task's share of a hot cell at 1/s. AQE skew-join splits the
   *     residual.
-  *   - a point maps to exactly ONE cell, so point-in-polygon emits no
-  *     duplicate pairs; geometry×geometry joins dedup on the id pair
-  *     before the (expensive) refine.
+  *   - a point maps to exactly ONE cell per cover zoom, so point-in-polygon
+  *     emits no duplicate pairs; geometry×geometry joins dedup on the id
+  *     pair before the (expensive) refine.
+  *   - cells_cover is CAPPED (default 4096 cells/row): a continental
+  *     polygon at deep zoom coarsens instead of OOM-ing a task. The
+  *     opposing side re-keys to every zoom actually present via a tiny
+  *     distinct-zoom broadcast joined on a constant key (a 1-row broadcast
+  *     and fan-out of exactly 1 unless some cover actually coarsened).
   */
 object SpatialJoin {
+
+  /** Fan `df`'s `__cell` key out to every zoom present in `cov`'s capped
+    * cover: constant-key equi-join against the tiny distinct-zoom table
+    * (BroadcastHashJoin — never BNLJ/cartesian), re-key via cell_at_zoom.
+    * Rows whose __cell is already coarser than a target zoom skip that
+    * zoom (ancestorAt would be identity — duplicate keys). */
+  private def fanToZooms(df: DataFrame, zooms: DataFrame): DataFrame =
+    // the constant join key is derived from data (pmod of a real column),
+    // NOT lit(1)===lit(1): FoldablePropagation would fold a literal key
+    // into `true` and degrade the join to a BroadcastNestedLoopJoin —
+    // PlanSpec pins the equi-join shape
+    df.withColumn("__one", pmod(F.cell_zoom(col("__cell")), lit(1L)))
+      .join(broadcast(zooms), Seq("__one"))
+      .where(col("__covz") <= F.cell_zoom(col("__cell")))
+      .withColumn("__cell", F.cell_at_zoom(col("__cell"), col("__covz")))
+      .drop("__one", "__covz")
+
+  private def coverZooms(cov: DataFrame): DataFrame =
+    cov.select(F.cell_zoom(col("__cell")).cast("int").as("__covz"))
+      .distinct().withColumn("__one", pmod(col("__covz").cast("long"), lit(1L)))
 
   /** Point-in-polygon join.
     * @param polys  (idCol, geomCol: WKB) polygon side
@@ -52,8 +77,9 @@ object SpatialJoin {
     F.ensureRegistered(spark)
     val cov = polys
       .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
-    val pts = points
-      .withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom)))
+    val pts = fanToZooms(
+      points.withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom))),
+      coverZooms(cov))
     // point-probe fast path: no WKB point round-trip per candidate
     val pred: Column =
       F.st_predicate_point(predicate, col(polyGeom), col(lonCol), col(latCol))
@@ -79,31 +105,36 @@ object SpatialJoin {
     * `hotThreshold` are salted (×saltFactor replication of the polygon
     * side), the cold remainder joins plainly — so replication cost is
     * paid exactly where skew exists. Returns the same rows as
-    * pointInPolygon (verified in SpatialJoinSpec). The hot-cell set is a
-    * small broadcast (cells, not rows). */
+    * pointInPolygon (verified in SpatialJoinSpec). The hot-cell set stays
+    * a DataFrame joined via broadcast semi/anti joins — never a driver
+    * collect or an IN-list literal, so a million hot cells cannot bloat
+    * the plan. */
   def pointInPolygonAdaptive(polys: DataFrame, polyGeom: String,
                              points: DataFrame, lonCol: String, latCol: String,
                              zoom: Int, saltFactor: Int = 8,
-                             hotThreshold: Long = 100000L): DataFrame = {
+                             hotThreshold: Long = 100000L,
+                             predicate: String = "contains"): DataFrame = {
     val spark = polys.sparkSession
     F.ensureRegistered(spark)
     val cov = polys
       .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
-      .localCheckpoint(true)
-    val pts = points
-      .withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pts = fanToZooms(
+      points.withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom))),
+      coverZooms(cov))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hotCells = pts.groupBy("__cell").count()
       .where(col("count") > hotThreshold)
-      .select("__cell").collect().map(_.getLong(0)).toSet
+      .select("__cell")
     val pred: Column =
-      F.st_predicate_point("contains", col(polyGeom), col(lonCol), col(latCol))
-    val isHot = col("__cell").isInCollection(
-      if (hotCells.isEmpty) Seq(Long.MinValue) else hotCells.toSeq)
-    val cold = pts.where(!isHot).join(cov.where(!isHot), Seq("__cell"))
+      F.st_predicate_point(predicate, col(polyGeom), col(lonCol), col(latCol))
+    val cold = pts.join(broadcast(hotCells), Seq("__cell"), "left_anti")
+      .join(cov.join(broadcast(hotCells), Seq("__cell"), "left_anti"), Seq("__cell"))
     val s = saltFactor
-    val hot = pts.where(isHot)
+    val hot = pts.join(broadcast(hotCells), Seq("__cell"), "left_semi")
       .withColumn("__salt", pmod(hash(col(lonCol), col(latCol)), lit(s)))
-      .join(cov.where(isHot).withColumn("__salt", explode(sequence(lit(0), lit(s - 1)))),
+      .join(cov.join(broadcast(hotCells), Seq("__cell"), "left_semi")
+        .withColumn("__salt", explode(sequence(lit(0), lit(s - 1)))),
         Seq("__cell", "__salt"))
       .drop("__salt")
     cold.unionByName(hot).where(pred).drop("__cell")
@@ -113,22 +144,56 @@ object SpatialJoin {
     * Both sides explode to covering cells; candidate pairs dedup on the id
     * pair before the exact refine (a pair can meet in several cells).
     * Refine keeps only the pair ids + geometries; callers re-join payload
-    * columns by id — at scale that keeps the dedup shuffle narrow. */
+    * columns by id — at scale that keeps the dedup shuffle narrow.
+    *
+    * Skew: hot cells (giant geometries fanning out, or dense clusters) are
+    * ADAPTIVELY salted when `saltFactor > 1`: a pre-agg over the left
+    * cover finds cells with > hotThreshold left rows; in those cells the
+    * left side salts deterministically and the right side replicates ×s.
+    * Cold cells join plainly — replication is paid only where skew exists. */
   def geomJoin(left: DataFrame, leftId: String, leftGeom: String,
                right: DataFrame, rightId: String, rightGeom: String,
                zoom: Int,
                predicate: String = "intersects",
-               broadcastRight: Boolean = false): DataFrame = {
+               broadcastRight: Boolean = false,
+               saltFactor: Int = 1,
+               hotThreshold: Long = 100000L): DataFrame = {
     val spark = left.sparkSession
     F.ensureRegistered(spark)
-    val l = left.select(col(leftId), col(leftGeom))
+    val l0 = left.select(col(leftId), col(leftGeom))
       .withColumn("__cell", explode(F.cells_cover(col(leftGeom), lit(zoom))))
-    val r0 = right.select(col(rightId), col(rightGeom))
+    val r00 = right.select(col(rightId), col(rightGeom))
       .withColumn("__cell", explode(F.cells_cover(col(rightGeom), lit(zoom))))
-    val r = if (broadcastRight) broadcast(r0) else r0
-    val cand = l.join(r, Seq("__cell"), "inner")
-      .dropDuplicates(leftId, rightId)
-    cand.where(call_function(s"st_$predicate", col(leftGeom), col(rightGeom)))
+    // mixed-zoom completeness: each side re-keys to every zoom present on
+    // EITHER side that is <= its own cell's zoom; an intersecting pair
+    // always meets at the coarser of its two cover zooms.
+    val zooms = coverZooms(l0).unionByName(coverZooms(r00)).distinct()
+    val l = fanToZooms(l0, zooms)
+    val r0 = fanToZooms(r00, zooms)
+    val refined =
+      if (broadcastRight) {
+        l.join(broadcast(r0), Seq("__cell"), "inner")
+          .dropDuplicates(leftId, rightId)
+      } else if (saltFactor > 1) {
+        val lp = l.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hotCells = lp.groupBy("__cell").count()
+          .where(col("count") > hotThreshold).select("__cell")
+        val s = saltFactor
+        val cold = lp.join(broadcast(hotCells), Seq("__cell"), "left_anti")
+          .join(r0.join(broadcast(hotCells), Seq("__cell"), "left_anti"), Seq("__cell"))
+        val hot = lp.join(broadcast(hotCells), Seq("__cell"), "left_semi")
+          .withColumn("__salt", pmod(hash(col(leftId)), lit(s)))
+          .join(r0.join(broadcast(hotCells), Seq("__cell"), "left_semi")
+            .withColumn("__salt", explode(sequence(lit(0), lit(s - 1)))),
+            Seq("__cell", "__salt"))
+          .drop("__salt")
+        cold.unionByName(hot).dropDuplicates(leftId, rightId)
+      } else {
+        l.join(r0, Seq("__cell"), "inner")
+          .dropDuplicates(leftId, rightId)
+      }
+    refined
+      .where(call_function(s"st_$predicate", col(leftGeom), col(rightGeom)))
       .drop("__cell")
   }
 

@@ -74,6 +74,66 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got == brute, s"engine ${got.size} vs brute ${brute.size}")
   }
 
+  test("cells_cover cap: hemisphere polygon at z15 coarsens to <= 4096 cells") {
+    F.ensureRegistered(spark)
+    val hemi = Seq((1L, "POLYGON((-180 -90, 0 -90, 0 90, -180 90, -180 -90))"))
+      .toDF("id", "wkt").withColumn("geom", F.st_geomfromwkt(col("wkt")))
+    val cells = hemi.select(explode(F.cells_cover(col("geom"), lit(15))).as("c"))
+      .select(col("c"), F.cell_zoom(col("c")).as("z")).collect()
+    assert(cells.length <= 4096, s"cap violated: ${cells.length} cells")
+    assert(cells.nonEmpty)
+    val zs = cells.map(_.getLong(1)).distinct
+    assert(zs.length == 1 && zs.head < 15, s"expected one coarser zoom, got ${zs.toSeq}")
+    // uncapped variant at a modest zoom still returns the exact grid
+    // half the 2*4^6 geodetic grid + the lon=0 boundary column (closed-
+    // envelope rule: an edge exactly on a cell boundary keeps the neighbor)
+    val exact = hemi.select(explode(F.cells_cover_exact(col("geom"), lit(6))).as("c")).count()
+    assert(exact == ((1L << 6) + 1) * (1L << 6), s"exact cover wrong: $exact")
+  }
+
+  test("PIP with a cover-coarsening giant polygon still matches brute force") {
+    F.ensureRegistered(spark)
+    // zoom 9: a near-global polygon needs ~2*4^9 >> 4096 cells -> coarsens;
+    // the fan-to-zooms re-key must keep the join complete (points fan to
+    // BOTH zooms: the giant's coarse zoom and the small boxes' zoom 9)
+    val shapes = Seq(
+      (1L, "POLYGON((-179 -89, 179 -89, 179 89, -179 89, -179 -89))"), // giant
+      (2L, "POLYGON((10 10, 30 10, 30 30, 10 30, 10 10))"))            // small
+    val polys = shapes.toDF("region_id", "wkt")
+      .withColumn("geom", F.st_geomfromwkt(col("wkt")))
+    val points = Synth.points(spark, TestSpark.SfSmall)
+    for (bc <- Seq(true, false)) {
+      val got = SpatialJoin.pointInPolygon(polys, "geom", points, "lon", "lat", 9,
+        broadcastPolys = bc)
+        .select(col("region_id"), col("pt_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (rid, wkt) <- shapes
+        prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(GeomIO.fromWkt(wkt))
+        (pid, lon, lat) <- pts
+        if prep.contains(GeomIO.point(lon, lat))
+      } yield (rid, pid)).toSet
+      assert(got == brute, s"bc=$bc: engine ${got.size} vs brute ${brute.size}")
+    }
+  }
+
+  test("geomJoin adaptive salting returns the identical pair set") {
+    F.ensureRegistered(spark)
+    val left = Synth.regionWkt(spark, TestSpark.SfSmall).limit(60)
+      .withColumn("geom_l", F.st_geomfromwkt(col("wkt")))
+      .select(col("region_id").as("lid"), col("geom_l"))
+    val right = Synth.regionWkt(spark, TestSpark.SfSmall)
+      .withColumn("shifted", F.st_geomfromwkt(col("wkt")))
+      .select((col("region_id") + 10000).as("rid"), col("shifted").as("geom_r"))
+    val plain = SpatialJoin.geomJoin(left, "lid", "geom_l", right, "rid", "geom_r", 4)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // low threshold forces the hot path on real cells; rows must not change
+    val salted = SpatialJoin.geomJoin(left, "lid", "geom_l", right, "rid", "geom_r", 4,
+      saltFactor = 4, hotThreshold = 3L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == salted, s"plain ${plain.size} vs salted ${salted.size}")
+  }
+
   test("geomJoin intersects: poly x poly with dedup matches brute force") {
     F.ensureRegistered(spark)
     val left = Synth.regionWkt(spark, TestSpark.SfSmall).limit(60)
