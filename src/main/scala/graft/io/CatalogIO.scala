@@ -76,8 +76,7 @@ object CatalogIO {
     Files.createDirectories(dir)
     val manifest = dir.resolve("PARTS.json")
     val committed: Set[String] =
-      if (Files.exists(manifest))
-        "\"([^\"]+)\"".r.findAllMatchIn(Files.readString(manifest)).map(_.group(1)).toSet
+      if (Files.exists(manifest)) parseStringArray(Files.readString(manifest)).toSet
       else Set.empty
     import org.apache.spark.sql.functions.{col, lit}
     val pending =
@@ -94,7 +93,7 @@ object CatalogIO {
       // lineage row per newly committed partition value
       val lineageDir = dir.resolve("lineage")
       val lines = newVals.map(v =>
-        s"""{"job_id":"$jobId","stage":"$stage","part":"$v","committed_at_ms":${System.currentTimeMillis()}}""")
+        s"""{"job_id":${jsonStr(jobId)},"stage":${jsonStr(stage)},"part":${jsonStr(v)},"committed_at_ms":${System.currentTimeMillis()}}""")
       Files.createDirectories(lineageDir)
       Files.writeString(lineageDir.resolve(s"parts-${System.nanoTime()}.json"),
         lines.mkString("\n"), StandardCharsets.UTF_8)
@@ -102,7 +101,7 @@ object CatalogIO {
       // leaves the new partitions uncommitted and safely rewritable
       val all = (committed ++ newVals).toSeq.sorted
       val tmp = dir.resolve(s".PARTS.json.tmp-${System.nanoTime()}")
-      Files.writeString(tmp, all.map(v => "\"" + v + "\"").mkString("[", ",", "]"),
+      Files.writeString(tmp, all.map(jsonStr).mkString("[", ",", "]"),
         StandardCharsets.UTF_8)
       Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
@@ -116,13 +115,15 @@ object CatalogIO {
     val dir = Paths.get(root, jobId, stage)
     val manifest = dir.resolve("PARTS.json")
     val committed: Seq[String] =
-      if (Files.exists(manifest))
-        "\"([^\"]+)\"".r.findAllMatchIn(Files.readString(manifest)).map(_.group(1)).toSeq
+      if (Files.exists(manifest)) parseStringArray(Files.readString(manifest))
       else Seq.empty
     import org.apache.spark.sql.functions.col
+    // before any commit the data dir does not exist — an empty table, not
+    // an AnalysisException
+    if (committed.isEmpty || !Files.isDirectory(dir.resolve("data")))
+      return spark.emptyDataFrame
     val all = spark.read.parquet(dir.resolve("data").toString)
-    if (committed.isEmpty) all.where(org.apache.spark.sql.functions.lit(false))
-    else all.where(col(partCol).cast("string").isin(committed: _*))
+    all.where(col(partCol).cast("string").isin(committed: _*))
   }
 
   def isCommitted(root: String, jobId: String, stage: String): Boolean =
@@ -132,7 +133,48 @@ object CatalogIO {
     spark.read.parquet(Paths.get(root, jobId, stage, "lineage").toString)
 
   private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Parse a JSON array of strings (the PARTS manifest) with full escape
+    * handling — a partition value containing a quote or backslash must
+    * round-trip, or resume silently re-/mis-commits partitions. */
+  private[io] def parseStringArray(txt: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = txt.indexOf('[') + 1
+    while (i > 0 && i < txt.length) {
+      txt.charAt(i) match {
+        case '"' =>
+          val sb = new StringBuilder
+          i += 1
+          while (i < txt.length && txt.charAt(i) != '"') {
+            if (txt.charAt(i) == '\\' && i + 1 < txt.length) {
+              txt.charAt(i + 1) match {
+                case 'n' => sb += '\n'; i += 2
+                case 'r' => sb += '\r'; i += 2
+                case 't' => sb += '\t'; i += 2
+                case 'u' =>
+                  sb += Integer.parseInt(txt.substring(i + 2, i + 6), 16).toChar
+                  i += 6
+                case c => sb += c; i += 2 // \" \\ \/ and friends
+              }
+            } else { sb += txt.charAt(i); i += 1 }
+          }
+          i += 1
+          out += sb.toString
+        case ']' => i = txt.length
+        case _ => i += 1
+      }
+    }
+    out.result()
+  }
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {

@@ -64,11 +64,18 @@ object Focal {
         out.result()
       }
     strips.groupByKey(s => (s.ttx, s.tty))
-      .mapGroups { (key: (Long, Long), it: Iterator[Strip]) =>
+      .flatMapGroups { (key: (Long, Long), it: Iterator[Strip]) =>
         val buf = it.toArray
-        val padded = assemble(buf, w, h)
-        val res = FocalKernel.apply(padded, w, h, mode, params)
-        (key._1, key._2, res.toSeq)
+        // sparse tile table: neighbor strips can address a tile that does
+        // not exist — without its kind-0 self part the group is a phantom
+        // (interior all-NaN); emit nothing (gaps stay gaps, and a tile
+        // bordering a gap edge-clamps like a raster border)
+        if (!buf.exists(s => s.sdx == 0 && s.sdy == 0)) Iterator.empty
+        else {
+          val padded = assemble(buf, w, h)
+          val res = FocalKernel.apply(padded, w, h, mode, params)
+          Iterator((key._1, key._2, res.toSeq))
+        }
       }
       .toDF("tx", "ty", "pixels")
   }

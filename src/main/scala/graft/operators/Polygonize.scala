@@ -309,9 +309,21 @@ object Polygonize {
       .join(globalComps.select(col("label").as("lb"), col("n_pixels").as("nbr_n")), Seq("lb"))
       .groupBy(col("la").as("label"))
       .agg(max_by(col("lb"), struct(col("nbr_n"), -col("lb"))).as("merged_into"))
-    globalComps.join(target, Seq("label"), "left")
-      .withColumn("final_label", coalesce(col("merged_into"), col("label")))
-      .groupBy(col("final_label").as("label"))
+    // Merge CHAINS must resolve to a fixpoint: small A can target small B
+    // while B itself targets C — naively B would survive as a label still
+    // holding A's pixels. Union-find over the merge edges groups each
+    // chain (a group holds at most one not-small component, since every
+    // small has exactly one outgoing edge); the surviving label is the
+    // group's largest member (tie → smallest label), which is the big
+    // endpoint when one exists.
+    val mergeEdges = target.select(col("label").as("a"), col("merged_into").as("b"))
+    val groups = resolveLabels(globalComps.select(col("label").as("node")), mergeEdges)
+    val withGrp = globalComps.join(groups, globalComps("label") === groups("node"))
+      .drop("node")
+    val finals = withGrp.groupBy(col("rep"))
+      .agg(max_by(col("label"), struct(col("n_pixels"), -col("label"))).as("__final"))
+    withGrp.join(finals, Seq("rep"))
+      .groupBy(col("__final").as("label"))
       .agg(max_by(col("dn"), col("n_pixels")).as("dn"), sum(col("n_pixels")).as("n_pixels"),
         min(col("min_gx")).as("min_gx"), max(col("max_gx")).as("max_gx"),
         min(col("min_gy")).as("min_gy"), max(col("max_gy")).as("max_gy"))

@@ -313,10 +313,15 @@ object Raster {
         out.result()
       }
     strips.groupByKey(s => (s.ttx, s.tty))
-      .mapGroups { (key: (Long, Long), it: Iterator[RStrip]) =>
+      .flatMapGroups { (key: (Long, Long), it: Iterator[RStrip]) =>
+        val buf = it.toArray
+        // sparse tile table: skip phantom groups created by neighbor
+        // blocks whose self tile does not exist (same guard as Focal)
+        if (!buf.exists(s => s.sdx == 0 && s.sdy == 0)) Iterator.empty
+        else {
         val pw = w + 2 * r; val ph = h + 2 * r
         val padded = Array.fill(pw * ph)(Double.NaN)
-        it.foreach { s =>
+        buf.foreach { s =>
           // strip at relative (sdx, sdy) lands at the matching halo block
           val ox = s.sdx match { case -1 => 0; case 0 => r; case _ => r + w }
           val oy = s.sdy match { case -1 => 0; case 0 => r; case _ => r + h }
@@ -354,7 +359,8 @@ object Raster {
           }
           y += 1
         }
-        (key._1, key._2, outPx.toSeq)
+        Iterator((key._1, key._2, outPx.toSeq))
+        }
       }
       .toDF("tx", "ty", "pixels")
   }

@@ -45,6 +45,29 @@ class FocalProxContourSpec extends AnyFunSuite {
     }
   }
 
+  test("focal on a SPARSE tile table: no phantom tiles, gaps edge-clamp like borders") {
+    // 3 tiles in a row with the middle one missing: neighbor strips from
+    // (0,0) and (2,0) address tile (1,0), which has no self part — the
+    // group must be dropped, and tiles bordering the gap must clamp the
+    // missing side exactly like a raster border (= the whole-grid result
+    // of each tile computed in isolation).
+    val w = 4; val h = 4
+    def tilePx(seed: Int) = Array.tabulate(w * h)(i => ((seed * 31 + i * 7) % 13).toDouble)
+    val tiles = Seq(
+      (0L, 0L, tilePx(1).toSeq),
+      (2L, 0L, tilePx(2).toSeq)).toDF("tx", "ty", "pixels")
+    val got = Focal.focal(tiles, w, h, nxTiles = 8, nyTiles = 4, "tri").collect()
+    assert(got.length == 2, s"phantom tiles emitted: ${got.map(r => (r.getLong(0), r.getLong(1))).toSeq}")
+    assert(got.forall(r => !r.getSeq[Double](2).exists(_.isNaN)), "NaN leaked into output")
+    // isolated-tile oracle: each tile alone == its rows in the sparse run
+    for ((tx, seed) <- Seq((0L, 1), (2L, 2))) {
+      val solo = Focal.focal(Seq((tx, 0L, tilePx(seed).toSeq)).toDF("tx", "ty", "pixels"),
+        w, h, 8, 4, "tri").collect().head.getSeq[Double](2)
+      val sparse = got.find(_.getLong(0) == tx).get.getSeq[Double](2)
+      assert(solo == sparse, s"tile $tx differs between solo and sparse runs")
+    }
+  }
+
   test("kernel hand-pins: flat raster and a single spike") {
     // flat 3x3=5 everywhere: TRI=0, TPI=0, roughness=0, slope=0, hillshade = flat-face value
     val flat = Array.fill(25)(5.0)

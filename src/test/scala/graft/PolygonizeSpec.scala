@@ -210,4 +210,19 @@ class PolygonizeSpec extends AnyFunSuite {
     val sea = after.filter(_.getAs[Double]("dn") == 0.0)
     assert(sea.length == 1 && sea.head.getAs[Long]("n_pixels") == 20L)
   }
+
+  test("sieve resolves merge CHAINS: A->B->C collapses into C, B does not survive") {
+    // one 8x1 strip: A (1px, dn=3) | B (2px, dn=2) | C (5px, dn=1).
+    // threshold 3: A and B are small. A's only bigger neighbor is B,
+    // B's largest neighbor is C -> chain A->B->C; all must land on C.
+    val w = 8; val h = 1
+    val strip = Array(3.0, 2.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    val tiles = Seq((0L, 0L, strip.toSeq)).toDF("tx", "ty", "pixels")
+    val before = Polygonize.components(tiles, w, h, 8, 1, _ => true).collect()
+    assert(before.length == 3)
+    val after = Polygonize.sieve(tiles, w, h, 8, 1, threshold = 3, _ => true).collect()
+    assert(after.length == 1, s"chain left ${after.length} components: ${after.toSeq}")
+    assert(after.head.getAs[Double]("dn") == 1.0)
+    assert(after.head.getAs[Long]("n_pixels") == 8L)
+  }
 }
