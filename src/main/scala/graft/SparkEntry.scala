@@ -479,6 +479,29 @@ object SparkEntry {
           "CAST((tx*131 + ty*173 + (i % 64)*7 + CAST(i / 64 AS INT)*11 + 8) % 256 AS DOUBLE))"))
       Media.mediaFeatures(Media.resolveMedia(docs, tiles))
         .select(col("doc_id"), col("offset"), col("px_mean"))
+    }),
+
+    // ------------- round-2 additions --------------------------------------
+    "q54_rasterize_lines" -> ((s, dir) => {
+      // gdal_rasterize of a LINE layer (ALL_TOUCHED DDA burn): endpoints on
+      // the integer global pixel grid of zoom 3 (16x8 tiles, 1024x512 px,
+      // pixel = 45/128 deg — dyadic, so every coordinate and the per-tile
+      // pixel math are exact doubles and the closed-form DDA walk is
+      // reproduced bit-for-bit by the DuckDB oracle). mode=add: pixel value
+      // = sum of burns of the lines touching it.
+      F.ensureRegistered(s)
+      val c = 45.0 / 128.0
+      val lines = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"),
+          (col("p_partkey") * 37 % 1024).as("x0"), (col("p_partkey") * 73 % 512).as("y0"),
+          ((col("p_partkey") * 131 + 257) % 1024).as("x1"), ((col("p_partkey") * 29 + 101) % 512).as("y1"))
+        .withColumn("geom", F.st_geomfromwkt(format_string(
+          "LINESTRING(%.10f %.10f, %.10f %.10f)",
+          lit(-180.0) + col("x0") * c, lit(90.0) - col("y0") * c,
+          lit(-180.0) + col("x1") * c, lit(90.0) - col("y1") * c)))
+        .withColumn("burn", (col("p_partkey") % 5 + 1).cast("double"))
+      Raster.rasterize(lines, "geom", "burn", zoom = 3, mode = "add")
+        .select(col("zoom"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     })
   )
 
@@ -1021,6 +1044,34 @@ object SparkEntry {
              list_transform(range(1, length(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) + 1),
                i -> CAST(unicode(substr(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), CAST(i AS INT), 1)) AS HUGEINT))),
            (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS fp
-         FROM documents"""
+         FROM documents""",
+    "q54_rasterize_lines" ->
+      // the same closed-form DDA walk in pure integer pixel space: sample
+      // s of segment = floor(((steps-s)·p0 + s·p1)/steps), steps =
+      // ceil(max(|dx|,|dy|)·2); distinct pixels per line, ADD-merged,
+      // GDAL checksum per 64x64 tile
+      """WITH lines AS (
+           SELECT p_partkey AS id, (p_partkey % 5 + 1) AS burn,
+             (p_partkey * 37) % 1024 AS x0, (p_partkey * 73) % 512 AS y0,
+             (p_partkey * 131 + 257) % 1024 AS x1, (p_partkey * 29 + 101) % 512 AS y1
+           FROM part),
+         st AS (
+           SELECT *, greatest(1, CAST(ceil(greatest(abs(x1 - x0), abs(y1 - y0)) * 2.0) AS BIGINT)) AS steps
+           FROM lines),
+         samp AS (
+           SELECT id, burn,
+             CAST(floor(((steps - s.s)*x0 + s.s*x1) / CAST(steps AS DOUBLE)) AS BIGINT) AS px,
+             CAST(floor(((steps - s.s)*y0 + s.s*y1) / CAST(steps AS DOUBLE)) AS BIGINT) AS py
+           FROM st, generate_series(0, 2046) s(s) WHERE s.s <= steps),
+         pxs AS (
+           SELECT DISTINCT id, burn, px, py FROM samp
+           WHERE px >= 0 AND px < 1024 AND py >= 0 AND py < 512),
+         tilepx AS (
+           SELECT px // 64 AS tx, py // 64 AS ty,
+             (py % 64) * 64 + (px % 64) AS i, sum(burn) AS v
+           FROM pxs GROUP BY 1, 2, 3)
+         SELECT CAST(3 AS BIGINT) AS zoom, tx, ty,
+           CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM tilepx GROUP BY 1, 2, 3"""
   )
 }

@@ -91,28 +91,63 @@ object Scanline {
     out.result()
   }
 
-  /** ALL_TOUCHED-style line burn: every pixel the segment passes through
-    * (reference: alg/llrasterize.cpp :: GDALdllImageLineAllTouched), via a
-    * conservative DDA walk. Returns (px, py) pairs. */
+  /** ALL_TOUCHED-style line burn: every pixel the half-pixel-step DDA walk
+    * samples (reference: alg/llrasterize.cpp ::
+    * GDALdllImageLineAllTouched), returned as (px, py) pairs, deduped.
+    * Sampling uses the CLOSED FORM ((steps-s)·p0 + s·p1)/steps — not
+    * repeated addition — so for integer pixel-coordinate endpoints every
+    * sample is an exactly-rounded rational and a SQL oracle reproduces the
+    * pixel set bit-for-bit (the incremental form accumulates FP drift the
+    * oracle cannot mirror). Tiling-safe: local coords differ from global
+    * by the exact integer tile offset, so per-tile walks agree with the
+    * global walk, and every sampled pixel contains a point of the segment
+    * (its tile is therefore always in cells_cover). */
   def rasterizeLine(line: LineString, gx0: Double, gy0: Double, pw: Double, ph: Double,
                     w: Int, h: Int): Array[(Int, Int)] = {
     val cs = line.getCoordinateSequence
     val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Int)]
     var i = 0
     while (i < cs.size() - 1) {
-      var x0 = (cs.getX(i) - gx0) / pw; var y0 = (gy0 - cs.getY(i)) / ph
+      val x0 = (cs.getX(i) - gx0) / pw; val y0 = (gy0 - cs.getY(i)) / ph
       val x1 = (cs.getX(i + 1) - gx0) / pw; val y1 = (gy0 - cs.getY(i + 1)) / ph
       val steps = math.max(1, math.ceil(math.max(math.abs(x1 - x0), math.abs(y1 - y0)) * 2).toInt)
-      val dx = (x1 - x0) / steps; val dy = (y1 - y0) / steps
       var s = 0
       while (s <= steps) {
-        val px = math.floor(x0).toInt; val py = math.floor(y0).toInt
+        val x = ((steps - s) * x0 + s * x1) / steps
+        val y = ((steps - s) * y0 + s * y1) / steps
+        val px = math.floor(x).toInt; val py = math.floor(y).toInt
         if (px >= 0 && px < w && py >= 0 && py < h) out += ((px, py))
-        x0 += dx; y0 += dy
         s += 1
       }
       i += 1
     }
     out.toArray
+  }
+
+  /** All burn runs of any geometry: polygons via scanline parity fill,
+    * line strings via the all-touched DDA (width-1 runs), points via the
+    * containing pixel — the full gdal_rasterize geometry dispatch
+    * (reference: alg/gdalrasterize.cpp :: gv_rasterize_one_shape switch
+    * over wkbPolygon / wkbLineString / wkbPoint). */
+  def burnRuns(g: Geometry, gx0: Double, gy0: Double, pw: Double, ph: Double,
+               w: Int, h: Int): Array[(Int, Int, Int)] = {
+    val out = Array.newBuilder[(Int, Int, Int)]
+    var i = 0
+    while (i < g.getNumGeometries) {
+      g.getGeometryN(i) match {
+        case p: Polygon => out ++= fillPolygon(p, gx0, gy0, pw, ph, w, h)
+        case l: LineString =>
+          rasterizeLine(l, gx0, gy0, pw, ph, w, h).foreach { case (px, py) =>
+            out += ((py, px, px + 1))
+          }
+        case pt: org.locationtech.jts.geom.Point =>
+          val px = math.floor((pt.getX - gx0) / pw).toInt
+          val py = math.floor((gy0 - pt.getY) / ph).toInt
+          if (px >= 0 && px < w && py >= 0 && py < h) out += ((py, px, px + 1))
+        case _ => // unsupported member (e.g. GeometryCollection leaf) — skip
+      }
+      i += 1
+    }
+    out.result()
   }
 }

@@ -29,7 +29,7 @@ case class RasterRuns(left: Expression, right: Expression, tileW: Int, tileH: In
     val z = ZCell.zoom(cell)
     val (w, s, e, n) = TileMath.geoTileBounds(z, ZCell.tx(cell), ZCell.ty(cell))
     val pw = (e - w) / tileW; val ph = (n - s) / tileH
-    val runs = Scanline.fillGeometry(g, w, n, pw, ph, tileW, tileH)
+    val runs = Scanline.burnRuns(g, w, n, pw, ph, tileW, tileH)
     new GenericArrayData(runs.map { case (py, xs, xe) =>
       InternalRow(py, xs, xe)
     }.toArray[Any])

@@ -55,6 +55,44 @@ class RasterSpec extends AnyFunSuite {
     assert(got == want, s"got ${got.size} tiles vs want ${want.size}")
   }
 
+  test("rasterize LINES (all-touched DDA): tiled == whole-grid walk, seams exact") {
+    F.ensureRegistered(spark)
+    import spark.implicits._
+    // integer-pixel endpoints at zoom 3 (1024x512 global px), incl. a
+    // horizontal, a vertical, a steep diagonal and a tile-corner crosser
+    val segs = Seq(
+      (1L, 10L, 10L, 200L, 10L), (2L, 63L, 0L, 63L, 130L),
+      (3L, 0L, 0L, 1023L, 511L), (4L, 60L, 60L, 70L, 70L),
+      (5L, 128L, 64L, 128L, 64L)) // degenerate point-like
+    val c = 45.0 / 128.0
+    val lines = segs.toDF("id", "x0", "y0", "x1", "y1")
+      .withColumn("geom", F.st_geomfromwkt(format_string(
+        "LINESTRING(%.10f %.10f, %.10f %.10f)",
+        lit(-180.0) + col("x0") * c, lit(90.0) - col("y0") * c,
+        lit(-180.0) + col("x1") * c, lit(90.0) - col("y1") * c)))
+      .withColumn("burn", (col("id") % 3 + 1).cast("double"))
+    val got = Raster.rasterize(lines, "geom", "burn", zoom = 3, mode = "add")
+      .select("tx", "ty", "pixels").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2).toArray)).toMap
+    // whole-grid oracle: one global DDA per line (same closed-form walk)
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), Array[Double]]
+    for ((id, x0, y0, x1, y1) <- segs) {
+      val burn = (id % 3 + 1).toDouble
+      val steps = math.max(1, math.ceil(math.max(math.abs(x1 - x0), math.abs(y1 - y0)).toDouble * 2).toInt)
+      val pxs = (0 to steps).map { s =>
+        (math.floor(((steps - s) * x0 + s.toLong * x1).toDouble / steps).toLong,
+         math.floor(((steps - s) * y0 + s.toLong * y1).toDouble / steps).toLong)
+      }.distinct
+      for ((px, py) <- pxs if px >= 0 && px < 1024 && py >= 0 && py < 512) {
+        val k = (px / 64, py / 64)
+        val buf = acc.getOrElseUpdate(k, new Array[Double](64 * 64))
+        buf(((py % 64) * 64 + px % 64).toInt) += burn
+      }
+    }
+    assert(got.keySet == acc.keySet, s"tile sets differ: ${got.keySet} vs ${acc.keySet}")
+    for ((k, buf) <- acc) assert(got(k).toSeq == buf.toSeq, s"tile $k differs")
+  }
+
   test("rasterize MAX (REPLACE-by-priority) deterministic overlap") {
     F.ensureRegistered(spark)
     import spark.implicits._
