@@ -502,6 +502,21 @@ object SparkEntry {
         .withColumn("burn", (col("p_partkey") % 5 + 1).cast("double"))
       Raster.rasterize(lines, "geom", "burn", zoom = 3, mode = "add")
         .select(col("zoom"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q55_warp_average" -> ((s, dir) => {
+      // gdalwarp -ts 640 320 -r average over the zoom-3 synthetic grid
+      // (1024x512 px): non-power-of-two 8/5 scale — NOT expressible by the
+      // 2x2 pyramid — box kernel with pure-integer center-inclusion tests,
+      // so the mean of integer sources is bit-exact vs the DuckDB oracle
+      F.ensureRegistered(s)
+      Raster.regrid(Synth.tiles(s, 3), 1024, 512, 640, 320, "average")
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q58_warp_mode" -> ((s, dir) => {
+      // same re-grid with -r mode (majority vote, ties -> smallest value)
+      F.ensureRegistered(s)
+      Raster.regrid(Synth.tiles(s, 3), 1024, 512, 640, 320, "mode")
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     })
   )
 
@@ -1072,6 +1087,42 @@ object SparkEntry {
            FROM pxs GROUP BY 1, 2, 3)
          SELECT CAST(3 AS BIGINT) AS zoom, tx, ty,
            CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
-         FROM tilepx GROUP BY 1, 2, 3"""
+         FROM tilepx GROUP BY 1, 2, 3""",
+    "q55_warp_average" ->
+      // 8/5 box resample: dst pixel (dgx,dgy) averages src centers with
+      // 16·dgx <= 10·gx+5 < 16·(dgx+1) (integer inclusion, <=2 px/axis);
+      // exact mean of integer sources, then GDAL checksum per 64x64 tile
+      s"""WITH $regridValsSql,
+         avgd AS (SELECT dgx, dgy, CAST(sum(v) AS DOUBLE)/count(*) AS v FROM vals GROUP BY 1, 2),
+         tilepx AS (SELECT dgx//64 AS tx, dgy//64 AS ty, (dgy%64)*64 + dgx%64 AS i, v FROM avgd)
+         SELECT tx, ty, CAST(sum(CAST(floor(v) AS BIGINT) * (i%49+1)) % 65535 AS INT) AS cks
+         FROM tilepx GROUP BY 1, 2""",
+    "q58_warp_mode" ->
+      // majority value per dst pixel, ties -> smallest value
+      s"""WITH $regridValsSql,
+         counted AS (SELECT dgx, dgy, v, count(*) AS cnt FROM vals GROUP BY 1, 2, 3),
+         moded AS (
+           SELECT dgx, dgy, v FROM (
+             SELECT dgx, dgy, v, row_number() OVER (PARTITION BY dgx, dgy ORDER BY cnt DESC, v ASC) AS rn
+             FROM counted) WHERE rn = 1),
+         tilepx AS (SELECT dgx//64 AS tx, dgy//64 AS ty, (dgy%64)*64 + dgx%64 AS i, v FROM moded)
+         SELECT tx, ty, CAST(sum(CAST(floor(v) AS BIGINT) * (i%49+1)) % 65535 AS INT) AS cks
+         FROM tilepx GROUP BY 1, 2"""
   )
+
+  /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
+    * the 1024x512 -> 640x320 re-grid of the zoom-3 synthetic raster. */
+  private val regridValsSql =
+    """dst AS (SELECT dgx.x AS dgx, dgy.y AS dgy
+           FROM generate_series(0, 639) dgx(x), generate_series(0, 319) dgy(y)),
+         srcpx AS (
+           SELECT d.dgx, d.dgy,
+             ((16*d.dgx+4)//10 + ox.o) AS gx, ((16*d.dgy+4)//10 + oy.o) AS gy
+           FROM dst d, generate_series(0, 1) ox(o), generate_series(0, 1) oy(o)
+           WHERE 10*((16*d.dgx+4)//10 + ox.o) + 5 < 16*(d.dgx+1)
+             AND 10*((16*d.dgy+4)//10 + oy.o) + 5 < 16*(d.dgy+1)),
+         vals AS (
+           SELECT dgx, dgy,
+             ((gx//64)*131 + (gy//64)*173 + (gx%64)*7 + (gy%64)*11 + 3) % 256 AS v
+           FROM srcpx)"""
 }

@@ -118,6 +118,55 @@ object Resample {
     out
   }
 
+  /** AVERAGE over all source pixels whose CENTER lies in the fractional
+    * source-pixel box [gx0, gx1) × [gy0, gy1) — the reference's `-r
+    * average` box filter (reference: alg/gdalwarpkernel.cpp ::
+    * GWKAverageOrModeThread, GRA_Average branch). NaN sources skipped;
+    * NaN if the box holds no valid pixel. */
+  def boxAverage(src: (Int, Int) => Double,
+                 gx0: Double, gy0: Double, gx1: Double, gy1: Double): Double = {
+    var sum = 0.0; var n = 0L
+    var gy = math.ceil(gy0 - 0.5).toInt
+    while (gy + 0.5 < gy1) {
+      var gx = math.ceil(gx0 - 0.5).toInt
+      while (gx + 0.5 < gx1) {
+        val v = src(gx, gy)
+        if (!v.isNaN) { sum += v; n += 1 }
+        gx += 1
+      }
+      gy += 1
+    }
+    if (n == 0) Double.NaN else sum / n
+  }
+
+  /** MODE over the same box: most frequent value, ties → smallest value
+    * (deterministic; the reference keeps the first max encountered, which
+    * is scan-order-dependent — documented divergence, pinned by tests). */
+  def boxMode(src: (Int, Int) => Double,
+              gx0: Double, gy0: Double, gx1: Double, gy1: Double): Double = {
+    val counts = new java.util.TreeMap[Double, Int]()
+    var gy = math.ceil(gy0 - 0.5).toInt
+    while (gy + 0.5 < gy1) {
+      var gx = math.ceil(gx0 - 0.5).toInt
+      while (gx + 0.5 < gx1) {
+        val v = src(gx, gy)
+        if (!v.isNaN) counts.merge(v, 1, (a, b) => a + b)
+        gx += 1
+      }
+      gy += 1
+    }
+    if (counts.isEmpty) Double.NaN
+    else {
+      var best = Double.NaN; var bestN = 0
+      val it = counts.entrySet().iterator() // ascending value order
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > bestN) { best = e.getKey; bestN = e.getValue }
+      }
+      best
+    }
+  }
+
   /** NEAREST reduction: top-left pixel of each 2×2 block. */
   def downsample2x2Near(pixels: Array[Double], w: Int, h: Int): Array[Double] = {
     val ow = w / 2; val oh = h / 2

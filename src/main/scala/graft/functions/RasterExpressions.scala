@@ -141,6 +141,11 @@ case class WarpTile(first: Expression, second: Expression, third: Expression,
       val ym = ym1 - (py + 0.5) * dym // top row first
       val lat = TileMath.mercYToLat(ym)
       val gy = (90.0 - lat) / srcResY // fractional src pixel row
+      // box kernels (average/mode) need the dst pixel's EDGE rows too
+      val latN = TileMath.mercYToLat(ym1 - py * dym)
+      val latS = TileMath.mercYToLat(ym1 - (py + 1) * dym)
+      val gyN = (90.0 - latN) / srcResY
+      val gyS = (90.0 - latS) / srcResY
       var px = 0
       while (px < TW) {
         val xm = xm0 + (px + 0.5) * dxm
@@ -149,6 +154,11 @@ case class WarpTile(first: Expression, second: Expression, third: Expression,
         val v = method match {
           case "near"  => Resample.nearest(srcFn, gx, gy)
           case "cubic" => Resample.cubic(srcFn, gx, gy)
+          case "average" | "mode" =>
+            val gxW = (TileMath.mercXToLon(xm0 + px * dxm) + 180.0) / srcResX
+            val gxE = (TileMath.mercXToLon(xm0 + (px + 1) * dxm) + 180.0) / srcResX
+            if (method == "average") Resample.boxAverage(srcFn, gxW, gyN, gxE, gyS)
+            else Resample.boxMode(srcFn, gxW, gyN, gxE, gyS)
           case _       => Resample.bilinear(srcFn, gx, gy)
         }
         out(py * TW + px) = if (v.isNaN) 0.0 else v

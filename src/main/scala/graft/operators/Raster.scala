@@ -189,6 +189,99 @@ object Raster {
         asExpr(col("srcs")), asExpr(lit(method)))).as("pixels"))
   }
 
+  final case class GridChunk(dtx: Long, dty: Long, tx: Long, ty: Long, pixels: Array[Double])
+
+  /** Re-grid a tiled pixel grid (srcW×srcH px) to a different resolution
+    * (dstW×dstH px) with the AVERAGE or MODE box kernel — `gdalwarp -ts
+    * dstW dstH -r average|mode` for a same-SRS linear transform
+    * (reference: alg/gdalwarpkernel.cpp :: GWKAverageOrModeThread). Every
+    * dst pixel averages the source pixels whose CENTERS fall in its
+    * footprint; inclusion tests are pure integer arithmetic
+    * ((2·gx+1)·dstW >= 2·dpx·srcW etc.), so with integer-valued sources
+    * the result is exact and a SQL oracle reproduces it bit-for-bit.
+    *
+    * Distribution is a source-window chunk exchange (the warp join in
+    * miniature): each src tile ships itself to the ≤4 dst tiles whose
+    * footprint overlaps it — shuffle O(src tiles), dst universe derived
+    * from src coverage, then one independent kernel per dst tile. */
+  def regrid(tiles: DataFrame, srcW: Long, srcH: Long, dstW: Long, dstH: Long,
+             method: String = "average"): DataFrame = {
+    require(dstW % TW == 0 && dstH % TH == 0, "dst grid must be whole tiles")
+    require(method == "average" || method == "mode", s"regrid: near/bilinear/cubic go through warp; got $method")
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val w = TW; val h = TH
+    val chunks = tiles.select(col("tx").cast("long"), col("ty").cast("long"), col("pixels"))
+      .as[(Long, Long, Seq[Double])]
+      .flatMap { case (tx, ty, px) =>
+        val p = px.toArray
+        // dst pixels containing any of my centers: d = floor((2g+1)·dstW/(2·srcW))
+        val dx0 = (2 * tx * w + 1) * dstW / (2 * srcW)
+        val dx1 = (2 * (tx + 1) * w - 1) * dstW / (2 * srcW)
+        val dy0 = (2 * ty * h + 1) * dstH / (2 * srcH)
+        val dy1 = (2 * (ty + 1) * h - 1) * dstH / (2 * srcH)
+        for {
+          dtx <- (dx0 / w) to (dx1 / w)
+          dty <- (dy0 / h) to (dy1 / h)
+        } yield GridChunk(dtx, dty, tx, ty, p)
+      }
+    chunks.groupByKey(c => (c.dtx, c.dty))
+      .mapGroups { (key: (Long, Long), it: Iterator[GridChunk]) =>
+        val (dtx, dty) = key
+        val srcTiles = new java.util.HashMap[Long, Array[Double]]()
+        it.foreach(c => srcTiles.put(c.ty * 1000000L + c.tx, c.pixels))
+        def src(gx: Long, gy: Long): Double = {
+          if (gx < 0 || gy < 0 || gx >= srcW || gy >= srcH) return Double.NaN
+          val t = srcTiles.get((gy / h) * 1000000L + gx / w)
+          if (t == null) Double.NaN else t(((gy % h) * w + gx % w).toInt)
+        }
+        val out = new Array[Double](w * h)
+        var py = 0
+        while (py < h) {
+          val dgy = dty * h + py
+          var px = 0
+          while (px < w) {
+            val dgx = dtx * w + px
+            // src centers in the dst pixel: 2·dgx·srcW <= (2·gx+1)·dstW < 2·(dgx+1)·srcW
+            var sum = 0.0; var n = 0L
+            val counts = if (method == "mode") new java.util.TreeMap[Double, Int]() else null
+            var gy = 2 * dgy * srcH / (2 * dstH) // first candidate row
+            while ((2 * gy + 1) * dstH < 2 * dgy * srcH) gy += 1
+            while ((2 * gy + 1) * dstH < 2 * (dgy + 1) * srcH) {
+              var gx = 2 * dgx * srcW / (2 * dstW)
+              while ((2 * gx + 1) * dstW < 2 * dgx * srcW) gx += 1
+              while ((2 * gx + 1) * dstW < 2 * (dgx + 1) * srcW) {
+                val v = src(gx, gy)
+                if (!v.isNaN) {
+                  if (counts != null) counts.merge(v, 1, (a, b) => a + b)
+                  else { sum += v; n += 1 }
+                }
+                gx += 1
+              }
+              gy += 1
+            }
+            out(py * w + px) =
+              if (counts != null) {
+                if (counts.isEmpty) 0.0
+                else {
+                  var best = 0.0; var bestN = 0
+                  val itc = counts.entrySet().iterator()
+                  while (itc.hasNext) {
+                    val e = itc.next()
+                    if (e.getValue > bestN) { best = e.getKey; bestN = e.getValue }
+                  }
+                  best
+                }
+              } else if (n == 0) 0.0 else sum / n
+            px += 1
+          }
+          py += 1
+        }
+        (dtx, dty, out.toSeq)
+      }
+      .toDF("tx", "ty", "pixels")
+  }
+
   /** Mosaic: priority coalesce of overlapping tile sources
     * (reference: apps/gdalbuildvrt.cpp, swig/python/scripts/gdal_merge.py)
     * — highest priority wins per tile via max_by. */

@@ -145,7 +145,7 @@ class RasterSpec extends AnyFunSuite {
     assert(got == want.toMap, s"got ${got.size} vs want ${want.size}")
   }
 
-  test("warp to mercator matches scalar oracle (near, bilinear, cubic)") {
+  test("warp to mercator matches scalar oracle (near, bilinear, cubic, average, mode)") {
     F.ensureRegistered(spark)
     val srcZoom = 3; val dstZoom = 3
     // scalar oracle: direct global sampling (no tile join) via the same kernels
@@ -156,23 +156,33 @@ class RasterSpec extends AnyFunSuite {
     }
     val srcResX = 360.0 / ((1L << (srcZoom + 1)) * 64).toDouble
     val srcResY = 180.0 / ((1L << srcZoom) * 64).toDouble
-    for (method <- Seq("near", "bilinear", "cubic")) {
+    for (method <- Seq("near", "bilinear", "cubic", "average", "mode")) {
       val got = Raster.warpToMercator(Synth.tiles(spark, srcZoom), srcZoom, dstZoom, method)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
-      val kernel: ((Int, Int) => Double, Double, Double) => Double = method match {
-        case "near"  => Resample.nearest
-        case "cubic" => Resample.cubic
-        case _       => Resample.bilinear
-      }
       val want = (for (tx <- 0L until 8L; ty <- 0L until 8L) yield {
         val (xm0, ym0, xm1, ym1) = TileMath.mercTileBoundsMeters(dstZoom, tx, ty)
         val dxm = (xm1 - xm0) / 64; val dym = (ym1 - ym0) / 64
         val buf = Array.tabulate(64 * 64) { i =>
           val px = i % 64; val py = i / 64
-          val lat = TileMath.mercYToLat(ym1 - (py + 0.5) * dym)
-          val lon = TileMath.mercXToLon(xm0 + (px + 0.5) * dxm)
-          val v = kernel(srcFn, (lon + 180.0) / srcResX, (90.0 - lat) / srcResY)
+          val v = method match {
+            case "average" | "mode" =>
+              val gyN = (90.0 - TileMath.mercYToLat(ym1 - py * dym)) / srcResY
+              val gyS = (90.0 - TileMath.mercYToLat(ym1 - (py + 1) * dym)) / srcResY
+              val gxW = (TileMath.mercXToLon(xm0 + px * dxm) + 180.0) / srcResX
+              val gxE = (TileMath.mercXToLon(xm0 + (px + 1) * dxm) + 180.0) / srcResX
+              if (method == "average") Resample.boxAverage(srcFn, gxW, gyN, gxE, gyS)
+              else Resample.boxMode(srcFn, gxW, gyN, gxE, gyS)
+            case _ =>
+              val lat = TileMath.mercYToLat(ym1 - (py + 0.5) * dym)
+              val lon = TileMath.mercXToLon(xm0 + (px + 0.5) * dxm)
+              val gx = (lon + 180.0) / srcResX; val gy = (90.0 - lat) / srcResY
+              method match {
+                case "near"  => Resample.nearest(srcFn, gx, gy)
+                case "cubic" => Resample.cubic(srcFn, gx, gy)
+                case _       => Resample.bilinear(srcFn, gx, gy)
+              }
+          }
           if (v.isNaN) 0.0 else v
         }
         ((tx, ty), Checksum.checksum(buf, 64, 64))
