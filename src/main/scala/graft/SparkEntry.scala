@@ -517,6 +517,38 @@ object SparkEntry {
       F.ensureRegistered(s)
       Raster.regrid(Synth.tiles(s, 3), 1024, 512, 640, 320, "mode")
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q56_grid_idw" -> ((s, dir) => {
+      // gdalgrid invdist:power=2 (completes A4, which had only the
+      // count/sum data metrics): zoom-5 geodetic grid (64x32, cell = 5760
+      // units of 1/1024 deg), radius 8 deg. Point coords are exact k/1024
+      // dyadics -> integer units; weights are FIXED-POINT 2^34 div d2
+      // (d2=0 snaps to 1 — documented divergence from GDAL's direct-value
+      // snap), so num/den/output are pure BIGINT arithmetic, bit-exact vs
+      // the DuckDB oracle. Plan: point-side cell_disk(2) explode -> exact
+      // radius filter -> one partial+final hash aggregate per cell; no
+      // shuffle of the grid, no per-cell point scan.
+      F.ensureRegistered(s)
+      val S = 1L << 34
+      val pts = Synth.points(s, dir).select(
+        col("l_quantity").cast("long").as("v"),
+        ((col("lon") + 180.0) * 1024).cast("long").as("ix"),
+        ((lit(90.0) - col("lat")) * 1024).cast("long").as("iy"),
+        F.cell_encode(col("lon"), col("lat"), lit(5)).as("pcell"))
+      pts.withColumn("cell", explode(F.cell_disk(col("pcell"), lit(2))))
+        .withColumn("tx", F.cell_tx(col("cell")))
+        .withColumn("ty", F.cell_ty(col("cell")))
+        .withColumn("cx", col("tx") * 5760 + 2880)
+        .withColumn("cy", col("ty") * 5760 + 2880)
+        .withColumn("d2", (col("ix") - col("cx")) * (col("ix") - col("cx")) +
+          (col("iy") - col("cy")) * (col("iy") - col("cy")))
+        .where(col("d2") <= lit(8192L * 8192L))
+        .withColumn("w", expr(s"${S}L div greatest(d2, 1L)"))
+        .groupBy("tx", "ty")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v") * col("w")).as("num"), sum(col("w")).as("den"))
+        .select(col("tx"), col("ty"), col("n"),
+          expr("(num * 1000L) div den").as("idw_milli"))
     })
   )
 
@@ -1107,7 +1139,30 @@ object SparkEntry {
              FROM counted) WHERE rn = 1),
          tilepx AS (SELECT dgx//64 AS tx, dgy//64 AS ty, (dgy%64)*64 + dgx%64 AS i, v FROM moded)
          SELECT tx, ty, CAST(sum(CAST(floor(v) AS BIGINT) * (i%49+1)) % 65535 AS INT) AS cks
-         FROM tilepx GROUP BY 1, 2"""
+         FROM tilepx GROUP BY 1, 2""",
+    "q56_grid_idw" ->
+      // same fixed-point IDW in pure integers: candidate cells from the
+      // point's 5x5 cell neighborhood, exact radius filter, 2^34//d2
+      // weights, (num*1000)//den output
+      s"""WITH pts AS ($ptsSql),
+         ip AS (
+           SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST((lon + 180.0) * 1024 AS BIGINT) AS ix,
+             CAST((90.0 - lat) * 1024 AS BIGINT) AS iy
+           FROM pts),
+         cand AS (
+           SELECT (p.ix // 5760 + dx.d) AS tx, (p.iy // 5760 + dy.d) AS ty, p.v, p.ix, p.iy
+           FROM ip p, generate_series(-2, 2) dx(d), generate_series(-2, 2) dy(d)
+           WHERE (p.ix // 5760 + dx.d) BETWEEN 0 AND 63
+             AND (p.iy // 5760 + dy.d) BETWEEN 0 AND 31),
+         wtd AS (
+           SELECT tx, ty, v,
+             (ix - (tx*5760 + 2880))*(ix - (tx*5760 + 2880))
+               + (iy - (ty*5760 + 2880))*(iy - (ty*5760 + 2880)) AS d2
+           FROM cand)
+         SELECT tx, ty, count(*) AS n,
+           (sum(v * (17179869184 // greatest(d2, 1))) * 1000) // sum(17179869184 // greatest(d2, 1)) AS idw_milli
+         FROM wtd WHERE d2 <= 67108864 GROUP BY 1, 2"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
