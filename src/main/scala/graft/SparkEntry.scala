@@ -518,6 +518,14 @@ object SparkEntry {
       Raster.regrid(Synth.tiles(s, 3), 1024, 512, 640, 320, "mode")
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q57_contour_wkt" -> ((s, dir) =>
+      // ordered polyline geometry output (the reference emits line
+      // FEATURES, not segment soup): deterministic endpoint-graph walk per
+      // stitched polyline -> LINESTRING WKT. Rows-only (double-formatted
+      // WKT); assembly determinism + tiled==giant equality pinned in
+      // FocalProxContourSpec.
+      Contour.polylines(
+        Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = 15L))),
     "q56_grid_idw" -> ((s, dir) => {
       // gdalgrid invdist:power=2 (completes A4, which had only the
       // count/sum data metrics): zoom-5 geodetic grid (64x32, cell = 5760

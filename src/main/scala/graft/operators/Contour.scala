@@ -135,15 +135,14 @@ object Contour {
     }
   }
 
-  /** Stitch segments into polylines: exact endpoint-equality graph →
-    * hash-to-min label resolution. Returns (polyline_id, n_segments)
-    * with polyline_id = min member seg_id. */
-  def stitch(segs: DataFrame): DataFrame = {
+  /** Segments labeled with their polyline id (connected component of the
+    * exact-endpoint-equality graph, hash-to-min label resolution). */
+  private def labeled(segs: DataFrame): DataFrame = {
     // bit-packed unique node id: gy:30 | gx:31 | seg_idx:2 — collision-free
     // for rasters up to 2^31 px wide / 2^30 tall (zoom ≈ 24 at 64-px tiles)
     val withId = segs.withColumn("seg_id",
       shiftleft(shiftleft(col("gy"), 31) + col("gx"), 2) + col("seg_idx"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def key(xn: String, xd: String, yn: String, yd: String) =
       concat_ws(":", col(xn), col(xd), col(yn), col(yd))
     val e0 = withId.select(col("seg_id"), key("x0n", "x0d", "y0n", "y0d").as("pt"))
@@ -153,8 +152,74 @@ object Contour {
       .where(col("a.seg_id") < col("b.seg_id"))
       .select(col("a.seg_id").as("a"), col("b.seg_id").as("b")).distinct()
     val rep = Polygonize.resolveLabels(withId.select(col("seg_id").as("node")), edges)
-    withId.join(rep, withId("seg_id") === rep("node"))
+    withId.join(rep, withId("seg_id") === rep("node")).drop("node")
+  }
+
+  /** Stitch segments into polylines. Returns (polyline_id, n_segments)
+    * with polyline_id = min member seg_id. */
+  def stitch(segs: DataFrame): DataFrame =
+    labeled(segs)
       .groupBy(col("rep").as("polyline_id"))
       .agg(count(lit(1)).as("n_segments"))
+
+  /** Ordered polyline GEOMETRY output — the reference emits line features,
+    * not segment soup (reference: alg/contour.cpp :: GDALContourGenerate →
+    * OGRContourWriter). Per polyline: walk the endpoint graph from a
+    * deterministic start (smallest degree-1 endpoint for open lines,
+    * smallest endpoint for closed rings; rational comparison is exact via
+    * cross-multiplication), emitting WKT. Per-task memory is O(one
+    * polyline); polylines assemble in parallel across the cluster.
+    * Returns (polyline_id, n_segments, closed, wkt). */
+  def polylines(segs: DataFrame): DataFrame = {
+    val spark = segs.sparkSession
+    import spark.implicits._
+    type Pt = (Long, Long, Long, Long) // xn, xd, yn, yd
+    // exact rational order: x then y (dens are positive by construction)
+    def lt(a: Pt, b: Pt): Boolean = {
+      val cx = a._1 * b._2 - b._1 * a._2
+      if (cx != 0) cx < 0
+      else a._3 * b._4 - b._3 * a._4 < 0
+    }
+    labeled(segs)
+      .select(col("rep"), col("seg_id"),
+        col("x0n"), col("x0d"), col("y0n"), col("y0d"),
+        col("x1n"), col("x1d"), col("y1n"), col("y1d"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (pid, rows) =>
+        val ss = rows.toArray.sortBy(_._2)
+        val adj = scala.collection.mutable.Map.empty[Pt, List[(Int, Pt)]]
+        for (((_, _, x0n, x0d, y0n, y0d, x1n, x1d, y1n, y1d), i) <- ss.zipWithIndex) {
+          val a = (x0n, x0d, y0n, y0d); val b = (x1n, x1d, y1n, y1d)
+          adj(a) = (i, b) :: adj.getOrElse(a, Nil)
+          adj(b) = (i, a) :: adj.getOrElse(b, Nil)
+        }
+        val deg1 = adj.collect { case (p, l) if l.length == 1 => p }
+        val start =
+          if (deg1.nonEmpty) deg1.reduceLeft((a, b) => if (lt(a, b)) a else b)
+          else adj.keys.reduceLeft((a, b) => if (lt(a, b)) a else b)
+        val used = new Array[Boolean](ss.length)
+        val path = scala.collection.mutable.ArrayBuffer[Pt](start)
+        var cur = start
+        var walking = true
+        while (walking) {
+          // deterministic: among unused incident segments, take the one
+          // leading to the smallest next endpoint
+          val nexts = adj(cur).filter { case (i, _) => !used(i) }
+          if (nexts.isEmpty) walking = false
+          else {
+            val (i, nxt) = nexts.reduceLeft((a, b) => if (lt(a._2, b._2)) a else b)
+            used(i) = true
+            path += nxt
+            cur = nxt
+          }
+        }
+        val closed = path.length > 1 && path.head == path.last
+        val wkt = path.map { case (xn, xd, yn, yd) =>
+          s"${xn.toDouble / xd} ${yn.toDouble / yd}"
+        }.mkString("LINESTRING(", ", ", ")")
+        (pid, ss.length.toLong, closed, wkt)
+      }
+      .toDF("polyline_id", "n_segments", "closed", "wkt")
   }
 }

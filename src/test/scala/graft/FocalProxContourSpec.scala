@@ -176,4 +176,41 @@ class FocalProxContourSpec extends AnyFunSuite {
     val b = Contour.stitch(segs.repartition(7)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("contour polylines: single spike assembles into a closed diamond LINESTRING") {
+    val px = Array(0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+    val tiles = Seq((0L, 0L, px.toSeq)).toDF("tx", "ty", "pixels")
+    val segs = Contour.segments(tiles, 3, 3, 1, 1, level2x = 1L)
+    val lines = Contour.polylines(segs).collect()
+    assert(lines.length == 1)
+    val r = lines.head
+    assert(r.getAs[Long]("n_segments") == 4L)
+    assert(r.getAs[Boolean]("closed"))
+    val wkt = r.getAs[String]("wkt")
+    // ring: 5 points, first == last, all on the diamond around (1.5, 1.5)
+    val coords = wkt.stripPrefix("LINESTRING(").stripSuffix(")").split(", ")
+      .map { s => val Array(x, y) = s.split(" "); (x.toDouble, y.toDouble) }
+    assert(coords.length == 5 && coords.head == coords.last, wkt)
+    assert(coords.distinct.length == 4, wkt)
+    assert(coords.forall { case (x, y) =>
+      math.abs(math.abs(x - 1.0) + math.abs(y - 1.0) - 0.5) < 1e-12 }, wkt)
+  }
+
+  test("contour polylines: tiled == single-giant-tile and partitioning-independent") {
+    val zoom = 1; val w = 8; val h = 8
+    val (vals, gw, gh) = synthVals(zoom, w, h)
+    val level2x = 15L
+    def lineSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Boolean, String)] =
+      Contour.polylines(df).collect()
+        .map(r => (r.getAs[Long]("n_segments"), r.getAs[Boolean]("closed"), r.getAs[String]("wkt"))).toSet
+    val tiledSegs = Contour.segments(Synth.maskTiles(spark, zoom, w, h), w, h,
+      1 << (zoom + 1), 1 << zoom, level2x)
+    val tiled = lineSet(tiledSegs)
+    val giant = lineSet(Contour.segments(
+      Seq((0L, 0L, vals.toSeq)).toDF("tx", "ty", "pixels"), gw, gh, 1, 1, level2x))
+    assert(tiled == giant, s"tiled ${tiled.size} vs giant ${giant.size}")
+    val reparted = lineSet(tiledSegs.repartition(7))
+    assert(tiled == reparted, "assembly depends on partitioning")
+    assert(tiled.nonEmpty)
+  }
 }
