@@ -349,6 +349,15 @@ object SparkEntry {
         .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "val")))
         .select((col("tx") * 8 + col("i") % 8).as("gx"),
           (col("ty") * 8 + (col("i") / 8).cast("long")).as("gy"), col("val"))),
+    "q59_fillnodata_idw" -> ((s, dir) =>
+      // FillNodata with inverse-distance-squared weighting (completes R6:
+      // round 1 shipped only mean-of-valid): fixed-point 2^20 div d2
+      // weights keep the weighted mean exact integer arithmetic
+      Raster.fillNodata(Synth.maskTiles(s, 2), 8, 8, 8, 4, _ < 1.0,
+        radiusPx = 4, weighting = "idw")
+        .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "val")))
+        .select((col("tx") * 8 + col("i") % 8).as("gx"),
+          (col("ty") * 8 + (col("i") / 8).cast("long")).as("gy"), col("val"))),
     "q41_contour_segments" -> ((s, dir) =>
       Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = 15L)),
     "q42_contour_stitch" -> ((s, dir) =>
@@ -906,6 +915,25 @@ object SparkEntry {
               FROM px q
               WHERE q.v >= 1
                 AND (q.gx - p.gx)*(q.gx - p.gx) + (q.gy - p.gy)*(q.gy - p.gy) <= 16) AS fill
+           FROM px p WHERE p.v < 1)
+         SELECT p.gx, p.gy,
+           CASE WHEN p.v >= 1 THEN CAST(p.v AS DOUBLE)
+                ELSE coalesce(f.fill, CAST(p.v AS DOUBLE)) END AS val
+         FROM px p LEFT JOIN filled f ON f.gx = p.gx AND f.gy = p.gy""",
+    "q59_fillnodata_idw" ->
+      // inverse-distance-squared fill: weight = 2^20 // d2 (integer),
+      // fill = sum(v*w)/sum(w) — exact over the integer synth grid
+      """WITH px AS (
+           SELECT gx.x AS gx, gy.y AS gy,
+             ((gx.x // 8)*131 + (gy.y // 8)*173 + (gx.x % 8)*7 + (gy.y % 8)*11) % 16 AS v
+           FROM generate_series(0, 63) gx(x), generate_series(0, 31) gy(y)),
+         filled AS (
+           SELECT p.gx, p.gy,
+             (SELECT CAST(sum(q.v * (1048576 // ((q.gx - p.gx)*(q.gx - p.gx) + (q.gy - p.gy)*(q.gy - p.gy)))) AS DOUBLE)
+                   / sum(1048576 // ((q.gx - p.gx)*(q.gx - p.gx) + (q.gy - p.gy)*(q.gy - p.gy)))
+              FROM px q
+              WHERE q.v >= 1
+                AND (q.gx - p.gx)*(q.gx - p.gx) + (q.gy - p.gy)*(q.gy - p.gy) BETWEEN 1 AND 16) AS fill
            FROM px p WHERE p.v < 1)
          SELECT p.gx, p.gy,
            CASE WHEN p.v >= 1 THEN CAST(p.v AS DOUBLE)

@@ -366,8 +366,16 @@ object Raster {
     * fills independently. Requires radiusPx <= min(w, h).
     * Output: (tx, ty, pixels) with fills applied. */
   def fillNodata(tiles: DataFrame, w: Int, h: Int, nxTiles: Long, nyTiles: Long,
-                 isNodata: Double => Boolean, radiusPx: Int): DataFrame = {
+                 isNodata: Double => Boolean, radiusPx: Int,
+                 weighting: String = "mean"): DataFrame = {
     require(radiusPx <= math.min(w, h), "radius must fit one tile halo")
+    require(weighting == "mean" || weighting == "idw", s"weighting: mean|idw, got $weighting")
+    // idw: fixed-point inverse-distance-squared weights 2^20 div d2 — with
+    // integer-valued sources the weighted mean is exact arithmetic, so a
+    // SQL oracle reproduces it (GDALFillNodata's inverse-distance analog;
+    // the reference's 4-direction ray search is a documented divergence)
+    val idw = weighting == "idw"
+    val WS = 1L << 20
     val spark = tiles.sparkSession
     import spark.implicits._
     val r = radiusPx
@@ -438,9 +446,13 @@ object Raster {
                 while (dy2 <= r) {
                   var dx2 = -r
                   while (dx2 <= r) {
-                    if (dx2 * dx2 + dy2 * dy2 <= r * r) {
+                    val d2 = dx2 * dx2 + dy2 * dy2
+                    if (d2 <= r * r && d2 > 0) {
                       val nv = padded((y + r + dy2) * pw + x + r + dx2)
-                      if (!nv.isNaN && !isNodata(nv)) { sum += nv; n += 1 }
+                      if (!nv.isNaN && !isNodata(nv)) {
+                        val wgt = if (idw) WS / d2 else 1L
+                        sum += nv * wgt; n += wgt
+                      }
                     }
                     dx2 += 1
                   }

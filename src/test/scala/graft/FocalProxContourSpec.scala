@@ -108,7 +108,8 @@ class FocalProxContourSpec extends AnyFunSuite {
     want.foreach { case (k, d2) => assert(got(k) == d2, s"pixel $k") }
   }
 
-  test("fillNodata tiled == whole-grid scalar (radius halo correctness)") {
+  for (weighting <- Seq("mean", "idw"))
+  test(s"fillNodata ($weighting) tiled == whole-grid scalar (radius halo correctness)") {
     val zoom = 2; val w = 8; val h = 8
     val (vals, gw, gh) = synthVals(zoom, w, h)
     val r = 4
@@ -120,18 +121,19 @@ class FocalProxContourSpec extends AnyFunSuite {
       want(gy * gw + gx) =
         if (!isNd(v)) v
         else {
-          var sum = 0.0; var n = 0
+          var sum = 0.0; var n = 0L
           for (dy <- -r to r; dx <- -r to r
-               if dx * dx + dy * dy <= r * r
+               if dx * dx + dy * dy <= r * r && (dx != 0 || dy != 0)
                if gx + dx >= 0 && gx + dx < gw && gy + dy >= 0 && gy + dy < gh) {
             val nv = vals((gy + dy) * gw + gx + dx)
-            if (!isNd(nv)) { sum += nv; n += 1 }
+            val wgt = if (weighting == "idw") (1L << 20) / (dx * dx + dy * dy) else 1L
+            if (!isNd(nv)) { sum += nv * wgt; n += wgt }
           }
           if (n == 0) v else sum / n
         }
     }
     val got = graft.operators.Raster.fillNodata(
-      Synth.maskTiles(spark, zoom, w, h), w, h, 1 << (zoom + 1), 1 << zoom, isNd, r)
+      Synth.maskTiles(spark, zoom, w, h), w, h, 1 << (zoom + 1), 1 << zoom, isNd, r, weighting)
       .collect()
     val flat = new Array[Double](gw * gh)
     got.foreach { row =>
