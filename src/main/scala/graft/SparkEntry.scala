@@ -527,6 +527,17 @@ object SparkEntry {
       Raster.regrid(Synth.tiles(s, 3), 1024, 512, 640, 320, "mode")
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q60_pip_mercator" -> ((s, dir) => {
+      // the same PIP join pruned on the WEB-MERCATOR cell grid — the
+      // native prune for post-warp EPSG:3857-tiled data (round 1 had no
+      // mercator-side cover). Exact refine unchanged -> identical row set,
+      // so the geodetic DuckDB oracle applies verbatim.
+      F.ensureRegistered(s)
+      val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
+      SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat",
+        zoom = 7, broadcastPolys = true, mercator = true)
+        .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
+    }),
     "q57_contour_wkt" -> ((s, dir) =>
       // ordered polyline geometry output (the reference emits line
       // FEATURES, not segment soup): deterministic endpoint-graph walk per
@@ -658,6 +669,11 @@ object SparkEntry {
          FROM pts p JOIN boxes b
            ON p.lon > b.xmin AND p.lon < b.xmax AND p.lat > b.ymin AND p.lat < b.ymax""",
     "q12_pip_salted" ->
+      s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql)
+         SELECT b.box_id AS box_id, p.pt_id AS pt_id
+         FROM pts p JOIN boxes b
+           ON p.lon > b.xmin AND p.lon < b.xmax AND p.lat > b.ymin AND p.lat < b.ymax""",
+    "q60_pip_mercator" ->
       s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql)
          SELECT b.box_id AS box_id, p.pt_id AS pt_id
          FROM pts p JOIN boxes b

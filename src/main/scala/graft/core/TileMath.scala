@@ -117,6 +117,27 @@ object TileMath {
     ZCell.range(zoom, tx0, ty0, tx1, ty1)
   }
 
+  /** Mercator-grid analogs of the geodetic envelope cover: packed cell ids
+    * of every mercator tile intersecting the (degree) envelope. Latitudes
+    * clamp to the web-mercator domain inside mercTileY. */
+  def mercCellsForEnvelope(minLon: Double, minLat: Double, maxLon: Double,
+                           maxLat: Double, zoom: Int): Array[Long] = {
+    val tx0 = mercTileX(minLon, zoom)
+    val tx1 = mercTileX(maxLon, zoom) max tx0
+    val ty0 = mercTileY(maxLat, zoom)
+    val ty1 = mercTileY(minLat, zoom) max ty0
+    ZCell.range(zoom, tx0, ty0, tx1, ty1)
+  }
+
+  def mercCellCountForEnvelope(minLon: Double, minLat: Double, maxLon: Double,
+                               maxLat: Double, zoom: Int): Long = {
+    val tx0 = mercTileX(minLon, zoom)
+    val tx1 = mercTileX(maxLon, zoom) max tx0
+    val ty0 = mercTileY(maxLat, zoom)
+    val ty1 = mercTileY(minLat, zoom) max ty0
+    (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+  }
+
   /** Cell count geoCellsForEnvelope would return, without materializing —
     * the cells_cover cap probes zooms with this before allocating. */
   def geoCellCountForEnvelope(minLon: Double, minLat: Double, maxLon: Double,

@@ -113,7 +113,8 @@ case class CellDisk(left: Expression, right: Expression)
   * every zoom actually present (see SpatialJoin), so pruning stays
   * complete; the exact JTS refine unchanged. maxCells <= 0 disables the
   * cap (rasterize needs the exact requested zoom). */
-case class CellsCover(left: Expression, right: Expression, maxCells: Int = 4096)
+case class CellsCover(left: Expression, right: Expression, maxCells: Int = 4096,
+                      mercator: Boolean = false)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(g0: Any, z0: Any): Any = {
@@ -124,27 +125,32 @@ case class CellsCover(left: Expression, right: Expression, maxCells: Int = 4096)
     // pick the zoom FIRST via the arithmetic tile-range count (a hemisphere
     // at z15 is ~5·10^8 cells — materializing it before coarsening would
     // itself be the OOM the cap exists to prevent), then materialize once
+    def count(z: Int): Long =
+      if (mercator) TileMath.mercCellCountForEnvelope(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, z)
+      else TileMath.geoCellCountForEnvelope(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, z)
     var zoom = zoomReq
     if (maxCells > 0) {
-      while (zoom > 0 && TileMath.geoCellCountForEnvelope(
-          env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, zoom) > maxCells)
-        zoom -= 1
+      while (zoom > 0 && count(zoom) > maxCells) zoom -= 1
     }
-    val cand = TileMath.geoCellsForEnvelope(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, zoom)
+    val cand =
+      if (mercator) TileMath.mercCellsForEnvelope(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, zoom)
+      else TileMath.geoCellsForEnvelope(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, zoom)
     val out =
       if (cand.length <= 4) cand // tiny covers: envelope filter is enough
       else {
         val prep = GeomIO.prepared(wkb)
         cand.filter { c =>
-          val (w, s, e, n) = TileMath.geoTileBounds(zoom, ZCell.tx(c), ZCell.ty(c))
+          val (w, s, e, n) =
+            if (mercator) TileMath.mercTileBoundsDeg(zoom, ZCell.tx(c), ZCell.ty(c))
+            else TileMath.geoTileBounds(zoom, ZCell.tx(c), ZCell.ty(c))
           prep.intersects(GeomIO.box(w, s, e, n))
         }
       }
     new GenericArrayData(out)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(l, r, maxCells)
-  override def prettyName: String = "cells_cover"
+    copy(l, r, maxCells, mercator)
+  override def prettyName: String = if (mercator) "cells_cover_merc" else "cells_cover"
 }
 
 /** cell_at_zoom(cell, z) → the cell's ancestor at zoom z (identity when

@@ -66,6 +66,7 @@ object F {
         "cell_ring"      -> (e => CellRing(e(0), e(1))),
         "cell_disk"      -> (e => CellDisk(e(0), e(1))),
         "cells_cover"    -> (e => CellsCover(e(0), e(1))),
+        "cells_cover_merc" -> (e => CellsCover(e(0), e(1), mercator = true)),
         "cell_at_zoom"   -> (e => CellAtZoom(e(0), e(1))),
         "minhash_sig"    -> (e => MinhashSig(e(0), e(1), e(2))),
         "lsh_bands"      -> (e => LshBands(e(0), e(1), e(2))),
@@ -140,6 +141,8 @@ object F {
       org.apache.spark.sql.graftshim.Columns.expr(g),
       org.apache.spark.sql.graftshim.Columns.expr(i(zoom)), maxCells = 0))
   def cell_at_zoom(c: Column, z: Column): Column = call_function("cell_at_zoom", c, i(z))
+  def cells_cover_merc(g: Column, zoom: Column): Column =
+    call_function("cells_cover_merc", g, i(zoom))
 
   def minhash_sig(t: Column, numPerm: Int, k: Int): Column =
     call_function("minhash_sig", t, lit(numPerm), lit(k))

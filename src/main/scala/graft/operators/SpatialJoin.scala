@@ -66,19 +66,26 @@ object SpatialJoin {
     * @param broadcastPolys map-side join (polygon side must fit in memory)
     * @param saltFactor >1 enables salting on the shuffle path
     * @param predicate "contains" (boundary excluded) or "covers"/"intersects"
-    */
+    * @param mercator prune on the web-mercator cell grid instead of the
+    *   geodetic one — the native path for post-warp (EPSG:3857-tiled) data;
+    *   the exact refine is unchanged, so results are identical wherever
+    *   both grids cover (|lat| <= 85.05) */
   def pointInPolygon(polys: DataFrame, polyGeom: String,
                      points: DataFrame, lonCol: String, latCol: String,
                      zoom: Int,
                      broadcastPolys: Boolean = true,
                      saltFactor: Int = 1,
-                     predicate: String = "contains"): DataFrame = {
+                     predicate: String = "contains",
+                     mercator: Boolean = false): DataFrame = {
     val spark = polys.sparkSession
     F.ensureRegistered(spark)
-    val cov = polys
-      .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
+    def cover(g: org.apache.spark.sql.Column) =
+      if (mercator) F.cells_cover_merc(g, lit(zoom)) else F.cells_cover(g, lit(zoom))
+    def encode(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
+      if (mercator) F.cell_encode_merc(lon, lat, lit(zoom)) else F.cell_encode(lon, lat, lit(zoom))
+    val cov = polys.withColumn("__cell", explode(cover(col(polyGeom))))
     val pts = fanToZooms(
-      points.withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom))),
+      points.withColumn("__cell", encode(col(lonCol), col(latCol))),
       coverZooms(cov))
     // point-probe fast path: no WKB point round-trip per candidate
     val pred: Column =
@@ -157,13 +164,16 @@ object SpatialJoin {
                predicate: String = "intersects",
                broadcastRight: Boolean = false,
                saltFactor: Int = 1,
-               hotThreshold: Long = 100000L): DataFrame = {
+               hotThreshold: Long = 100000L,
+               mercator: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     F.ensureRegistered(spark)
+    def cover(g: org.apache.spark.sql.Column) =
+      if (mercator) F.cells_cover_merc(g, lit(zoom)) else F.cells_cover(g, lit(zoom))
     val l0 = left.select(col(leftId), col(leftGeom))
-      .withColumn("__cell", explode(F.cells_cover(col(leftGeom), lit(zoom))))
+      .withColumn("__cell", explode(cover(col(leftGeom))))
     val r00 = right.select(col(rightId), col(rightGeom))
-      .withColumn("__cell", explode(F.cells_cover(col(rightGeom), lit(zoom))))
+      .withColumn("__cell", explode(cover(col(rightGeom))))
     // mixed-zoom completeness: each side re-keys to every zoom present on
     // EITHER side that is <= its own cell's zoom; an intersecting pair
     // always meets at the coarser of its two cover zooms.

@@ -117,6 +117,23 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("PIP on the MERCATOR cell grid == geodetic == brute force (post-warp prune path)") {
+    F.ensureRegistered(spark)
+    val polys = Synth.regionWkt(spark, TestSpark.SfSmall)
+      .withColumn("geom", F.st_geomfromwkt(col("wkt")))
+    val points = Synth.points(spark, TestSpark.SfSmall)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("region_id").cast("long"), col("pt_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val geo = pairs(SpatialJoin.pointInPolygon(polys, "geom", points, "lon", "lat", 5))
+    for (bc <- Seq(true, false)) {
+      val merc = pairs(SpatialJoin.pointInPolygon(polys, "geom", points, "lon", "lat", 5,
+        broadcastPolys = bc, mercator = true))
+      assert(merc == geo, s"bc=$bc: mercator prune changed the row set")
+    }
+    assert(geo.nonEmpty)
+  }
+
   test("geomJoin adaptive salting returns the identical pair set") {
     F.ensureRegistered(spark)
     val left = Synth.regionWkt(spark, TestSpark.SfSmall).limit(60)
