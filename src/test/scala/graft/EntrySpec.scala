@@ -45,7 +45,8 @@ class EntrySpec extends AnyFunSuite {
       "q35_sieve",           // merge semantics pinned in PolygonizeSpec
       "q39_hillshade",       // trig — kernel pinned in FocalProxContourSpec
       "q42_contour_stitch",  // closure not SQL-expressible; pinned in spec
-      "q45_ann_lsh")         // approximate recall by design
+      "q45_ann_lsh",         // approximate recall by design
+      "q57_contour_wkt")     // double-formatted WKT; pinned vs giant-tile in spec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
