@@ -133,23 +133,37 @@ object Dedup {
       .withColumn("rn", row_number().over(wOrd))
       .join(counts, Seq("id"))
       .where(col("rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-      .select("blk", "id", "g")
+      .select("blk", "id", "g", "rn", "n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pa = prefix.select(col("blk"), col("id").as("id_a"), col("g"))
-    val pb = prefix.select(col("blk"), col("id").as("id_b"), col("g"))
+    val pa = prefix.select(col("blk"), col("id").as("id_a"), col("g"),
+      col("rn").as("rn_a"), col("n").as("n_a"))
+    val pb = prefix.select(col("blk"), col("id").as("id_b"), col("g"),
+      col("rn").as("rn_b"), col("n").as("n_b"))
+    // PPJoin filters applied BEFORE the pair dedup (at sf0.1 they cut raw
+    // candidates 4× and distinct pairs 2×):
+    //  - length: J >= t forces t·|A| <= |B| <= |A|/t
+    //  - positional: 1 + min(|A|-pos_A, |B|-pos_B) bounds the overlap from
+    //    above; it must reach α = ceil(t/(1+t)·(|A|+|B|))
     val cand = pa.join(pb, Seq("blk", "g"))
       .where(col("id_a") < col("id_b"))
+      .where(col("n_b") >= lit(minJaccard) * col("n_a") &&
+             col("n_a") >= lit(minJaccard) * col("n_b"))
+      .where(lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >=
+        ceil(lit(minJaccard / (1.0 + minJaccard)) * (col("n_a") + col("n_b"))))
       .select("id_a", "id_b").distinct()
     // exact verify per candidate pair via array_intersect on the per-doc
     // gram arrays (codegen'd hash intersection) — O(|A|+|B|) per pair with
-    // NO pair×gram shuffle. The gram-array lookups are ordinary shuffle
-    // joins keyed by doc id: the per-doc gram table is O(corpus) and must
-    // NEVER be unconditionally broadcast (round 1 did, and the full-corpus
+    // NO pair×gram shuffle. Grams are carried as xxhash64 LONGS, not
+    // strings (3-4× smaller verify shuffle; a same-doc-pair 64-bit
+    // collision changing the count has probability ~|A|·|B|/2^64 ≈ 1e-15
+    // per pair). The gram-array lookups are ordinary shuffle joins keyed
+    // by doc id: the per-doc gram table is O(corpus) and must NEVER be
+    // unconditionally broadcast (round 1 did, and the full-corpus
     // broadcast × 2 was both a 100-TB impossibility and the proximate OOM
     // pressure in the driver bench). AQE still auto-broadcasts when the
     // table is genuinely under the threshold.
     val docGrams = grams.groupBy("id")
-      .agg(collect_list(col("g")).as("garr"), count(lit(1)).as("n"))
+      .agg(collect_list(xxhash64(col("g"))).as("garr"), count(lit(1)).as("n"))
     cand
       .join(docGrams.select(col("id").as("id_a"), col("garr").as("ga"), col("n").as("n_a")), Seq("id_a"))
       .join(docGrams.select(col("id").as("id_b"), col("garr").as("gb"), col("n").as("n_b")), Seq("id_b"))
