@@ -19,12 +19,18 @@ import graft.core.{GeomIO, TileMath, ZCell}
   * private[sql] in Spark 4). */
 case class CellEncode(first: Expression, second: Expression, third: Expression,
                       mercator: Boolean = false)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(lon0: Any, lat0: Any, z0: Any): Any = {
     val lon = lon0.asInstanceOf[Double]; val lat = lat0.asInstanceOf[Double]
     val z = z0.asInstanceOf[Int]
     if (mercator) TileMath.mercCell(lon, lat, z) else TileMath.geoCell(lon, lat, z)
+  }
+  // hot-path expressions stay inside whole-stage codegen via a static call
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val fn = if (mercator) "mercCell" else "geoCell"
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.core.TileMath.$fn($a, $b, $c)")
   }
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c, mercator)
@@ -33,7 +39,7 @@ case class CellEncode(first: Expression, second: Expression, third: Expression,
 
 /** cell_zoom / cell_tx / cell_ty accessors. */
 case class CellPart(child: Expression, part: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = {
     val c = v.asInstanceOf[Long]
@@ -44,16 +50,25 @@ case class CellPart(child: Expression, part: String)
       case "parent" => ZCell.parent(c)
     }
   }
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => part match {
+      case "zoom" => s"(long) graft.core.ZCell.zoom($c)"
+      case p      => s"graft.core.ZCell.$p($c)"
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(c, part)
   override def prettyName: String = s"cell_$part"
 }
 
 /** cell_pack(zoom, tx, ty) — build a packed cell id from parts. */
 case class CellPack(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(z: Any, tx: Any, ty: Any): Any =
     ZCell.pack(z.asInstanceOf[Int], tx.asInstanceOf[Long], ty.asInstanceOf[Long])
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (z, tx, ty) => s"graft.core.ZCell.pack($z, $tx, $ty)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
   override def prettyName: String = "cell_pack"
@@ -107,13 +122,15 @@ case class CellDisk(left: Expression, right: Expression)
   *
   * maxCells > 0 caps the per-row array: if the envelope needs more than
   * maxCells cells at the requested zoom, the cover COARSENS (zoom-1,
-  * zoom-2, …) until it fits — a continental polygon at deep zoom yields a
-  * bounded array of coarser cells instead of a task-OOM-sized one. Cell
+  * zoom-2, …) until it fits: a continental polygon at deep zoom yields a
+  * bounded array of coarser cells instead of a task-OOM-sized one. The
+  * default (65536 ≈ 512 KB of longs) never fires below zoom 8 even for a
+  * whole-world geometry, so shallow-zoom joins keep single-zoom plans. Cell
   * ids carry their zoom, and join consumers fan the opposing side out to
   * every zoom actually present (see SpatialJoin), so pruning stays
   * complete; the exact JTS refine unchanged. maxCells <= 0 disables the
   * cap (rasterize needs the exact requested zoom). */
-case class CellsCover(left: Expression, right: Expression, maxCells: Int = 4096,
+case class CellsCover(left: Expression, right: Expression, maxCells: Int = 65536,
                       mercator: Boolean = false)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -158,10 +175,13 @@ case class CellsCover(left: Expression, right: Expression, maxCells: Int = 4096,
   * a point's fine cell re-keys to whatever coarser zoom a capped cover
   * emitted. */
 case class CellAtZoom(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(c0: Any, z0: Any): Any =
     ZCell.ancestorAt(c0.asInstanceOf[Long], z0.asInstanceOf[Int])
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (c, z) => s"graft.core.ZCell.ancestorAt($c, $z)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
   override def prettyName: String = "cell_at_zoom"
 }

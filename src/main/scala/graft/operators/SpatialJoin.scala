@@ -31,33 +31,34 @@ import graft.functions.F
   *   - a point maps to exactly ONE cell per cover zoom, so point-in-polygon
   *     emits no duplicate pairs; geometry×geometry joins dedup on the id
   *     pair before the (expensive) refine.
-  *   - cells_cover is CAPPED (default 4096 cells/row): a continental
-  *     polygon at deep zoom coarsens instead of OOM-ing a task. The
-  *     opposing side re-keys to every zoom actually present via a tiny
-  *     distinct-zoom broadcast joined on a constant key (a 1-row broadcast
-  *     and fan-out of exactly 1 unless some cover actually coarsened).
+  *   - cells_cover is CAPPED (default 65536 cells/row): a continental
+  *     polygon at deep zoom coarsens instead of OOM-ing a task. The set of
+  *     zooms actually present (≤ MaxZoom+1 values) is collected at plan
+  *     time from the cover side; the opposing side re-keys to that ladder
+  *     only when a cover really coarsened — the common single-zoom case
+  *     keeps the round-1 plan untouched.
   */
 object SpatialJoin {
 
-  /** Fan `df`'s `__cell` key out to every zoom present in `cov`'s capped
-    * cover: constant-key equi-join against the tiny distinct-zoom table
-    * (BroadcastHashJoin — never BNLJ/cartesian), re-key via cell_at_zoom.
-    * Rows whose __cell is already coarser than a target zoom skip that
-    * zoom (ancestorAt would be identity — duplicate keys). */
-  private def fanToZooms(df: DataFrame, zooms: DataFrame): DataFrame =
-    // the constant join key is derived from data (pmod of a real column),
-    // NOT lit(1)===lit(1): FoldablePropagation would fold a literal key
-    // into `true` and degrade the join to a BroadcastNestedLoopJoin —
-    // PlanSpec pins the equi-join shape
-    df.withColumn("__one", pmod(F.cell_zoom(col("__cell")), lit(1L)))
-      .join(broadcast(zooms), Seq("__one"))
-      .where(col("__covz") <= F.cell_zoom(col("__cell")))
-      .withColumn("__cell", F.cell_at_zoom(col("__cell"), col("__covz")))
-      .drop("__one", "__covz")
-
-  private def coverZooms(cov: DataFrame): DataFrame =
+  /** The distinct zooms present in a (possibly capped, hence mixed-zoom)
+    * cover — collected at plan time. This is a bounded driver action (at
+    * most MaxZoom+1 values, one narrow pass over the cover side): paying
+    * it buys the COMMON case — nothing coarsened — a completely untouched
+    * point-side plan, where a runtime join-based fan taxed every row of
+    * the big side (~50% on the salted PIP at sf0.1). */
+  private def coverZooms(cov: DataFrame): Seq[Int] =
     cov.select(F.cell_zoom(col("__cell")).cast("int").as("__covz"))
-      .distinct().withColumn("__one", pmod(col("__covz").cast("long"), lit(1L)))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Fan `df`'s `__cell` key out to every zoom in `zooms`: identity when
+    * the cover is single-zoom at the requested zoom; otherwise a per-row
+    * explode of the literal zoom ladder (rows already coarser than a
+    * target zoom skip it — ancestorAt would duplicate the key). */
+  private def fanToZooms(df: DataFrame, zooms: Seq[Int], reqZoom: Int): DataFrame =
+    if (zooms.isEmpty || zooms == Seq(reqZoom)) df
+    else df.withColumn("__cell", explode(expr(
+      s"transform(filter(array(${zooms.mkString(",")}), z -> z <= cell_zoom(__cell)), " +
+        "z -> cell_at_zoom(__cell, z))")))
 
   /** Point-in-polygon join.
     * @param polys  (idCol, geomCol: WKB) polygon side
@@ -83,10 +84,13 @@ object SpatialJoin {
       if (mercator) F.cells_cover_merc(g, lit(zoom)) else F.cells_cover(g, lit(zoom))
     def encode(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
       if (mercator) F.cell_encode_merc(lon, lat, lit(zoom)) else F.cell_encode(lon, lat, lit(zoom))
+    // persisted: the plan-time coverZooms action materializes the cover
+    // anyway — caching it makes the join's second computation free
     val cov = polys.withColumn("__cell", explode(cover(col(polyGeom))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pts = fanToZooms(
       points.withColumn("__cell", encode(col(lonCol), col(latCol))),
-      coverZooms(cov))
+      coverZooms(cov), zoom)
     // point-probe fast path: no WKB point round-trip per candidate
     val pred: Column =
       F.st_predicate_point(predicate, col(polyGeom), col(lonCol), col(latCol))
@@ -128,11 +132,13 @@ object SpatialJoin {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pts = fanToZooms(
       points.withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom))),
-      coverZooms(cov))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      coverZooms(cov), zoom)
+    // tiny (cells over threshold) but referenced by four joins — persist
+    // so the full-point pre-agg runs once
     val hotCells = pts.groupBy("__cell").count()
       .where(col("count") > hotThreshold)
       .select("__cell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pred: Column =
       F.st_predicate_point(predicate, col(polyGeom), col(lonCol), col(latCol))
     val cold = pts.join(broadcast(hotCells), Seq("__cell"), "left_anti")
@@ -172,14 +178,16 @@ object SpatialJoin {
       if (mercator) F.cells_cover_merc(g, lit(zoom)) else F.cells_cover(g, lit(zoom))
     val l0 = left.select(col(leftId), col(leftGeom))
       .withColumn("__cell", explode(cover(col(leftGeom))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r00 = right.select(col(rightId), col(rightGeom))
       .withColumn("__cell", explode(cover(col(rightGeom))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // mixed-zoom completeness: each side re-keys to every zoom present on
     // EITHER side that is <= its own cell's zoom; an intersecting pair
     // always meets at the coarser of its two cover zooms.
-    val zooms = coverZooms(l0).unionByName(coverZooms(r00)).distinct()
-    val l = fanToZooms(l0, zooms)
-    val r0 = fanToZooms(r00, zooms)
+    val zooms = (coverZooms(l0) ++ coverZooms(r00)).distinct.sorted
+    val l = fanToZooms(l0, zooms, zoom)
+    val r0 = fanToZooms(r00, zooms, zoom)
     val refined =
       if (broadcastRight) {
         l.join(broadcast(r0), Seq("__cell"), "inner")
@@ -188,6 +196,7 @@ object SpatialJoin {
         val lp = l.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val hotCells = lp.groupBy("__cell").count()
           .where(col("count") > hotThreshold).select("__cell")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val s = saltFactor
         val cold = lp.join(broadcast(hotCells), Seq("__cell"), "left_anti")
           .join(r0.join(broadcast(hotCells), Seq("__cell"), "left_anti"), Seq("__cell"))

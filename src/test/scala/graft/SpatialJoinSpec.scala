@@ -74,13 +74,13 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got == brute, s"engine ${got.size} vs brute ${brute.size}")
   }
 
-  test("cells_cover cap: hemisphere polygon at z15 coarsens to <= 4096 cells") {
+  test("cells_cover cap: hemisphere polygon at z15 coarsens to <= 65536 cells") {
     F.ensureRegistered(spark)
     val hemi = Seq((1L, "POLYGON((-180 -90, 0 -90, 0 90, -180 90, -180 -90))"))
       .toDF("id", "wkt").withColumn("geom", F.st_geomfromwkt(col("wkt")))
     val cells = hemi.select(explode(F.cells_cover(col("geom"), lit(15))).as("c"))
       .select(col("c"), F.cell_zoom(col("c")).as("z")).collect()
-    assert(cells.length <= 4096, s"cap violated: ${cells.length} cells")
+    assert(cells.length <= 65536, s"cap violated: ${cells.length} cells")
     assert(cells.nonEmpty)
     val zs = cells.map(_.getLong(1)).distinct
     assert(zs.length == 1 && zs.head < 15, s"expected one coarser zoom, got ${zs.toSeq}")
