@@ -165,6 +165,11 @@ object Polygonize {
   /** Distributed fallback for graphs too big to collect. */
   private def resolveLabelsDistributed(nodes: DataFrame, edges: DataFrame,
                                        maxIter: Int): DataFrame = {
+    // the iterative rounds below keep eager localCheckpoint ON PURPOSE:
+    // pointer jumping needs its lineage truncated every round (a persist
+    // would stack O(iterations) of plan on plan). At cluster scale this is
+    // the one place a reliable checkpoint dir (or a CatalogIO stage
+    // commit per round) should replace local checkpoints.
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
       .distinct().localCheckpoint(true)
@@ -198,7 +203,8 @@ object Polygonize {
   def components(tiles: DataFrame, w: Int, h: Int, gridW: Long, gridH: Long,
                  mask: Double => Boolean,
                  dnOf: Double => Double = identity): DataFrame = {
-    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf).toDF().localCheckpoint(true)
+    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comps = emits.where(col("kind") === 0)
       .select(col("lbl"), col("dn"), col("n"),
         col("minGx"), col("maxGx"), col("minGy"), col("maxGy"))
@@ -232,7 +238,8 @@ object Polygonize {
                     dnOf: Double => Double = identity): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf).toDF().localCheckpoint(true)
+    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comps = emits.where(col("kind") === 0).select(col("lbl"), col("dn"))
     val rep = resolveLabels(comps.select(col("lbl").as("node")), seams(emits))
     // pixel-level emission (second pass; only rows that polygonize)
@@ -277,19 +284,20 @@ object Polygonize {
             threshold: Long,
             mask: Double => Boolean,
             dnOf: Double => Double = identity): DataFrame = {
-    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf).toDF().localCheckpoint(true)
+    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comps = emits.where(col("kind") === 0)
       .select(col("lbl"), col("dn"), col("n"),
         col("minGx"), col("maxGx"), col("minGy"), col("maxGy"))
     val rep = resolveLabels(comps.select(col("lbl").as("node")), seams(emits))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // global components + their pairwise adjacency (any DN)
     val globalComps = comps.join(rep, comps("lbl") === rep("node"))
       .groupBy(col("rep").as("label"))
       .agg(first(col("dn")).as("dn"), sum(col("n")).as("n_pixels"),
         min(col("minGx")).as("min_gx"), max(col("maxGx")).as("max_gx"),
         min(col("minGy")).as("min_gy"), max(col("maxGy")).as("max_gy"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val localNbr = emits.where(col("kind") === 3).select(col("lbl").as("a"), col("other").as("b"))
     // cross-tile different-DN adjacency: seam join WITHOUT dn equality
     val outE = emits.where(col("kind") === 1).select(col("gx"), col("gy"), col("lbl").as("a"))
