@@ -24,8 +24,17 @@ object GeomOps {
 case class StGeomFromWkt(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
-  override def nullSafeEval(v: Any): Any =
-    GeomIO.toWkb(GeomIO.fromWkt(v.asInstanceOf[UTF8String].toString))
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    // empty/blank → null, NOT an error: the interleaved doc schema uses ''
+    // for the non-applicable field of a span (media rows carry text='').
+    // Catalyst may legally reorder filter conjuncts, so an inferred
+    // isnotnull(f(text)) can run BEFORE a kind='text' predicate — parsing
+    // must tolerate the convention. Truly malformed WKT still throws.
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty || s.forall(_.isWhitespace)) null
+    else GeomIO.toWkb(GeomIO.fromWkt(s))
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "st_geomfromwkt"
 }
