@@ -550,6 +550,27 @@ object SparkEntry {
       // FocalProxContourSpec.
       Contour.polylines(
         Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = 15L))),
+    "q61_cutline" -> ((s, dir) => {
+      // gdalwarp -cutline (R7, previously a documented non-goal): cutline
+      // boxes on the integer zoom-3 pixel grid (dyadic 45/128-degree
+      // coords → exact), mask = scanline burn, outside pixels zeroed,
+      // untouched tiles dropped (nodata analog)
+      F.ensureRegistered(s)
+      val c = 45.0 / 128.0
+      val boxesPx = Seq((1L, 100L, 50L, 300L, 200L), (2L, 600L, 100L, 800L, 400L),
+        (3L, 40L, 400L, 90L, 470L))
+      import s.implicits._
+      val cut = boxesPx.toDF("cut_id", "x0", "y0", "x1", "y1")
+        .withColumn("geom", F.st_geomfromwkt(format_string(
+          "POLYGON((%.10f %.10f, %.10f %.10f, %.10f %.10f, %.10f %.10f, %.10f %.10f))",
+          lit(-180.0) + col("x0") * c, lit(90.0) - col("y0") * c,
+          lit(-180.0) + col("x1") * c, lit(90.0) - col("y0") * c,
+          lit(-180.0) + col("x1") * c, lit(90.0) - col("y1") * c,
+          lit(-180.0) + col("x0") * c, lit(90.0) - col("y1") * c,
+          lit(-180.0) + col("x0") * c, lit(90.0) - col("y0") * c)))
+      Raster.cutline(Synth.tiles(s, 3), cut, "geom", zoom = 3)
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q56_grid_idw" -> ((s, dir) => {
       // gdalgrid invdist:power=2 (completes A4, which had only the
       // count/sum data metrics): zoom-5 geodetic grid (64x32, cell = 5760
@@ -1196,6 +1217,31 @@ object SparkEntry {
          tilepx AS (SELECT dgx//64 AS tx, dgy//64 AS ty, (dgy%64)*64 + dgx%64 AS i, v FROM moded)
          SELECT tx, ty, CAST(sum(CAST(floor(v) AS BIGINT) * (i%49+1)) % 65535 AS INT) AS cks
          FROM tilepx GROUP BY 1, 2""",
+    "q61_cutline" ->
+      // integer-pixel cutline boxes: mask = [x0,x1)×[y0,y1) per the
+      // scanline center rule; masked checksum per tile, untouched tiles
+      // absent
+      """WITH tiles AS (
+           SELECT tx.x AS tx, ty.y AS ty
+           FROM generate_series(0, 15) tx(x), generate_series(0, 7) ty(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             t.tx*64 + (i.i % 64) AS gx, t.ty*64 + (i.i // 64) AS gy
+           FROM tiles t, generate_series(0, 4095) i(i)),
+         m AS (
+           SELECT *, CASE WHEN (gx >= 100 AND gx < 300 AND gy >= 50 AND gy < 200)
+                            OR (gx >= 600 AND gx < 800 AND gy >= 100 AND gy < 400)
+                            OR (gx >= 40 AND gx < 90 AND gy >= 400 AND gy < 470)
+                     THEN 1 ELSE 0 END AS mask
+           FROM px),
+         v AS (
+           SELECT tx, ty, i, mask,
+             ((tx*131 + ty*173 + (i%64)*7 + (i//64)*11 + 3) % 256) * mask AS val
+           FROM m),
+         keep AS (SELECT tx, ty FROM v GROUP BY tx, ty HAVING sum(mask) > 0)
+         SELECT v.tx, v.ty,
+           CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM v JOIN keep k ON k.tx = v.tx AND k.ty = v.ty GROUP BY 1, 2""",
     "q56_grid_idw" ->
       // same fixed-point IDW in pure integers: candidate cells from the
       // point's 5x5 cell neighborhood, exact radius filter, 2^34//d2

@@ -282,6 +282,22 @@ object Raster {
       .toDF("tx", "ty", "pixels")
   }
 
+  /** Cutline mask (reference: alg/gdalcutline.cpp ::
+    * GDALWarpCutlineMasker): rasterize the cutline polygons into 0/1 mask
+    * tiles at the raster's zoom (same scanline center rule as the
+    * reference's non-ALL_TOUCHED cutline), equi-join on the tile key, and
+    * zero out pixels outside. Tiles with no masked pixel drop entirely
+    * (the nodata analog; blend distance not implemented — documented).
+    * Plan: one rasterize + one codegen'd zip_with per tile; no custom
+    * kernel. Expects/returns (zoom, tx, ty, pixels). */
+  def cutline(tiles: DataFrame, cut: DataFrame, geomCol: String, zoom: Int): DataFrame = {
+    val mask = rasterize(cut.withColumn("__burn", lit(1.0)), geomCol, "__burn", zoom, mode = "max")
+      .select(col("tx"), col("ty"), col("pixels").as("__mask"))
+    tiles.join(mask, Seq("tx", "ty"), "inner")
+      .withColumn("pixels", expr("zip_with(pixels, __mask, (v, m) -> v * m)"))
+      .drop("__mask")
+  }
+
   /** Mosaic: priority coalesce of overlapping tile sources
     * (reference: apps/gdalbuildvrt.cpp, swig/python/scripts/gdal_merge.py)
     * — highest priority wins per tile via max_by. */
