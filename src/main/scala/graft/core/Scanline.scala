@@ -106,13 +106,31 @@ object Scanline {
                     w: Int, h: Int): Array[(Int, Int)] = {
     val cs = line.getCoordinateSequence
     val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Int)]
+    // sample-index window whose positions can land inside [-1, bound+1) —
+    // a SUPERSET selector only (skipped samples provably fall outside the
+    // grid), so per-tile walks stay bit-identical to the full walk while
+    // each tile visits O(its own span) samples instead of O(whole line)
+    def sWindow(p0: Double, p1: Double, bound: Int, steps: Int): (Int, Int) = {
+      if (p0 == p1) {
+        if (p0 > -1.0 && p0 < bound + 1.0) (0, steps) else (1, 0)
+      } else {
+        val a = (-1.0 - p0) / (p1 - p0) * steps
+        val b = (bound + 1.0 - p0) / (p1 - p0) * steps
+        val lo = math.max(0.0, math.min(a, b) - 1.0)
+        val hi = math.min(steps.toDouble, math.max(a, b) + 1.0)
+        (math.floor(lo).toInt, math.ceil(hi).toInt)
+      }
+    }
     var i = 0
     while (i < cs.size() - 1) {
       val x0 = (cs.getX(i) - gx0) / pw; val y0 = (gy0 - cs.getY(i)) / ph
       val x1 = (cs.getX(i + 1) - gx0) / pw; val y1 = (gy0 - cs.getY(i + 1)) / ph
       val steps = math.max(1, math.ceil(math.max(math.abs(x1 - x0), math.abs(y1 - y0)) * 2).toInt)
-      var s = 0
-      while (s <= steps) {
+      val (sx0, sx1) = sWindow(x0, x1, w, steps)
+      val (sy0, sy1) = sWindow(y0, y1, h, steps)
+      var s = math.max(sx0, sy0)
+      val sEnd = math.min(sx1, sy1)
+      while (s <= sEnd) {
         val x = ((steps - s) * x0 + s * x1) / steps
         val y = ((steps - s) * y0 + s * y1) / steps
         val px = math.floor(x).toInt; val py = math.floor(y).toInt
