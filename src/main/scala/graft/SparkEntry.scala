@@ -571,6 +571,22 @@ object SparkEntry {
       Raster.cutline(Synth.tiles(s, 3), cut, "geom", zoom = 3)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q62_pansharpen" -> ((s, dir) => {
+      // gdal_pansharpen weighted Brovey (R8, previously a non-goal): pan
+      // at zoom 3, three synthetic ms bands at zoom 2 nearest-upsampled;
+      // out = ms·pan·30 div Σms in pure BIGINT — bit-exact vs oracle.
+      // scale=10 (not the operator's default 1000) keeps per-pixel values
+      // <= 7650 so the checksum's 32-bit masked accumulator never wraps
+      // (the SQL oracle sums unmasked)
+      F.ensureRegistered(s)
+      val pan = Synth.tiles(s, 3)
+      val ms = (1 to 3).map { b =>
+        Synth.tiles(s, 2).withColumn("band", lit(b))
+          .withColumn("pixels", expr(s"transform(pixels, v -> (v * $b + $b * 17) % 256)"))
+      }.reduce(_ unionByName _)
+      Raster.pansharpen(pan, ms, nBands = 3, scale = 10)
+        .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q56_grid_idw" -> ((s, dir) => {
       // gdalgrid invdist:power=2 (completes A4, which had only the
       // count/sum data metrics): zoom-5 geodetic grid (64x32, cell = 5760
@@ -1242,6 +1258,32 @@ object SparkEntry {
          SELECT v.tx, v.ty,
            CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM v JOIN keep k ON k.tx = v.tx AND k.ty = v.ty GROUP BY 1, 2""",
+    "q62_pansharpen" ->
+      // closed-form: pan(z3) per pixel; ms_b = (v2·b + 17·b) % 256 where
+      // v2 is the zoom-2 parent pixel under nearest upsampling; Brovey in
+      // integer deci units (scale 10 — see query comment), checksum per
+      // (band, tile)
+      """WITH px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS pan,
+             ((t.tx // 2)*131 + (t.ty // 2)*173
+               + ((t.tx % 2)*32 + (i.i % 64) // 2)*7
+               + ((t.ty % 2)*32 + (i.i // 64) // 2)*11 + 2) % 256 AS v2
+           FROM (SELECT gx.x AS tx, gy.y AS ty
+                 FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)) t,
+                generate_series(0, 4095) i(i)),
+         b AS (
+           SELECT tx, ty, i, pan, bb.b AS band,
+             (v2 * bb.b + bb.b * 17) % 256 AS ms,
+             ((v2*1 + 17) % 256) + ((v2*2 + 34) % 256) + ((v2*3 + 51) % 256) AS den
+           FROM px, generate_series(1, 3) bb(b)),
+         o AS (
+           SELECT band, tx, ty, i,
+             CASE WHEN den = 0 THEN 0 ELSE (ms * pan * 30) // den END AS val
+           FROM b)
+         SELECT CAST(band AS INT) AS band, tx, ty,
+           CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM o GROUP BY 1, 2, 3""",
     "q56_grid_idw" ->
       // same fixed-point IDW in pure integers: candidate cells from the
       // point's 5x5 cell neighborhood, exact radius filter, 2^34//d2

@@ -282,6 +282,53 @@ object Raster {
       .toDF("tx", "ty", "pixels")
   }
 
+  /** Nearest 2× upsample: each tile at zoom z-1 emits its 4 children at
+    * zoom z (the inverse of pyramidUp; reference: gcore/rasterio.cpp
+    * nearest upsampling path). Pure generate + codegen'd HOF — no shuffle. */
+  def upsample2x(tiles: DataFrame): DataFrame =
+    tiles
+      .withColumn("__qx", explode(expr("array(0, 1)")))
+      .withColumn("__qy", explode(expr("array(0, 1)")))
+      .select(
+        (col("zoom") + 1).as("zoom"),
+        (col("tx") * 2 + col("__qx")).as("tx"),
+        (col("ty") * 2 + col("__qy")).as("ty"),
+        col("band"),
+        expr(s"""transform(sequence(0, ${TW * TH - 1}), i ->
+          element_at(pixels, CAST(
+            (__qy * ${TH / 2} + (i div $TW) div 2) * $TW
+              + __qx * ${TW / 2} + (i % $TW) div 2 AS INT) + 1))""").as("pixels"))
+
+  /** Pansharpen, weighted-Brovey (reference: alg/gdalpansharpen.cpp ::
+    * GDALPansharpenOperation::WeightedBrovey): out_b = ms_b · pan /
+    * pseudo_pan with equal weights, pseudo_pan = mean of the ms bands.
+    * ms bands arrive one zoom COARSER (the usual satellite geometry) and
+    * are nearest-upsampled to the pan grid; the ratio is computed in pure
+    * BIGINT fixed point (scale 1000, out = ms·pan·nBands·1000 div Σms) so
+    * integer inputs give a bit-exact, oracle-checkable result.
+    * pan: (zoom, tx, ty, pixels); ms: (zoom, tx, ty, band, pixels) at
+    * zoom-1 with bands 1..nBands. Output: one row per (band, tile). */
+  def pansharpen(pan: DataFrame, msCoarse: DataFrame, nBands: Int,
+                 scale: Int = 1000): DataFrame = {
+    val up = upsample2x(msCoarse)
+    val wide = up.groupBy("zoom", "tx", "ty")
+      .agg(sort_array(collect_list(struct(col("band"), col("pixels")))).as("bands"))
+    val joined = pan.select(col("zoom"), col("tx"), col("ty"), col("pixels").as("__pan"))
+      .join(wide, Seq("zoom", "tx", "ty"))
+    val denExpr = (1 to nBands)
+      .map(b => s"CAST(element_at(bands[${b - 1}].pixels, i + 1) AS BIGINT)")
+      .mkString(" + ")
+    val perBand = (1 to nBands).map { b =>
+      joined.select(col("zoom"), col("tx"), col("ty"), lit(b).as("band"),
+        expr(s"""transform(sequence(0, ${TW * TH - 1}), i ->
+          CAST(IF(($denExpr) = 0, 0L,
+            (CAST(element_at(bands[${b - 1}].pixels, i + 1) AS BIGINT)
+             * CAST(element_at(__pan, i + 1) AS BIGINT)
+             * ${nBands.toLong * scale}L) div ($denExpr)) AS DOUBLE))""").as("pixels"))
+    }
+    perBand.reduce(_ unionByName _)
+  }
+
   /** Cutline mask (reference: alg/gdalcutline.cpp ::
     * GDALWarpCutlineMasker): rasterize the cutline polygons into 0/1 mask
     * tiles at the raster's zoom (same scanline center rule as the
