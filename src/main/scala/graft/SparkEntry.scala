@@ -587,6 +587,23 @@ object SparkEntry {
       Raster.pansharpen(pan, ms, nBands = 3, scale = 10)
         .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q63_mediancut" -> ((s, dir) => {
+      // rgb2pct (A9, previously a non-goal): 3 synthetic channels of the
+      // zoom-3 grid have exactly 256 distinct colors, so at quantBits=8 /
+      // paletteSize=256 median cut terminates in singleton boxes and the
+      // palette is exactly the distinct colors sorted by packed value —
+      // index = rank, reproduced bit-for-bit by the oracle. (The general
+      // path — fewer palette entries than colors, 5-bit bins — is pinned
+      // in RasterSpec.)
+      F.ensureRegistered(s)
+      val ms = Seq((1, "v"), (2, "(v * 2 + 5) % 256"), (3, "(v * 7 + 11) % 256"))
+        .map { case (b, e) =>
+          Synth.tiles(s, 3).withColumn("band", lit(b))
+            .withColumn("pixels", expr(s"transform(pixels, v -> $e)"))
+        }.reduce(_ unionByName _)
+      val (mapped, _) = Raster.rgb2pct(ms, paletteSize = 256, quantBits = 8)
+      mapped.select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q56_grid_idw" -> ((s, dir) => {
       // gdalgrid invdist:power=2 (completes A4, which had only the
       // count/sum data metrics): zoom-5 geodetic grid (64x32, cell = 5760
@@ -1284,6 +1301,25 @@ object SparkEntry {
          SELECT CAST(band AS INT) AS band, tx, ty,
            CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM o GROUP BY 1, 2, 3""",
+    "q63_mediancut" ->
+      // identity-case oracle: palette = distinct packed colors sorted asc,
+      // index = rank-1; checksum per tile over indices
+      """WITH px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS v
+           FROM (SELECT gx.x AS tx, gy.y AS ty
+                 FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)) t,
+                generate_series(0, 4095) i(i)),
+         col AS (
+           SELECT tx, ty, i,
+             v*65536 + ((v*2 + 5) % 256)*256 + ((v*7 + 11) % 256) AS c
+           FROM px),
+         pal AS (
+           SELECT c, row_number() OVER (ORDER BY c) - 1 AS idx
+           FROM (SELECT DISTINCT c FROM col))
+         SELECT col.tx, col.ty,
+           CAST(sum(CAST(p.idx AS BIGINT) * (col.i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM col JOIN pal p ON p.c = col.c GROUP BY 1, 2""",
     "q56_grid_idw" ->
       // same fixed-point IDW in pure integers: candidate cells from the
       // point's 5x5 cell neighborhood, exact radius filter, 2^34//d2

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import graft.core.{GeomIO, Resample, Scanline, TileMath, ZCell}
+import graft.core.{GeomIO, MedianCut, Resample, Scanline, TileMath, ZCell}
 
 /** Raster-side expressions: scanline burn runs, warp source-window
   * computation, and the per-tile warp kernel. */
@@ -171,4 +171,30 @@ case class WarpTile(first: Expression, second: Expression, third: Expression,
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression, d: Expression): Expression = copy(a, b, c, d)
   override def prettyName: String = "warp_tile"
+}
+
+/** palette_map(r, g, b, palette) → array<double> of palette indices:
+  * nearest-color assignment per pixel against a plan-time-literal sorted
+  * palette of packed RGB ints (reference: alg/gdaldither.cpp assigns via
+  * error diffusion — sequential; nearest assignment is the order-free
+  * re-expression, documented in core.MedianCut). */
+case class PaletteMap(first: Expression, second: Expression, third: Expression,
+                      palette: Array[Int])
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(r0: Any, g0: Any, b0: Any): Any = {
+    val r = r0.asInstanceOf[ArrayData].toDoubleArray()
+    val g = g0.asInstanceOf[ArrayData].toDoubleArray()
+    val b = b0.asInstanceOf[ArrayData].toDoubleArray()
+    val out = new Array[Double](r.length)
+    var i = 0
+    while (i < r.length) {
+      out(i) = MedianCut.nearestIdx(palette, r(i).toInt, g(i).toInt, b(i).toInt).toDouble
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c, palette)
+  override def prettyName: String = "palette_map"
 }

@@ -329,6 +329,42 @@ object Raster {
     perBand.reduce(_ unionByName _)
   }
 
+  /** rgb2pct (reference: alg/gdalmediancut.cpp ::
+    * GDALComputeMedianCutPCT + swig/python/scripts/rgb2pct.py): quantized
+    * RGB histogram (one distributed hash aggregate — shuffle carries
+    * ≤ 2^(3·quantBits) bins, not pixels) → median-cut palette on the
+    * driver (histogram-sized, exactly like the reference) → nearest-color
+    * index map per pixel (order-free; the reference's Floyd–Steinberg
+    * dither is a sequential scanline recurrence — documented divergence
+    * in core.MedianCut). ms: (zoom, tx, ty, band, pixels) bands 1..3.
+    * Returns (index tiles, sorted packed palette). */
+  def rgb2pct(ms: DataFrame, paletteSize: Int = 256,
+              quantBits: Int = 5): (DataFrame, Array[Int]) = {
+    require(quantBits >= 1 && quantBits <= 8, "quantBits in [1,8]")
+    val wide = ms.groupBy("zoom", "tx", "ty")
+      .agg(sort_array(collect_list(struct(col("band"), col("pixels")))).as("bands"))
+      .select(col("zoom"), col("tx"), col("ty"),
+        col("bands")(0)("pixels").as("__r"),
+        col("bands")(1)("pixels").as("__g"),
+        col("bands")(2)("pixels").as("__b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = 8 - quantBits
+    def q(c: String, i: String) =
+      s"shiftleft(shiftright(CAST(element_at($c, $i + 1) AS INT), $sh), $sh)"
+    val hist = wide
+      .select(col("__g"), col("__b"), posexplode(col("__r")).as(Seq("__i", "__rv")))
+      .select(expr(s"(shiftleft(shiftright(CAST(__rv AS INT), $sh), $sh) * 65536"
+        + s" + ${q("__g", "__i")} * 256 + ${q("__b", "__i")})").as("__c"))
+      .groupBy("__c").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val pal = graft.core.MedianCut.palette(hist, paletteSize)
+    import org.apache.spark.sql.graftshim.Columns.{of => expr2colP, expr => asExprP}
+    val mapped = wide.select(col("zoom"), col("tx"), col("ty"),
+      expr2colP(graft.functions.PaletteMap(
+        asExprP(col("__r")), asExprP(col("__g")), asExprP(col("__b")), pal)).as("pixels"))
+    (mapped, pal)
+  }
+
   /** Cutline mask (reference: alg/gdalcutline.cpp ::
     * GDALWarpCutlineMasker): rasterize the cutline polygons into 0/1 mask
     * tiles at the raster's zoom (same scanline center rule as the

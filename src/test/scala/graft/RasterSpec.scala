@@ -201,6 +201,47 @@ class RasterSpec extends AnyFunSuite {
     assert(math.abs(Resample.cubic((_, _) => 7.0, 3.3, 2.7) - 7.0) < 1e-12)
   }
 
+  test("rgb2pct median cut: distributed == whole-grid scalar; palette partitioning-independent") {
+    F.ensureRegistered(spark)
+    import spark.implicits._
+    // general path: 5-bit bins, 16-entry palette over 256 distinct colors
+    val ms = Seq((1, "v"), (2, "(v * 2 + 5) % 256"), (3, "(v * 7 + 11) % 256"))
+      .map { case (b, e) =>
+        Synth.tiles(spark, 2).withColumn("band", lit(b))
+          .withColumn("pixels", expr(s"transform(pixels, v -> $e)"))
+      }.reduce(_ unionByName _)
+    val (mapped, pal) = Raster.rgb2pct(ms, paletteSize = 16, quantBits = 5)
+    assert(pal.length <= 16 && pal.length > 1)
+    assert(pal.sameElements(pal.sorted), "palette must be sorted")
+    val got = mapped.select("tx", "ty", "pixels").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2).toSeq)).toMap
+    // scalar oracle: whole-grid histogram + same kernels
+    def chans(tx: Long, ty: Long, i: Int): (Int, Int, Int) = {
+      val v = synthPixel(2, tx, ty, i % 64, i / 64).toInt
+      (v, (v * 2 + 5) % 256, (v * 7 + 11) % 256)
+    }
+    val hist = scala.collection.mutable.Map.empty[Int, Long]
+    for (tx <- 0L until 8L; ty <- 0L until 4L; i <- 0 until 4096) {
+      val (r, g, b) = chans(tx, ty, i)
+      val c = ((r >> 3) << 3 << 16) | ((g >> 3) << 3 << 8) | ((b >> 3) << 3)
+      hist(c) = hist.getOrElse(c, 0L) + 1
+    }
+    val palWant = graft.core.MedianCut.palette(hist.toArray, 16)
+    assert(pal.sameElements(palWant), "distributed histogram changed the palette")
+    for (tx <- 0L until 8L; ty <- 0L until 4L) {
+      val want = (0 until 4096).map { i =>
+        val (r, g, b) = chans(tx, ty, i)
+        graft.core.MedianCut.nearestIdx(palWant, r, g, b).toDouble
+      }
+      assert(got((tx, ty)) == want, s"tile ($tx,$ty) mapping differs")
+    }
+    // partitioning independence
+    val (mapped2, pal2) = Raster.rgb2pct(ms.repartition(13), paletteSize = 16, quantBits = 5)
+    assert(pal2.sameElements(pal))
+    assert(mapped2.select("tx", "ty", "pixels").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2).toSeq)).toMap == got)
+  }
+
   test("mosaic max_by priority") {
     F.ensureRegistered(spark)
     val a = Synth.tiles(spark, 2).withColumn("prio", lit(1))
