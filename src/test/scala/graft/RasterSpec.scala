@@ -191,6 +191,22 @@ class RasterSpec extends AnyFunSuite {
     }
   }
 
+  test("warp dst universe scales with SOURCE coverage, not the planet") {
+    F.ensureRegistered(spark)
+    import spark.implicits._
+    // one source tile at zoom 3 warped to dstZoom 6: round 1 enumerated
+    // every dst tile on Earth (4^6 = 4096 rows pre-join); the derived
+    // universe must stay proportional to the projected footprint of the
+    // single tile (+1 halo tile per side)
+    val one = Synth.tiles(spark, 3).where(col("tx") === 5 && col("ty") === 3)
+    val out = Raster.warpToMercator(one, srcZoom = 3, dstZoom = 6, "near")
+      .select("tx", "ty").collect()
+    assert(out.nonEmpty)
+    // src tile covers 22.5° x 22.5° ≈ 4x(4..8) mercator z6 tiles (5.625°)
+    // + halo; anything near 4096 means the planet got enumerated again
+    assert(out.length <= 60, s"dst universe exploded: ${out.length} tiles")
+  }
+
   test("cubic kernel reproduces linear ramps exactly (Keys a=-0.5)") {
     val src: (Int, Int) => Double = (x, y) => 3.0 * x + 2.0 * y + 1.0
     for (sx <- Seq(5.1, 5.5, 6.9); sy <- Seq(4.2, 4.5, 5.8)) {
