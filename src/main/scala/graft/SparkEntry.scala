@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.F
-import graft.operators.{Ann, Contour, Dedup, Focal, Knn, Media, Polygonize, Proximity, Raster, SpatialJoin}
+import graft.operators.{Ann, Contour, Dedup, Focal, Knn, Media, Osm, Polygonize, Proximity, Raster, SpatialJoin}
 import graft.synth.Synth
 
 /** Driver contract (see /root/repo/SURVEY.md §7 + the builder prompt).
@@ -70,6 +70,21 @@ object SparkEntry {
        ((s_suppkey*7919) % 368640) / 1024.0 - 180.0 AS lon,
        ((s_suppkey*104729) % 163840) / 1024.0 - 80.0 AS lat
        FROM supplier"""
+
+  /** Shared oracle fragment for q64/q65: integer-unit points, the deduped
+    * node table (pt_id % 53 withheld, duplicate ids collapsed by min), and
+    * the per-order span-ordered refs — byte-for-byte Synth.osmNodes/osmWays. */
+  private val osmBaseSql =
+    s"""pts AS ($ptsSql),
+       ip AS (SELECT pt_id, doc_key, line_no, part_key, supp_key,
+           CAST((lon + 180.0) * 1024 AS BIGINT) AS ix,
+           CAST((90.0 - lat) * 1024 AS BIGINT) AS iy FROM pts),
+       nodes AS (SELECT pt_id AS node_id, min(ix) AS ix, min(iy) AS iy
+           FROM ip WHERE pt_id % 53 <> 0 GROUP BY 1),
+       ordr AS (SELECT doc_key AS way_id, pt_id,
+           row_number() OVER (PARTITION BY doc_key ORDER BY line_no, part_key, supp_key) AS pos,
+           count(*) OVER (PARTITION BY doc_key) AS n
+           FROM ip)"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------- relational core (SURVEY.md §3.2/3.3/3.5/3.6/3.7) -------
@@ -603,6 +618,23 @@ object SparkEntry {
         }.reduce(_ unionByName _)
       val (mapped, _) = Raster.rgb2pct(ms, paletteSize = 256, quantBits = 8)
       mapped.select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q64_osm_ways" -> ((s, dir) => {
+      // OSM two-pass reader (S10, previously a documented non-goal): the
+      // reference's pass-1 node DB becomes a shuffle equi-join, pass-2 way
+      // assembly a sort_array groupBy; ways with a withheld node
+      // (pt_id % 53 == 0) are skipped, closed ways emit POLYGON. Integer
+      // 1/1024-deg coords -> WKT matches the DuckDB oracle byte-for-byte.
+      Osm.assembleWays(Synth.osmNodes(s, dir), Synth.osmWays(s, dir))
+    }),
+    "q65_osm_relations" -> ((s, dir) => {
+      // OSM multipolygon relation assembly: each qualifying closed way is
+      // split into two open arcs; assembleRelations stitches them back
+      // (endpoint walk, member reversal as needed) and emits the ring in
+      // canonical orientation — which the oracle recomputes in pure SQL
+      // (rotation + direction choice via window functions).
+      Osm.assembleRelations(Synth.osmNodes(s, dir), Synth.osmRelArcs(s, dir),
+        Synth.osmRelations(s, dir))
     }),
     "q56_grid_idw" -> ((s, dir) => {
       // gdalgrid invdist:power=2 (completes A4, which had only the
@@ -1320,6 +1352,67 @@ object SparkEntry {
          SELECT col.tx, col.ty,
            CAST(sum(CAST(p.idx AS BIGINT) * (col.i % 49 + 1)) % 65535 AS INT) AS cks
          FROM col JOIN pal p ON p.c = col.c GROUP BY 1, 2""",
+    "q64_osm_ways" ->
+      // the two-pass OSM read in SQL: refs (with the closed-way append)
+      // join the withheld-node table; ways losing any ref are dropped;
+      // closed = first/last coords equal over >= 4 refs
+      s"""WITH $osmBaseSql,
+         refs AS (
+           SELECT way_id, pt_id, pos,
+             n + CASE WHEN way_id % 7 = 0 AND n >= 3 THEN 1 ELSE 0 END AS n_refs
+           FROM ordr
+           UNION ALL
+           SELECT way_id, pt_id, n + 1, n + 1
+           FROM ordr WHERE way_id % 7 = 0 AND n >= 3 AND pos = 1),
+         res AS (SELECT r.way_id, r.pos, r.n_refs, nd.ix, nd.iy
+           FROM refs r JOIN nodes nd ON nd.node_id = r.pt_id),
+         ok AS (SELECT way_id FROM res GROUP BY way_id
+           HAVING count(*) = any_value(n_refs) AND any_value(n_refs) >= 2),
+         agg AS (
+           SELECT r.way_id, any_value(r.n_refs) AS n_pts,
+             any_value(r.n_refs) >= 4
+               AND arg_min(r.ix, r.pos) = arg_max(r.ix, r.pos)
+               AND arg_min(r.iy, r.pos) = arg_max(r.iy, r.pos) AS closed,
+             string_agg(r.ix || ' ' || r.iy, ',' ORDER BY r.pos) AS body
+           FROM res r JOIN ok USING (way_id) GROUP BY 1)
+         SELECT way_id, n_pts, closed,
+           CASE WHEN closed THEN 'POLYGON((' || body || '))'
+                ELSE 'LINESTRING(' || body || ')' END AS wkt
+         FROM agg""",
+    "q65_osm_relations" ->
+      // relation ring assembly is a stitch, but the EXPECTED ring is the
+      // original cycle in canonical orientation: start at the smallest
+      // (ix,iy) point (coords < 2^19 pack into one order-preserving key),
+      // walk toward the smaller neighbor — pure window/self-join SQL
+      s"""WITH $osmBaseSql,
+         res AS (SELECT o.way_id, o.pos, o.n, nd.ix, nd.iy
+           FROM ordr o JOIN nodes nd ON nd.node_id = o.pt_id
+           WHERE o.way_id % 7 = 0 AND o.n >= 3),
+         qual AS (SELECT way_id FROM res GROUP BY way_id
+           HAVING count(*) = any_value(n)
+              AND count(DISTINCT ix || ':' || iy) = any_value(n)),
+         cyc AS (SELECT r.* FROM res r JOIN qual USING (way_id)),
+         start AS (SELECT way_id, any_value(n) AS n,
+             arg_min(pos, ix * 524288 + iy) AS k FROM cyc GROUP BY 1),
+         dirs AS (SELECT s.way_id, s.n, s.k,
+             CASE WHEN nx.ix * 524288 + nx.iy <= pv.ix * 524288 + pv.iy
+                  THEN 1 ELSE -1 END AS d
+           FROM start s
+           JOIN cyc nx ON nx.way_id = s.way_id AND nx.pos = (s.k % s.n) + 1
+           JOIN cyc pv ON pv.way_id = s.way_id AND pv.pos = ((s.k - 2 + s.n) % s.n) + 1),
+         seq AS (SELECT d.way_id, r.pos - 1 AS i,
+             ((d.k - 1 + d.d * (r.pos - 1)) % d.n + d.n) % d.n + 1 AS src_pos
+           FROM dirs d JOIN cyc r ON r.way_id = d.way_id),
+         body AS (SELECT q.way_id,
+             string_agg(c.ix || ' ' || c.iy, ',' ORDER BY q.i) AS b,
+             arg_min(c.ix || ' ' || c.iy, q.i) AS p0,
+             count(*) AS n_pts
+           FROM seq q JOIN cyc c ON c.way_id = q.way_id AND c.pos = q.src_pos
+           GROUP BY 1)
+         SELECT way_id AS rel_id, CAST(0 AS BIGINT) AS ring_idx, 'outer' AS role,
+           n_pts, TRUE AS closed,
+           'POLYGON((' || b || ',' || p0 || '))' AS wkt
+         FROM body""",
     "q56_grid_idw" ->
       // same fixed-point IDW in pure integers: candidate cells from the
       // point's 5x5 cell neighborhood, exact radius filter, 2^34//d2

@@ -111,6 +111,74 @@ object Synth {
         expr("transform(ordered, s -> struct(s.kind as kind, s.text as text, s.media_ref as media_ref, s.offset as offset))").as("spans"))
   }
 
+  // ---- OSM-style inputs (SURVEY §3.1 S10): nodes / ways / relations ----
+
+  /** Node table (node_id, ix, iy) in integer 1/1024-degree units. Every
+    * pt_id % 53 == 0 node is WITHHELD — the reference skips ways with
+    * unresolvable refs, and this exercises that path. pt_id is not unique
+    * in the driver data ((orderkey, linenumber) collides), so duplicates
+    * collapse with independent min(ix)/min(iy): deterministic and
+    * reproducible by the same GROUP BY in the DuckDB oracle. */
+  def osmNodes(spark: SparkSession, sfDir: String): DataFrame =
+    points(spark, sfDir)
+      .where(col("pt_id") % 53 =!= 0)
+      .select(col("pt_id").as("node_id"),
+        ((col("lon") + 180.0) * 1024).cast("long").as("ix"),
+        ((lit(90.0) - col("lat")) * 1024).cast("long").as("iy"))
+      .groupBy("node_id")
+      .agg(min("ix").as("ix"), min("iy").as("iy"))
+
+  /** Way table (way_id, refs): one way per order, refs = its lineitems'
+    * pt_ids in span order. doc_key % 7 == 0 ways with ≥ 3 refs are closed
+    * by appending the first ref — the OSM closed-way/area encoding. */
+  def osmWays(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_key"))
+      .orderBy(col("line_no"), col("part_key"), col("supp_key"))
+    points(spark, sfDir)
+      .withColumn("pos", row_number().over(w))
+      .groupBy(col("doc_key"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, pt_id))), s -> s.pt_id)")
+        .as("refs"))
+      .select(col("doc_key").as("way_id"),
+        when(col("doc_key") % 7 === 0 && size(col("refs")) >= 3,
+          concat(col("refs"), slice(col("refs"), 1, 1)))
+          .otherwise(col("refs")).as("refs"))
+  }
+
+  /** Relation member arcs: each QUALIFYING closed way (all nodes present,
+    * all resolved coordinates distinct — a ring with repeated points has
+    * no unique stitch) is split into two open arcs A = [r1, r2] and
+    * B = [r2..rn, r1]; stitching A+B must recover the original ring.
+    * Arc way ids are way_id*10 + {1,2}. */
+  def osmRelArcs(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = osmNodes(spark, sfDir)
+    val closed = osmWays(spark, sfDir)
+      .where(col("way_id") % 7 === 0 && size(col("refs")) >= 4)
+    val cyc = closed
+      .select(col("way_id"), size(col("refs")).as("n_refs"),
+        posexplode(expr("slice(refs, 1, size(refs) - 1)")).as(Seq("pos", "node_id")))
+      .join(nodes, "node_id")
+      .groupBy("way_id")
+      .agg(max("n_refs").as("n_refs"), count(lit(1)).as("n_res"),
+        countDistinct(concat_ws(":", col("ix"), col("iy"))).as("n_coord"),
+        expr("transform(sort_array(collect_list(struct(pos, node_id))), s -> s.node_id)")
+          .as("cyc"))
+      .where(col("n_res") === col("n_refs") - 1 && col("n_coord") === col("n_res"))
+    cyc.select(explode(array(
+        struct((col("way_id") * 10 + 1).as("way_id"), expr("slice(cyc, 1, 2)").as("refs")),
+        struct((col("way_id") * 10 + 2).as("way_id"),
+          expr("concat(slice(cyc, 2, size(cyc) - 1), slice(cyc, 1, 1))").as("refs")))).as("w"))
+      .select(col("w.way_id").as("way_id"), col("w.refs").as("refs"))
+  }
+
+  /** Relations (rel_id, members array<struct<way_id, role>>): both arcs of
+    * each split way as role=outer members. */
+  def osmRelations(spark: SparkSession, sfDir: String): DataFrame =
+    osmRelArcs(spark, sfDir)
+      .groupBy(expr("way_id div 10").as("rel_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(way_id, 'outer' as role))), " +
+        "m -> struct(m.way_id as way_id, m.role as role))").as("members"))
+
   /** Synthetic raster tiles at a zoom: full geodetic grid 2^(z+1) × 2^z,
     * 64×64 px, pixel = (tx*131 + ty*173 + px*7 + py*11 + zoom) % 256 —
     * integer-valued so checksums are SQL-reproducible (FIXTURES.md F3). */
