@@ -646,29 +646,61 @@ object SparkEntry {
       // the DuckDB oracle. Plan: point-side cell_disk(2) explode -> exact
       // radius filter -> one partial+final hash aggregate per cell; no
       // shuffle of the grid, no per-cell point scan.
-      F.ensureRegistered(s)
       val S = 1L << 34
-      val pts = Synth.points(s, dir).select(
-        col("l_quantity").cast("long").as("v"),
-        ((col("lon") + 180.0) * 1024).cast("long").as("ix"),
-        ((lit(90.0) - col("lat")) * 1024).cast("long").as("iy"),
-        F.cell_encode(col("lon"), col("lat"), lit(5)).as("pcell"))
-      pts.withColumn("cell", explode(F.cell_disk(col("pcell"), lit(2))))
-        .withColumn("tx", F.cell_tx(col("cell")))
-        .withColumn("ty", F.cell_ty(col("cell")))
-        .withColumn("cx", col("tx") * 5760 + 2880)
-        .withColumn("cy", col("ty") * 5760 + 2880)
-        .withColumn("d2", (col("ix") - col("cx")) * (col("ix") - col("cx")) +
-          (col("iy") - col("cy")) * (col("iy") - col("cy")))
-        .where(col("d2") <= lit(8192L * 8192L))
+      gridCandidates(s, dir)
         .withColumn("w", expr(s"${S}L div greatest(d2, 1L)"))
         .groupBy("tx", "ty")
         .agg(count(lit(1)).as("n"),
           sum(col("v") * col("w")).as("num"), sum(col("w")).as("den"))
         .select(col("tx"), col("ty"), col("n"),
           expr("(num * 1000L) div den").as("idw_milli"))
+    }),
+    "q66_color_relief" -> ((s, dir) => {
+      // gdaldem color-relief (the one gdaldem mode outside the focal
+      // family): 5-entry elevation->RGB ramp folded into a codegen'd CASE
+      // chain, integer round-half-up interpolation with sign/|dc| baked
+      // per segment so truncating div matches DuckDB's // exactly
+      F.ensureRegistered(s)
+      val ramp = Seq((0, 0, 0, 128), (64, 0, 128, 0), (128, 255, 255, 0),
+        (192, 128, 64, 0), (255, 255, 255, 255))
+      Raster.colorRelief(Synth.tiles(s, 3), ramp)
+        .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q67_grid_stats" -> ((s, dir) => {
+      // gdalgrid data-metric family completing A4: moving average
+      // (fixed-point milli), nearest (GDAL first-closest, ties resolved
+      // to the smallest value: min_by on packed (d2, v) — d2 < 2^27,
+      // v <= 50 < 2^6, so d2*64+v is an order-preserving 33-bit key),
+      // and min/max within radius 8 deg on the zoom-5 grid
+      gridCandidates(s, dir)
+        .groupBy("tx", "ty")
+        .agg(count(lit(1)).as("n"),
+          expr("(sum(v) * 1000L) div count(1)").as("avg_milli"),
+          min("v").as("vmin"), max("v").as("vmax"),
+          expr("min_by(v, d2 * 64 + v)").as("nearest_v"))
     })
   )
+
+  /** Shared q56/q67 candidate builder (gdalgrid's search ellipse as a
+    * cell-disk explode): zoom-5 grid cells within radius 8192 units
+    * (8 deg) of each point, with integer-unit coords and exact d2 —
+    * point-side explode, one hash aggregate, no shuffle of the grid. */
+  private def gridCandidates(s: SparkSession, dir: String): DataFrame = {
+    F.ensureRegistered(s)
+    Synth.points(s, dir).select(
+        col("l_quantity").cast("long").as("v"),
+        ((col("lon") + 180.0) * 1024).cast("long").as("ix"),
+        ((lit(90.0) - col("lat")) * 1024).cast("long").as("iy"),
+        F.cell_encode(col("lon"), col("lat"), lit(5)).as("pcell"))
+      .withColumn("cell", explode(F.cell_disk(col("pcell"), lit(2))))
+      .withColumn("tx", F.cell_tx(col("cell")))
+      .withColumn("ty", F.cell_ty(col("cell")))
+      .withColumn("cx", col("tx") * 5760 + 2880)
+      .withColumn("cy", col("ty") * 5760 + 2880)
+      .withColumn("d2", (col("ix") - col("cx")) * (col("ix") - col("cx")) +
+        (col("iy") - col("cy")) * (col("iy") - col("cy")))
+      .where(col("d2") <= lit(8192L * 8192L))
+  }
 
   /** Shared body of the focal queries: apply the 3×3 kernel on the
     * zoom-2 synthetic grid and explode tiles to per-pixel rows. */
@@ -1413,6 +1445,63 @@ object SparkEntry {
            n_pts, TRUE AS closed,
            'POLYGON((' || b || ',' || p0 || '))' AS wkt
          FROM body""",
+    "q66_color_relief" ->
+      // hand-derived per-segment constants (NOT generated by the engine's
+      // helper): R/G/B CASE chains over the closed-form zoom-3 pixels,
+      // round-half-up via (2*d*|dc| + de) // (2*de) with baked signs
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS v
+           FROM tiles t, generate_series(0, 4095) i(i)),
+         chan AS (
+           SELECT tx, ty, i, 1 AS band,
+             CASE WHEN v < 64 THEN 0
+                  WHEN v < 128 THEN (2*(v-64)*255 + 64) // 128
+                  WHEN v < 192 THEN 255 - (2*(v-128)*127 + 64) // 128
+                  WHEN v < 255 THEN 128 + (2*(v-192)*127 + 63) // 126
+                  ELSE 255 END AS val FROM px
+           UNION ALL
+           SELECT tx, ty, i, 2,
+             CASE WHEN v < 64 THEN (2*v*128 + 64) // 128
+                  WHEN v < 128 THEN 128 + (2*(v-64)*127 + 64) // 128
+                  WHEN v < 192 THEN 255 - (2*(v-128)*191 + 64) // 128
+                  WHEN v < 255 THEN 64 + (2*(v-192)*191 + 63) // 126
+                  ELSE 255 END FROM px
+           UNION ALL
+           SELECT tx, ty, i, 3,
+             CASE WHEN v < 64 THEN 128 - (2*v*128 + 64) // 128
+                  WHEN v < 192 THEN 0
+                  WHEN v < 255 THEN (2*(v-192)*255 + 63) // 126
+                  ELSE 255 END FROM px)
+         SELECT band, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM chan GROUP BY 1, 2, 3""",
+    "q67_grid_stats" ->
+      // same candidate geometry as q56; metrics in pure integers, nearest
+      // via arg_min on the packed (d2, v) key
+      s"""WITH pts AS ($ptsSql),
+         ip AS (
+           SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST((lon + 180.0) * 1024 AS BIGINT) AS ix,
+             CAST((90.0 - lat) * 1024 AS BIGINT) AS iy
+           FROM pts),
+         cand AS (
+           SELECT (p.ix // 5760 + dx.d) AS tx, (p.iy // 5760 + dy.d) AS ty, p.v, p.ix, p.iy
+           FROM ip p, generate_series(-2, 2) dx(d), generate_series(-2, 2) dy(d)
+           WHERE (p.ix // 5760 + dx.d) BETWEEN 0 AND 63
+             AND (p.iy // 5760 + dy.d) BETWEEN 0 AND 31),
+         wtd AS (
+           SELECT tx, ty, v,
+             (ix - (tx*5760 + 2880))*(ix - (tx*5760 + 2880))
+               + (iy - (ty*5760 + 2880))*(iy - (ty*5760 + 2880)) AS d2
+           FROM cand)
+         SELECT tx, ty, count(*) AS n,
+           (sum(v) * 1000) // count(*) AS avg_milli,
+           min(v) AS vmin, max(v) AS vmax,
+           arg_min(v, d2 * 64 + v) AS nearest_v
+         FROM wtd WHERE d2 <= 67108864 GROUP BY 1, 2""",
     "q56_grid_idw" ->
       // same fixed-point IDW in pure integers: candidate cells from the
       // point's 5x5 cell neighborhood, exact radius filter, 2^34//d2

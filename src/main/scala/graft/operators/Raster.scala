@@ -581,4 +581,44 @@ object Raster {
         Seq("zoom", "tx", "ty"))
       .withColumn("pixels", expr(s"zip_with(__pa, __pb, (a, b) -> $exprAB)"))
       .drop("__pa", "__pb")
+
+  /** gdaldem color-relief (reference: apps/gdaldem.cpp ::
+    * GDALColorReliefGetRGBA + color text file) — the one gdaldem mode the
+    * focal operator family doesn't cover: per-pixel linear interpolation
+    * through a small elevation→RGB ramp, clamped below the first and
+    * above the last entry. The ramp is driver-side tiny (like the
+    * reference's text file), so it folds into a generated CASE chain —
+    * whole-stage-codegen'd, no join, no UDF, no shuffle.
+    *
+    * Interpolation is integer round-half-up computed segment-wise with a
+    * non-negative numerator (sign and |Δc| are baked per segment at plan
+    * time), so truncating `div` behaves identically in Spark and any SQL
+    * oracle: c = c0 ± (2·(v−e0)·|Δc| + Δe) div (2·Δe). Ramp elevations
+    * must be strictly increasing integers.
+    *
+    * Output: one row per (zoom, tx, ty, band) with band 1/2/3 = R/G/B
+    * and pixels kept DOUBLE (integer-valued) like every tile table. */
+  def colorRelief(tiles: DataFrame, ramp: Seq[(Int, Int, Int, Int)]): DataFrame = {
+    require(ramp.size >= 2, "ramp needs >= 2 entries")
+    require(ramp.map(_._1) == ramp.map(_._1).sorted && ramp.map(_._1).distinct.size == ramp.size,
+      "ramp elevations must be strictly increasing")
+    def channelCase(get: ((Int, Int, Int, Int)) => Int): String = {
+      val segs = ramp.sliding(2).map { case Seq(lo, hi) =>
+        val de = hi._1 - lo._1
+        val dc = get(hi) - get(lo)
+        val sign = if (dc >= 0) "+" else "-"
+        s"WHEN v < ${hi._1} THEN ${get(lo)}L $sign " +
+          s"(2L * (CAST(v AS BIGINT) - ${lo._1}) * ${math.abs(dc)} + $de) div ${2 * de}"
+      }.mkString(" ")
+      s"CASE WHEN v < ${ramp.head._1} THEN ${get(ramp.head)}L $segs ELSE ${get(ramp.last)}L END"
+    }
+    val chans = Seq[(Int, ((Int, Int, Int, Int)) => Int)](1 -> (_._2), 2 -> (_._3), 3 -> (_._4))
+    val bands = chans.map { case (b, get) =>
+      struct(lit(b).as("band"),
+        expr(s"transform(pixels, v -> CAST((${channelCase(get)}) AS DOUBLE))").as("pixels"))
+    }
+    tiles.select(col("zoom"), col("tx"), col("ty"), explode(array(bands: _*)).as("o"))
+      .select(col("zoom"), col("tx"), col("ty"), col("o.band").as("band"),
+        col("o.pixels").as("pixels"))
+  }
 }

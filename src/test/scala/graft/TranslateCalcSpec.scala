@@ -83,4 +83,32 @@ class TranslateCalcSpec extends AnyFunSuite {
       assert(px.sameElements(want), s"parent ($tx,$ty)")
     }
   }
+
+  test("colorRelief: generated CASE == scalar round-half-up interpolation, incl. clamps") {
+    // ramp deliberately NOT starting at 0 (below-first clamp fires) and
+    // with rising + falling channel segments (both signs of dc)
+    val ramp = Seq((10, 5, 200, 30), (50, 250, 40, 30), (120, 0, 255, 200), (250, 90, 0, 10))
+    def scalar(v: Int, get: ((Int, Int, Int, Int)) => Int): Long = {
+      if (v < ramp.head._1) get(ramp.head).toLong
+      else if (v >= ramp.last._1) get(ramp.last).toLong
+      else {
+        val Seq(lo, hi) = ramp.sliding(2).find { case Seq(_, h) => v < h._1 }.get
+        val de = hi._1 - lo._1; val dc = get(hi) - get(lo)
+        val q = (2L * (v - lo._1) * math.abs(dc) + de) / (2L * de)
+        if (dc >= 0) get(lo) + q else get(lo) - q
+      }
+    }
+    val out = Raster.colorRelief(Synth.tiles(spark, 2), ramp)
+      .collect()
+      .map(r => ((r.getLong(1), r.getLong(2), r.getInt(3)), r.getSeq[Double](4).toArray))
+      .toMap
+    val gets = Map(1 -> ((c: (Int, Int, Int, Int)) => c._2),
+      2 -> ((c: (Int, Int, Int, Int)) => c._3), 3 -> ((c: (Int, Int, Int, Int)) => c._4))
+    for (ty <- 0L until 4L; tx <- 0L until 8L; band <- 1 to 3) {
+      val want = Array.tabulate(64 * 64) { i =>
+        scalar(synthPixel(2, tx, ty, i % 64, i / 64).toInt, gets(band)).toDouble
+      }
+      assert(out((tx, ty, band)).sameElements(want), s"tile ($tx,$ty) band $band")
+    }
+  }
 }
