@@ -666,6 +666,14 @@ object SparkEntry {
       Raster.colorRelief(Synth.tiles(s, 3), ramp)
         .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q68_png_roundtrip" -> ((s, dir) => {
+      // REAL format decode (S3): zoom-3 tiles -> JDK PNG encode (binary
+      // column, actual DEFLATE) -> decode -> checksum; lossless, so the
+      // oracle checksums the ORIGINAL closed-form pixels
+      F.ensureRegistered(s)
+      Media.decodePng(Media.encodePng(Synth.tiles(s, 3)))
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q67_grid_stats" -> ((s, dir) => {
       // gdalgrid data-metric family completing A4: moving average
       // (fixed-point milli), nearest (GDAL first-closest, ties resolved
@@ -1445,6 +1453,19 @@ object SparkEntry {
            n_pts, TRUE AS closed,
            'POLYGON((' || b || ',' || p0 || '))' AS wkt
          FROM body""",
+    "q68_png_roundtrip" ->
+      // the PNG round-trip is lossless, so the oracle is the plain
+      // closed-form checksum of the pre-encode pixels — any codec defect
+      // (bit depth, row order, palette surprise) breaks the hash
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS v
+           FROM tiles t, generate_series(0, 4095) i(i))
+         SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM px GROUP BY 1, 2""",
     "q66_color_relief" ->
       // hand-derived per-segment constants (NOT generated by the engine's
       // helper): R/G/B CASE chains over the closed-form zoom-3 pixels,

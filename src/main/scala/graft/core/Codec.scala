@@ -1,0 +1,51 @@
+package graft.core
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Real lossless raster codec (reference: frmts/png/pngdataset.cpp) using
+  * the JDK's built-in ImageIO PNG plugin — no external codec libraries,
+  * so this runs in any stock JVM container. 8-bit grayscale, one band:
+  * the minimal real instance of the reference's 140-format surface
+  * (the rest stay documented non-goals; the decode STUB remains for
+  * formats with no in-JDK codec).
+  *
+  * PNG is lossless ⇒ decode(encode(px)) == px exactly, so a SQL oracle
+  * over the ORIGINAL closed-form pixels stays bit-exact through a real
+  * DEFLATE-compressed binary round-trip. Encoded byte length is NOT
+  * part of any oracle (DEFLATE output may vary across JDKs). */
+object Codec {
+  ImageIO.setUseCache(false) // no temp-file cache: executors decode in-memory
+
+  def encodePngGray(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(px.length == w * h, s"pixel count ${px.length} != ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, px(y * w + x) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (w, h, pixels row-major). */
+  def decodePngGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, out)
+  }
+}

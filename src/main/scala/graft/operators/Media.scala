@@ -43,12 +43,35 @@ object Media {
       .withColumn("thumb8", expr(
         "transform(sequence(0, 63), i -> pixels[CAST(i / 8 AS INT) * 512 + (i % 8) * 8])"))
 
-  /** DETERMINISTIC DECODE STUB — stands in for a real image/audio decoder
-    * (none available in this container). Maps opaque bytes to a fixed-
-    * shape float array from a seeded hash of the content; the surrounding
-    * plumbing (binary column, batch shape, schema) is production-shaped. */
+  /** DETERMINISTIC DECODE STUB — stands in for image/audio decoders with
+    * no in-JVM codec (JPEG-2000, video, audio). Maps opaque bytes to a
+    * fixed-shape float array from a seeded hash of the content; the
+    * surrounding plumbing (binary column, batch shape, schema) is
+    * production-shaped. PNG has a REAL path below. */
   def decodeStub(df: DataFrame, binCol: String, outLen: Int = 16): DataFrame =
     df.withColumn("decoded", expr(
       s"transform(sequence(0, ${outLen - 1}), i -> " +
       s"CAST(pmod(xxhash64($binCol, i), 256) AS DOUBLE))"))
+
+  // ---- REAL format decode (SURVEY §3.1 S3): PNG via the JDK codec ----
+  // A compressed bitstream cannot whole-stage-codegen, so these two are
+  // deliberate scala UDFs (the documented exception class) — data-parallel
+  // per row, no shuffle, no driver involvement.
+
+  private val encUdf = udf((px: Seq[Double], w: Int, h: Int) =>
+    graft.core.Codec.encodePngGray(px.map(_.toInt).toArray, w, h))
+  private val decUdf = udf((b: Array[Byte]) => {
+    val (_, _, px) = graft.core.Codec.decodePngGray(b)
+    px.map(_.toDouble).toSeq
+  })
+
+  /** Tile table → real PNG binary column (drops the pixel array). */
+  def encodePng(tiles: DataFrame): DataFrame =
+    tiles.withColumn("png", encUdf(col("pixels"), col("w"), col("h")))
+      .drop("pixels")
+
+  /** Binary PNG column → pixel array; lossless, so downstream operators
+    * (checksum, calc, focal, …) see exactly the pre-encode values. */
+  def decodePng(media: DataFrame, binCol: String = "png"): DataFrame =
+    media.withColumn("pixels", decUdf(col(binCol)))
 }

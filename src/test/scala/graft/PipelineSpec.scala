@@ -227,4 +227,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(_._2.length == 16))
     assert(out(0)._2 == out(1)._2) // same bytes -> same decode
   }
+
+  test("PNG codec: real compressed binary (magic + deflate), lossless distributed round-trip") {
+    val tiles = graft.synth.Synth.tiles(spark, 2).limit(6)
+    val enc = graft.operators.Media.encodePng(tiles)
+    val rows = enc.select("tx", "ty", "png").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val b = r.getAs[Array[Byte]]("png")
+      // PNG signature: 89 50 4E 47 0D 0A 1A 0A
+      assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      assert(b.length < 64 * 64, "should be DEFLATE-compressed below raw size")
+    }
+    val back = graft.operators.Media.decodePng(enc)
+      .select("tx", "ty", "pixels").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    for (((tx, ty), px) <- back) {
+      val want = Array.tabulate(64 * 64)(i =>
+        ((tx * 131 + ty * 173 + (i % 64) * 7 + (i / 64) * 11 + 2) % 256).toDouble)
+      assert(px == want.toSeq, s"tile ($tx,$ty)")
+    }
+  }
 }
