@@ -14,7 +14,11 @@ object Bench {
     // query doesn't absorb one-time costs
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // builder-side iteration aid (driver sets nothing -> all queries)
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output row in full — plain
       // count() would let Catalyst prune the computed columns away and
@@ -37,7 +41,7 @@ object Bench {
     // sole stdout line (build.sbt sets run/outputStrategy=StdoutOutput so
     // sbt does not [info]-prefix it) + a file copy for the driver
     println(line)
-    try {
+    if (only.isEmpty) try {
       val dir = java.nio.file.Paths.get("BENCH")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("RESULT.json"), line)

@@ -39,31 +39,50 @@ object GeomIO {
       new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
       new Coordinate(xmin, ymin)))
 
-  /** Per-thread LRU of PreparedGeometry keyed by WKB bytes (1k entries ×
-    * 32 threads of small prepared polygons; env-tunable GRAFT_PREP_CACHE —
-    * raise it when the broadcast dimension side is larger so refine probes
-    * hit instead of re-preparing).
-    * The spatial-join refine step evaluates the same (broadcast) polygon
-    * against many candidate rows; preparing once per task thread turns the
-    * O(vertices) point-in-polygon test into an indexed one — the analog of
-    * the reference caching a prepared geometry inside its spatial filter
-    * (ogr/ogrsf_frmts/generic/ogrlayer.cpp :: OGRLayer::FilterGeometry). */
+  /** SHARED bounded cache of PreparedGeometry keyed by WKB bytes — the
+    * analog of the reference caching a prepared geometry inside its
+    * spatial filter (ogr/ogrsf_frmts/generic/ogrlayer.cpp ::
+    * OGRLayer::FilterGeometry). The refine step of a broadcast spatial
+    * join probes the same dimension polygons from every task thread in
+    * random row order, so the cache must (a) hold the whole broadcast
+    * dimension side and (b) be shared across threads — a per-thread LRU
+    * smaller than the dimension count thrashed: every probe re-parsed and
+    * re-prepared the polygon (~1 µs vs ~50 ns; measured ~2× wall on the
+    * q11–q60 family at sf0.1). JTS ≥ 1.18 PreparedPolygon lazy index
+    * getters are synchronized, so sharing instances across threads is
+    * safe. Env-tunable GRAFT_PREP_CACHE (default 65536 entries ≈ tens of
+    * MB for typical dimension polygons); past the cap new geometries are
+    * prepared uncached — graceful degradation, no eviction churn. */
   private final val CacheMax =
-    sys.env.getOrElse("GRAFT_PREP_CACHE", "1024").toInt
-  private val prepCache = ThreadLocal.withInitial[java.util.LinkedHashMap[java.nio.ByteBuffer, PreparedGeometry]](
-    () => new java.util.LinkedHashMap[java.nio.ByteBuffer, PreparedGeometry](64, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[java.nio.ByteBuffer, PreparedGeometry]): Boolean =
-        size() > CacheMax
-    })
+    sys.env.getOrElse("GRAFT_PREP_CACHE", "65536").toInt
+  private val prepCache =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.ByteBuffer, PreparedGeometry](1024)
 
   def prepared(wkb: Array[Byte]): PreparedGeometry = {
     val key = java.nio.ByteBuffer.wrap(wkb)
-    val cache = prepCache.get
-    var p = cache.get(key)
-    if (p == null) {
-      p = PreparedGeometryFactory.prepare(fromWkb(wkb))
-      cache.put(key, p)
+    val p = prepCache.get(key)
+    if (p != null) p
+    else {
+      val fresh = PreparedGeometryFactory.prepare(fromWkb(wkb))
+      if (prepCache.size < CacheMax) {
+        // copy the key bytes: the caller's array may be a reused buffer
+        val owned = java.nio.ByteBuffer.wrap(java.util.Arrays.copyOf(wkb, wkb.length))
+        prepCache.putIfAbsent(owned, fresh)
+      }
+      fresh
     }
-    p
+  }
+
+  /** Codegen entry point for the point-probe predicate (called from
+    * generated code with primitive args — no boxing, no InternalRow).
+    * op: 0 = contains, 1 = covers, 2 = intersects. */
+  def predPoint(op: Int, wkb: Array[Byte], lon: Double, lat: Double): Boolean = {
+    val p = prepared(wkb)
+    val pt = factory.createPoint(new Coordinate(lon, lat))
+    op match {
+      case 0 => p.contains(pt)
+      case 1 => p.covers(pt)
+      case _ => p.intersects(pt)
+    }
   }
 }

@@ -34,6 +34,7 @@ object F {
         "st_y"           -> (e => GeomUnaryToDouble(e.head, "y")),
         "st_centroid"    -> (e => GeomUnaryToGeom(e.head, "centroid")),
         "st_envelope"    -> (e => GeomUnaryToGeom(e.head, "envelope")),
+        "st_env_bounds"  -> (e => StEnvBounds(e.head)),
         "st_convexhull"  -> (e => GeomUnaryToGeom(e.head, "convexhull")),
         "st_boundary"    -> (e => GeomUnaryToGeom(e.head, "boundary")),
         "st_isvalid"     -> (e => GeomUnaryToBool(e.head, "isvalid")),
@@ -106,6 +107,7 @@ object F {
   def st_y(g: Column): Column = call_function("st_y", g)
   def st_centroid(g: Column): Column = call_function("st_centroid", g)
   def st_envelope(g: Column): Column = call_function("st_envelope", g)
+  def st_env_bounds(g: Column): Column = call_function("st_env_bounds", g)
   def st_convexhull(g: Column): Column = call_function("st_convexhull", g)
   def st_isvalid(g: Column): Column = call_function("st_isvalid", g)
   def st_intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)

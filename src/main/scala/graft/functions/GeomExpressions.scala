@@ -81,6 +81,22 @@ case class GeomUnaryToDouble(child: Expression, op: String)
   override def prettyName: String = s"st_$op"
 }
 
+/** st_env_bounds(geom) → [xmin, ymin, xmax, ymax] — one parse per row,
+  * feeding the spatial join's codegen'd envelope prefilter (the analog of
+  * the reference's m_sFilterEnvelope check inside OGRLayer::FilterGeometry,
+  * which runs BEFORE any exact geometry test). */
+case class StEnvBounds(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val env = GeomOps.fromWkb(v.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_env_bounds"
+}
+
 /** geometry → geometry ops: centroid, envelope, convexhull, boundary */
 case class GeomUnaryToGeom(child: Expression, op: String)
     extends UnaryExpression with CodegenFallback {
@@ -218,21 +234,28 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
 /** st_<op>_point(geom_wkb, lon, lat) — the point-probe fast path of the
   * spatial join refine: skips building + reparsing a WKB point per
   * candidate row (the generic path costs a serialize/deserialize pair per
-  * probe). Left side goes through the PreparedGeometry LRU like
-  * GeomPredicate. */
+  * probe). Left side goes through the shared PreparedGeometry cache like
+  * GeomPredicate. REAL codegen (not CodegenFallback): the refine runs in
+  * the hottest loop of the engine, and the generated code is one static
+  * call with primitive args — no boxing, no interpreted dispatch — which
+  * also keeps the whole join+refine stage inside one codegen span. */
 case class GeomPredicatePoint(first: Expression, second: Expression,
                               third: Expression, op: String)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = BooleanType
-  override def nullSafeEval(g0: Any, lon0: Any, lat0: Any): Any = {
-    val p = GeomIO.prepared(g0.asInstanceOf[Array[Byte]])
-    val pt = GeomIO.point(lon0.asInstanceOf[Double], lat0.asInstanceOf[Double])
-    op match {
-      case "contains"   => p.contains(pt)
-      case "covers"     => p.covers(pt)
-      case "intersects" => p.intersects(pt)
-    }
+  private def opCode: Int = op match {
+    case "contains" => 0
+    case "covers"   => 1
+    case _          => 2
   }
+  override def nullSafeEval(g0: Any, lon0: Any, lat0: Any): Any =
+    GeomIO.predPoint(opCode, g0.asInstanceOf[Array[Byte]],
+      lon0.asInstanceOf[Double], lat0.asInstanceOf[Double])
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, lon, lat) =>
+      s"${ev.value} = graft.core.GeomIO.predPoint($opCode, $g, $lon, $lat);")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c, op)
   override def prettyName: String = s"st_${op}_point"

@@ -85,14 +85,21 @@ object SpatialJoin {
     def encode(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
       if (mercator) F.cell_encode_merc(lon, lat, lit(zoom)) else F.cell_encode(lon, lat, lit(zoom))
     // persisted: the plan-time coverZooms action materializes the cover
-    // anyway — caching it makes the join's second computation free
-    val cov = polys.withColumn("__cell", explode(cover(col(polyGeom))))
+    // anyway — caching it makes the join's second computation free.
+    // __env is computed ONCE per polygon (before the cover explode) and
+    // feeds the codegen'd envelope prefilter below.
+    val cov = polys.withColumn("__env", F.st_env_bounds(col(polyGeom)))
+      .withColumn("__cell", explode(cover(col(polyGeom))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pts = fanToZooms(
       points.withColumn("__cell", encode(col(lonCol), col(latCol))),
       coverZooms(cov), zoom)
-    // point-probe fast path: no WKB point round-trip per candidate
-    val pred: Column =
+    // point-probe fast path: no WKB point round-trip per candidate. The
+    // envelope gate (reference: OGRLayer::FilterGeometry checks
+    // m_sFilterEnvelope BEFORE any exact test) is pure column arithmetic
+    // inside whole-stage codegen; And short-circuits, so the interpreted
+    // JTS probe runs only on candidates surviving the bbox.
+    val pred: Column = envGateLonLat(lonCol, latCol) &&
       F.st_predicate_point(predicate, col(polyGeom), col(lonCol), col(latCol))
 
     val candidates =
@@ -108,8 +115,13 @@ object SpatialJoin {
       } else {
         pts.join(cov, Seq("__cell"), "inner")
       }
-    candidates.where(pred).drop("__cell")
+    candidates.where(pred).drop("__cell", "__env")
   }
+
+  /** Codegen'd bbox prefilter against a polygon-side `__env` array. */
+  private def envGateLonLat(lonCol: String, latCol: String): Column =
+    col(lonCol) >= col("__env")(0) && col(lonCol) <= col("__env")(2) &&
+      col(latCol) >= col("__env")(1) && col(latCol) <= col("__env")(3)
 
   /** ADAPTIVE hot-cell salting (SURVEY.md §5 skew row): a cheap pre-agg
     * counts points per cell; only cells whose count exceeds
@@ -128,6 +140,7 @@ object SpatialJoin {
     val spark = polys.sparkSession
     F.ensureRegistered(spark)
     val cov = polys
+      .withColumn("__env", F.st_env_bounds(col(polyGeom)))
       .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pts = fanToZooms(
@@ -139,7 +152,7 @@ object SpatialJoin {
       .where(col("count") > hotThreshold)
       .select("__cell")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pred: Column =
+    val pred: Column = envGateLonLat(lonCol, latCol) &&
       F.st_predicate_point(predicate, col(polyGeom), col(lonCol), col(latCol))
     val cold = pts.join(broadcast(hotCells), Seq("__cell"), "left_anti")
       .join(cov.join(broadcast(hotCells), Seq("__cell"), "left_anti"), Seq("__cell"))
@@ -150,7 +163,7 @@ object SpatialJoin {
         .withColumn("__salt", explode(sequence(lit(0), lit(s - 1)))),
         Seq("__cell", "__salt"))
       .drop("__salt")
-    cold.unionByName(hot).where(pred).drop("__cell")
+    cold.unionByName(hot).where(pred).drop("__cell", "__env")
   }
 
   /** Geometry × geometry join (both sides arbitrary WKB geometries).
@@ -177,9 +190,11 @@ object SpatialJoin {
     def cover(g: org.apache.spark.sql.Column) =
       if (mercator) F.cells_cover_merc(g, lit(zoom)) else F.cells_cover(g, lit(zoom))
     val l0 = left.select(col(leftId), col(leftGeom))
+      .withColumn("__envl", F.st_env_bounds(col(leftGeom)))
       .withColumn("__cell", explode(cover(col(leftGeom))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r00 = right.select(col(rightId), col(rightGeom))
+      .withColumn("__envr", F.st_env_bounds(col(rightGeom)))
       .withColumn("__cell", explode(cover(col(rightGeom))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // mixed-zoom completeness: each side re-keys to every zoom present on
@@ -188,9 +203,15 @@ object SpatialJoin {
     val zooms = (coverZooms(l0) ++ coverZooms(r00)).distinct.sorted
     val l = fanToZooms(l0, zooms, zoom)
     val r0 = fanToZooms(r00, zooms, zoom)
+    // envelope-overlap prefilter (codegen'd) applied BEFORE the pair
+    // dedup: a rejected candidate never enters the dedup shuffle
+    val envOverlap =
+      col("__envl")(0) <= col("__envr")(2) && col("__envl")(2) >= col("__envr")(0) &&
+        col("__envl")(1) <= col("__envr")(3) && col("__envl")(3) >= col("__envr")(1)
     val refined =
       if (broadcastRight) {
         l.join(broadcast(r0), Seq("__cell"), "inner")
+          .where(envOverlap)
           .dropDuplicates(leftId, rightId)
       } else if (saltFactor > 1) {
         val lp = l.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -206,14 +227,15 @@ object SpatialJoin {
             .withColumn("__salt", explode(sequence(lit(0), lit(s - 1)))),
             Seq("__cell", "__salt"))
           .drop("__salt")
-        cold.unionByName(hot).dropDuplicates(leftId, rightId)
+        cold.unionByName(hot).where(envOverlap).dropDuplicates(leftId, rightId)
       } else {
         l.join(r0, Seq("__cell"), "inner")
+          .where(envOverlap)
           .dropDuplicates(leftId, rightId)
       }
     refined
       .where(call_function(s"st_$predicate", col(leftGeom), col(rightGeom)))
-      .drop("__cell")
+      .drop("__cell", "__envl", "__envr")
   }
 
   /** Spatial overlay (reference: OGRLayer::Intersection) — the join above
