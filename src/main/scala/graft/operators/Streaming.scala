@@ -39,6 +39,26 @@ object Streaming {
       .dropDuplicates("fp")
   }
 
+  /** Stream-static point-in-polygon: streaming points prune against the
+    * STATIC polygon side with the same cell equi-join + envelope gate +
+    * exact refine as the batch operator (SpatialJoin), broadcast by
+    * Catalyst (stream-static joins are stateless — no watermark needed).
+    * This is the incremental-ingest twin of q11: a micro-batch of arriving
+    * documents gets region-tagged with identical semantics. */
+  def streamPointInPolygon(points: DataFrame, polys: DataFrame,
+                           polyGeom: String, lonCol: String, latCol: String,
+                           zoom: Int, predicate: String = "contains"): DataFrame = {
+    F.ensureRegistered(points.sparkSession)
+    val cov = polys.withColumn("__env", F.st_env_bounds(col(polyGeom)))
+      .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
+    points.withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom)))
+      .join(broadcast(cov), Seq("__cell"))
+      .where(col(lonCol) >= col("__env")(0) && col(lonCol) <= col("__env")(2) &&
+        col(latCol) >= col("__env")(1) && col(latCol) <= col("__env")(3) &&
+        F.st_predicate_point(predicate, col(polyGeom), col(lonCol), col(latCol)))
+      .drop("__cell", "__env")
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   final case class SessState(startMs: Long, lastMs: Long, n: Long, firstEvent: Long)
   final case class SessionOut(user_id: Long, start_ms: Long, n_events: Long, first_event: Long)

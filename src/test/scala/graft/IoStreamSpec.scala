@@ -92,6 +92,28 @@ class IoStreamSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming: stream-static point-in-polygon matches the batch operator row set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pip").toString
+    graft.synth.Synth.points(spark, TestSpark.SfSmall)
+      .select("pt_id", "lon", "lat").write.mode("overwrite").parquet(dir)
+    val batchPts = spark.read.parquet(dir)
+    val polys = graft.synth.Synth.regionWkt(spark, TestSpark.SfSmall)
+      .withColumn("geom", graft.functions.F.st_geomfromwkt(org.apache.spark.sql.functions.col("wkt")))
+    val stream = spark.readStream.schema(batchPts.schema).parquet(dir)
+    val q = Streaming.streamPointInPolygon(stream, polys, "geom", "lon", "lat", zoom = 7)
+      .select("region_id", "pt_id")
+      .writeStream.outputMode("append").format("memory").queryName("pip_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT region_id, pt_id FROM pip_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.SpatialJoin.pointInPolygon(
+        polys, "geom", batchPts, "lon", "lat", zoom = 7, broadcastPolys = true)
+      .select("region_id", "pt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) closes in-batch gap sessions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream4").toString
     // user 1: two sessions separated by a 2h gap; user 2: one session — the
