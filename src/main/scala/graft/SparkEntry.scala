@@ -666,6 +666,23 @@ object SparkEntry {
       Raster.colorRelief(Synth.tiles(s, 3), ramp)
         .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q69_locationinfo" -> ((s, dir) => {
+      // gdallocationinfo: the pixel value under each query point. Integer
+      // unit coords make the pixel index exact (zoom-3 grid is 1024x512 px
+      // over 368640x184320 units -> gx = ix div 360); the engine goes
+      // through the real tile equi-join + element_at, the oracle through
+      // the closed-form pixel function
+      F.ensureRegistered(s)
+      val qp = Synth.queryPoints(s, dir)
+        .withColumn("ix", ((col("lon") + 180.0) * 1024).cast("long"))
+        .withColumn("iy", ((lit(90.0) - col("lat")) * 1024).cast("long"))
+        .withColumn("gx", expr("ix div 360")).withColumn("gy", expr("iy div 360"))
+        .withColumn("tx", expr("gx div 64")).withColumn("ty", expr("gy div 64"))
+      qp.join(Synth.tiles(s, 3), Seq("tx", "ty"))
+        .select(col("q_id"),
+          element_at(col("pixels"),
+            ((col("gy") % 64) * 64 + col("gx") % 64 + 1).cast("int")).as("v"))
+    }),
     "q68_png_roundtrip" -> ((s, dir) => {
       // REAL format decode (S3): zoom-3 tiles -> JDK PNG encode (binary
       // column, actual DEFLATE) -> decode -> checksum; lossless, so the
@@ -1453,6 +1470,15 @@ object SparkEntry {
            n_pts, TRUE AS closed,
            'POLYGON((' || b || ',' || p0 || '))' AS wkt
          FROM body""",
+    "q69_locationinfo" ->
+      // pure integer-unit pixel lookup against the closed-form grid
+      s"""WITH qp AS ($qptsSql),
+         ip AS (SELECT q_id,
+             CAST((lon + 180.0) * 1024 AS BIGINT) // 360 AS gx,
+             CAST((90.0 - lat) * 1024 AS BIGINT) // 360 AS gy FROM qp)
+         SELECT q_id,
+           CAST(((gx // 64)*131 + (gy // 64)*173 + (gx % 64)*7 + (gy % 64)*11 + 3) % 256 AS DOUBLE) AS v
+         FROM ip""",
     "q68_png_roundtrip" ->
       // the PNG round-trip is lossless, so the oracle is the plain
       // closed-form checksum of the pre-encode pixels — any codec defect
