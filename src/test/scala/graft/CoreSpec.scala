@@ -103,6 +103,28 @@ class CoreSpec extends AnyFunSuite {
     assert(TextCore.langId("xyzzy plugh") == "und")
   }
 
+  test("st_buffer / st_simplify through the Column API") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    // simplify: Douglas-Peucker removes exactly the collinear midpoints
+    val line = Seq("LINESTRING(0 0, 1 1, 2 2, 3 3)").toDF("wkt")
+      .select(F.st_astext(F.st_simplify(F.st_geomfromwkt(col("wkt")), lit(0.001))).as("s"))
+      .collect()(0).getString(0)
+    assert(line == "LINESTRING (0 0, 3 3)")
+    // buffer: contains the original, area grows at least by perimeter*d
+    val row = Seq("POLYGON((0 0, 4 0, 4 2, 0 2, 0 0))").toDF("wkt")
+      .select(F.st_geomfromwkt(col("wkt")).as("g"))
+      .select(F.st_buffer(col("g"), lit(0.5)).as("b"), col("g"))
+      .select(F.st_area(col("b")).as("ba"),
+        call_function("st_contains", col("b"), col("g")).as("cont"))
+      .collect()(0)
+    assert(row.getBoolean(1))
+    assert(row.getDouble(0) > 8.0 + 12.0 * 0.5 && row.getDouble(0) < 8.0 + 12.0 * 0.5 + math.Pi * 0.25 + 1e-9)
+  }
+
   test("resample bilinear interpolates linear ramps exactly") {
     val src: (Int, Int) => Double = (x, y) =>
       if (x < 0 || y < 0 || x > 9 || y > 9) Double.NaN else x.toDouble + 2.0 * y
