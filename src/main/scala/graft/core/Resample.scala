@@ -69,6 +69,75 @@ object Resample {
     sum
   }
 
+  /** Cubic B-spline on the 4×4 neighborhood (reference GRA_CubicSpline:
+    * alg/gdalwarpkernel.cpp :: BSpline weights) — a SMOOTHING kernel (does
+    * not interpolate the samples exactly, by design). Falls back to
+    * bilinear when any tap is nodata. */
+  def cubicSpline(src: (Int, Int) => Double, sx: Double, sy: Double): Double = {
+    val fx = sx - 0.5; val fy = sy - 0.5
+    val x0 = math.floor(fx).toInt; val y0 = math.floor(fy).toInt
+    val dx = fx - x0; val dy = fy - y0
+    def w(t: Double): Double = {
+      val at = math.abs(t)
+      if (at < 1.0) (4.0 - 6.0 * at * at + 3.0 * at * at * at) / 6.0
+      else if (at < 2.0) { val u = 2.0 - at; u * u * u / 6.0 }
+      else 0.0
+    }
+    var sum = 0.0
+    var j = -1
+    while (j <= 2) {
+      var rowSum = 0.0
+      var i = -1
+      while (i <= 2) {
+        val v = src(x0 + i, y0 + j)
+        if (v.isNaN) return bilinear(src, sx, sy)
+        rowSum += v * w(dx - i)
+        i += 1
+      }
+      sum += rowSum * w(dy - j)
+      j += 1
+    }
+    sum
+  }
+
+  /** Lanczos windowed sinc, a = 3, on the 6×6 neighborhood (reference
+    * GRA_Lanczos: alg/gdalwarpkernel.cpp :: GWKLanczosSinc). The truncated
+    * window's weights do not sum to 1, so the result is normalized by the
+    * weight sum exactly as the reference does. Falls back to bilinear when
+    * any tap is nodata. */
+  def lanczos(src: (Int, Int) => Double, sx: Double, sy: Double): Double = {
+    val fx = sx - 0.5; val fy = sy - 0.5
+    val x0 = math.floor(fx).toInt; val y0 = math.floor(fy).toInt
+    val dx = fx - x0; val dy = fy - y0
+    def w(t: Double): Double = {
+      if (t == 0.0) 1.0
+      else if (t <= -3.0 || t >= 3.0) 0.0
+      else {
+        val pt = math.Pi * t
+        3.0 * math.sin(pt) * math.sin(pt / 3.0) / (pt * pt)
+      }
+    }
+    var sum = 0.0; var wsum = 0.0
+    var j = -2
+    while (j <= 3) {
+      val wy = w(dy - j)
+      if (wy != 0.0) {
+        var i = -2
+        while (i <= 3) {
+          val wx = w(dx - i)
+          if (wx != 0.0) {
+            val v = src(x0 + i, y0 + j)
+            if (v.isNaN) return bilinear(src, sx, sy)
+            sum += v * wx * wy; wsum += wx * wy
+          }
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (wsum == 0.0) Double.NaN else sum / wsum
+  }
+
   /** 2×2 average reduction of a w×h tile (w,h even) — the AVERAGE overview
     * kernel. Order-fixed summation for bit determinism. */
   def downsample2x2Avg(pixels: Array[Double], w: Int, h: Int): Array[Double] = {

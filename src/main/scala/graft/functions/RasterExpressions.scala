@@ -51,7 +51,7 @@ case class WarpSrcCells(left: Expression, right: Expression)
     val dst = d0.asInstanceOf[Long]
     val srcZoom = sz0.asInstanceOf[Int]
     val (w, s, e, n) = TileMath.mercTileBoundsDeg(ZCell.zoom(dst), ZCell.tx(dst), ZCell.ty(dst))
-    val halo = 180.0 / (1L << srcZoom).toDouble / 64.0 * 2.5 // covers cubic's 4×4 taps
+    val halo = 180.0 / (1L << srcZoom).toDouble / 64.0 * 3.5 // covers lanczos's 6×6 taps
     val cells = TileMath.geoCellsForEnvelope(
       math.max(-180.0, w - halo), math.max(-90.0, s - halo),
       math.min(180.0, e + halo), math.min(90.0, n + halo), srcZoom)
@@ -78,8 +78,8 @@ case class WarpDstCells(left: Expression, right: Expression)
     val dstZoom = dz0.asInstanceOf[Int]
     val srcZoom = ZCell.zoom(src)
     val (w, s, e, n) = TileMath.geoTileBounds(srcZoom, ZCell.tx(src), ZCell.ty(src))
-    // mirror warp_src_cells' halo (2.5 src px) + one dst px of slack
-    val halo = 180.0 / (1L << srcZoom).toDouble / 64.0 * 2.5
+    // mirror warp_src_cells' halo (3.5 src px) + one dst px of slack
+    val halo = 180.0 / (1L << srcZoom).toDouble / 64.0 * 3.5
     val nDst = 1L << dstZoom
     val dstPxDeg = 360.0 / (nDst * 64).toDouble
     val w2 = w - halo - dstPxDeg; val e2 = e + halo + dstPxDeg
@@ -152,8 +152,10 @@ case class WarpTile(first: Expression, second: Expression, third: Expression,
         val lon = TileMath.mercXToLon(xm)
         val gx = (lon + 180.0) / srcResX
         val v = method match {
-          case "near"  => Resample.nearest(srcFn, gx, gy)
-          case "cubic" => Resample.cubic(srcFn, gx, gy)
+          case "near"        => Resample.nearest(srcFn, gx, gy)
+          case "cubic"       => Resample.cubic(srcFn, gx, gy)
+          case "cubicspline" => Resample.cubicSpline(srcFn, gx, gy)
+          case "lanczos"     => Resample.lanczos(srcFn, gx, gy)
           case "average" | "mode" =>
             val gxW = (TileMath.mercXToLon(xm0 + px * dxm) + 180.0) / srcResX
             val gxE = (TileMath.mercXToLon(xm0 + (px + 1) * dxm) + 180.0) / srcResX

@@ -145,7 +145,7 @@ class RasterSpec extends AnyFunSuite {
     assert(got == want.toMap, s"got ${got.size} vs want ${want.size}")
   }
 
-  test("warp to mercator matches scalar oracle (near, bilinear, cubic, average, mode)") {
+  test("warp to mercator matches scalar oracle (all 7 kernels)") {
     F.ensureRegistered(spark)
     val srcZoom = 3; val dstZoom = 3
     // scalar oracle: direct global sampling (no tile join) via the same kernels
@@ -156,7 +156,7 @@ class RasterSpec extends AnyFunSuite {
     }
     val srcResX = 360.0 / ((1L << (srcZoom + 1)) * 64).toDouble
     val srcResY = 180.0 / ((1L << srcZoom) * 64).toDouble
-    for (method <- Seq("near", "bilinear", "cubic", "average", "mode")) {
+    for (method <- Seq("near", "bilinear", "cubic", "cubicspline", "lanczos", "average", "mode")) {
       val got = Raster.warpToMercator(Synth.tiles(spark, srcZoom), srcZoom, dstZoom, method)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
@@ -178,9 +178,11 @@ class RasterSpec extends AnyFunSuite {
               val lon = TileMath.mercXToLon(xm0 + (px + 0.5) * dxm)
               val gx = (lon + 180.0) / srcResX; val gy = (90.0 - lat) / srcResY
               method match {
-                case "near"  => Resample.nearest(srcFn, gx, gy)
-                case "cubic" => Resample.cubic(srcFn, gx, gy)
-                case _       => Resample.bilinear(srcFn, gx, gy)
+                case "near"        => Resample.nearest(srcFn, gx, gy)
+                case "cubic"       => Resample.cubic(srcFn, gx, gy)
+                case "cubicspline" => Resample.cubicSpline(srcFn, gx, gy)
+                case "lanczos"     => Resample.lanczos(srcFn, gx, gy)
+                case _             => Resample.bilinear(srcFn, gx, gy)
               }
           }
           if (v.isNaN) 0.0 else v
@@ -215,6 +217,26 @@ class RasterSpec extends AnyFunSuite {
     }
     // constant field preserved (within kernel-weight rounding)
     assert(math.abs(Resample.cubic((_, _) => 7.0, 3.3, 2.7) - 7.0) < 1e-12)
+  }
+
+  test("cubicspline and lanczos kernel properties") {
+    val ramp: (Int, Int) => Double = (x, y) => 3.0 * x + 2.0 * y + 1.0
+    for (sx <- Seq(5.1, 5.5, 6.9); sy <- Seq(4.2, 4.5, 5.8)) {
+      val want = 3.0 * (sx - 0.5) + 2.0 * (sy - 0.5) + 1.0
+      // B-spline: partition of unity + symmetry -> linear ramps preserved
+      assert(math.abs(Resample.cubicSpline(ramp, sx, sy) - want) < 1e-9, s"bspline ($sx,$sy)")
+    }
+    // lanczos: weight-normalized -> constants exact; a step edge must
+    // overshoot (ringing), unlike the monotone kernels
+    assert(math.abs(Resample.lanczos((_, _) => 7.0, 3.3, 2.7) - 7.0) < 1e-12)
+    val step: (Int, Int) => Double = (x, _) => if (x < 6) 0.0 else 10.0
+    // ~1.5 px left of the edge: the value-10 taps sit in the sinc's
+    // negative lobe, so the result dips below 0
+    val near = Resample.lanczos(step, 4.6, 4.5)
+    assert(near < 0.0, s"expected undershoot below the step, got $near")
+    // smoothing: B-spline at a sample center does NOT reproduce a spike
+    val spike: (Int, Int) => Double = (x, y) => if (x == 5 && y == 5) 6.0 else 0.0
+    assert(math.abs(Resample.cubicSpline(spike, 5.5, 5.5) - 6.0 * 4.0 / 9.0) < 1e-9)
   }
 
   test("rgb2pct median cut: distributed == whole-grid scalar; palette partitioning-independent") {
