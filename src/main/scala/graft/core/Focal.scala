@@ -79,6 +79,29 @@ object Focal {
             val cang = sinAlt * math.sin(slope) +
               cosAlt * math.cos(slope) * math.cos(azRad - math.Pi / 2.0 - aspect)
             if (cang <= 0.0) 1.0 else math.rint(1.0 + 254.0 * cang)
+          case "hillshade_md" =>
+            // multidirectional hillshade (reference: gdaldem hillshade
+            // -multidirectional, the USGS/Mark Smith method): shade from
+            // azimuths 225/270/315/360 weighted by sin²(aspect − az). The
+            // four weights at 45° spacing sum to 2 identically, so the
+            // combination normalizes by /2. Flat terrain degenerates to
+            // the standard single-azimuth value (weights × sinAlt).
+            val xx = p.z * ((a + 2 * d + g) - (c + 2 * f + i)) / (8.0 * p.ewres * p.scale)
+            val yy = p.z * ((g + 2 * hh + i) - (a + 2 * b + c)) / (8.0 * p.nsres * p.scale)
+            val slope = math.Pi / 2.0 - math.atan(math.sqrt(xx * xx + yy * yy))
+            val aspect = math.atan2(yy, xx)
+            var acc = 0.0
+            var az = 225.0
+            while (az <= 360.0) {
+              val azR = az * degToRad
+              val wgt = { val s = math.sin(aspect - azR); s * s }
+              val cang = sinAlt * math.sin(slope) +
+                cosAlt * math.cos(slope) * math.cos(azR - math.Pi / 2.0 - aspect)
+              acc += wgt * math.max(cang, 0.0)
+              az += 45.0
+            }
+            val cmb = acc / 2.0
+            if (cmb <= 0.0) 1.0 else math.rint(1.0 + 254.0 * cmb)
           case other => throw new IllegalArgumentException(s"focal mode $other")
         }
         out(y * w + x) = v

@@ -28,7 +28,7 @@ class FocalProxContourSpec extends AnyFunSuite {
     val zoom = 2; val w = 8; val h = 8
     val (vals, gw, gh) = synthVals(zoom, w, h)
     val tiles = Synth.maskTiles(spark, zoom, w, h)
-    for (mode <- Seq("tri", "tpi", "roughness", "slope_deg", "aspect_deg", "hillshade")) {
+    for (mode <- Seq("tri", "tpi", "roughness", "slope_deg", "aspect_deg", "hillshade", "hillshade_md")) {
       val want = FocalKernel.wholeGrid(vals, gw, gh, mode)
       val got = Focal.focal(tiles, w, h, 1 << (zoom + 1), 1 << zoom, mode)
         .collect()
@@ -77,6 +77,9 @@ class FocalProxContourSpec extends AnyFunSuite {
     assert(FocalKernel.wholeGrid(flat, 5, 5, "slope_deg").forall(_ == 0.0))
     // flat hillshade = round(1 + 254*sin(alt=45°)) = round(1+254*0.7071) = 181
     assert(FocalKernel.wholeGrid(flat, 5, 5, "hillshade").forall(_ == 181.0))
+    // multidirectional degenerates to the same value on flat terrain
+    // (sin² weights sum to 2, each azimuth's cang = sin(alt))
+    assert(FocalKernel.wholeGrid(flat, 5, 5, "hillshade_md").forall(_ == 181.0))
     // spike at center of 3x3 zeros
     val spike = Array(0.0, 0.0, 0.0, 0.0, 9.0, 0.0, 0.0, 0.0, 0.0)
     val tri = FocalKernel.wholeGrid(spike, 3, 3, "tri")
