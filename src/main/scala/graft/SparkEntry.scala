@@ -666,6 +666,20 @@ object SparkEntry {
       Raster.colorRelief(Synth.tiles(s, 3), ramp)
         .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q70_pct2rgb" -> ((s, dir) => {
+      // pct2rgb o rgb2pct round-trip on the q63 corpus (256 distinct
+      // colors at quantBits=8/paletteSize=256 -> exact inverse): per-band
+      // checksums must equal the ORIGINAL multispectral bands'
+      F.ensureRegistered(s)
+      val ms = Seq((1, "v"), (2, "(v * 2 + 5) % 256"), (3, "(v * 7 + 11) % 256"))
+        .map { case (b, e) =>
+          Synth.tiles(s, 3).withColumn("band", lit(b))
+            .withColumn("pixels", expr(s"transform(pixels, v -> $e)"))
+        }.reduce(_ unionByName _)
+      val (mapped, pal) = Raster.rgb2pct(ms, paletteSize = 256, quantBits = 8)
+      Raster.pct2rgb(mapped, pal)
+        .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q69_locationinfo" -> ((s, dir) => {
       // gdallocationinfo: the pixel value under each query point. Integer
       // unit coords make the pixel index exact (zoom-3 grid is 1024x512 px
@@ -1470,6 +1484,21 @@ object SparkEntry {
            n_pts, TRUE AS closed,
            'POLYGON((' || b || ',' || p0 || '))' AS wkt
          FROM body""",
+    "q70_pct2rgb" ->
+      // round-trip is exact, so the oracle checksums the ORIGINAL bands
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS v
+           FROM tiles t, generate_series(0, 4095) i(i)),
+         chan AS (
+           SELECT tx, ty, i, 1 AS band, v AS val FROM px
+           UNION ALL SELECT tx, ty, i, 2, (v*2 + 5) % 256 FROM px
+           UNION ALL SELECT tx, ty, i, 3, (v*7 + 11) % 256 FROM px)
+         SELECT band, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM chan GROUP BY 1, 2, 3""",
     "q69_locationinfo" ->
       // pure integer-unit pixel lookup against the closed-form grid
       s"""WITH qp AS ($qptsSql),

@@ -365,6 +365,23 @@ object Raster {
     (mapped, pal)
   }
 
+  /** pct2rgb (reference: swig/python/scripts/pct2rgb.py) — the inverse of
+    * rgb2pct: expand a palette-indexed raster back to 3 RGB bands via a
+    * plan-time literal palette lookup (codegen'd element_at over a ≤256
+    * literal array; no join, no UDF). Exact round-trip with rgb2pct when
+    * the palette holds every color present. */
+  def pct2rgb(mapped: DataFrame, palette: Array[Int]): DataFrame = {
+    val bands = Seq((1, 16), (2, 8), (3, 0)).map { case (b, shift) =>
+      val lits = palette.map(p => (p >> shift) & 0xff).mkString(",")
+      struct(lit(b).as("band"),
+        expr(s"transform(pixels, v -> CAST(element_at(array($lits), CAST(v AS INT) + 1) AS DOUBLE))")
+          .as("pixels"))
+    }
+    mapped.select(col("zoom"), col("tx"), col("ty"), explode(array(bands: _*)).as("o"))
+      .select(col("zoom"), col("tx"), col("ty"), col("o.band").as("band"),
+        col("o.pixels").as("pixels"))
+  }
+
   /** Cutline mask (reference: alg/gdalcutline.cpp ::
     * GDALWarpCutlineMasker): rasterize the cutline polygons into 0/1 mask
     * tiles at the raster's zoom (same scanline center rule as the
