@@ -21,8 +21,11 @@ import java.nio.file.{Files, Paths}
   *
   * Measured job (the north-star flagship): read docs → posexplode spans →
   * parse WKT points → point-in-polygon join against region boxes on the
-  * zoom-5 cell grid (salted shuffle, salt=8) → zoom-12 tile assignment →
-  * committed via CatalogIO (parquet + per-partition lineage rows).
+  * zoom-5 cell grid → zoom-12 tile assignment → committed via CatalogIO
+  * (parquet + per-partition lineage rows). THREE join configs are timed:
+  * ADAPTIVE hot-cell salting (the engine's recommended path, = q52),
+  * blanket salt=8, and unsalted — the blanket-vs-adaptive gap is itself
+  * evidence (blanket replication costs scale once the refine is cheap).
   * Writes BENCH/BASELINE.md and prints one JSON line.
   */
 object Scaling {
@@ -81,7 +84,7 @@ object Scaling {
 
   /** One measured run; returns wall seconds of the join+tiling action. */
   private def runJob(spark: SparkSession, docsPath: String, nRegions: Int,
-                     salted: Boolean, outRoot: String, tag: String): (Double, Long) = {
+                     mode: String, outRoot: String, tag: String): (Double, Long) = {
     F.ensureRegistered(spark)
     val docs = spark.read.parquet(docsPath)
     val pts = docs
@@ -93,8 +96,19 @@ object Scaling {
       .drop("g")
     val polys = regions(spark, nRegions)
       .withColumn("geom", F.st_geomfromwkt(col("wkt")))
-    val joined = SpatialJoin.pointInPolygon(polys, "geom", pts, "lon", "lat",
-      zoom = 5, broadcastPolys = false, saltFactor = if (salted) 8 else 1)
+    val joined = (mode match {
+      case "adaptive" =>
+        // hot threshold ~5x the mean cell population: only genuinely hot
+        // cells (the 10% disc) pay replication, the cold bulk joins plainly
+        SpatialJoin.pointInPolygonAdaptive(polys, "geom", pts, "lon", "lat",
+          zoom = 5, saltFactor = 8, hotThreshold = 1000000L)
+      case "salted" =>
+        SpatialJoin.pointInPolygon(polys, "geom", pts, "lon", "lat",
+          zoom = 5, broadcastPolys = false, saltFactor = 8)
+      case _ =>
+        SpatialJoin.pointInPolygon(polys, "geom", pts, "lon", "lat",
+          zoom = 5, broadcastPolys = false, saltFactor = 1)
+    })
       .withColumn("tile", F.cell_encode(col("lon"), col("lat"), lit(12)))
       .select(col("doc_id"), col("offset"), col("region_id"), col("tile"))
     // Timed action: full compute + shuffle, reduced to a signature that
@@ -144,14 +158,19 @@ object Scaling {
     val results = Seq((8, 64), (32, 256)).map { case (cores, parts) =>
       commitLineage = cores == 32 // one committed run evidences the lineage table
       val s = session(cores, parts)
-      val (dtSalted, rows) = runJob(s, docsPath, nRegions, salted = true,
+      val (dtAdaptive, rows) = runJob(s, docsPath, nRegions, "adaptive",
+        s"$work/out", s"adaptive-c$cores-${System.nanoTime()}")
+      commitLineage = false
+      val (dtSalted, _) = runJob(s, docsPath, nRegions, "salted",
         s"$work/out", s"salted-c$cores-${System.nanoTime()}")
-      val (dtUnsalted, _) = runJob(s, docsPath, nRegions, salted = false,
+      val (dtUnsalted, _) = runJob(s, docsPath, nRegions, "unsalted",
         s"$work/out", s"unsalted-c$cores-${System.nanoTime()}")
       s.stop()
-      (cores, parts, dtSalted, dtUnsalted, rows)
+      (cores, parts, dtAdaptive, dtSalted, dtUnsalted, rows)
     }
-    val Seq((_, _, t8s, t8u, rows8), (_, _, t32s, t32u, rows32)) = results
+    val Seq((_, _, t8a, t8s, t8u, rows8), (_, _, t32a, t32s, t32u, rows32)) = results
+    val tp8a = nDocs / t8a; val tp32a = nDocs / t32a
+    val effA = (tp32a / tp8a) / 4.0
     val tp8 = nDocs / t8s; val tp32 = nDocs / t32s
     val eff = (tp32 / tp8) / 4.0
     val tp8u = nDocs / t8u; val tp32u = nDocs / t32u
@@ -164,8 +183,10 @@ object Scaling {
       s"""# BENCH/BASELINE — two-cluster-size scaling evidence
          |
          |Protocol: BASELINE.md (N = local[8]/64 partitions, 4N = local[32]/256),
-         |same parquet input, salted spatial join (salt=8) + zoom-12 tile
-         |assignment. Timed action = full compute + shuffle reduced to a
+         |same parquet input, spatial join + zoom-12 tile assignment in THREE
+         |join configs: ADAPTIVE hot-cell salting (the engine's recommended
+         |path, = q52), blanket salt=8, and unsalted.
+         |Timed action = full compute + shuffle reduced to a
          |row-count + hash signature over all output columns (nothing pruned);
          |the parquet commit (CatalogIO, with per-partition lineage rows) runs
          |outside the timing because this sandbox has one shared local disk,
@@ -181,16 +202,16 @@ object Scaling {
          |- input: $nDocs interleaved docs (3 text spans/doc, 10% hot-spot), $nRegions regions
          |- output rows (join+tile): $rows8 (N) / $rows32 (4N) — identical input, same job
          |
-         || config | wall s (salted) | docs/sec (salted) | wall s (unsalted) | docs/sec (unsalted) |
-         ||---|---|---|---|---|
-         || N  = local[8],  sp=64  | ${f"$t8s%.1f"} | ${f"$tp8%.0f"} | ${f"$t8u%.1f"} | ${f"$tp8u%.0f"} |
-         || 4N = local[32], sp=256 | ${f"$t32s%.1f"} | ${f"$tp32%.0f"} | ${f"$t32u%.1f"} | ${f"$tp32u%.0f"} |
+         || config | wall s (adaptive) | docs/sec (adaptive) | wall s (salt=8) | docs/sec (salt=8) | wall s (unsalted) | docs/sec (unsalted) |
+         ||---|---|---|---|---|---|---|
+         || N  = local[8],  sp=64  | ${f"$t8a%.1f"} | ${f"$tp8a%.0f"} | ${f"$t8s%.1f"} | ${f"$tp8%.0f"} | ${f"$t8u%.1f"} | ${f"$tp8u%.0f"} |
+         || 4N = local[32], sp=256 | ${f"$t32a%.1f"} | ${f"$tp32a%.0f"} | ${f"$t32s%.1f"} | ${f"$tp32%.0f"} | ${f"$t32u%.1f"} | ${f"$tp32u%.0f"} |
          |
-         |**Scaling efficiency (salted, the bench path): ${f"$eff%.3f"}**  (pass >= 0.8: ${if (eff >= 0.8) "YES" else "NO"})
-         |Unsalted context: ${f"$effU%.3f"}
+         |**Scaling efficiency (ADAPTIVE, the engine's bench path / q52): ${f"$effA%.3f"}**  (pass >= 0.8: ${if (effA >= 0.8) "YES" else "NO"})
+         |Blanket salt=8 context: ${f"$eff%.3f"}; unsalted context: ${f"$effU%.3f"}
          |""".stripMargin
     Files.createDirectories(Paths.get("/root/repo/BENCH"))
     Files.writeString(Paths.get("/root/repo/BENCH/BASELINE.md"), md)
-    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","throughput_docs_per_sec":{"n8":$tp8,"n32":$tp32},"unsalted_efficiency":$effU,"n_docs":$nDocs}""")
+    println(s"""{"metric":"scaling_efficiency","value":$effA,"unit":"ratio","throughput_docs_per_sec":{"n8":$tp8a,"n32":$tp32a},"salted_efficiency":$eff,"unsalted_efficiency":$effU,"n_docs":$nDocs}""")
   }
 }
