@@ -10,7 +10,31 @@ import graft.operators.SpatialJoin
   * materialized scaling input so shuffle/broadcast differences are
   * visible without timing noise. Usage: runMain graft.tools.ProbeScale */
 object ProbeScale {
+  /** Pure input-side baseline: scan + span explode + WKT parse, NO join —
+    * its N-vs-4N ratio is the host's ceiling for any join built on it. */
+  def scanBaseline(docsPath: String): Unit = {
+    for ((cores, parts) <- Seq((8, 64), (32, 256))) {
+      val spark = SparkSession.builder().master(s"local[$cores]")
+        .appName(s"probe-scan-$cores")
+        .config("spark.sql.shuffle.partitions", parts.toString)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      F.ensureRegistered(spark)
+      def job = spark.read.parquet(docsPath)
+        .select(posexplode(col("spans")).as(Seq("pos", "span")))
+        .where(col("span.kind") === "text")
+        .select(F.st_geomfromwkt(col("span.text")).as("g"))
+        .agg(sum(F.st_x(col("g")) + F.st_y(col("g"))))
+      job.collect() // warmup
+      val t0 = System.nanoTime()
+      job.collect()
+      println(f"[scan-baseline] local[$cores]: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--scan")) { scanBaseline(args(1)); return }
     val docsPath = args.headOption.getOrElse("/tmp/graft_scaling/docs_32000000")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "64")
