@@ -18,6 +18,28 @@ class SpatialJoinSpec extends AnyFunSuite {
     .select("pt_id", "lon", "lat").collect()
     .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
 
+  test("envelope prefilter is inclusive: boundary points survive to the exact predicate") {
+    // a point exactly ON the polygon's envelope edge must NOT be dropped by
+    // the bbox gate — the exact predicate decides (intersects: true;
+    // contains: false, boundary excluded)
+    F.ensureRegistered(spark)
+    val polys = Seq((1L, "POLYGON((10 20, 30 20, 30 40, 10 40, 10 20))"))
+      .toDF("region_id", "wkt")
+      .withColumn("geom", F.st_geomfromwkt(col("wkt")))
+    val points = Seq(
+      (1L, 10.0, 30.0),  // on the west edge
+      (2L, 30.0, 40.0),  // on the NE corner
+      (3L, 20.0, 30.0),  // interior
+      (4L, 9.999, 30.0)) // just outside
+      .toDF("pt_id", "lon", "lat")
+    def ids(pred: String) =
+      SpatialJoin.pointInPolygon(polys, "geom", points, "lon", "lat", zoom = 5,
+        predicate = pred)
+        .select("pt_id").collect().map(_.getLong(0)).toSet
+    assert(ids("intersects") == Set(1L, 2L, 3L))
+    assert(ids("contains") == Set(3L))
+  }
+
   test("PIP broadcast == PIP shuffle == PIP salted == JTS brute force") {
     F.ensureRegistered(spark)
     val polys = Synth.regionWkt(spark, TestSpark.SfSmall)
