@@ -14,10 +14,7 @@ object Bench {
     // query doesn't absorb one-time costs
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => }
-    // builder-side iteration aid (driver sets nothing -> all queries)
-    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = SparkEntry.selectedQueries
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output row in full — plain
@@ -28,6 +25,10 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val secs = (System.nanoTime() - t0) / 1e9
+      // per-query isolation: operator-internal persists (covers, hot-cell
+      // sets, q65's arcs) must not accumulate across 70 queries or leak
+      // one query's cache into the next query's timing
+      spark.sharedState.cacheManager.clearCache()
       // a failed query must not masquerade as a fast success: negate it
       name -> (if (ok) secs else -secs)
     }
@@ -41,7 +42,7 @@ object Bench {
     // sole stdout line (build.sbt sets run/outputStrategy=StdoutOutput so
     // sbt does not [info]-prefix it) + a file copy for the driver
     println(line)
-    if (only.isEmpty) try {
+    if (!SparkEntry.subsetActive) try {
       val dir = java.nio.file.Paths.get("BENCH")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("RESULT.json"), line)

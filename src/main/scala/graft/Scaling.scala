@@ -160,15 +160,20 @@ object Scaling {
     // BENCH/BASELINE.md's scan-ceiling note)
     val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "8:64,32:256")
       .split(",").toSeq.map { lv => val Array(c, p) = lv.split(":"); (c.toInt, p.toInt) }
+    require(levels.size == 2, s"SPARK_GRAFT_SCALE_LEVELS needs exactly two cores:partitions levels, got $levels")
     val lastCores = levels.last._1
     val results = levels.map { case (cores, parts) =>
       commitLineage = cores == lastCores // one committed run evidences the lineage table
       val s = session(cores, parts)
       val (dtAdaptive, rows) = runJob(s, docsPath, nRegions, "adaptive",
         s"$work/out", s"adaptive-c$cores-${System.nanoTime()}")
+      // drop the adaptive run's persisted point set (and covers) so it
+      // cannot contend with the next configs' timed windows
+      s.sharedState.cacheManager.clearCache()
       commitLineage = false
       val (dtSalted, _) = runJob(s, docsPath, nRegions, "salted",
         s"$work/out", s"salted-c$cores-${System.nanoTime()}")
+      s.sharedState.cacheManager.clearCache()
       val (dtUnsalted, _) = runJob(s, docsPath, nRegions, "unsalted",
         s"$work/out", s"unsalted-c$cores-${System.nanoTime()}")
       s.stop()
@@ -207,7 +212,7 @@ object Scaling {
          |
          |- commit: $commit
          |- input: $nDocs interleaved docs (3 text spans/doc, 10% hot-spot), $nRegions regions
-         |- output rows (join+tile): $rows8 (N) / $rows32 (4N) — identical input, same job
+         |- output rows (join+tile): $rows8 (N=local[$nc]) / $rows32 (${factor.toInt}N=local[$mc]) — identical input, same job
          |
          || config | wall s (adaptive) | docs/sec (adaptive) | wall s (salt=8) | docs/sec (salt=8) | wall s (unsalted) | docs/sec (unsalted) |
          ||---|---|---|---|---|---|---|
@@ -219,6 +224,6 @@ object Scaling {
          |""".stripMargin
     Files.createDirectories(Paths.get("/root/repo/BENCH"))
     Files.writeString(Paths.get("/root/repo/BENCH/BASELINE.md"), md)
-    println(s"""{"metric":"scaling_efficiency","value":$effA,"unit":"ratio","throughput_docs_per_sec":{"n8":$tp8a,"n32":$tp32a},"salted_efficiency":$eff,"unsalted_efficiency":$effU,"n_docs":$nDocs}""")
+    println(s"""{"metric":"scaling_efficiency","value":$effA,"unit":"ratio","throughput_docs_per_sec":{"n$nc":$tp8a,"n$mc":$tp32a},"salted_efficiency":$eff,"unsalted_efficiency":$effU,"n_docs":$nDocs}""")
   }
 }

@@ -86,6 +86,15 @@ object SparkEntry {
            count(*) OVER (PARTITION BY doc_key) AS n
            FROM ip)"""
 
+  /** Builder-side subset filter shared by Verify and Bench:
+    * GRAFT_ONLY=q64_osm_ways,q65_osm_relations (whitespace tolerated).
+    * The driver sets nothing and gets every query. */
+  def selectedQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    queries.filter { case (name, _) => only.forall(_.contains(name)) }
+  }
+  def subsetActive: Boolean = sys.env.contains("GRAFT_ONLY")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------- relational core (SURVEY.md §3.2/3.3/3.5/3.6/3.7) -------
     "q01_agg_filter" -> ((s, dir) => {
@@ -633,8 +642,10 @@ object SparkEntry {
       // (endpoint walk, member reversal as needed) and emits the ring in
       // canonical orientation — which the oracle recomputes in pure SQL
       // (rotation + direction choice via window functions).
-      Osm.assembleRelations(Synth.osmNodes(s, dir), Synth.osmRelArcs(s, dir),
-        Synth.osmRelations(s, dir))
+      val arcs = Synth.osmRelArcs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Osm.assembleRelations(Synth.osmNodes(s, dir), arcs,
+        Synth.osmRelationsFromArcs(arcs))
     }),
     "q56_grid_idw" -> ((s, dir) => {
       // gdalgrid invdist:power=2 (completes A4, which had only the

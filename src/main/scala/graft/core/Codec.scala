@@ -25,7 +25,9 @@ object Codec {
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { raster.setSample(x, y, 0, px(y * w + x) & 0xff); x += 1 }
+      // clamp to the Byte range like the reference's Byte path (silent
+      // mod-256 wrap would break the documented lossless round-trip)
+      while (x < w) { raster.setSample(x, y, 0, math.min(255, math.max(0, px(y * w + x)))); x += 1 }
       y += 1
     }
     val bos = new ByteArrayOutputStream()

@@ -64,11 +64,15 @@ object GeomIO {
     if (p != null) p
     else {
       val fresh = PreparedGeometryFactory.prepare(fromWkb(wkb))
-      if (prepCache.size < CacheMax) {
-        // copy the key bytes: the caller's array may be a reused buffer
-        val owned = java.nio.ByteBuffer.wrap(java.util.Arrays.copyOf(wkb, wkb.length))
-        prepCache.putIfAbsent(owned, fresh)
-      }
+      // epoch reset instead of permanent miss: an insert-only cache that
+      // fills with one query's geometries would silently lock every LATER
+      // query's hot polygons out (reintroducing the re-prepare thrash this
+      // cache exists to kill). Clearing re-prepares the current hot set
+      // once; steady state is all-hits again.
+      if (prepCache.size >= CacheMax) prepCache.clear()
+      // copy the key bytes: the caller's array may be a reused buffer
+      val owned = java.nio.ByteBuffer.wrap(java.util.Arrays.copyOf(wkb, wkb.length))
+      prepCache.putIfAbsent(owned, fresh)
       fresh
     }
   }

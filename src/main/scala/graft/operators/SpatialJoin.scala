@@ -118,8 +118,9 @@ object SpatialJoin {
     candidates.where(pred).drop("__cell", "__env")
   }
 
-  /** Codegen'd bbox prefilter against a polygon-side `__env` array. */
-  private def envGateLonLat(lonCol: String, latCol: String): Column =
+  /** Codegen'd bbox prefilter against a polygon-side `__env` array —
+    * shared by all batch paths and the streaming twin. */
+  private[operators] def envGateLonLat(lonCol: String, latCol: String): Column =
     col(lonCol) >= col("__env")(0) && col(lonCol) <= col("__env")(2) &&
       col(latCol) >= col("__env")(1) && col(latCol) <= col("__env")(3)
 

@@ -53,8 +53,7 @@ object Streaming {
       .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
     points.withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom)))
       .join(broadcast(cov), Seq("__cell"))
-      .where(col(lonCol) >= col("__env")(0) && col(lonCol) <= col("__env")(2) &&
-        col(latCol) >= col("__env")(1) && col(latCol) <= col("__env")(3) &&
+      .where(SpatialJoin.envGateLonLat(lonCol, latCol) &&
         F.st_predicate_point(predicate, col(polyGeom), col(lonCol), col(latCol)))
       .drop("__cell", "__env")
   }

@@ -172,12 +172,17 @@ object Synth {
   }
 
   /** Relations (rel_id, members array<struct<way_id, role>>): both arcs of
-    * each split way as role=outer members. */
-  def osmRelations(spark: SparkSession, sfDir: String): DataFrame =
-    osmRelArcs(spark, sfDir)
-      .groupBy(expr("way_id div 10").as("rel_id"))
+    * each split way as role=outer members. Takes the arcs DataFrame so a
+    * caller can persist ONE arc derivation and feed both the member-way
+    * table and the relation table (separate lineages would recompute the
+    * whole window + join pipeline twice). */
+  def osmRelationsFromArcs(arcs: DataFrame): DataFrame =
+    arcs.groupBy(expr("way_id div 10").as("rel_id"))
       .agg(expr("transform(sort_array(collect_list(struct(way_id, 'outer' as role))), " +
         "m -> struct(m.way_id as way_id, m.role as role))").as("members"))
+
+  def osmRelations(spark: SparkSession, sfDir: String): DataFrame =
+    osmRelationsFromArcs(osmRelArcs(spark, sfDir))
 
   /** Synthetic raster tiles at a zoom: full geodetic grid 2^(z+1) × 2^z,
     * 64×64 px, pixel = (tx*131 + ty*173 + px*7 + py*11 + zoom) % 256 —
