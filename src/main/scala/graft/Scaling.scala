@@ -130,6 +130,14 @@ object Scaling {
     var best = Double.MaxValue
     var rows = 0L
     for (_ <- 1 to reps) {
+      // timed rep = the job FROM COLD CACHE: the warmup above exists only
+      // for JIT/codegen parity. Without this clear, a config whose operator
+      // persists internally (adaptive) times a cache read while others
+      // time the full scan — and Spark's CacheManager plan-matching even
+      // lets LATER configs silently reuse an EARLIER config's cache
+      // (observed: unsalted 24.9 s with a stale adaptive cache vs 273.5 s
+      // honest). Wall times are cross-config comparable only this way.
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val sig = action(joined)
       val dt = (System.nanoTime() - t0) / 1e9
