@@ -15,6 +15,10 @@ run / fork := true
 // prefixes every line with [info]/[error], which broke the driver's JSON
 // parse of Bench's result line (BENCH_r01 "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own "[success] Total time: ..." banner must not trail the
+// JSON line either (BENCH_r02 "parsed": null — the driver parses stdout as
+// a whole, so the result line must be the LAST stdout line).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -14,8 +14,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, SparkEntry.selectedQueries)
+    spark.stop()
+  }
+
+  /** The driver-facing dump: one `<name>.parquet` dir per query plus
+    * `<outDir>/oracle_sql.json`. Factored out of main so EntrySpec can run
+    * it on a subset and assert output-dir fidelity (only part-* members —
+    * the driver's pyarrow.dataset(dir) read dies on any foreign file). */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          queries: Map[String, (SparkSession, String) => DataFrame]): Unit = {
     new java.io.File(outDir).mkdirs()
-    SparkEntry.selectedQueries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
@@ -44,15 +54,14 @@ object Verify {
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Belt-and-braces: also drop a copy at the repo root and next to each
-    // query output, in case the driver reads from a different location.
+    // Belt-and-braces: also drop a copy at the repo root, in case the
+    // driver reads from a different location. NEVER write any non-parquet
+    // file inside an output directory: the driver reads each
+    // `<name>.parquet` dir with pyarrow.dataset(dir), which ingests every
+    // member file and errors on anything that is not parquet
+    // (CORRECTNESS_r02: 61/70 queries zeroed by an oracle.sql copy here).
     val root = Paths.get("/root/repo")
     if (Files.isDirectory(root))
       Files.writeString(root.resolve("oracle_sql.json"), json)
-    SparkEntry.oracleSql.foreach { case (k, v) =>
-      val d = Paths.get(s"$outDir/$k.parquet")
-      if (Files.isDirectory(d)) Files.writeString(d.resolve("oracle.sql"), v)
-    }
-    spark.stop()
   }
 }

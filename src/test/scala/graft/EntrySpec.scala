@@ -36,6 +36,33 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("Verify output dirs contain ONLY part-*/_SUCCESS (driver pyarrow.dataset fidelity)") {
+    // The driver reads each `<name>.parquet` dir with pyarrow.dataset(dir),
+    // which ingests every non-hidden member and errors on non-parquet files.
+    // CORRECTNESS_r02 lost 61/70 rows to an oracle.sql copy written here —
+    // this is the test that would have caught it before shipping.
+    val out = java.nio.file.Files.createTempDirectory("graft_verify_fidelity").toFile
+    try {
+      val subset = SparkEntry.queries.view.filterKeys(
+        Set("q01_agg_filter", "q22_dedup_exact")).toMap
+      Verify.run(spark, TestSpark.SfSmall, out.getAbsolutePath, subset)
+      subset.keys.foreach { name =>
+        val d = new java.io.File(out, s"$name.parquet")
+        assert(d.isDirectory, s"$name: no output dir")
+        val foreign = d.listFiles().map(_.getName).filterNot(m =>
+          m.startsWith(".") || m == "_SUCCESS" ||
+            (m.startsWith("part-") && m.endsWith(".parquet")))
+        assert(foreign.isEmpty, s"$name: foreign files ${foreign.mkString(",")}")
+      }
+      assert(new java.io.File(out, "oracle_sql.json").isFile)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(out)
+    }
+  }
+
   test("oracle coverage: every query has an oracle or is a documented rows-only op") {
     val rowsOnly = Set(
       "q19_warp_checksum",   // mercator trig — not bit-stable across engines

@@ -6,6 +6,21 @@ import sys, os, json, glob
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow.dataset as pads
+
+
+def driver_fidelity_gate(outp):
+    """Fail exactly the way the driver fails: the driver reads each output
+    directory with pyarrow.dataset(dir), which ingests EVERY non-hidden
+    member file and errors on anything that is not parquet (this is what
+    zeroed 61/70 rows in CORRECTNESS_r02 when an oracle.sql copy was
+    dropped into each dir). Also assert only part-*/_SUCCESS members."""
+    for m in os.listdir(outp):
+        if m.startswith('.') or m == '_SUCCESS':
+            continue
+        if not (m.startswith('part-') and m.endswith('.parquet')):
+            raise RuntimeError(f"foreign file in output dir: {m}")
+    pads.dataset(outp)  # raises if any ingested member is not parquet
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
@@ -42,6 +57,7 @@ for name in sorted(oracle):
     if not os.path.isdir(outp):
         print(f"FAIL {name}: no engine output dir"); fails += 1; continue
     try:
+        driver_fidelity_gate(outp)
         got = canon(con.execute(
             f"SELECT * FROM read_parquet('{outp}/*.parquet')").df())
         want = canon(con.execute(oracle[name]).df())
@@ -85,6 +101,7 @@ for entry in sorted(os.listdir(outdir)):
     p = os.path.join(outdir, entry)
     if os.path.isdir(p) and name not in oracle and (not only or name in only):
         try:
+            driver_fidelity_gate(p)
             n = con.execute(f"SELECT count(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
             print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
             if n == 0: fails += 1
