@@ -625,7 +625,8 @@ object SparkEntry {
           Synth.tiles(s, 3).withColumn("band", lit(b))
             .withColumn("pixels", expr(s"transform(pixels, v -> $e)"))
         }.reduce(_ unionByName _)
-      val (mapped, _) = Raster.rgb2pct(ms, paletteSize = 256, quantBits = 8)
+      val (mapped, _) = Raster.rgb2pct(ms, paletteSize = 256, quantBits = 8,
+        allowLargePalette = true) // corpus has exactly 256 colors by construction
       mapped.select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
     "q64_osm_ways" -> ((s, dir) => {
@@ -687,7 +688,8 @@ object SparkEntry {
           Synth.tiles(s, 3).withColumn("band", lit(b))
             .withColumn("pixels", expr(s"transform(pixels, v -> $e)"))
         }.reduce(_ unionByName _)
-      val (mapped, pal) = Raster.rgb2pct(ms, paletteSize = 256, quantBits = 8)
+      val (mapped, pal) = Raster.rgb2pct(ms, paletteSize = 256, quantBits = 8,
+        allowLargePalette = true) // corpus has exactly 256 colors by construction
       Raster.pct2rgb(mapped, pal)
         .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),

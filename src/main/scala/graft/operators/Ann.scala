@@ -93,7 +93,9 @@ object Ann {
     * vs brute force in PipelineSpec on the synthetic corpus.
     * Overflow bound: |element|·scale ≤ ~46k keeps den²·dot² within Long
     * for dim 64 (defaults: elements in [-2,2], scale 1000 ⇒ dot ≤ 2.6e8,
-    * 25·dot² ≤ 1.7e18 < 2^63). */
+    * 25·dot² ≤ 1.7e18 < 2^63). The bound is ENFORCED at runtime: any
+    * candidate whose fixed-point magnitudes leave the exact-Long envelope
+    * raises (assert_true) instead of silently wrapping. */
   def cosineDupPairs(data: DataFrame, dId: String, dVec: String,
                      minCosNum: Long, minCosDen: Long, fixedScale: Int = 1000,
                      bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
@@ -113,13 +115,26 @@ object Ann {
     val va = d.select(col("id").as("id_a"), col("v").as("va"))
     val vb = d.select(col("id").as("id_b"), col("v").as("vb"))
     def fdot(a: String, b: String) = F.fixed_dot(col(a), col(b), fixedScale)
+    // Overflow-SAFE exact comparison: regroup dot²·den² >= na2·nb2·num² as
+    // (dot·den)² >= (na2·num)·(nb2·num) and guard each factor against
+    // floor(sqrt(Long.Max)) — any input outside the documented envelope now
+    // raises instead of silently wrapping Long and returning wrong pairs.
+    val maxSafe = 3037000499L // floor(sqrt(2^63 - 1))
+    val overflow =
+      abs(col("dot_fp")) > lit(maxSafe / minCosDen) ||
+        col("na2") > lit(maxSafe / minCosNum) ||
+        col("nb2") > lit(maxSafe / minCosNum)
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("dot_fp", fdot("va", "vb"))
       .withColumn("na2", fdot("va", "va"))
       .withColumn("nb2", fdot("vb", "vb"))
-      .where(col("dot_fp") > 0 &&
-        col("dot_fp") * col("dot_fp") * lit(minCosDen * minCosDen) >=
-          col("na2") * col("nb2") * lit(minCosNum * minCosNum))
+      .where(assert_true(!overflow, lit(
+        s"cosineDupPairs: fixed-point magnitude exceeds the exact-Long envelope " +
+          s"(|dot|<=${maxSafe / minCosDen}, norm2<=${maxSafe / minCosNum} at " +
+          s"threshold $minCosNum/$minCosDen) — lower fixedScale")).isNull &&
+        col("dot_fp") > 0 &&
+        (col("dot_fp") * lit(minCosDen)) * (col("dot_fp") * lit(minCosDen)) >=
+          (col("na2") * lit(minCosNum)) * (col("nb2") * lit(minCosNum)))
       .select("id_a", "id_b", "dot_fp")
   }
 }

@@ -229,10 +229,12 @@ object Raster {
       .mapGroups { (key: (Long, Long), it: Iterator[GridChunk]) =>
         val (dtx, dty) = key
         val srcTiles = new java.util.HashMap[Long, Array[Double]]()
-        it.foreach(c => srcTiles.put(c.ty * 1000000L + c.tx, c.pixels))
+        // collision-free pack: ty*CONST collides once tx exceeds CONST
+        // (srcW >= CONST·w px would silently substitute wrong source tiles)
+        it.foreach(c => srcTiles.put((c.ty << 32) | c.tx, c.pixels))
         def src(gx: Long, gy: Long): Double = {
           if (gx < 0 || gy < 0 || gx >= srcW || gy >= srcH) return Double.NaN
-          val t = srcTiles.get((gy / h) * 1000000L + gx / w)
+          val t = srcTiles.get(((gy / h) << 32) | (gx / w))
           if (t == null) Double.NaN else t(((gy % h) * w + gx % w).toInt)
         }
         val out = new Array[Double](w * h)
@@ -339,8 +341,16 @@ object Raster {
     * in core.MedianCut). ms: (zoom, tx, ty, band, pixels) bands 1..3.
     * Returns (index tiles, sorted packed palette). */
   def rgb2pct(ms: DataFrame, paletteSize: Int = 256,
-              quantBits: Int = 5): (DataFrame, Array[Int]) = {
+              quantBits: Int = 5,
+              allowLargePalette: Boolean = false): (DataFrame, Array[Int]) = {
     require(quantBits >= 1 && quantBits <= 8, "quantBits in [1,8]")
+    // The quantized histogram is a DRIVER collect of up to 2^(3·quantBits)
+    // bins: ≤262k at 6 bits is fine, but an adversarial input at 8 bits can
+    // return 2^24 distinct bins — a multi-GB driver action at 100-TB scale.
+    // Opt in explicitly when the input's color count is known-bounded.
+    require(quantBits <= 6 || allowLargePalette,
+      s"rgb2pct: quantBits=$quantBits collects up to 2^${3 * quantBits} histogram " +
+        "bins to the driver; pass allowLargePalette=true to accept that")
     val wide = ms.groupBy("zoom", "tx", "ty")
       .agg(sort_array(collect_list(struct(col("band"), col("pixels")))).as("bands"))
       .select(col("zoom"), col("tx"), col("ty"),

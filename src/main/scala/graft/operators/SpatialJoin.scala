@@ -46,7 +46,7 @@ object SpatialJoin {
     * it buys the COMMON case — nothing coarsened — a completely untouched
     * point-side plan, where a runtime join-based fan taxed every row of
     * the big side (~50% on the salted PIP at sf0.1). */
-  private def coverZooms(cov: DataFrame): Seq[Int] =
+  private[graft] def coverZooms(cov: DataFrame): Seq[Int] =
     cov.select(F.cell_zoom(col("__cell")).cast("int").as("__covz"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
 
@@ -54,7 +54,7 @@ object SpatialJoin {
     * the cover is single-zoom at the requested zoom; otherwise a per-row
     * explode of the literal zoom ladder (rows already coarser than a
     * target zoom skip it — ancestorAt would duplicate the key). */
-  private def fanToZooms(df: DataFrame, zooms: Seq[Int], reqZoom: Int): DataFrame =
+  private[operators] def fanToZooms(df: DataFrame, zooms: Seq[Int], reqZoom: Int): DataFrame =
     if (zooms.isEmpty || zooms == Seq(reqZoom)) df
     else df.withColumn("__cell", explode(expr(
       s"transform(filter(array(${zooms.mkString(",")}), z -> z <= cell_zoom(__cell)), " +

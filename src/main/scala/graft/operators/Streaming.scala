@@ -51,8 +51,17 @@ object Streaming {
     F.ensureRegistered(points.sparkSession)
     val cov = polys.withColumn("__env", F.st_env_bounds(col(polyGeom)))
       .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
-    points.withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom)))
-      .join(broadcast(cov), Seq("__cell"))
+    // `polys` is STATIC, so the mixed-zoom ladder is computable at plan
+    // time exactly like the batch operator: if any polygon's capped cover
+    // coarsened below `zoom`, the streaming point side must re-key to
+    // every zoom present or those polygons silently never match (the
+    // batch/stream row-set equality this operator promises). Single-zoom
+    // covers — the common case — leave the point plan untouched.
+    val zooms = SpatialJoin.coverZooms(cov)
+    val pts = SpatialJoin.fanToZooms(
+      points.withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom))),
+      zooms, zoom)
+    pts.join(broadcast(cov), Seq("__cell"))
       .where(SpatialJoin.envGateLonLat(lonCol, latCol) &&
         F.st_predicate_point(predicate, col(polyGeom), col(lonCol), col(latCol)))
       .drop("__cell", "__env")

@@ -114,6 +114,47 @@ class IoStreamSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming PIP matches batch when the cells_cover cap COARSENS a polygon") {
+    // A 90°x90° polygon at zoom 12 needs ~1M cells > the 65536 cap, so its
+    // cover coarsens (mixed-zoom ladder); the small polygon stays at 12.
+    // Without fanning the streaming point side to the cover's zoom ladder,
+    // every point in the big polygon is silently dropped (ADVICE r02).
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pip-cap").toString
+    val pts = Seq(
+      (1L, 0.0, 0.0),     // inside big only
+      (2L, 10.5, 10.5),   // inside big AND small
+      (3L, 44.0, -44.0),  // inside big only
+      (4L, 170.0, 60.0),  // outside both
+      (5L, -30.0, 30.0))  // inside big only
+      .toDF("pt_id", "lon", "lat")
+    pts.write.mode("overwrite").parquet(dir)
+    val polys = Seq(
+      (1L, "POLYGON((-45 -45,45 -45,45 45,-45 45,-45 -45))"),
+      (2L, "POLYGON((10 10,11 10,11 11,10 11,10 10))"))
+      .toDF("region_id", "wkt")
+      .withColumn("geom", graft.functions.F.st_geomfromwkt(col("wkt"))).drop("wkt")
+    val batchPts = spark.read.parquet(dir)
+    // sanity: the cap really fires — cover zooms must be mixed
+    val cov = polys.withColumn("__cell",
+      explode(graft.functions.F.cells_cover(col("geom"), lit(12))))
+    assert(graft.operators.SpatialJoin.coverZooms(cov).size > 1,
+      "test polygon did not trigger the cover cap")
+    val stream = spark.readStream.schema(batchPts.schema).parquet(dir)
+    val q = Streaming.streamPointInPolygon(stream, polys, "geom", "lon", "lat", zoom = 12)
+      .select("region_id", "pt_id")
+      .writeStream.outputMode("append").format("memory").queryName("pip_stream_cap")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT region_id, pt_id FROM pip_stream_cap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.SpatialJoin.pointInPolygon(
+        polys, "geom", batchPts, "lon", "lat", zoom = 12, broadcastPolys = true)
+      .select("region_id", "pt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want == Set((1L, 1L), (1L, 2L), (2L, 2L), (1L, 3L), (1L, 5L)))
+    assert(got == want)
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) closes in-batch gap sessions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream4").toString
     // user 1: two sessions separated by a 2h gap; user 2: one session — the

@@ -239,6 +239,14 @@ class RasterSpec extends AnyFunSuite {
     assert(math.abs(Resample.cubicSpline(spike, 5.5, 5.5) - 6.0 * 4.0 / 9.0) < 1e-9)
   }
 
+  test("rgb2pct guards the driver histogram collect above quantBits=6") {
+    val ms = Synth.tiles(spark, 1).withColumn("band", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Raster.rgb2pct(ms, paletteSize = 256, quantBits = 8)
+    }
+    assert(e.getMessage.contains("allowLargePalette"))
+  }
+
   test("rgb2pct median cut: distributed == whole-grid scalar; palette partitioning-independent") {
     F.ensureRegistered(spark)
     import spark.implicits._
