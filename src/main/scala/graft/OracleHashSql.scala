@@ -1,0 +1,239 @@
+package graft
+
+/** DuckDB SQL generators replicating graft.core.TextCore's 64-bit hashing
+  * (SplitMix64 mix, polynomial hash64, MinHash/LSH banding, SimHash) and
+  * the sign-LSH ANN path in exact wrapping-u64 arithmetic, so the driver's
+  * DuckDB oracle can score the hash-dependent queries (q24/q25/q45) that
+  * were previously rows-only.
+  *
+  * Representation: every 64-bit value is a non-negative HUGEINT in
+  * [0, 2^64). Multiplication splits the left operand into 32-bit halves so
+  * no intermediate exceeds HUGEINT range; xor operates directly on the
+  * (non-negative, < 2^64) HUGEINTs; Java's SIGNED long comparisons (the
+  * MinHash min) map to unsigned order after flipping the top bit
+  * (u XOR 2^63 == (u + 2^63) mod 2^64). Java's sign-preserving `%` matches
+  * DuckDB's `%` on the signed reconstruction. Validated bit-exact against
+  * TextCore on the sf0.01 corpus.
+  */
+object OracleHashSql {
+  private final val M = "18446744073709551616"     // 2^64
+  private final val Half = "9223372036854775808"    // 2^63
+  private final val Gold = "11400714819323198485"   // 0x9e3779b97f4a7c15
+  private final val C1 = "13787848793156543929"     // 0xbf58476d1ce4e5b9
+  private final val C2 = "10723151780598845931"     // 0x94d049bb133111eb
+
+  // unique lambda variable names: nested mix64 calls must not shadow each
+  // other's bindings inside DuckDB's list_transform lambdas
+  private var ctr = 0
+  private def sym(p: String): String = { ctr += 1; s"__$p$ctr" }
+
+  /** Single-use let-binding via a one-element list_transform lambda. */
+  private def let(bind: String)(body: String => String): String = {
+    val v = sym("v")
+    s"list_transform([$bind], $v -> ${body(v)})[1]"
+  }
+
+  /** (a * c) mod 2^64, a and c in [0, 2^64): split a into 32-bit halves so
+    * partial products stay below 2^96 (HUGEINT-safe). */
+  private def mulmod(a: String, c: String): String =
+    let(a) { v =>
+      s"(($v % 4294967296) * $c + " +
+        s"(($v // 4294967296) * ($c % 4294967296) % 4294967296) * 4294967296) % $M"
+    }
+
+  /** TextCore.mix64: SplitMix64 finalizer. `//` on non-negative HUGEINT is
+    * the unsigned right shift. */
+  def mix64(x: String): String =
+    let(s"(($x) + $Gold) % $M") { z1 =>
+      let(mulmod(s"xor($z1, $z1 // 1073741824)", C1)) { z2 =>        // >>> 30
+        let(mulmod(s"xor($z2, $z2 // 134217728)", C2)) { z3 =>       // >>> 27
+          s"xor($z3, $z3 // 2147483648)"                             // >>> 31
+        }
+      }
+    }
+
+  /** TextCore.hash64: base-31 polynomial over UTF-16 units, then mix64.
+    * unicode(char) == Java charAt for BMP text (the synth corpus). */
+  def hash64(s: String): String = {
+    val sv = sym("s"); val iv = sym("i"); val hv = sym("h"); val cv = sym("c")
+    val codes = s"list_transform(range(1, length($sv)+1), " +
+      s"$iv -> unicode(substring($sv, $iv, 1))::HUGEINT)"
+    val red = s"list_reduce(list_prepend(1125899906842597::HUGEINT, $codes), " +
+      s"($hv, $cv) -> (31*$hv + $cv) % $M)"
+    s"list_transform([$s], $sv -> ${mix64(red)})[1]"
+  }
+
+  /** Signed order ⇄ unsigned order: flip the top bit. */
+  private def flip(u: String): String = s"(($u) + $Half) % $M"
+
+  private def toSigned(u: String): String =
+    s"(CASE WHEN ($u) >= $Half THEN ($u) - $M ELSE ($u) END)"
+
+  /** q24: MinHash(64 perms, 16 bands × 4 rows, word 3-shingles) LSH
+    * candidates + exact-Jaccard >= 0.3, j_micro = floor(j*1e6). */
+  def q24MinhashLsh: String = {
+    ctr = 0
+    val shingleHash = hash64("concat_ws(chr(32), ts[__w], ts[__w+1], ts[__w+2])")
+    val shortHash = hash64("array_to_string(ts, chr(32))")
+    val shExpr =
+      "CASE WHEN len(ts) = 0 THEN CAST([] AS HUGEINT[]) " +
+        s"WHEN len(ts) < 3 THEN [$shortHash] " +
+        s"ELSE list_distinct(list_transform(range(1, len(ts)-1), __w -> $shingleHash)) END"
+    // slot p: signed min over mix64(shingle + GOLD*(p+1)) via the flip trick
+    val slot = flip(s"list_min(list_transform(sh, __x -> " +
+      flip(mix64(s"(__x + (($Gold * (__p+1)) % $M)) % $M")) + "))")
+    val sigExpr =
+      s"CASE WHEN len(sh) = 0 THEN list_transform(range(0,64), __p -> 9223372036854775807::HUGEINT) " +
+        s"ELSE list_transform(range(0,64), __p -> $slot) END"
+    // band b: h = b + 0x51ed2701; 4 × (h = mix64(h xor sig[b*4+r]))
+    var h = "(__b + 1374496513)::HUGEINT"
+    for (r <- 0 until 4) h = mix64(s"xor($h, sig[__b*4 + ${r + 1}])")
+    val bandsExpr = s"list_transform(range(0,16), __b -> $h)"
+    s"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n FROM documents),
+toks AS (
+  SELECT doc_id, CASE WHEN n = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(n, ' ') END AS ts FROM norm),
+sh AS (SELECT doc_id, $shExpr AS sh FROM toks),
+sig AS (SELECT doc_id, sh, $sigExpr AS sig FROM sh),
+bandk AS (SELECT doc_id, unnest($bandsExpr) AS band FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandk a JOIN bandk b ON a.band = b.band AND a.doc_id < b.doc_id),
+jac AS (
+  SELECT c.id_a, c.id_b,
+    CASE WHEN len(sa.sh) = 0 AND len(sb.sh) = 0 THEN 1.0
+         ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE END AS j
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, CAST(floor(j * 1000000) AS BIGINT) AS j_micro
+FROM jac WHERE j >= 0.3
+"""
+  }
+
+  /** q25: SimHash64 (word-unigram, unweighted) + pigeonhole bucketing into
+    * 7 chunks (maxHamming=6) + exact hamming <= 6. */
+  def q25Simhash: String = {
+    ctr = 0
+    val widths = Array.tabulate(7)(i => 64 / 7 + (if (i < 64 % 7) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkRows = (0 until 7).map { i =>
+      s"($i, ${java.math.BigInteger.TWO.pow(offsets(i))}::HUGEINT, " +
+        s"${java.math.BigInteger.TWO.pow(widths(i))}::HUGEINT)"
+    }.mkString(", ")
+    val pows = (0 until 64).map(b =>
+      java.math.BigInteger.TWO.pow(b).toString + "::HUGEINT").mkString("[", ",", "]")
+    s"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n FROM documents),
+toks AS (
+  SELECT doc_id, CASE WHEN n = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(n, ' ') END AS ts FROM norm),
+hs AS (SELECT doc_id, list_transform(ts, __t -> ${hash64("__t")}) AS hs FROM toks),
+sims AS (
+  SELECT doc_id, list_sum(list_transform(range(0,64), __b ->
+    CASE WHEN 2 * len(list_filter(hs, __x -> (__x // ($pows)[__b+1]) % 2 = 1)) > len(hs)
+         THEN ($pows)[__b+1] ELSE 0::HUGEINT END)) AS sim
+  FROM hs),
+chunked AS (
+  SELECT doc_id, sim, c.ci AS chunk_i, (sim // c.dv) % c.md AS chunk
+  FROM sims, (VALUES $chunkRows) AS c(ci, dv, md)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+  FROM chunked a JOIN chunked b ON a.chunk_i = b.chunk_i AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)::UBIGINT) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)::UBIGINT) <= 6
+"""
+  }
+
+  /** q45: banded sign-LSH top-k (4 bands × 8 planes, multi-probe hamming
+    * <= 2) with the engine's deterministic SplitMix64-derived hyperplane
+    * weights, exact fixed-point re-rank — the sequential double summation
+    * of the plane dot product is replicated with list_reduce (IEEE order). */
+  def q45AnnLsh: String = {
+    ctr = 0
+    val bands = 4; val rows = 8; val k = 5; val probe = 2
+    val masks = (0 until (1 << rows))
+      .filter(m => java.lang.Integer.bitCount(m) <= probe)
+      .mkString("[", ",", "]")
+    val w = s"(${toSigned(mix64("(__p*131071 + __i)::HUGEINT"))} % 1000) / 1000.0 - 0.5 + 0.0005"
+    s"""
+WITH wtab AS (
+  SELECT __p AS p, list($w ORDER BY __i) AS ws
+  FROM range(0, ${bands * rows}) t1(__p), range(0, 64) t2(__i) GROUP BY __p),
+vecs AS (
+  SELECT vec_id, list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS v FROM embeddings),
+dots AS (
+  SELECT vec_id, p, list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(range(0,64), __i -> v[__i+1] * ws[__i+1])), (__a,__b) -> __a+__b) AS dot
+  FROM vecs, wtab),
+buckets AS (
+  SELECT vec_id, p // $rows AS band_i,
+    CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (p % $rows)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, p // $rows),
+qprobe AS (
+  SELECT b.vec_id AS query_id, b.band_i, xor(b.bucket::UBIGINT, m.m::UBIGINT)::BIGINT AS bucket
+  FROM buckets b, (SELECT unnest($masks) AS m) m
+  WHERE b.vec_id % 50 = 0),
+cand AS (
+  SELECT DISTINCT q.query_id, d.vec_id AS neighbor_id
+  FROM qprobe q JOIN buckets d ON q.band_i = d.band_i AND q.bucket = d.bucket
+  WHERE d.vec_id <> q.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+    list_sum(list_transform(range(1,65), __i ->
+      CAST(floor(qv.v[__i]*1000000.0) AS BIGINT) * CAST(floor(dv.v[__i]*1000000.0) AS BIGINT))) AS score
+  FROM cand c JOIN vecs qv ON qv.vec_id = c.query_id JOIN vecs dv ON dv.vec_id = c.neighbor_id)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, CAST(score AS BIGINT) AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored) WHERE rnk <= $k
+"""
+  }
+
+  /** q19: warp-to-mercator bilinear checksum. Replicates the engine's
+    * exact arithmetic sequence (TileMath.mercTileBoundsMeters /
+    * mercYToLat, Resample.bilinear, Checksum) per destination pixel; the
+    * only transcendental calls (atan, exp) agree with the JVM on this
+    * corpus — any divergence would surface as a checksum mismatch in the
+    * driver gate, never silently. */
+  def q19WarpChecksum: String = {
+    def srcval(x: String, y: String): String =
+      s"CAST((($x) // 64) * 131 + (($y) // 64) * 173 + (($x) % 64) * 7 + (($y) % 64) * 11 + 3 AS BIGINT) % 256"
+    s"""
+WITH consts AS (SELECT 6378137.0 AS R, pi() * 6378137.0 AS OS),
+tiles AS (
+  SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0,7) gx(x), generate_series(0,7) gy(y)),
+geom AS (
+  SELECT t.tx, t.ty, i.i AS i, (i.i % 64) AS px, (i.i // 64) AS py,
+    -OS + t.tx * (2.0 * OS / 8.0) AS xm0,
+    OS - t.ty * (2.0 * OS / 8.0) AS ym1, R, OS
+  FROM tiles t, generate_series(0, 4095) i(i), consts),
+coords AS (
+  SELECT tx, ty, i,
+    ((xm0 + (2.0*OS/8.0)) - xm0) / 64 AS dxm,
+    (ym1 - (ym1 - (2.0*OS/8.0))) / 64 AS dym,
+    xm0, ym1, R, OS, px, py
+  FROM geom),
+pxy AS (
+  SELECT tx, ty, i,
+    (( (xm0 + (px + 0.5) * dxm) / OS * 180.0) + 180.0) / (360.0/1024.0) AS gx,
+    (90.0 - (180.0 / pi() * (2.0 * atan(exp((ym1 - (py + 0.5) * dym) / R)) - pi() / 2.0))) / (180.0/512.0) AS gy
+  FROM coords),
+bil AS (
+  SELECT tx, ty, i, gx - 0.5 AS fx, gy - 0.5 AS fy,
+    CAST(floor(gx - 0.5) AS BIGINT) AS x0, CAST(floor(gy - 0.5) AS BIGINT) AS y0, gx, gy
+  FROM pxy),
+v AS (
+  SELECT tx, ty, i,
+    CASE WHEN x0 >= 0 AND x0 + 1 < 1024 AND y0 >= 0 AND y0 + 1 < 512 THEN
+      ((${srcval("x0", "y0")}) * (1 - (fx - floor(fx))) + (${srcval("x0 + 1", "y0")}) * (fx - floor(fx)))
+        * (1 - (fy - floor(fy)))
+      + ((${srcval("x0", "y0 + 1")}) * (1 - (fx - floor(fx))) + (${srcval("x0 + 1", "y0 + 1")}) * (fx - floor(fx)))
+        * (fy - floor(fy))
+    ELSE (${srcval("CAST(floor(gx) AS BIGINT)", "CAST(floor(gy) AS BIGINT)")})::DOUBLE END AS v
+  FROM bil)
+SELECT CAST(3 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+  CAST(sum(CAST(trunc(v) AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+FROM v GROUP BY 2, 3
+"""
+  }
+}

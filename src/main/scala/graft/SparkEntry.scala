@@ -418,6 +418,8 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.lshTopK(e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
         e, "vec_id", "embedding", k = 5, bands = 4, rowsPerBand = 8)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("score"))
     }),
 
     // ------------- SQL-text surface (ExecuteSQL analog) -------------------
@@ -986,6 +988,14 @@ object SparkEntry {
            CAST(floor(CAST(i AS DOUBLE) / (ca.n + cb.n - i) * 1000000) AS BIGINT) AS j_micro
          FROM inter JOIN counts ca ON ca.id = id_a JOIN counts cb ON cb.id = id_b
          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6""",
+    // q24/q25/q45/q19 oracles are machine-generated (OracleHashSql):
+    // exact wrapping-u64 SplitMix64/hash64 arithmetic via HUGEINT, and the
+    // warp's mercator+bilinear arithmetic op-for-op — validated bit-exact
+    // vs the engine at sf0.001/0.01/0.1.
+    "q24_minhash_lsh" -> OracleHashSql.q24MinhashLsh,
+    "q25_simhash" -> OracleHashSql.q25Simhash,
+    "q45_ann_lsh" -> OracleHashSql.q45AnnLsh,
+    "q19_warp_checksum" -> OracleHashSql.q19WarpChecksum,
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (

@@ -64,15 +64,12 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("oracle coverage: every query has an oracle or is a documented rows-only op") {
+    // q19/q24/q25/q45 graduated to full oracles in round 3 (OracleHashSql)
     val rowsOnly = Set(
-      "q19_warp_checksum",   // mercator trig — not bit-stable across engines
-      "q24_minhash_lsh",     // permutation-hash dependent candidate set
-      "q25_simhash",         // 64-bit token-hash dependent
       "q34_polygonize_wkt",  // WKT golden-matched vs JTS in PolygonizeSpec
       "q35_sieve",           // merge semantics pinned in PolygonizeSpec
       "q39_hillshade",       // trig — kernel pinned in FocalProxContourSpec
       "q42_contour_stitch",  // closure not SQL-expressible; pinned in spec
-      "q45_ann_lsh",         // approximate recall by design
       "q57_contour_wkt")     // double-formatted WKT; pinned vs giant-tile in spec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
