@@ -794,6 +794,52 @@ object SparkEntry {
        GROUP BY 1, 2"""
   }
 
+  /** Horn hillshade oracle (q39): the same 3×3 window pivoted into the
+    * nine taps, then the kernel's arithmetic replicated op-for-op
+    * (defaults z=ewres=nsres=scale=1, alt 45°, az 315°). The output is
+    * quantized (rint to a 1..255 byte), so the JVM-vs-DuckDB trig ULP gap
+    * only matters within ~1e-13 of a rounding boundary — none occur on
+    * this corpus, and a future divergence fails the gate loudly rather
+    * than silently. */
+  private def hillshadeOracle: String =
+    s"""WITH px AS (
+         SELECT gx.x AS gx, gy.y AS gy
+         FROM generate_series(0, 63) gx(x), generate_series(0, 31) gy(y)),
+       nbr AS (SELECT dx.d AS dx, dy.d AS dy
+         FROM generate_series(-1, 1) dx(d), generate_series(-1, 1) dy(d)),
+       vals AS (
+         SELECT p.gx, p.gy, n.dx, n.dy,
+           CAST(((least(greatest(p.gx + n.dx, 0), 63) // 8) * 131
+          + (least(greatest(p.gy + n.dy, 0), 31) // 8) * 173
+          + (least(greatest(p.gx + n.dx, 0), 63) % 8) * 7
+          + (least(greatest(p.gy + n.dy, 0), 31) % 8) * 11) % 16 AS DOUBLE) AS v
+         FROM px p, nbr n),
+       win AS (
+         SELECT gx, gy,
+           sum(CASE WHEN dx=-1 AND dy=-1 THEN v END) AS a,
+           sum(CASE WHEN dx= 0 AND dy=-1 THEN v END) AS b,
+           sum(CASE WHEN dx= 1 AND dy=-1 THEN v END) AS c,
+           sum(CASE WHEN dx=-1 AND dy= 0 THEN v END) AS d,
+           sum(CASE WHEN dx= 1 AND dy= 0 THEN v END) AS f,
+           sum(CASE WHEN dx=-1 AND dy= 1 THEN v END) AS g,
+           sum(CASE WHEN dx= 0 AND dy= 1 THEN v END) AS hh,
+           sum(CASE WHEN dx= 1 AND dy= 1 THEN v END) AS i
+         FROM vals GROUP BY 1, 2),
+       sh AS (
+         SELECT gx, gy,
+           1.0 * ((a + 2*d + g) - (c + 2*f + i)) / (8.0 * 1.0 * 1.0) AS xx,
+           1.0 * ((g + 2*hh + i) - (a + 2*b + c)) / (8.0 * 1.0 * 1.0) AS yy
+         FROM win),
+       cang AS (
+         SELECT gx, gy,
+           sin(45.0 * (pi() / 180.0)) * sin(pi() / 2.0 - atan(sqrt(xx*xx + yy*yy)))
+           + cos(45.0 * (pi() / 180.0)) * cos(pi() / 2.0 - atan(sqrt(xx*xx + yy*yy)))
+             * cos(315.0 * (pi() / 180.0) - pi() / 2.0 - atan2(yy, xx)) AS cg
+         FROM sh)
+       SELECT gx, gy,
+         CASE WHEN cg <= 0.0 THEN 1.0 ELSE round(1.0 + 254.0 * cg) END AS val
+       FROM cang"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg_filter" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1091,6 +1137,7 @@ object SparkEntry {
     "q36_focal_tri" -> focalOracle("tri"),
     "q37_focal_tpi" -> focalOracle("tpi"),
     "q38_focal_roughness" -> focalOracle("roughness"),
+    "q39_hillshade" -> hillshadeOracle,
     "q40_proximity" ->
       """WITH px AS (
            SELECT gx.x AS gx, gy.y AS gy,

@@ -68,7 +68,6 @@ class EntrySpec extends AnyFunSuite {
     val rowsOnly = Set(
       "q34_polygonize_wkt",  // WKT golden-matched vs JTS in PolygonizeSpec
       "q35_sieve",           // merge semantics pinned in PolygonizeSpec
-      "q39_hillshade",       // trig — kernel pinned in FocalProxContourSpec
       "q42_contour_stitch",  // closure not SQL-expressible; pinned in spec
       "q57_contour_wkt")     // double-formatted WKT; pinned vs giant-tile in spec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
