@@ -189,6 +189,62 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, CAST(score AS BIGINT)
 """
   }
 
+  /** q73: per-point natural-zone UTM forward (6th-order Krüger,
+    * core/Utm.forward) replicated op-for-op: identical IEEE arithmetic
+    * order, constants embedded as the engine's exact runtime doubles
+    * (Double.toString round-trips), hyperbolics expanded to exp — the only
+    * divergence left is libm-vs-JVM transcendental ULPs, absorbed by the
+    * centimeter quantization (floor(x*100 + 0.5) on BOTH sides). */
+  def q73Utm(qptsSql: String): String = {
+    val c1 = java.lang.Double.toString(graft.core.Utm.oracleC1)
+    val kA = java.lang.Double.toString(graft.core.Utm.oracleKA)
+    val a = graft.core.Utm.oracleAlpha.map(java.lang.Double.toString)
+    def cosh(x: String): String = s"((exp($x) + exp(-($x))) / 2.0)"
+    def sinh(x: String): String = s"((exp($x) - exp(-($x))) / 2.0)"
+    // engine loop: xi += al(j)*sin(k*xip)*cosh(k*etap), j = 0..5 — the
+    // left-assoc '+' chain below reproduces the summation order
+    val xiSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"(${a(j)} * sin($k * xip)) * ${cosh(s"$k * etap")}"
+    }.mkString(" + ")
+    val etaSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"(${a(j)} * cos($k * xip)) * ${sinh(s"$k * etap")}"
+    }.mkString(" + ")
+    s"""
+WITH qp AS ($qptsSql),
+z AS (
+  SELECT q_id, lon, lat, CAST(floor((lon + 180.0) / 6.0) AS BIGINT) + 1 AS zone FROM qp),
+base AS (
+  SELECT q_id, lon, lat, zone,
+    CASE WHEN lat >= 0 THEN 32600 + zone ELSE 32700 + zone END AS epsg,
+    (lat / 180.0) * pi() AS phi,
+    ((lon - (zone * 6 - 183)) / 180.0) * pi() AS lam
+  FROM z),
+s1 AS (SELECT *, sin(phi) AS sphi, cos(lam) AS cosl, sin(lam) AS sinl FROM base),
+s2 AS (SELECT *,
+    0.5 * ln((1.0 + sphi) / (1.0 - sphi))
+      - $c1 * (0.5 * ln((1.0 + $c1 * sphi) / (1.0 - $c1 * sphi))) AS u
+  FROM s1),
+s3 AS (SELECT *, ${sinh("u")} AS t FROM s2),
+s4 AS (SELECT *, atan2(t, cosl) AS xip, sinl / sqrt(t * t + cosl * cosl) AS xr FROM s3),
+s5 AS (SELECT *,
+    CASE WHEN xr < 0 THEN -(ln(abs(xr) + sqrt(xr * xr + 1.0)))
+         ELSE ln(abs(xr) + sqrt(xr * xr + 1.0)) END AS etap
+  FROM s4),
+ser AS (SELECT *, xip + $xiSer AS xi, etap + $etaSer AS eta FROM s5),
+fin AS (
+  SELECT q_id, epsg,
+    500000.0 + $kA * eta AS e,
+    CASE WHEN lat >= 0 THEN 0.0 ELSE 10000000.0 END + $kA * xi AS nth
+  FROM ser)
+SELECT q_id, CAST(epsg AS INT) AS epsg,
+  CAST(floor(e * 100.0 + 0.5) AS BIGINT) AS e_cm,
+  CAST(floor(nth * 100.0 + 0.5) AS BIGINT) AS n_cm
+FROM fin
+"""
+  }
+
   /** q19: warp-to-mercator bilinear checksum. Replicates the engine's
     * exact arithmetic sequence (TileMath.mercTileBoundsMeters /
     * mercYToLat, Resample.bilinear, Checksum) per destination pixel; the

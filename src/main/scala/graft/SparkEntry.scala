@@ -495,6 +495,48 @@ object SparkEntry {
         F.st_distance(F.st_point(F.st_x(col("g")), F.st_y(col("g"))),
           F.st_point(lit(0.0), lit(0.0))).as("dist0"))
     }),
+    "q72_makevalid" -> ((s, dir) => {
+      // geometry repair (reference ogr/ogrgeometryfactory.cpp ::
+      // organizePolygons / OGRGeometry::MakeValid): bowtie (figure-eight
+      // self-intersecting) rings built from the box corners; JTS
+      // GeometryFixer splits each into two triangles meeting at the box
+      // center. All coords are 2^-12 dyadic and the center is 2^-13
+      // dyadic, so every shoelace product/sum is exact — area_before
+      // cancels to exactly 0, area_after is exactly w*h/2
+      F.ensureRegistered(s)
+      val g = Synth.boxes(s, dir).select(col("box_id"),
+        F.st_geomfromwkt(format_string(
+          "POLYGON((%.12f %.12f, %.12f %.12f, %.12f %.12f, %.12f %.12f, %.12f %.12f))",
+          col("xmin"), col("ymin"), col("xmax"), col("ymax"),
+          col("xmin"), col("ymax"), col("xmax"), col("ymin"),
+          col("xmin"), col("ymin"))).as("g"))
+        .withColumn("fg", F.st_makevalid(col("g")))
+      g.select(col("box_id"),
+        F.st_isvalid(col("g")).as("valid_before"),
+        F.st_area(col("g")).as("area_before"),
+        F.st_isvalid(col("fg")).as("valid_after"),
+        call_function("st_geometrytype", col("fg")).as("gtype_after"),
+        F.st_area(col("fg")).as("area_after"))
+    }),
+    "q73_utm_forward" -> ((s, dir) => {
+      // general-SRS surface (reference ogr/ogrct.cpp :: OGRProj4CT for
+      // the UTM family): each query point forward-transforms into its
+      // natural UTM zone via the Krüger series (core/Utm.scala), srid
+      // chosen PER ROW (326xx north / 327xx south). Output quantized to
+      // integer centimeters with floor(x*100 + 0.5) — the oracle
+      // replicates the arithmetic op-for-op, so only transcendental ULP
+      // gaps remain, absorbed by the cm quantum (q39/q19 trick)
+      F.ensureRegistered(s)
+      Synth.queryPoints(s, dir)
+        .withColumn("zone", (floor((col("lon") + 180.0) / 6.0) + 1).cast("long"))
+        .withColumn("epsg", when(col("lat") >= 0, col("zone") + 32600)
+          .otherwise(col("zone") + 32700).cast("int"))
+        .withColumn("u", call_function("st_transform",
+          F.st_point(col("lon"), col("lat")), lit(4326), col("epsg")))
+        .select(col("q_id"), col("epsg"),
+          expr("CAST(floor(st_x(u) * 100.0 + 0.5) AS BIGINT)").as("e_cm"),
+          expr("CAST(floor(st_y(u) * 100.0 + 0.5) AS BIGINT)").as("n_cm"))
+    }),
 
     // ------------- multimodal resolver ------------------------------------
     "q44_media_mean" -> ((s, dir) => {
@@ -718,6 +760,14 @@ object SparkEntry {
       // oracle checksums the ORIGINAL closed-form pixels
       F.ensureRegistered(s)
       Media.decodePng(Media.encodePng(Synth.tiles(s, 3)))
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q71_tiff_roundtrip" -> ((s, dir) => {
+      // GeoTIFF-shaped S3 path (reference frmts/gtiff/geotiff.cpp): same
+      // round-trip as q68 but through the JDK's baseline TIFF writer —
+      // a second real container format, decoded by magic-byte sniffing
+      F.ensureRegistered(s)
+      Media.decodeTiff(Media.encodeTiff(Synth.tiles(s, 3)))
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
     "q67_grid_stats" -> ((s, dir) => {
@@ -1042,6 +1092,7 @@ object SparkEntry {
     "q25_simhash" -> OracleHashSql.q25Simhash,
     "q45_ann_lsh" -> OracleHashSql.q45AnnLsh,
     "q19_warp_checksum" -> OracleHashSql.q19WarpChecksum,
+    "q73_utm_forward" -> OracleHashSql.q73Utm(qptsSql),
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (
@@ -1352,6 +1403,15 @@ object SparkEntry {
            'POLYGON' AS gtype, TRUE AS valid,
            sqrt(xmin*xmin + ymin*ymin) AS dist0
          FROM boxes""",
+    "q72_makevalid" ->
+      // bowtie repair closed form: signed shoelace halves cancel exactly
+      // (dyadic coords) so area_before = 0; the fixed geometry is the two
+      // triangles = half the box area
+      s"""WITH boxes AS ($boxesSql)
+         SELECT box_id, FALSE AS valid_before, 0.0 AS area_before,
+           TRUE AS valid_after, 'MULTIPOLYGON' AS gtype_after,
+           (xmax - xmin) * (ymax - ymin) / 2 AS area_after
+         FROM boxes""",
     "q44_media_mean" ->
       s"""WITH pts AS ($ptsSql),
          spans AS (
@@ -1582,6 +1642,18 @@ object SparkEntry {
       // the PNG round-trip is lossless, so the oracle is the plain
       // closed-form checksum of the pre-encode pixels — any codec defect
       // (bit depth, row order, palette surprise) breaks the hash
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS v
+           FROM tiles t, generate_series(0, 4095) i(i))
+         SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM px GROUP BY 1, 2""",
+    "q71_tiff_roundtrip" ->
+      // TIFF is also lossless, so the oracle is identical to q68's:
+      // the closed-form checksum of the pre-encode pixels
       """WITH tiles AS (
            SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
          px AS (

@@ -18,7 +18,7 @@ import javax.imageio.ImageIO
 object Codec {
   ImageIO.setUseCache(false) // no temp-file cache: executors decode in-memory
 
-  def encodePngGray(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+  private def encodeGray(px: Array[Int], w: Int, h: Int, format: String): Array[Byte] = {
     require(px.length == w * h, s"pixel count ${px.length} != ${w}x$h")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -31,12 +31,13 @@ object Codec {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    require(ImageIO.write(img, format, bos), s"no ImageIO writer for $format")
     bos.toByteArray
   }
 
-  /** (w, h, pixels row-major). */
-  def decodePngGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+  /** (w, h, pixels row-major). Format is sniffed from the magic bytes, so
+    * one decoder serves PNG and TIFF alike. */
+  private def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "not a decodable image")
     val w = img.getWidth; val h = img.getHeight
@@ -50,4 +51,14 @@ object Codec {
     }
     (w, h, out)
   }
+
+  def encodePngGray(px: Array[Int], w: Int, h: Int): Array[Byte] = encodeGray(px, w, h, "png")
+  def decodePngGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = decodeGray(bytes)
+
+  /** TIFF via the JDK 9+ bundled ImageIO TIFF plugin (reference:
+    * frmts/gtiff/geotiff.cpp — the format users actually bring).
+    * Uncompressed baseline gray TIFF; lossless like the PNG path, so the
+    * same closed-form-pixel checksum oracle stays bit-exact. */
+  def encodeTiffGray(px: Array[Int], w: Int, h: Int): Array[Byte] = encodeGray(px, w, h, "tiff")
+  def decodeTiffGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = decodeGray(bytes)
 }

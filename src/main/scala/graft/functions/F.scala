@@ -37,6 +37,7 @@ object F {
         "st_env_bounds"  -> (e => StEnvBounds(e.head)),
         "st_convexhull"  -> (e => GeomUnaryToGeom(e.head, "convexhull")),
         "st_boundary"    -> (e => GeomUnaryToGeom(e.head, "boundary")),
+        "st_makevalid"   -> (e => GeomUnaryToGeom(e.head, "makevalid")),
         "st_isvalid"     -> (e => GeomUnaryToBool(e.head, "isvalid")),
         "st_isempty"     -> (e => GeomUnaryToBool(e.head, "isempty")),
         "st_intersects"  -> (e => GeomPredicate(e(0), e(1), "intersects")),
@@ -110,6 +111,7 @@ object F {
   def st_env_bounds(g: Column): Column = call_function("st_env_bounds", g)
   def st_convexhull(g: Column): Column = call_function("st_convexhull", g)
   def st_isvalid(g: Column): Column = call_function("st_isvalid", g)
+  def st_makevalid(g: Column): Column = call_function("st_makevalid", g)
   def st_intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)
   def st_contains(a: Column, b: Column): Column = call_function("st_contains", a, b)
   def st_within(a: Column, b: Column): Column = call_function("st_within", a, b)

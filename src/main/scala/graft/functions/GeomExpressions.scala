@@ -97,7 +97,12 @@ case class StEnvBounds(child: Expression)
   override def prettyName: String = "st_env_bounds"
 }
 
-/** geometry → geometry ops: centroid, envelope, convexhull, boundary */
+/** geometry → geometry ops: centroid, envelope, convexhull, boundary,
+  * makevalid. makevalid is the analog of the reference's repair pass
+  * (ogr/ogrgeometryfactory.cpp :: organizePolygons / OGRGeometry::
+  * MakeValid) via JTS 1.20's GeometryFixer: bowtie rings become
+  * multipolygons, duplicate/collapsed rings drop, valid input passes
+  * through area-preserving. */
 case class GeomUnaryToGeom(child: Expression, op: String)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
@@ -108,6 +113,8 @@ case class GeomUnaryToGeom(child: Expression, op: String)
       case "envelope"   => g.getEnvelope
       case "convexhull" => g.convexHull()
       case "boundary"   => g.getBoundary
+      case "makevalid"  =>
+        if (g.isValid) g else org.locationtech.jts.geom.util.GeometryFixer.fix(g)
     }
     GeomIO.toWkb(r)
   }
@@ -201,25 +208,43 @@ case class GeomWithDouble(left: Expression, right: Expression, op: String)
   override def prettyName: String = s"st_$op"
 }
 
-/** st_transform(geom, src_srid, dst_srid) — closed-form 4326↔3857 only
-  * (documented limitation, SURVEY.md §2.2). */
+/** st_transform(geom, src_srid, dst_srid) — closed-form pairs only:
+  * 4326 (geodetic), 3857 (web mercator) and the full WGS84 UTM family
+  * EPSG 32601-32660 / 32701-32760 (6th-order Krüger, core/Utm.scala).
+  * Any src→dst among those chains through 4326; other SRS stay a
+  * documented non-goal (SURVEY.md §2.2 — no PROJ in a stock JVM). */
 case class StTransform(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
+
+  private def supported(srid: Int): Boolean =
+    srid == 4326 || srid == 3857 || graft.core.Utm.isUtm(srid)
+
   override def nullSafeEval(g0: Any, s0: Any, d0: Any): Any = {
     val g = GeomOps.fromWkb(g0.asInstanceOf[Array[Byte]]).copy()
     val src = s0.asInstanceOf[Int]; val dst = d0.asInstanceOf[Int]
     if (src == dst) return GeomIO.toWkb(g)
-    require((src == 4326 && dst == 3857) || (src == 3857 && dst == 4326),
-      s"st_transform supports only 4326<->3857, got $src->$dst")
+    require(supported(src) && supported(dst),
+      s"st_transform supports 4326, 3857 and UTM 326xx/327xx, got $src->$dst")
     g.apply(new org.locationtech.jts.geom.CoordinateFilter {
       override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
-        if (src == 4326) {
-          val x = TileMath.lonToMercX(c.x); val y = TileMath.latToMercY(c.y)
-          c.x = x; c.y = y
+        // hop 1: src → geodetic lon/lat
+        var lon = c.x; var lat = c.y
+        if (src == 3857) {
+          lon = TileMath.mercXToLon(c.x); lat = TileMath.mercYToLat(c.y)
+        } else if (src != 4326) {
+          val (z, north) = graft.core.Utm.epsgZone(src)
+          val ll = graft.core.Utm.inverse(c.x, c.y, z, north)
+          lon = ll._1; lat = ll._2
+        }
+        // hop 2: geodetic → dst
+        if (dst == 4326) { c.x = lon; c.y = lat }
+        else if (dst == 3857) {
+          c.x = TileMath.lonToMercX(lon); c.y = TileMath.latToMercY(lat)
         } else {
-          val x = TileMath.mercXToLon(c.x); val y = TileMath.mercYToLat(c.y)
-          c.x = x; c.y = y
+          val (z, north) = graft.core.Utm.epsgZone(dst)
+          val en = graft.core.Utm.forward(lon, lat, z, north)
+          c.x = en._1; c.y = en._2
         }
       }
     })

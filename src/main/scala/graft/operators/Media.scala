@@ -74,4 +74,20 @@ object Media {
     * (checksum, calc, focal, …) see exactly the pre-encode values. */
   def decodePng(media: DataFrame, binCol: String = "png"): DataFrame =
     media.withColumn("pixels", decUdf(col(binCol)))
+
+  // ---- TIFF via the JDK 9+ bundled ImageIO plugin (reference:
+  // frmts/gtiff/geotiff.cpp). Same UDF-exception rationale as PNG; the
+  // shared decode UDF sniffs the container from magic bytes.
+
+  private val encTiffUdf = udf((px: Seq[Double], w: Int, h: Int) =>
+    graft.core.Codec.encodeTiffGray(px.map(_.toInt).toArray, w, h))
+
+  /** Tile table → real TIFF binary column (drops the pixel array). */
+  def encodeTiff(tiles: DataFrame): DataFrame =
+    tiles.withColumn("tiff", encTiffUdf(col("pixels"), col("w"), col("h")))
+      .drop("pixels")
+
+  /** Binary TIFF column → pixel array; lossless round-trip. */
+  def decodeTiff(media: DataFrame, binCol: String = "tiff"): DataFrame =
+    media.withColumn("pixels", decUdf(col(binCol)))
 }

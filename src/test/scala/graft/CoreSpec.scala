@@ -125,6 +125,107 @@ class CoreSpec extends AnyFunSuite {
     assert(row.getDouble(0) > 8.0 + 12.0 * 0.5 && row.getDouble(0) < 8.0 + 12.0 * 0.5 + math.Pi * 0.25 + 1e-9)
   }
 
+  test("st_makevalid repairs a bowtie into two exact triangles") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    // bowtie over box (2, 3)-(9, 8): w=7, h=5 — repaired area w*h/2 = 17.5
+    val row = Seq("POLYGON((2 3, 9 8, 2 8, 9 3, 2 3))").toDF("wkt")
+      .select(F.st_geomfromwkt(col("wkt")).as("g"))
+      .select(F.st_isvalid(col("g")).as("vb"), F.st_area(col("g")).as("ab"),
+        F.st_makevalid(col("g")).as("fg"))
+      .select(col("vb"), col("ab"), F.st_isvalid(col("fg")).as("va"),
+        call_function("st_geometrytype", col("fg")).as("gt"),
+        F.st_area(col("fg")).as("aa"))
+      .collect()(0)
+    assert(!row.getBoolean(0) && row.getDouble(1) == 0.0)
+    assert(row.getBoolean(2) && row.getString(3) == "MULTIPOLYGON")
+    assert(row.getDouble(4) == 17.5)
+    // valid input passes through untouched
+    val same = Seq("POLYGON((0 0, 4 0, 4 2, 0 2, 0 0))").toDF("wkt")
+      .select(F.st_geomfromwkt(col("wkt")).as("g"))
+      .select(F.st_astext(F.st_makevalid(col("g"))).as("t"))
+      .collect()(0).getString(0)
+    assert(same == "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+  }
+
+  test("UTM Krüger series: Snyder cross-check, anchors, round-trip") {
+    import graft.core.Utm
+    // independent forward implementation (Snyder, USGS PP 1395 eq. 8-9..8-15,
+    // accuracy ~mm in-zone) — two unrelated series agreeing to < 5 mm
+    // validates the Krüger coefficients; round-trip validates the inverse
+    def snyder(lon: Double, lat: Double, zone: Int, north: Boolean): (Double, Double) = {
+      val a = 6378137.0; val f = 1 / 298.257223563; val k0 = 0.9996
+      val e2 = f * (2 - f); val ep2 = e2 / (1 - e2)
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon - (zone * 6 - 183))
+      val sp = math.sin(phi); val cp = math.cos(phi)
+      val nr = a / math.sqrt(1 - e2 * sp * sp)
+      val t = math.tan(phi) * math.tan(phi); val c = ep2 * cp * cp
+      val aa = lam * cp
+      val e4 = e2 * e2; val e6 = e4 * e2
+      val m = a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+        - (35 * e6 / 3072) * math.sin(6 * phi))
+      val east = 500000.0 + k0 * nr * (aa + (1 - t + c) * aa * aa * aa / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(aa, 5) / 120)
+      val nth = (if (north) 0.0 else 1e7) + k0 * (m + nr * math.tan(phi) * (aa * aa / 2
+        + (5 - t + 9 * c + 4 * c * c) * math.pow(aa, 4) / 24
+        + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(aa, 6) / 720))
+      (east, nth)
+    }
+    val cases = Seq(
+      (2.3522, 48.8566, 31, true),    // Paris, zone 31N
+      (-73.9857, 40.7484, 18, true),  // NYC, zone 18N
+      (151.2093, -33.8688, 56, false),// Sydney, zone 56S
+      (18.4241, -33.9249, 34, false), // Cape Town, zone 34S
+      (0.0, 0.0, 31, true),           // equator west edge of zone 31
+      (5.9, 62.0, 32, true))          // high latitude, off-center
+    for ((lon, lat, zone, north) <- cases) {
+      val (e1, n1) = Utm.forward(lon, lat, zone, north)
+      val (e2, n2) = snyder(lon, lat, zone, north)
+      assert(math.abs(e1 - e2) < 0.005 && math.abs(n1 - n2) < 0.005,
+        s"snyder mismatch at ($lon,$lat): ($e1,$n1) vs ($e2,$n2)")
+      val (lon2, lat2) = Utm.inverse(e1, n1, zone, north)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"round-trip drift at ($lon,$lat): ($lon2,$lat2)")
+    }
+    // anchors: central meridian → E exactly 500000; equator north → N 0
+    val (ec, nc) = Utm.forward(9.0, 45.0, 32, true)
+    assert(math.abs(ec - 500000.0) < 1e-6)
+    val (_, n0) = Utm.forward(8.0, 0.0, 32, true)
+    assert(math.abs(n0) < 1e-6)
+    // published meridian-arc anchor: k0 × (arc 0→45°) ≈ 0.9996 × 4984944.378
+    assert(math.abs(nc - 0.9996 * 4984944.378) < 0.01)
+  }
+
+  test("st_transform routes UTM <-> 4326 <-> 3857") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    val wkt = Seq("POINT(2.3522 48.8566)").toDF("wkt")
+      .select(F.st_geomfromwkt(col("wkt")).as("g"))
+    val p = wkt.select(
+        F.st_transform(col("g"), lit(4326), lit(32631)).as("u"))
+      .select(F.st_x(col("u")).as("e"), F.st_y(col("u")).as("n"),
+        F.st_transform(F.st_point(col("e"), col("n")), lit(32631), lit(3857)).as("m"))
+      .select(col("e"), col("n"), F.st_x(col("m")).as("mx"), F.st_y(col("m")).as("my"))
+      .collect()(0)
+    // zone 31N easting/northing of Paris should land in-zone
+    assert(p.getDouble(0) > 100000 && p.getDouble(0) < 900000)
+    assert(p.getDouble(1) > 5000000 && p.getDouble(1) < 6000000)
+    // chained UTM→3857 equals direct 4326→3857 of the original point
+    val direct = wkt.select(F.st_transform(col("g"), lit(4326), lit(3857)).as("m"))
+      .select(F.st_x(col("m")), F.st_y(col("m"))).collect()(0)
+    assert(math.abs(p.getDouble(2) - direct.getDouble(0)) < 1e-6)
+    assert(math.abs(p.getDouble(3) - direct.getDouble(1)) < 1e-6)
+  }
+
   test("resample bilinear interpolates linear ramps exactly") {
     val src: (Int, Int) => Double = (x, y) =>
       if (x < 0 || y < 0 || x > 9 || y > 9) Double.NaN else x.toDouble + 2.0 * y

@@ -248,4 +248,26 @@ class PipelineSpec extends AnyFunSuite {
       assert(px == want.toSeq, s"tile ($tx,$ty)")
     }
   }
+
+  test("TIFF codec: real container (II*/MM* magic), lossless distributed round-trip") {
+    val tiles = graft.synth.Synth.tiles(spark, 2).limit(6)
+    val enc = graft.operators.Media.encodeTiff(tiles)
+    val rows = enc.select("tx", "ty", "tiff").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val b = r.getAs[Array[Byte]]("tiff")
+      // TIFF magic: "II" 0x2A little-endian or "MM" 0x2A big-endian
+      val le = b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0
+      val be = b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42
+      assert(le || be, "not a TIFF header")
+    }
+    val back = graft.operators.Media.decodeTiff(enc)
+      .select("tx", "ty", "pixels").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    for (((tx, ty), px) <- back) {
+      val want = Array.tabulate(64 * 64)(i =>
+        ((tx * 131 + ty * 173 + (i % 64) * 7 + (i / 64) * 11 + 2) % 256).toDouble)
+      assert(px == want.toSeq, s"tile ($tx,$ty)")
+    }
+  }
 }
