@@ -27,8 +27,11 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       // per-query isolation: operator-internal persists (covers, hot-cell
       // sets, q65's arcs) must not accumulate across 70 queries or leak
-      // one query's cache into the next query's timing
-      spark.sharedState.cacheManager.clearCache()
+      // one query's cache into the next query's timing. KEEPCACHE is a
+      // diagnostic replica of the pre-isolation protocol (regression
+      // adjudication only — never the reported number)
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_KEEPCACHE"))
+        spark.sharedState.cacheManager.clearCache()
       // a failed query must not masquerade as a fast success: negate it
       name -> (if (ok) secs else -secs)
     }
