@@ -624,20 +624,20 @@ object SparkEntry {
       // coords → exact), mask = scanline burn, outside pixels zeroed,
       // untouched tiles dropped (nodata analog)
       F.ensureRegistered(s)
-      val c = 45.0 / 128.0
-      val boxesPx = Seq((1L, 100L, 50L, 300L, 200L), (2L, 600L, 100L, 800L, 400L),
-        (3L, 40L, 400L, 90L, 470L))
-      import s.implicits._
-      val cut = boxesPx.toDF("cut_id", "x0", "y0", "x1", "y1")
-        .withColumn("geom", F.st_geomfromwkt(format_string(
-          "POLYGON((%.10f %.10f, %.10f %.10f, %.10f %.10f, %.10f %.10f, %.10f %.10f))",
-          lit(-180.0) + col("x0") * c, lit(90.0) - col("y0") * c,
-          lit(-180.0) + col("x1") * c, lit(90.0) - col("y0") * c,
-          lit(-180.0) + col("x1") * c, lit(90.0) - col("y1") * c,
-          lit(-180.0) + col("x0") * c, lit(90.0) - col("y1") * c,
-          lit(-180.0) + col("x0") * c, lit(90.0) - col("y0") * c)))
-      Raster.cutline(Synth.tiles(s, 3), cut, "geom", zoom = 3)
+      Raster.cutline(Synth.tiles(s, 3), cutBoxes(s), "geom", zoom = 3)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q74_cutline_blend" -> ((s, dir) => {
+      // gdalwarp -cutline -cblend (the R7 blend-distance divergence,
+      // closed): same cutline boxes as q61, blend 6 px. Edge distances
+      // are exact integer d²; the milli-weight floor is over IEEE-exact
+      // sqrt arithmetic the oracle replicates op-for-op, so the per-tile
+      // fixed-point checksum is bit-exact
+      F.ensureRegistered(s)
+      Raster.cutlineBlend(Synth.tiles(s, 3), cutBoxes(s), "geom", zoom = 3,
+          w = 64, h = 64, nxTiles = 16, nyTiles = 8, blendPx = 6)
+        .groupBy("tx", "ty")
+        .agg(expr("CAST(sum(b_milli * (i % 49 + 1)) % 65535 AS INT)").as("cks"))
     }),
     "q62_pansharpen" -> ((s, dir) => {
       // gdal_pansharpen weighted Brovey (R8, previously a non-goal): pan
@@ -784,6 +784,74 @@ object SparkEntry {
           expr("min_by(v, d2 * 64 + v)").as("nearest_v"))
     })
   )
+
+  /** q74 oracle: closed-form cutline-blend replica. mask from the q61 box
+    * rule; edge8 via 8 clamped neighbors; min-d² by expanding boundary
+    * targets over the ≤ blend² offset disk; milli-weights replicate the
+    * engine's floor(500 ± (500·sqrt(d²))/6) IEEE op order exactly. */
+  private def q74CutlineBlendSql: String = {
+    def maskOf(cx: String, cy: String): String =
+      s"CASE WHEN (($cx) >= 100 AND ($cx) < 300 AND ($cy) >= 50 AND ($cy) < 200) " +
+        s"OR (($cx) >= 600 AND ($cx) < 800 AND ($cy) >= 100 AND ($cy) < 400) " +
+        s"OR (($cx) >= 40 AND ($cx) < 90 AND ($cy) >= 400 AND ($cy) < 470) THEN 1 ELSE 0 END"
+    val nbrMask = maskOf("least(1023, greatest(0, p.gx + o.dx))",
+      "least(511, greatest(0, p.gy + o.dy))")
+    s"""WITH tiles AS (
+         SELECT gx.x AS tx, gy.y AS ty
+         FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+       px AS (
+         SELECT t.tx, t.ty, i.i AS i,
+           t.tx*64 + (i.i % 64) AS gx, t.ty*64 + (i.i // 64) AS gy,
+           (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS v
+         FROM tiles t, generate_series(0, 4095) i(i)),
+       m AS (SELECT *, ${maskOf("gx", "gy")} AS mask FROM px),
+       edgepix AS (
+         SELECT p.gx AS gx, p.gy AS gy,
+           max(CASE WHEN ($nbrMask) != p.mask THEN 1 ELSE 0 END) AS edge
+         FROM m p, (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(1,0),(-1,1),(0,1),(1,1)) o(dx,dy)
+         GROUP BY 1, 2),
+       me AS (SELECT m.*, e.edge FROM m JOIN edgepix e USING (gx, gy)),
+       offs AS (
+         SELECT dx.d AS dx, dy.d AS dy, dx.d*dx.d + dy.d*dy.d AS d2
+         FROM generate_series(-6, 6) dx(d), generate_series(-6, 6) dy(d)
+         WHERE dx.d*dx.d + dy.d*dy.d <= 36),
+       dout AS (
+         SELECT t.gx + o.dx AS gx, t.gy + o.dy AS gy, min(o.d2) AS d2o
+         FROM me t, offs o WHERE t.mask = 0 AND t.edge = 1 GROUP BY 1, 2),
+       din AS (
+         SELECT t.gx + o.dx AS gx, t.gy + o.dy AS gy, min(o.d2) AS d2i
+         FROM me t, offs o WHERE t.mask = 1 AND t.edge = 1 GROUP BY 1, 2),
+       wgt AS (
+         SELECT me.tx, me.ty, me.i, me.v,
+           CASE WHEN me.mask = 1 THEN
+             CASE WHEN d.d2o IS NULL THEN 1000
+                  ELSE CAST(floor(500.0 + (500.0 * sqrt(CAST(d.d2o AS DOUBLE))) / 6.0) AS BIGINT) END
+           ELSE
+             CASE WHEN n.d2i IS NULL THEN 0
+                  ELSE CAST(floor(500.0 - (500.0 * sqrt(CAST(n.d2i AS DOUBLE))) / 6.0) AS BIGINT) END
+           END AS w_milli
+         FROM me LEFT JOIN dout d USING (gx, gy) LEFT JOIN din n USING (gx, gy))
+       SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+         CAST(sum((CAST(v AS BIGINT) * w_milli) * (i % 49 + 1)) % 65535 AS INT) AS cks
+       FROM wgt GROUP BY 1, 2"""
+  }
+
+  /** Shared q61/q74 cutline fixture: three boxes on the integer zoom-3
+    * pixel grid (dyadic 45/128-degree coords → exact WKT round-trip). */
+  private def cutBoxes(s: SparkSession): DataFrame = {
+    val c = 45.0 / 128.0
+    val boxesPx = Seq((1L, 100L, 50L, 300L, 200L), (2L, 600L, 100L, 800L, 400L),
+      (3L, 40L, 400L, 90L, 470L))
+    import s.implicits._
+    boxesPx.toDF("cut_id", "x0", "y0", "x1", "y1")
+      .withColumn("geom", F.st_geomfromwkt(format_string(
+        "POLYGON((%.10f %.10f, %.10f %.10f, %.10f %.10f, %.10f %.10f, %.10f %.10f))",
+        lit(-180.0) + col("x0") * c, lit(90.0) - col("y0") * c,
+        lit(-180.0) + col("x1") * c, lit(90.0) - col("y0") * c,
+        lit(-180.0) + col("x1") * c, lit(90.0) - col("y1") * c,
+        lit(-180.0) + col("x0") * c, lit(90.0) - col("y1") * c,
+        lit(-180.0) + col("x0") * c, lit(90.0) - col("y0") * c)))
+  }
 
   /** Shared q56/q67 candidate builder (gdalgrid's search ellipse as a
     * cell-disk explode): zoom-5 grid cells within radius 8192 units
@@ -1093,6 +1161,7 @@ object SparkEntry {
     "q45_ann_lsh" -> OracleHashSql.q45AnnLsh,
     "q19_warp_checksum" -> OracleHashSql.q19WarpChecksum,
     "q73_utm_forward" -> OracleHashSql.q73Utm(qptsSql),
+    "q74_cutline_blend" -> q74CutlineBlendSql,
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (

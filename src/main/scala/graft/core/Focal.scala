@@ -102,6 +102,15 @@ object Focal {
             }
             val cmb = acc / 2.0
             if (cmb <= 0.0) 1.0 else math.rint(1.0 + 254.0 * cmb)
+          case "edge8" =>
+            // class-boundary marker: 1 where the center differs from any
+            // 8-neighbor (edge-clamped borders never flag). Feeds the
+            // cutline-blend proximity prefilter (operators/Raster.scala
+            // cutlineBlend): the nearest opposite-class pixel to any pixel
+            // always sits on this boundary, so proximity targets shrink
+            // from O(area) to O(perimeter)
+            if (a != e || b != e || c != e || d != e ||
+              f != e || g != e || hh != e || i != e) 1.0 else 0.0
           case other => throw new IllegalArgumentException(s"focal mode $other")
         }
         out(y * w + x) = v

@@ -218,4 +218,34 @@ class FocalProxContourSpec extends AnyFunSuite {
     assert(tiled == reparted, "assembly depends on partitioning")
     assert(tiled.nonEmpty)
   }
+
+  test("cutline blend: hand-pinned milli-weight ramp at the box edge") {
+    import graft.functions.F
+    import graft.operators.Raster
+    F.ensureRegistered(spark)
+    // box [100,300)x[50,200) px at zoom 3 (the q61/q74 box 1, alone)
+    val c = 45.0 / 128.0
+    val cut = Seq((1L, 100L, 50L, 300L, 200L)).toDF("cut_id", "x0", "y0", "x1", "y1")
+      .withColumn("geom", F.st_geomfromwkt(format_string(
+        "POLYGON((%.10f %.10f, %.10f %.10f, %.10f %.10f, %.10f %.10f, %.10f %.10f))",
+        lit(-180.0) + col("x0") * c, lit(90.0) - col("y0") * c,
+        lit(-180.0) + col("x1") * c, lit(90.0) - col("y0") * c,
+        lit(-180.0) + col("x1") * c, lit(90.0) - col("y1") * c,
+        lit(-180.0) + col("x0") * c, lit(90.0) - col("y1") * c,
+        lit(-180.0) + col("x0") * c, lit(90.0) - col("y0") * c)))
+    val out = Raster.cutlineBlend(Synth.tiles(spark, 3), cut, "geom", zoom = 3,
+        w = 64, h = 64, nxTiles = 16, nyTiles = 8, blendPx = 6)
+      .select((col("tx") * 64 + col("i") % 64).as("gx"),
+        (col("ty") * 64 + expr("CAST(i div 64 AS BIGINT)")).as("gy"), col("w_milli"))
+    def at(gx: Long, gy: Long): Long =
+      out.where(col("gx") === gx && col("gy") === gy).collect()(0).getLong(2)
+    def ramp(base: Double, sign: Int, d2: Long): Long =
+      math.floor(base + sign * (500.0 * math.sqrt(d2.toDouble)) / 6.0).toLong
+    assert(at(200, 125) == 1000)              // deep inside
+    assert(at(106, 125) == 1000)              // inside, edge distance 7 > blend
+    assert(at(100, 125) == ramp(500, 1, 1))   // inside at the edge: d2=1 -> 583
+    assert(at(99, 125) == ramp(500, -1, 1))   // outside at the edge: 416
+    assert(at(99, 49) == ramp(500, -1, 2))    // outside diagonal corner: d2=2
+    assert(at(93, 125) == 0)                  // outside, distance 7 > blend
+  }
 }
