@@ -356,7 +356,8 @@ object SparkEntry {
       // vs JTS union-of-squares; no SQL-expressible oracle)
       Polygonize.polygonizeWkt(Synth.maskTiles(s, 1), 8, 8, 32, 16, _ < 7.0, _ => 1.0)),
     "q35_sieve" -> ((s, dir) =>
-      // sieve small components (rows-only; semantics pinned in PolygonizeSpec)
+      // sieve small components (oracle-backed: full CCL+merge replica in
+      // DuckDB, q35SieveSql; semantics also pinned in PolygonizeSpec)
       Polygonize.sieve(Synth.maskTiles(s, 1), 8, 8, 32, 16, threshold = 3, _ => true,
         v => math.floor(v / 4.0))),
     "q36_focal_tri" -> ((s, dir) => focalPixels(s, "tri")),
@@ -785,6 +786,76 @@ object SparkEntry {
     })
   )
 
+  /** q35 oracle: full sieve replica in SQL — CCL by min-label
+    * transitive closure (the q33 pattern), per-small largest-neighbor
+    * targeting with the engine's (n_pixels, -label) tie-break, merge-chain
+    * grouping by a SECOND recursive closure over the pointer edges (named
+    * r2: DuckDB resolves nested recursive CTEs by name across CTE bodies,
+    * so reusing `r` silently references the first closure), and the
+    * surviving member's dn. Matches the engine bit-for-bit. */
+  private def q35SieveSql: String =
+    """WITH px AS (
+         SELECT gx.x AS gx, gy.y AS gy,
+           ((gx.x // 8)*131 + (gy.y // 8)*173 + (gx.x % 8)*7 + (gy.y % 8)*11) % 16 AS v
+         FROM generate_series(0, 31) gx(x), generate_series(0, 15) gy(y)),
+       nodes AS (SELECT gx, gy, gy*32 + gx AS id, v // 4 AS dn FROM px),
+       edges AS (
+         SELECT a.id AS a, b.id AS b FROM nodes a JOIN nodes b
+           ON a.dn = b.dn AND ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))
+         UNION ALL
+         SELECT b.id, a.id FROM nodes a JOIN nodes b
+           ON a.dn = b.dn AND ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))),
+       reach AS (
+         WITH RECURSIVE r(id, root) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.a, r.root FROM r JOIN edges e ON e.b = r.id WHERE r.root < e.a
+         ) SELECT * FROM r),
+       lbl AS (SELECT id, min(root) AS label FROM reach GROUP BY id),
+       comps AS (
+         SELECT l.label, min(n.dn) AS dn, count(*) AS n_pixels,
+           min(n.gx) AS min_gx, max(n.gx) AS max_gx, min(n.gy) AS min_gy, max(n.gy) AS max_gy
+         FROM lbl l JOIN nodes n ON n.id = l.id GROUP BY 1),
+       adjpairs AS (
+         SELECT DISTINCT la.label AS la, lb.label AS lb
+         FROM nodes a JOIN nodes b
+           ON ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))
+         JOIN lbl la ON la.id = a.id JOIN lbl lb ON lb.id = b.id
+         WHERE la.label != lb.label),
+       sym AS (SELECT la, lb FROM adjpairs UNION SELECT lb AS la, la AS lb FROM adjpairs),
+       target AS (
+         SELECT la AS label, lb AS merged_into FROM (
+           SELECT s.la, s.lb,
+             row_number() OVER (PARTITION BY s.la ORDER BY cb.n_pixels DESC, s.lb ASC) AS rn
+           FROM sym s JOIN comps ca ON ca.label = s.la JOIN comps cb ON cb.label = s.lb
+           WHERE ca.n_pixels < 3) WHERE rn = 1),
+       medges AS (
+         SELECT label AS a, merged_into AS b FROM target
+         UNION ALL SELECT merged_into, label FROM target),
+       greach AS (
+         WITH RECURSIVE r2(id, root) AS (
+           SELECT label, label FROM comps
+           UNION
+           SELECT e.a, r2.root FROM r2 JOIN medges e ON e.b = r2.id WHERE r2.root < e.a
+         ) SELECT * FROM r2),
+       grp AS (SELECT id AS label, min(root) AS g FROM greach GROUP BY id),
+       finals AS (
+         SELECT g, label AS final FROM (
+           SELECT gr.g, c.label,
+             row_number() OVER (PARTITION BY gr.g ORDER BY c.n_pixels DESC, c.label ASC) AS rn
+           FROM grp gr JOIN comps c ON c.label = gr.label) WHERE rn = 1),
+       merged AS (
+         SELECT f.final AS flabel, c.dn, c.n_pixels, c.min_gx, c.max_gx, c.min_gy, c.max_gy
+         FROM comps c JOIN grp gr ON gr.label = c.label JOIN finals f ON f.g = gr.g),
+       picked AS (
+         SELECT c.label AS flabel, c.dn FROM comps c JOIN finals f ON f.final = c.label)
+       SELECT m.flabel AS label, CAST(p.dn AS DOUBLE) AS dn,
+         CAST(sum(m.n_pixels) AS BIGINT) AS n_pixels,
+         min(m.min_gx) AS min_gx, max(m.max_gx) AS max_gx,
+         min(m.min_gy) AS min_gy, max(m.max_gy) AS max_gy
+       FROM merged m JOIN picked p USING (flabel)
+       GROUP BY 1, 2 ORDER BY 1"""
+
   /** q74 oracle: closed-form cutline-blend replica. mask from the q61 box
     * rule; edge8 via 8 clamped neighbors; min-d² by expanding boundary
     * targets over the ≤ blend² offset disk; milli-weights replicate the
@@ -1162,6 +1233,7 @@ object SparkEntry {
     "q19_warp_checksum" -> OracleHashSql.q19WarpChecksum,
     "q73_utm_forward" -> OracleHashSql.q73Utm(qptsSql),
     "q74_cutline_blend" -> q74CutlineBlendSql,
+    "q35_sieve" -> q35SieveSql,
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (

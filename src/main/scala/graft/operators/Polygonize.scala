@@ -332,7 +332,13 @@ object Polygonize {
       .agg(max_by(col("label"), struct(col("n_pixels"), -col("label"))).as("__final"))
     withGrp.join(finals, Seq("rep"))
       .groupBy(col("__final").as("label"))
-      .agg(max_by(col("dn"), col("n_pixels")).as("dn"), sum(col("n_pixels")).as("n_pixels"),
+      // dn must follow the SAME (n_pixels, -label) tie-break as the
+      // surviving label itself: a bare max_by(dn, n_pixels) is
+      // nondeterministic when several members tie on size (common — merge
+      // groups of all-1-px comps), and GDAL's sieve semantics are "the
+      // absorbed region takes the surviving component's DN"
+      .agg(max_by(col("dn"), struct(col("n_pixels"), -col("label"))).as("dn"),
+        sum(col("n_pixels")).as("n_pixels"),
         min(col("min_gx")).as("min_gx"), max(col("max_gx")).as("max_gx"),
         min(col("min_gy")).as("min_gy"), max(col("max_gy")).as("max_gy"))
   }
