@@ -245,6 +245,62 @@ FROM fin
 """
   }
 
+  /** q75: per-tile Floyd–Steinberg dither replicated as a list_reduce
+    * recurrence. Accumulator layout (1-based): [1]=right carry,
+    * [2..9]=current-row incoming errors, [10..17]=next-row errors,
+    * [18]=position, [19..]=emitted bits. All-integer, truncating `//`
+    * division (== Java `/`), so the 64-step recurrence matches
+    * core/Dither.fsDither bit-for-bit. */
+  def q75Dither: String = {
+    ctr = 0
+    def nn(k: String, xc: String, dl: String, dn: String, dr: String): String =
+      s"(__a[10 + $k] + (CASE WHEN $k = $xc - 1 THEN $dl ELSE 0::BIGINT END)" +
+        s" + (CASE WHEN $k = $xc THEN $dn ELSE 0::BIGINT END)" +
+        s" + (CASE WHEN $k = $xc + 1 THEN $dr ELSE 0::BIGINT END))"
+    val step =
+      let("__a[18]") { pos =>
+        let(s"$pos % 8") { xc =>
+          let(s"__b[1] + __a[1] + __a[2 + $xc]") { vp =>
+            let(s"(CASE WHEN $vp >= 128 THEN 255 ELSE 0 END)::BIGINT") { out =>
+              let(s"$vp - $out") { e =>
+                let(s"(7 * $e) // 16") { r =>
+                  let(s"(3 * $e) // 16") { dl =>
+                    let(s"(5 * $e) // 16") { dn =>
+                      let(s"$e - $r - $dl - $dn") { dr =>
+                        s"([(CASE WHEN $xc = 7 THEN 0::BIGINT ELSE $r END)] || " +
+                          s"list_transform(range(0, 8), __k -> CASE WHEN $xc = 7 THEN ${nn("__k", xc, dl, dn, dr)} ELSE __a[2 + __k] END) || " +
+                          s"list_transform(range(0, 8), __k -> CASE WHEN $xc = 7 THEN 0::BIGINT ELSE ${nn("__k", xc, dl, dn, dr)} END) || " +
+                          s"[$pos + 1] || list_slice(__a, 19, len(__a)) || [$out])"
+                      }
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    s"""
+WITH tiles AS (
+  SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 7) gx(x), generate_series(0, 3) gy(y)),
+st AS (
+  SELECT tx, ty,
+    list_reduce(
+      list_prepend(
+        list_transform(range(0, 18), __z -> 0::BIGINT),
+        list_transform(range(0, 64), __i ->
+          [(((tx*131 + ty*173 + (__i % 8)*7 + (__i // 8)*11) % 16) * 17)::BIGINT])),
+      (__a, __b) -> $step) AS fin
+  FROM tiles),
+outp AS (
+  SELECT tx, ty, unnest(range(0, 64)) AS i, unnest(list_slice(fin, 19, 82)) AS bit
+  FROM st)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+  CAST(i AS INT) AS i, CAST(bit AS DOUBLE) AS bit
+FROM outp
+"""
+  }
+
   /** q19: warp-to-mercator bilinear checksum. Replicates the engine's
     * exact arithmetic sequence (TileMath.mercTileBoundsMeters /
     * mercYToLat, Resample.bilinear, Checksum) per destination pixel; the

@@ -360,6 +360,18 @@ object SparkEntry {
       // DuckDB, q35SieveSql; semantics also pinned in PolygonizeSpec)
       Polygonize.sieve(Synth.maskTiles(s, 1), 8, 8, 32, 16, threshold = 3, _ => true,
         v => math.floor(v / 4.0))),
+    "q75_dither" -> ((s, dir) => {
+      // Floyd–Steinberg 1-bit dither (reference alg/gdaldither.cpp; the
+      // A9 dither divergence closed as a per-tile recurrence with
+      // boundary reset, documented in core/Dither.scala): zoom-2 mask
+      // values scaled ×17 into the byte range; all-integer truncating
+      // error flow makes the DuckDB list_reduce oracle bit-exact
+      F.ensureRegistered(s)
+      Synth.maskTiles(s, 2)
+        .withColumn("bits", call_function("dither_fs",
+          expr("transform(pixels, v -> v * 17.0D)"), lit(8), lit(8)))
+        .select(col("tx"), col("ty"), posexplode(col("bits")).as(Seq("i", "bit")))
+    }),
     "q36_focal_tri" -> ((s, dir) => focalPixels(s, "tri")),
     "q37_focal_tpi" -> ((s, dir) => focalPixels(s, "tpi")),
     "q38_focal_roughness" -> ((s, dir) => focalPixels(s, "roughness")),
@@ -1234,6 +1246,7 @@ object SparkEntry {
     "q73_utm_forward" -> OracleHashSql.q73Utm(qptsSql),
     "q74_cutline_blend" -> q74CutlineBlendSql,
     "q35_sieve" -> q35SieveSql,
+    "q75_dither" -> OracleHashSql.q75Dither,
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (

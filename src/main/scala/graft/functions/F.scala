@@ -84,7 +84,8 @@ object F {
         "st_contains_point"   -> (e => GeomPredicatePoint(e(0), e(1), e(2), "contains")),
         "st_covers_point"     -> (e => GeomPredicatePoint(e(0), e(1), e(2), "covers")),
         "st_intersects_point" -> (e => GeomPredicatePoint(e(0), e(1), e(2), "intersects")),
-        "checksum_px"    -> (e => ChecksumPx(e.head)))
+        "checksum_px"    -> (e => ChecksumPx(e.head)),
+        "dither_fs"      -> (e => DitherFs(e(0), e(1), e(2))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     if (registered.containsKey(spark)) return

@@ -200,3 +200,23 @@ case class PaletteMap(first: Expression, second: Expression, third: Expression,
     copy(a, b, c, palette)
   override def prettyName: String = "palette_map"
 }
+
+/** dither_fs(pixels, w, h) → array<double>: per-tile Floyd–Steinberg
+  * 1-bit dither (core/Dither.scala; reference alg/gdaldither.cpp — the
+  * global serpentine recurrence re-expressed as independent per-tile
+  * recurrences, a documented boundary-reset divergence). All-integer
+  * floorDiv error flow, so the DuckDB list_reduce oracle replicates it
+  * bit-for-bit. */
+case class DitherFs(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(p0: Any, w0: Any, h0: Any): Any = {
+    val px = p0.asInstanceOf[ArrayData].toDoubleArray()
+    val w = w0.asInstanceOf[Int]; val h = h0.asInstanceOf[Int]
+    val out = graft.core.Dither.fsDither(px.map(_.toInt), w, h)
+    new GenericArrayData(out.map(_.toDouble))
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+  override def prettyName: String = "dither_fs"
+}

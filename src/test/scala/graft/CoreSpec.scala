@@ -226,6 +226,20 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(p.getDouble(3) - direct.getDouble(1)) < 1e-6)
   }
 
+  test("per-tile Floyd-Steinberg dither: independent-replica pin + bit domain") {
+    import graft.core.Dither
+    // q75's tile (0,0): v = ((i%8)*7 + (i/8)*11) % 16 * 17 — first 16
+    // outputs pinned against an independently-written replica of the
+    // truncating-division error flow
+    val px = Array.tabulate(64)(i => ((i % 8) * 7 + (i / 8) * 11) % 16 * 17)
+    val out = Dither.fsDither(px, 8, 8)
+    assert(out.take(16).toSeq == Seq(0, 0, 255, 0, 255, 0, 255, 0, 255, 0, 255, 0, 255, 255, 0, 255))
+    assert(out.forall(v => v == 0 || v == 255))
+    // uniform extremes are fixed points
+    assert(Dither.fsDither(Array.fill(64)(0), 8, 8).forall(_ == 0))
+    assert(Dither.fsDither(Array.fill(64)(255), 8, 8).forall(_ == 255))
+  }
+
   test("resample bilinear interpolates linear ramps exactly") {
     val src: (Int, Int) => Double = (x, y) =>
       if (x < 0 || y < 0 || x > 9 || y > 9) Double.NaN else x.toDouble + 2.0 * y
