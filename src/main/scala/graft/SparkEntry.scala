@@ -398,8 +398,9 @@ object SparkEntry {
     "q41_contour_segments" -> ((s, dir) =>
       Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = 15L)),
     "q42_contour_stitch" -> ((s, dir) =>
-      // endpoint-graph polyline assembly (rows-only; partitioning-
-      // independence pinned in FocalProxContourSpec)
+      // endpoint-graph polyline assembly (oracle-backed: endpoint-equality
+      // CCL over the q41 segment CTE, q42StitchSql; partitioning-
+      // independence also pinned in FocalProxContourSpec)
       Contour.stitch(Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = 15L))),
 
     // ------------- embedding near-dup + ANN scale path --------------------
@@ -868,6 +869,98 @@ object SparkEntry {
        FROM merged m JOIN picked p USING (flabel)
        GROUP BY 1, 2 ORDER BY 1"""
 
+  /** Shared q41/q42 oracle body: marching-squares segments at level 7.5
+    * over the zoom-2 grid with reduced-rational endpoints (exactly
+    * core.Contour's arithmetic). q41 selects it directly; q42 packs the
+    * engine's seg_id and runs endpoint-equality connected components. */
+  private def contourSegmentsSql: String =
+    """WITH b AS (
+           SELECT gx.x AS gx, gy.y AS gy
+           FROM generate_series(0, 62) gx(x), generate_series(0, 30) gy(y)),
+         c AS (
+           SELECT gx, gy,
+             ((gx//8)*131 + (gy//8)*173 + (gx%8)*7 + (gy%8)*11) % 16 AS v00,
+             (((gx+1)//8)*131 + (gy//8)*173 + ((gx+1)%8)*7 + (gy%8)*11) % 16 AS v10,
+             ((gx//8)*131 + ((gy+1)//8)*173 + (gx%8)*7 + ((gy+1)%8)*11) % 16 AS v01,
+             (((gx+1)//8)*131 + ((gy+1)//8)*173 + ((gx+1)%8)*7 + ((gy+1)%8)*11) % 16 AS v11
+           FROM b),
+         i AS (
+           SELECT *,
+             (CASE WHEN 2*v00 >= 15 THEN 1 ELSE 0 END) + (CASE WHEN 2*v10 >= 15 THEN 2 ELSE 0 END)
+           + (CASE WHEN 2*v11 >= 15 THEN 4 ELSE 0 END) + (CASE WHEN 2*v01 >= 15 THEN 8 ELSE 0 END) AS idx
+           FROM c WHERE (CASE WHEN 2*v00 >= 15 THEN 1 ELSE 0 END) + (CASE WHEN 2*v10 >= 15 THEN 2 ELSE 0 END)
+           + (CASE WHEN 2*v11 >= 15 THEN 4 ELSE 0 END) + (CASE WHEN 2*v01 >= 15 THEN 8 ELSE 0 END) NOT IN (0, 15)),
+         pts0 AS (
+           SELECT gx, gy, e.e AS edge,
+             CASE e.e WHEN 'T' THEN gx*(2*(v10-v00)) + (15 - 2*v00)
+                      WHEN 'B' THEN gx*(2*(v11-v01)) + (15 - 2*v01)
+                      WHEN 'R' THEN gx + 1 ELSE gx END AS xn,
+             CASE e.e WHEN 'T' THEN 2*(v10-v00)
+                      WHEN 'B' THEN 2*(v11-v01) ELSE 1 END AS xd,
+             CASE e.e WHEN 'L' THEN gy*(2*(v01-v00)) + (15 - 2*v00)
+                      WHEN 'R' THEN gy*(2*(v11-v10)) + (15 - 2*v10)
+                      WHEN 'B' THEN gy + 1 ELSE gy END AS yn,
+             CASE e.e WHEN 'L' THEN 2*(v01-v00)
+                      WHEN 'R' THEN 2*(v11-v10) ELSE 1 END AS yd
+           FROM i, (VALUES ('T'), ('R'), ('B'), ('L')) e(e)),
+         pts AS (
+           SELECT gx, gy, edge,
+             (CASE WHEN xd < 0 THEN -xn ELSE xn END) // gcd(abs(xn), abs(xd)) AS xn,
+             (CASE WHEN xd < 0 THEN -xd ELSE xd END) // gcd(abs(xn), abs(xd)) AS xd,
+             (CASE WHEN yd < 0 THEN -yn ELSE yn END) // gcd(abs(yn), abs(yd)) AS yn,
+             (CASE WHEN yd < 0 THEN -yd ELSE yd END) // gcd(abs(yn), abs(yd)) AS yd
+           FROM pts0),
+         s AS (
+           SELECT i.gx, i.gy, i.idx, sg.si AS seg_idx, sg.a AS ea, sg.b AS eb
+           FROM i, unnest(CASE
+             WHEN idx IN (1, 14) THEN [{'si': 0, 'a': 'L', 'b': 'T'}]
+             WHEN idx IN (2, 13) THEN [{'si': 0, 'a': 'T', 'b': 'R'}]
+             WHEN idx IN (4, 11) THEN [{'si': 0, 'a': 'R', 'b': 'B'}]
+             WHEN idx IN (8, 7)  THEN [{'si': 0, 'a': 'B', 'b': 'L'}]
+             WHEN idx IN (3, 12) THEN [{'si': 0, 'a': 'L', 'b': 'R'}]
+             WHEN idx IN (6, 9)  THEN [{'si': 0, 'a': 'T', 'b': 'B'}]
+             WHEN idx = 5 AND v00+v10+v01+v11 >= 30
+               THEN [{'si': 0, 'a': 'L', 'b': 'T'}, {'si': 1, 'a': 'R', 'b': 'B'}]
+             WHEN idx = 5
+               THEN [{'si': 0, 'a': 'T', 'b': 'R'}, {'si': 1, 'a': 'B', 'b': 'L'}]
+             WHEN idx = 10 AND v00+v10+v01+v11 >= 30
+               THEN [{'si': 0, 'a': 'T', 'b': 'R'}, {'si': 1, 'a': 'B', 'b': 'L'}]
+             ELSE [{'si': 0, 'a': 'L', 'b': 'T'}, {'si': 1, 'a': 'R', 'b': 'B'}]
+             END) t(sg))
+         SELECT s.gx, s.gy, CAST(s.idx AS INT) AS case_idx, CAST(s.seg_idx AS INT) AS seg_idx,
+           a.xn AS x0n, a.xd AS x0d, a.yn AS y0n, a.yd AS y0d,
+           b.xn AS x1n, b.xd AS x1d, b.yn AS y1n, b.yd AS y1d
+         FROM s
+         JOIN pts a ON a.gx = s.gx AND a.gy = s.gy AND a.edge = s.ea
+         JOIN pts b ON b.gx = s.gx AND b.gy = s.gy AND b.edge = s.eb"""
+
+  /** q42 oracle: stitch = connected components of the segment graph
+    * (segments adjacent iff they share a reduced-rational endpoint),
+    * polyline_id = min member seg_id with the engine's bit-packed id
+    * (gy<<31 | gx)<<2 | seg_idx, n_segments = component size. */
+  private def q42StitchSql: String =
+    s"""WITH segs AS ($contourSegmentsSql),
+       sid AS (
+         SELECT *, (gy * 2147483648 + gx) * 4 + seg_idx AS seg_id FROM segs),
+       ep AS (
+         SELECT seg_id, x0n AS xn, x0d AS xd, y0n AS yn, y0d AS yd FROM sid
+         UNION ALL
+         SELECT seg_id, x1n, x1d, y1n, y1d FROM sid),
+       edges0 AS (
+         SELECT DISTINCT a.seg_id AS a, b.seg_id AS b
+         FROM ep a JOIN ep b
+           ON a.xn = b.xn AND a.xd = b.xd AND a.yn = b.yn AND a.yd = b.yd
+         WHERE a.seg_id < b.seg_id),
+       edges AS (SELECT a, b FROM edges0 UNION ALL SELECT b AS a, a AS b FROM edges0),
+       reach AS (
+         WITH RECURSIVE rr(id, root) AS (
+           SELECT seg_id, seg_id FROM sid
+           UNION
+           SELECT e.a, rr.root FROM rr JOIN edges e ON e.b = rr.id WHERE rr.root < e.a
+         ) SELECT * FROM rr),
+       lbl AS (SELECT id, min(root) AS polyline_id FROM reach GROUP BY id)
+       SELECT polyline_id, count(*) AS n_segments FROM lbl GROUP BY 1"""
+
   /** q74 oracle: closed-form cutline-blend replica. mask from the q61 box
     * rule; edge8 via 8 clamped neighbors; min-d² by expanding boundary
     * targets over the ≤ blend² offset disk; milli-weights replicate the
@@ -1247,6 +1340,7 @@ object SparkEntry {
     "q74_cutline_blend" -> q74CutlineBlendSql,
     "q35_sieve" -> q35SieveSql,
     "q75_dither" -> OracleHashSql.q75Dither,
+    "q42_contour_stitch" -> q42StitchSql,
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (
@@ -1394,65 +1488,7 @@ object SparkEntry {
     "q41_contour_segments" ->
       // marching squares at level 7.5 (level2x = 15) over the zoom-2 grid;
       // endpoints as reduced integer rationals — exactly core.Contour's math
-      """WITH b AS (
-           SELECT gx.x AS gx, gy.y AS gy
-           FROM generate_series(0, 62) gx(x), generate_series(0, 30) gy(y)),
-         c AS (
-           SELECT gx, gy,
-             ((gx//8)*131 + (gy//8)*173 + (gx%8)*7 + (gy%8)*11) % 16 AS v00,
-             (((gx+1)//8)*131 + (gy//8)*173 + ((gx+1)%8)*7 + (gy%8)*11) % 16 AS v10,
-             ((gx//8)*131 + ((gy+1)//8)*173 + (gx%8)*7 + ((gy+1)%8)*11) % 16 AS v01,
-             (((gx+1)//8)*131 + ((gy+1)//8)*173 + ((gx+1)%8)*7 + ((gy+1)%8)*11) % 16 AS v11
-           FROM b),
-         i AS (
-           SELECT *,
-             (CASE WHEN 2*v00 >= 15 THEN 1 ELSE 0 END) + (CASE WHEN 2*v10 >= 15 THEN 2 ELSE 0 END)
-           + (CASE WHEN 2*v11 >= 15 THEN 4 ELSE 0 END) + (CASE WHEN 2*v01 >= 15 THEN 8 ELSE 0 END) AS idx
-           FROM c WHERE (CASE WHEN 2*v00 >= 15 THEN 1 ELSE 0 END) + (CASE WHEN 2*v10 >= 15 THEN 2 ELSE 0 END)
-           + (CASE WHEN 2*v11 >= 15 THEN 4 ELSE 0 END) + (CASE WHEN 2*v01 >= 15 THEN 8 ELSE 0 END) NOT IN (0, 15)),
-         pts0 AS (
-           SELECT gx, gy, e.e AS edge,
-             CASE e.e WHEN 'T' THEN gx*(2*(v10-v00)) + (15 - 2*v00)
-                      WHEN 'B' THEN gx*(2*(v11-v01)) + (15 - 2*v01)
-                      WHEN 'R' THEN gx + 1 ELSE gx END AS xn,
-             CASE e.e WHEN 'T' THEN 2*(v10-v00)
-                      WHEN 'B' THEN 2*(v11-v01) ELSE 1 END AS xd,
-             CASE e.e WHEN 'L' THEN gy*(2*(v01-v00)) + (15 - 2*v00)
-                      WHEN 'R' THEN gy*(2*(v11-v10)) + (15 - 2*v10)
-                      WHEN 'B' THEN gy + 1 ELSE gy END AS yn,
-             CASE e.e WHEN 'L' THEN 2*(v01-v00)
-                      WHEN 'R' THEN 2*(v11-v10) ELSE 1 END AS yd
-           FROM i, (VALUES ('T'), ('R'), ('B'), ('L')) e(e)),
-         pts AS (
-           SELECT gx, gy, edge,
-             (CASE WHEN xd < 0 THEN -xn ELSE xn END) // gcd(abs(xn), abs(xd)) AS xn,
-             (CASE WHEN xd < 0 THEN -xd ELSE xd END) // gcd(abs(xn), abs(xd)) AS xd,
-             (CASE WHEN yd < 0 THEN -yn ELSE yn END) // gcd(abs(yn), abs(yd)) AS yn,
-             (CASE WHEN yd < 0 THEN -yd ELSE yd END) // gcd(abs(yn), abs(yd)) AS yd
-           FROM pts0),
-         s AS (
-           SELECT i.gx, i.gy, i.idx, sg.si AS seg_idx, sg.a AS ea, sg.b AS eb
-           FROM i, unnest(CASE
-             WHEN idx IN (1, 14) THEN [{'si': 0, 'a': 'L', 'b': 'T'}]
-             WHEN idx IN (2, 13) THEN [{'si': 0, 'a': 'T', 'b': 'R'}]
-             WHEN idx IN (4, 11) THEN [{'si': 0, 'a': 'R', 'b': 'B'}]
-             WHEN idx IN (8, 7)  THEN [{'si': 0, 'a': 'B', 'b': 'L'}]
-             WHEN idx IN (3, 12) THEN [{'si': 0, 'a': 'L', 'b': 'R'}]
-             WHEN idx IN (6, 9)  THEN [{'si': 0, 'a': 'T', 'b': 'B'}]
-             WHEN idx = 5 AND v00+v10+v01+v11 >= 30
-               THEN [{'si': 0, 'a': 'L', 'b': 'T'}, {'si': 1, 'a': 'R', 'b': 'B'}]
-             WHEN idx = 5
-               THEN [{'si': 0, 'a': 'T', 'b': 'R'}, {'si': 1, 'a': 'B', 'b': 'L'}]
-             WHEN idx = 10 AND v00+v10+v01+v11 >= 30
-               THEN [{'si': 0, 'a': 'T', 'b': 'R'}, {'si': 1, 'a': 'B', 'b': 'L'}]
-             ELSE [{'si': 0, 'a': 'L', 'b': 'T'}, {'si': 1, 'a': 'R', 'b': 'B'}]
-             END) t(sg))
-         SELECT s.gx, s.gy, CAST(s.idx AS INT) AS case_idx, CAST(s.seg_idx AS INT) AS seg_idx,
-           a.xn AS x0n, a.xd AS x0d, a.yn AS y0n, a.yd AS y0d,
-           b.xn AS x1n, b.xd AS x1d, b.yn AS y1n, b.yd AS y1d
-         FROM s
-         JOIN pts a ON a.gx = s.gx AND a.gy = s.gy AND a.edge = s.ea
-         JOIN pts b ON b.gx = s.gx AND b.gy = s.gy AND b.edge = s.eb""",
+      contourSegmentsSql,
     "q43_cosine_dup" ->
       // brute-force oracle over the same derived corpus (base + perturbed
       // twins): the engine's LSH-bucketed candidates must reproduce the

@@ -72,4 +72,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q26_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q74: cutline blend composes equi-joins only (no cartesian, no BNLJ)") {
+    val p = plan("q74_cutline_blend")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q73: UTM forward is scan -> project, no shuffle before the aggregate-free sink") {
+    val p = plan("q73_utm_forward")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
