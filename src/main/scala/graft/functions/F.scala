@@ -25,6 +25,8 @@ object F {
     * injection (graft.GraftExtensions via spark.sql.extensions). */
   lazy val defs: Seq[(String, Seq[Expression] => Expression)] = Seq(
         "st_geomfromwkt" -> (e => StGeomFromWkt(e.head)),
+        "st_geomfromwkb" -> (e => StWkb(e.head, parse = true)),
+        "st_aswkb"       -> (e => StWkb(e.head, parse = false)),
         "st_point"       -> (e => StPoint(e(0), e(1))),
         "st_astext"      -> (e => GeomUnaryToString(e.head, "astext")),
         "st_geometrytype" -> (e => GeomUnaryToString(e.head, "geometrytype")),

@@ -39,6 +39,24 @@ case class StGeomFromWkt(child: Expression)
   override def prettyName: String = "st_geomfromwkt"
 }
 
+/** st_geomfromwkb(binary) → canonical WKB: parses (validating the byte
+  * stream) and re-serializes, so foreign WKB (different byte order /
+  * 2.5D flags) normalizes to the engine's canonical form. st_aswkb is its
+  * inverse surface: WKB IS the storage representation, so it
+  * re-serializes through JTS purely to guarantee canonical bytes. */
+case class StWkb(child: Expression, parse: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (parse && b.isEmpty) null
+    else GeomIO.toWkb(GeomIO.fromWkb(b))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c, parse)
+  override def prettyName: String = if (parse) "st_geomfromwkb" else "st_aswkb"
+}
+
 case class StPoint(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

@@ -226,6 +226,26 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(p.getDouble(3) - direct.getDouble(1)) < 1e-6)
   }
 
+  test("st_geomfromwkb / st_aswkb normalize foreign WKB to canonical bytes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    // big-endian WKB point (1.5, 2.5): 00 00000001 3FF8... 4004...
+    val be = Array[Byte](0, 0, 0, 0, 1,
+      0x3f.toByte, 0xf8.toByte, 0, 0, 0, 0, 0, 0,
+      0x40.toByte, 0x04.toByte, 0, 0, 0, 0, 0, 0)
+    val row = Seq(Tuple1(be)).toDF("wkb")
+      .select(call_function("st_geomfromwkb", col("wkb")).as("g"))
+      .select(F.st_astext(col("g")).as("t"),
+        call_function("st_aswkb", col("g")).as("w2"), col("g"))
+      .collect()(0)
+    assert(row.getString(0) == "POINT (1.5 2.5)")
+    // canonical form is a fixed point of st_aswkb
+    assert(row.getAs[Array[Byte]]("w2").toSeq == row.getAs[Array[Byte]]("g").toSeq)
+  }
+
   test("per-tile Floyd-Steinberg dither: independent-replica pin + bit domain") {
     import graft.core.Dither
     // q75's tile (0,0): v = ((i%8)*7 + (i/8)*11) % 16 * 17 — first 16

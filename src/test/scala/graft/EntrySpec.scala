@@ -64,14 +64,18 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("oracle coverage: every query has an oracle or is a documented rows-only op") {
-    // q19/q24/q25/q45 graduated to full oracles in round 3 (OracleHashSql)
+    // q19/q24/q25/q45, then q35/q42, graduated to full oracles in round 3;
+    // only the WKT-assembly pair remains rows-only (ordered vertex-walk
+    // string output has no tractable SQL replica)
     val rowsOnly = Set(
       "q34_polygonize_wkt",  // WKT golden-matched vs JTS in PolygonizeSpec
-      "q35_sieve",           // merge semantics pinned in PolygonizeSpec
-      "q42_contour_stitch",  // closure not SQL-expressible; pinned in spec
       "q57_contour_wkt")     // double-formatted WKT; pinned vs giant-tile in spec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
+    // and the rows-only set must not silently regrow
+    assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty)
+    assert((SparkEntry.oracleSql.keySet & rowsOnly).isEmpty,
+      "rows-only query gained an oracle — remove it from this list")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
