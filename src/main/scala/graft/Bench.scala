@@ -3,6 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val keepCache = sys.env.contains("SPARK_GRAFT_BENCH_KEEPCACHE")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,8 +31,7 @@ object Bench {
       // one query's cache into the next query's timing. KEEPCACHE is a
       // diagnostic replica of the pre-isolation protocol (regression
       // adjudication only — never the reported number)
-      if (!sys.env.contains("SPARK_GRAFT_BENCH_KEEPCACHE"))
-        spark.sharedState.cacheManager.clearCache()
+      if (keepCache) () else spark.sharedState.cacheManager.clearCache()
       // a failed query must not masquerade as a fast success: negate it
       name -> (if (ok) secs else -secs)
     }
@@ -40,8 +40,11 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // the protocol is part of the result: a KEEPCACHE (diagnostic) run must
+    // be distinguishable from the honest per-query-isolated protocol, or a
+    // leftover exported env var silently taints every later number
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","protocol":"${if (keepCache) "KEEPCACHE-diagnostic" else "clear-per-query"}"}"""
     // sole stdout line (build.sbt sets run/outputStrategy=StdoutOutput so
     // sbt does not [info]-prefix it) + a file copy for the driver
     println(line)

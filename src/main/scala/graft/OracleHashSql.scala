@@ -214,7 +214,8 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, CAST(score AS BIGINT)
     s"""
 WITH qp AS ($qptsSql),
 z AS (
-  SELECT q_id, lon, lat, CAST(floor((lon + 180.0) / 6.0) AS BIGINT) + 1 AS zone FROM qp),
+  SELECT q_id, lon, lat,
+    LEAST(60, CAST(floor((lon + 180.0) / 6.0) AS BIGINT) + 1) AS zone FROM qp),
 base AS (
   SELECT q_id, lon, lat, zone,
     CASE WHEN lat >= 0 THEN 32600 + zone ELSE 32700 + zone END AS epsg,

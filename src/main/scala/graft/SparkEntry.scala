@@ -542,7 +542,10 @@ object SparkEntry {
       // gaps remain, absorbed by the cm quantum (q39/q19 trick)
       F.ensureRegistered(s)
       Synth.queryPoints(s, dir)
-        .withColumn("zone", (floor((col("lon") + 180.0) / 6.0) + 1).cast("long"))
+        // clamp like Utm.lonZone: lon = 180.0 exactly is legal WGS84 and
+        // would otherwise compute zone 61 / EPSG 32661, which st_transform
+        // rejects (latent here — the synth corpus keeps lon < 180)
+        .withColumn("zone", least(lit(60L), (floor((col("lon") + 180.0) / 6.0) + 1).cast("long")))
         .withColumn("epsg", when(col("lat") >= 0, col("zone") + 32600)
           .otherwise(col("zone") + 32700).cast("int"))
         .withColumn("u", call_function("st_transform",
@@ -1091,7 +1094,9 @@ object SparkEntry {
   /** Horn hillshade oracle (q39): the same 3×3 window pivoted into the
     * nine taps, then the kernel's arithmetic replicated op-for-op
     * (defaults z=ewres=nsres=scale=1, alt 45°, az 315°). The output is
-    * quantized (rint to a 1..255 byte), so the JVM-vs-DuckDB trig ULP gap
+    * quantized (floor(x+0.5) to a 1..255 byte — the identical IEEE op
+    * sequence on both engines, unlike rint-vs-round at .5 ties), so the
+    * JVM-vs-DuckDB trig ULP gap
     * only matters within ~1e-13 of a rounding boundary — none occur on
     * this corpus, and a future divergence fails the gate loudly rather
     * than silently. */
@@ -1131,7 +1136,7 @@ object SparkEntry {
              * cos(315.0 * (pi() / 180.0) - pi() / 2.0 - atan2(yy, xx)) AS cg
          FROM sh)
        SELECT gx, gy,
-         CASE WHEN cg <= 0.0 THEN 1.0 ELSE round(1.0 + 254.0 * cg) END AS val
+         CASE WHEN cg <= 0.0 THEN 1.0 ELSE floor(1.0 + 254.0 * cg + 0.5) END AS val
        FROM cang"""
 
   def oracleSql: Map[String, String] = Map(

@@ -18,7 +18,7 @@ import javax.imageio.ImageIO
 object Codec {
   ImageIO.setUseCache(false) // no temp-file cache: executors decode in-memory
 
-  private def encodeGray(px: Array[Int], w: Int, h: Int, format: String): Array[Byte] = {
+  def encodeGray(px: Array[Int], w: Int, h: Int, format: String): Array[Byte] = {
     require(px.length == w * h, s"pixel count ${px.length} != ${w}x$h")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster

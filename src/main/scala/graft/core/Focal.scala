@@ -78,7 +78,11 @@ object Focal {
             val aspect = math.atan2(yy, xx)
             val cang = sinAlt * math.sin(slope) +
               cosAlt * math.cos(slope) * math.cos(azRad - math.Pi / 2.0 - aspect)
-            if (cang <= 0.0) 1.0 else math.rint(1.0 + 254.0 * cang)
+            // floor(x + 0.5), not rint: rint's half-to-even differs from
+            // SQL round()'s half-away at exact .5 ties, while floor(x+0.5)
+            // is the same IEEE op sequence in both engines (and is GDAL's
+            // own (int)(… + 0.5) idiom)
+            if (cang <= 0.0) 1.0 else math.floor(1.0 + 254.0 * cang + 0.5)
           case "hillshade_md" =>
             // multidirectional hillshade (reference: gdaldem hillshade
             // -multidirectional, the USGS/Mark Smith method): shade from
@@ -101,7 +105,7 @@ object Focal {
               az += 45.0
             }
             val cmb = acc / 2.0
-            if (cmb <= 0.0) 1.0 else math.rint(1.0 + 254.0 * cmb)
+            if (cmb <= 0.0) 1.0 else math.floor(1.0 + 254.0 * cmb + 0.5)
           case "edge8" =>
             // class-boundary marker: 1 where the center differs from any
             // 8-neighbor (edge-clamped borders never flag). Feeds the

@@ -205,7 +205,9 @@ case class PaletteMap(first: Expression, second: Expression, third: Expression,
   * 1-bit dither (core/Dither.scala; reference alg/gdaldither.cpp — the
   * global serpentine recurrence re-expressed as independent per-tile
   * recurrences, a documented boundary-reset divergence). All-integer
-  * floorDiv error flow, so the DuckDB list_reduce oracle replicates it
+  * TRUNCATING division error flow (Java `/` == DuckDB `//`, both round
+  * toward zero — NOT floorDiv, which differs on the negative errors this
+  * kernel produces), so the DuckDB list_reduce oracle replicates it
   * bit-for-bit. */
 case class DitherFs(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {

@@ -116,22 +116,27 @@ object Ann {
     val vb = d.select(col("id").as("id_b"), col("v").as("vb"))
     def fdot(a: String, b: String) = F.fixed_dot(col(a), col(b), fixedScale)
     // Overflow-SAFE exact comparison: regroup dot²·den² >= na2·nb2·num² as
-    // (dot·den)² >= (na2·num)·(nb2·num) and guard each factor against
-    // floor(sqrt(Long.Max)) — any input outside the documented envelope now
-    // raises instead of silently wrapping Long and returning wrong pairs.
+    // (dot·den)² >= (na2·num)·(nb2·num), guarded by the TIGHT no-wrap
+    // conditions (any input that would actually wrap raises; anything the
+    // regrouped arithmetic evaluates exactly passes): |dot·den| must fit
+    // under sqrt(Long.Max) for its square; each RHS factor must not wrap;
+    // and the RHS product is checked pairwise (a·b wraps iff a > Max/b for
+    // positive a, b in truncated division) — a one-sided large norm with a
+    // small partner stays exactly representable and is NOT rejected.
     val maxSafe = 3037000499L // floor(sqrt(2^63 - 1))
+    val rhsB = col("nb2") * lit(minCosNum)
     val overflow =
       abs(col("dot_fp")) > lit(maxSafe / minCosDen) ||
-        col("na2") > lit(maxSafe / minCosNum) ||
-        col("nb2") > lit(maxSafe / minCosNum)
+        col("na2") > lit(Long.MaxValue / minCosNum) ||
+        col("nb2") > lit(Long.MaxValue / minCosNum) ||
+        (rhsB > lit(0L) && col("na2") * lit(minCosNum) > lit(Long.MaxValue) / rhsB)
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("dot_fp", fdot("va", "vb"))
       .withColumn("na2", fdot("va", "va"))
       .withColumn("nb2", fdot("vb", "vb"))
       .where(assert_true(!overflow, lit(
-        s"cosineDupPairs: fixed-point magnitude exceeds the exact-Long envelope " +
-          s"(|dot|<=${maxSafe / minCosDen}, norm2<=${maxSafe / minCosNum} at " +
-          s"threshold $minCosNum/$minCosDen) — lower fixedScale")).isNull &&
+        s"cosineDupPairs: fixed-point magnitudes would wrap Long in the exact " +
+          s"comparison (threshold $minCosNum/$minCosDen) — lower fixedScale")).isNull &&
         col("dot_fp") > 0 &&
         (col("dot_fp") * lit(minCosDen)) * (col("dot_fp") * lit(minCosDen)) >=
           (col("na2") * lit(minCosNum)) * (col("nb2") * lit(minCosNum)))

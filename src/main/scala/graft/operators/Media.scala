@@ -58,8 +58,11 @@ object Media {
   // deliberate scala UDFs (the documented exception class) — data-parallel
   // per row, no shuffle, no driver involvement.
 
-  private val encUdf = udf((px: Seq[Double], w: Int, h: Int) =>
-    graft.core.Codec.encodePngGray(px.map(_.toInt).toArray, w, h))
+  // one marshalling path for every container format — a marshalling fix
+  // (e.g. rounding policy) applies to PNG and TIFF alike
+  private def encGrayUdf(format: String) = udf((px: Seq[Double], w: Int, h: Int) =>
+    graft.core.Codec.encodeGray(px.map(_.toInt).toArray, w, h, format))
+  private val encUdf = encGrayUdf("png")
   private val decUdf = udf((b: Array[Byte]) => {
     val (_, _, px) = graft.core.Codec.decodePngGray(b)
     px.map(_.toDouble).toSeq
@@ -79,8 +82,7 @@ object Media {
   // frmts/gtiff/geotiff.cpp). Same UDF-exception rationale as PNG; the
   // shared decode UDF sniffs the container from magic bytes.
 
-  private val encTiffUdf = udf((px: Seq[Double], w: Int, h: Int) =>
-    graft.core.Codec.encodeTiffGray(px.map(_.toInt).toArray, w, h))
+  private val encTiffUdf = encGrayUdf("tiff")
 
   /** Tile table → real TIFF binary column (drops the pixel array). */
   def encodeTiff(tiles: DataFrame): DataFrame =

@@ -49,8 +49,14 @@ object Streaming {
                            polyGeom: String, lonCol: String, latCol: String,
                            zoom: Int, predicate: String = "contains"): DataFrame = {
     F.ensureRegistered(points.sparkSession)
+    // persist like the batch operator: coverZooms below is a plan-time
+    // action over the cover, and the static side is re-joined by EVERY
+    // micro-batch of a long-running stream — without the persist the
+    // cells_cover explode recomputes once for the collect plus once per
+    // batch for the lifetime of the query
     val cov = polys.withColumn("__env", F.st_env_bounds(col(polyGeom)))
       .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // `polys` is STATIC, so the mixed-zoom ladder is computable at plan
     // time exactly like the batch operator: if any polygon's capped cover
     // coarsened below `zoom`, the streaming point side must re-key to

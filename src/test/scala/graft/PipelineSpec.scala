@@ -180,6 +180,33 @@ class PipelineSpec extends AnyFunSuite {
       s"missed: ${(brute -- got).take(3)}; extra: ${(got -- brute).take(3)}")
   }
 
+  test("cosineDupPairs overflow guard is tight: large-but-exact norms pass, wrapping ones raise") {
+    F.ensureRegistered(spark)
+    import spark.implicits._
+    // one large-norm vector (na2 = 64·3500² ≈ 7.8e8, outside the old
+    // per-factor sqrt(Long.Max)/num bound) paired with a small parallel
+    // one: dot ≈ 2.2e7 and every product in the regrouped comparison is
+    // exactly representable — cos = 1, so the pair must be REPORTED, not
+    // aborted the way the old guard did
+    val big = Seq(
+      (1L, Seq.fill(64)(3.5)),
+      (2L, Seq.fill(64)(0.1))).toDF("vec_id", "v")
+    val ok = graft.operators.Ann.cosineDupPairs(big, "vec_id", "v",
+      minCosNum = 4L, minCosDen = 5L, fixedScale = 1000)
+      .collect()
+    assert(ok.length == 1 && ok(0).getLong(0) == 1L && ok(0).getLong(1) == 2L)
+    // elements large enough that na2·num · nb2·num genuinely wraps Long
+    // (na2 = 64 * (3e6)^2 ≈ 5.8e14; product ≈ 5e30): must raise, not wrap
+    val wrap = Seq(
+      (1L, Seq.fill(64)(3000.0)),
+      (2L, Seq.fill(64)(3000.1))).toDF("vec_id", "v")
+    val e2 = intercept[Exception] {
+      graft.operators.Ann.cosineDupPairs(wrap, "vec_id", "v",
+        minCosNum = 4L, minCosDen = 5L, fixedScale = 1000).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("span-sequence invariant: pipeline output reconstructs input spans exactly") {
     F.ensureRegistered(spark)
     val docs = Synth.docs(spark, TestSpark.SfSmall).cache()
