@@ -43,16 +43,25 @@ object Bench {
     // the protocol is part of the result: a KEEPCACHE (diagnostic) run must
     // be distinguishable from the honest per-query-isolated protocol, or a
     // leftover exported env var silently taints every later number
+    val protocol = if (keepCache) "KEEPCACHE-diagnostic" else "clear-per-query"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","protocol":"${if (keepCache) "KEEPCACHE-diagnostic" else "clear-per-query"}"}"""
-    // sole stdout line (build.sbt sets run/outputStrategy=StdoutOutput so
-    // sbt does not [info]-prefix it) + a file copy for the driver
-    println(line)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","protocol":"$protocol"}"""
+    // The driver captures only the TAIL of stdout, so the full ~2.5 KB
+    // per-query line truncates mid-JSON and never parses (three rounds of
+    // BENCH_r{N}.json "parsed": null). Print a compact (<300 B) summary as
+    // the final stdout line and keep the complete per-query map in
+    // BENCH/RESULT.json ("queries" in the summary is a pointer to it).
+    val shortLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","protocol":"$protocol","queries":"BENCH/RESULT.json"}"""
     if (!SparkEntry.subsetActive) try {
       val dir = java.nio.file.Paths.get("BENCH")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("RESULT.json"), line)
     } catch { case _: Throwable => }
+    // sole stdout line (build.sbt sets run/outputStrategy=StdoutOutput so
+    // sbt does not [info]-prefix it); subset runs print the full map since
+    // it is small and there is no RESULT.json copy for them
+    println(if (SparkEntry.subsetActive) line else shortLine)
     spark.stop()
   }
 }

@@ -1911,7 +1911,7 @@ object SparkEntry {
                + (iy - (ty*5760 + 2880))*(iy - (ty*5760 + 2880)) AS d2
            FROM cand)
          SELECT tx, ty, count(*) AS n,
-           (sum(v) * 1000) // count(*) AS avg_milli,
+           CAST((sum(v) * 1000) // count(*) AS BIGINT) AS avg_milli,
            min(v) AS vmin, max(v) AS vmax,
            arg_min(v, d2 * 64 + v) AS nearest_v
          FROM wtd WHERE d2 <= 67108864 GROUP BY 1, 2""",
@@ -1936,7 +1936,7 @@ object SparkEntry {
                + (iy - (ty*5760 + 2880))*(iy - (ty*5760 + 2880)) AS d2
            FROM cand)
          SELECT tx, ty, count(*) AS n,
-           (sum(v * (17179869184 // greatest(d2, 1))) * 1000) // sum(17179869184 // greatest(d2, 1)) AS idw_milli
+           CAST((sum(v * (17179869184 // greatest(d2, 1))) * 1000) // sum(17179869184 // greatest(d2, 1)) AS BIGINT) AS idw_milli
          FROM wtd WHERE d2 <= 67108864 GROUP BY 1, 2"""
   )
 

@@ -88,8 +88,14 @@ object Utm {
     val sphi = math.sin(phi)
     // conformal latitude via Gauss-Schreiber: t = sinh(atanh sinφ − 2√n/(1+n)·atanh(2√n/(1+n)·sinφ))
     val t = math.sinh(atanh(sphi) - twoSqrtNov * atanh(twoSqrtNov * sphi))
-    val xip = math.atan2(t, math.cos(lam))
-    val etap = asinh(math.sin(lam) / math.hypot(t, math.cos(lam)))
+    val cosl = math.cos(lam)
+    val xip = math.atan2(t, cosl)
+    // sqrt(t²+cos²λ), NOT math.hypot: the DuckDB oracle replicates this as
+    // sqrt(t*t + cosl*cosl), and hypot is an algorithmically different op
+    // (extra scaling for overflow safety) that can differ by >1 ulp —
+    // matching the oracle's exact IEEE op sequence keeps the cm-quantized
+    // outputs bit-stable (t, cosl are O(1) here; no overflow concern).
+    val etap = asinh(math.sin(lam) / math.sqrt(t * t + cosl * cosl))
     var xi = xip; var eta = etap
     var j = 0
     while (j < 6) {

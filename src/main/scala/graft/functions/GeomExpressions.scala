@@ -50,7 +50,10 @@ case class StWkb(child: Expression, parse: Boolean)
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any = {
     val b = v.asInstanceOf[Array[Byte]]
-    if (parse && b.isEmpty) null
+    // empty bytes → null in BOTH modes: a null-ish stored value that
+    // serialized as zero-length bytes must propagate null from the
+    // re-serialization surface too, not throw from the WKB parser
+    if (b.isEmpty) null
     else GeomIO.toWkb(GeomIO.fromWkb(b))
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c, parse)

@@ -12,6 +12,20 @@ import graft.functions.F
   */
 object Streaming {
 
+  /** Persisted static polygon covers created by streamPointInPolygon, so
+    * callers can release them when their streaming query stops (caches
+    * would otherwise live for the session: a cover must outlive every
+    * micro-batch, so the operator cannot unpersist it itself). */
+  private val staticCovers =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every static cover cached by streamPointInPolygon. Call
+    * after the streaming queries built from it have terminated. */
+  def releaseStaticCovers(): Unit = {
+    var df = staticCovers.poll()
+    while (df != null) { df.unpersist(); df = staticCovers.poll() }
+  }
+
   /** File-source stream of events with event-time watermark + tumbling
     * window counts — the streaming twin of the q09 batch query. */
   def eventWindowCounts(spark: SparkSession, schema: StructType, path: String,
@@ -53,10 +67,13 @@ object Streaming {
     // action over the cover, and the static side is re-joined by EVERY
     // micro-batch of a long-running stream — without the persist the
     // cells_cover explode recomputes once for the collect plus once per
-    // batch for the lifetime of the query
+    // batch for the lifetime of the query. The CALLER owns the cache's
+    // lifecycle: it must outlive the streaming query, so release it via
+    // Streaming.releaseStaticCovers() after the query terminates.
     val cov = polys.withColumn("__env", F.st_env_bounds(col(polyGeom)))
       .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    staticCovers.add(cov)
     // `polys` is STATIC, so the mixed-zoom ladder is computable at plan
     // time exactly like the batch operator: if any polygon's capped cover
     // coarsened below `zoom`, the streaming point side must re-key to

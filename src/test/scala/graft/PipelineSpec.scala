@@ -204,7 +204,9 @@ class PipelineSpec extends AnyFunSuite {
       graft.operators.Ann.cosineDupPairs(wrap, "vec_id", "v",
         minCosNum = 4L, minCosDen = 5L, fixedScale = 1000).collect()
     }
-    assert(e2.getMessage != null)
+    // pin that the raise comes from the overflow guard specifically, not
+    // some unrelated analysis/runtime error
+    assert(e2.getMessage != null && e2.getMessage.contains("would wrap Long"))
   }
 
   test("span-sequence invariant: pipeline output reconstructs input spans exactly") {
