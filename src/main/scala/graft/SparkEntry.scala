@@ -351,10 +351,13 @@ object SparkEntry {
       Polygonize.components(Synth.maskTiles(s, 2), 8, 8, 64, 32, _ < 7.0, _ => 1.0)
         .select(col("label"), col("n_pixels"),
           col("min_gx"), col("max_gx"), col("min_gy"), col("max_gy"))),
-    "q34_polygonize_wkt" -> ((s, dir) =>
-      // full ring assembly (rows-only: WKT golden-matched in PolygonizeSpec
-      // vs JTS union-of-squares; no SQL-expressible oracle)
-      Polygonize.polygonizeWkt(Synth.maskTiles(s, 1), 8, 8, 32, 16, _ < 7.0, _ => 1.0)),
+    "q34_polygonize_rings" -> ((s, dir) =>
+      // full ring assembly as integer vertex ROWS (label, ring, seq, x, y)
+      // — oracle-exact: the rightmost-turn boundary walk is a static
+      // successor permutation the SQL oracle replays with a recursive CTE
+      // (WKT text surface stays available via polygonizeWkt, golden-matched
+      // vs JTS in PolygonizeSpec)
+      Polygonize.polygonizeRings(Synth.maskTiles(s, 1), 8, 8, 32, 16, _ < 7.0, _ => 1.0)),
     "q35_sieve" -> ((s, dir) =>
       // sieve small components (oracle-backed: full CCL+merge replica in
       // DuckDB, q35SieveSql; semantics also pinned in PolygonizeSpec)
@@ -627,13 +630,15 @@ object SparkEntry {
         zoom = 7, broadcastPolys = true, mercator = true)
         .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
     }),
-    "q57_contour_wkt" -> ((s, dir) =>
+    "q57_contour_lines" -> ((s, dir) =>
       // ordered polyline geometry output (the reference emits line
       // FEATURES, not segment soup): deterministic endpoint-graph walk per
-      // stitched polyline -> LINESTRING WKT. Rows-only (double-formatted
-      // WKT); assembly determinism + tiled==giant equality pinned in
-      // FocalProxContourSpec.
-      Contour.polylines(
+      // stitched polyline, emitted as exact-rational vertex ROWS — every
+      // marching-squares vertex has degree ≤ 2, so the walk is a forced
+      // successor chain the SQL oracle replays with a recursive CTE (WKT
+      // surface stays available via Contour.polylines; assembly
+      // determinism + tiled==giant equality pinned in FocalProxContourSpec)
+      Contour.polylineVertices(
         Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = 15L))),
     "q61_cutline" -> ((s, dir) => {
       // gdalwarp -cutline (R7, previously a documented non-goal): cutline
@@ -963,6 +968,181 @@ object SparkEntry {
          ) SELECT * FROM rr),
        lbl AS (SELECT id, min(root) AS polyline_id FROM reach GROUP BY id)
        SELECT polyline_id, count(*) AS n_segments FROM lbl GROUP BY 1"""
+
+  /** q57 oracle: full ordered-polyline replica. Every marching-squares
+    * vertex has degree ≤ 2 (one crossing per block edge, shared by exactly
+    * 2 blocks; crossings never land on grid nodes at half-integer levels
+    * over integer data), so the engine's walk is a FORCED successor chain:
+    * start at the smallest degree-1 endpoint (open) or smallest endpoint
+    * (ring; first hop toward the smaller neighbor), then always leave via
+    * the segment not used to arrive, stopping at a dead end (open) or on
+    * return to start (ring). Exact rational point ordering via the integer
+    * key xn·(L/xd)·2·10^14 + yn·(L/yd) with L = lcm(1..30) (denominators
+    * are reduced 2·Δv with |Δv| ≤ 15·2, so xd|L), lifted to HUGEINT.
+    * MATERIALIZED on the walk's upstream chain is load-bearing: without it
+    * DuckDB re-evaluates the (recursive) reach closure on every walk
+    * iteration — minutes instead of seconds. */
+  private def q57PolylinesSql: String =
+    s"""WITH segs AS ($contourSegmentsSql),
+       sid AS (
+         SELECT *, (gy * 2147483648 + gx) * 4 + seg_idx AS seg_id FROM segs),
+       ep AS (
+         SELECT seg_id, 0 AS side, x0n AS xn, x0d AS xd, y0n AS yn, y0d AS yd FROM sid
+         UNION ALL
+         SELECT seg_id, 1, x1n, x1d, y1n, y1d FROM sid),
+       epk AS (
+         SELECT *, CAST(xn * (2329089562800 // xd) AS HUGEINT) * 200000000000000
+                   + yn * (2329089562800 // yd) AS k
+         FROM ep),
+       adj AS (
+         SELECT a.seg_id, a.k AS kf, b.k AS kt,
+                b.xn AS txn, b.xd AS txd, b.yn AS tyn, b.yd AS tyd
+         FROM epk a JOIN epk b ON a.seg_id = b.seg_id AND a.side <> b.side),
+       deg AS MATERIALIZED (SELECT kf AS k, count(*) AS d FROM adj GROUP BY 1),
+       edges0 AS (
+         SELECT DISTINCT a.seg_id AS a, b.seg_id AS b
+         FROM epk a JOIN epk b ON a.k = b.k WHERE a.seg_id < b.seg_id),
+       edges AS (SELECT a, b FROM edges0 UNION ALL SELECT b AS a, a AS b FROM edges0),
+       reach AS (
+         WITH RECURSIVE rr(id, root) AS (
+           SELECT seg_id, seg_id FROM sid
+           UNION
+           SELECT e.a, rr.root FROM rr JOIN edges e ON e.b = rr.id WHERE rr.root < e.a
+         ) SELECT * FROM rr),
+       lbl AS MATERIALIZED (SELECT id AS seg_id, min(root) AS pid FROM reach GROUP BY 1),
+       adjl AS MATERIALIZED (
+         SELECT l.pid, a.* FROM adj a JOIN lbl l ON l.seg_id = a.seg_id),
+       comp AS (
+         SELECT a.pid,
+           min(CASE WHEN d.d = 1 THEN a.kf END) AS k1,
+           min(a.kf) AS kall
+         FROM adjl a JOIN deg d ON d.k = a.kf
+         GROUP BY 1),
+       starts AS MATERIALIZED (
+         SELECT pid, coalesce(k1, kall) AS ks, (k1 IS NULL) AS closed FROM comp),
+       firsts AS MATERIALIZED (
+         SELECT pid, seg_id, kt, txn, txd, tyn, tyd FROM (
+           SELECT s.pid, a.seg_id, a.kt, a.txn, a.txd, a.tyn, a.tyd,
+             row_number() OVER (PARTITION BY s.pid ORDER BY a.kt, a.seg_id) AS rn
+           FROM starts s JOIN adjl a ON a.pid = s.pid AND a.kf = s.ks)
+         WHERE rn = 1),
+       walk AS (
+         WITH RECURSIVE ww(pid, seq, seg_id, k, xn, xd, yn, yd) AS (
+           SELECT f.pid, CAST(1 AS BIGINT), f.seg_id, f.kt,
+                  f.txn, f.txd, f.tyn, f.tyd
+           FROM firsts f
+           UNION ALL
+           SELECT ww.pid, ww.seq + 1, a.seg_id, a.kt, a.txn, a.txd, a.tyn, a.tyd
+           FROM ww
+           JOIN starts s ON s.pid = ww.pid
+           JOIN adjl a ON a.pid = ww.pid AND a.kf = ww.k AND a.seg_id <> ww.seg_id
+           WHERE NOT (s.closed AND ww.k = s.ks)
+         ) SELECT * FROM ww),
+       verts AS (
+         SELECT pid, seq, xn, xd, yn, yd FROM walk
+         UNION ALL
+         SELECT s.pid, CAST(0 AS BIGINT), e.xn, e.xd, e.yn, e.yd
+         FROM starts s JOIN (SELECT DISTINCT k, xn, xd, yn, yd FROM epk) e
+           ON e.k = s.ks)
+       SELECT v.pid AS polyline_id, v.seq, v.xn, v.xd, v.yn, v.yd, s.closed
+       FROM verts v JOIN starts s ON s.pid = v.pid"""
+
+  /** q34 oracle: full shell+holes ring replica over the zoom-1 mask grid.
+    * The engine's rightmost-turn boundary walk (Ccl.traceRings) is a
+    * STATIC successor permutation on the directed boundary edges: at a
+    * checkerboard pinch vertex the two incomings' rightmost choices are
+    * always distinct, so edge consumption never alters a choice and each
+    * ring is an orbit of succ. Orbit root = min (vy,vx,dir) edge (the
+    * engine's start order); a vertex is emitted where the direction
+    * changes; shell = max |shoelace|, ties and hole order by trace order. */
+  private def q34RingsSql: String =
+    """WITH px AS (
+         SELECT (t.tx * 8 + i.i % 8) AS gx, (t.ty * 8 + i.i // 8) AS gy,
+                (t.tx*131 + t.ty*173 + (i.i % 8)*7 + (i.i // 8)*11) % 16 AS v
+         FROM (SELECT gx.x AS tx, gy.y AS ty
+               FROM generate_series(0, 3) gx(x), generate_series(0, 1) gy(y)) t,
+              generate_series(0, 63) i(i)),
+       nodes AS (SELECT gx, gy, gy * 32 + gx AS id FROM px WHERE v < 7),
+       cedges AS (
+         SELECT a.id AS a, b.id AS b FROM nodes a JOIN nodes b
+           ON (b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1)
+         UNION ALL
+         SELECT b.id AS a, a.id AS b FROM nodes a JOIN nodes b
+           ON (b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1)),
+       reach AS (
+         WITH RECURSIVE rr(id, root) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.a, rr.root FROM rr JOIN cedges e ON e.b = rr.id WHERE rr.root < e.a
+         ) SELECT * FROM rr),
+       lbl AS (SELECT id, min(root) AS label FROM reach GROUP BY id),
+       npx AS (SELECT n.gx, n.gy, l.label FROM lbl l JOIN nodes n ON n.id = l.id),
+       de AS (
+         SELECT p.label, p.gx AS vx, p.gy AS vy, 0 AS d FROM npx p
+           WHERE NOT EXISTS (SELECT 1 FROM nodes q WHERE q.gx = p.gx AND q.gy = p.gy - 1)
+         UNION ALL
+         SELECT p.label, p.gx + 1, p.gy, 1 FROM npx p
+           WHERE NOT EXISTS (SELECT 1 FROM nodes q WHERE q.gx = p.gx + 1 AND q.gy = p.gy)
+         UNION ALL
+         SELECT p.label, p.gx + 1, p.gy + 1, 2 FROM npx p
+           WHERE NOT EXISTS (SELECT 1 FROM nodes q WHERE q.gx = p.gx AND q.gy = p.gy + 1)
+         UNION ALL
+         SELECT p.label, p.gx, p.gy + 1, 3 FROM npx p
+           WHERE NOT EXISTS (SELECT 1 FROM nodes q WHERE q.gx = p.gx - 1 AND q.gy = p.gy)),
+       dek AS MATERIALIZED (
+         SELECT *, (vy * 64 + vx) * 4 + d AS ek,
+           vx + CASE d WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END AS hx,
+           vy + CASE d WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END AS hy
+         FROM de),
+       succ AS MATERIALIZED (
+         SELECT e.ek, f.ek AS nek FROM dek e JOIN dek f
+           ON f.label = e.label AND f.vx = e.hx AND f.vy = e.hy
+         QUALIFY row_number() OVER (PARTITION BY e.ek
+           ORDER BY (f.d - e.d - 1 + 8) % 4) = 1),
+       redges0 AS (SELECT ek AS a, nek AS b FROM succ),
+       redges AS (SELECT a, b FROM redges0 UNION ALL SELECT b AS a, a AS b FROM redges0),
+       rreach AS (
+         WITH RECURSIVE r2(id, root) AS (
+           SELECT ek, ek FROM dek
+           UNION
+           SELECT e.a, r2.root FROM r2 JOIN redges e ON e.b = r2.id WHERE r2.root < e.a
+         ) SELECT * FROM r2),
+       rring AS MATERIALIZED (SELECT id AS ek, min(root) AS ring_root FROM rreach GROUP BY 1),
+       rwalk AS (
+         WITH RECURSIVE w2(root, step, ek) AS (
+           SELECT ring_root, CAST(0 AS BIGINT), ring_root
+           FROM (SELECT DISTINCT ring_root FROM rring)
+           UNION ALL
+           SELECT w2.root, w2.step + 1, s.nek FROM w2 JOIN succ s ON s.ek = w2.ek
+           WHERE s.nek <> w2.root
+         ) SELECT * FROM w2),
+       rw AS (
+         SELECT w.root, w.step, e.label, e.vx, e.vy, e.d,
+           lag(e.d) OVER (PARTITION BY w.root ORDER BY w.step) AS pd
+         FROM rwalk w JOIN dek e ON e.ek = w.ek),
+       rvs AS (
+         SELECT root, label, vx, vy,
+           row_number() OVER (PARTITION BY root ORDER BY step) - 1 AS seq
+         FROM rw WHERE pd IS NULL OR d <> pd),
+       rarea AS (
+         SELECT r.ring_root AS root, sum(e.vx * e.hy - e.hx * e.vy) AS a2
+         FROM rring r JOIN dek e ON e.ek = r.ek
+         GROUP BY 1),
+       rmeta AS (
+         SELECT m.label, ra.root, ra.a2
+         FROM rarea ra JOIN (SELECT DISTINCT root, label FROM rvs) m ON m.root = ra.root),
+       r1x AS (
+         SELECT label, root,
+           row_number() OVER (PARTITION BY label ORDER BY abs(a2) DESC, root) AS rn
+         FROM rmeta),
+       ridx AS (
+         SELECT label, root, CASE WHEN rn = 1 THEN 0 ELSE hrank END AS ring FROM (
+           SELECT label, root, rn,
+             row_number() OVER (PARTITION BY label, rn = 1 ORDER BY root) AS hrank
+           FROM r1x))
+       SELECT x.label, CAST(x.ring AS BIGINT) AS ring, v.seq,
+         CAST(v.vx AS BIGINT) AS x, CAST(v.vy AS BIGINT) AS y
+       FROM rvs v JOIN ridx x ON x.root = v.root"""
 
   /** q74 oracle: closed-form cutline-blend replica. mask from the q61 box
     * rule; edge8 via 8 clamped neighbors; min-d² by expanding boundary
@@ -1346,6 +1526,8 @@ object SparkEntry {
     "q35_sieve" -> q35SieveSql,
     "q75_dither" -> OracleHashSql.q75Dither,
     "q42_contour_stitch" -> q42StitchSql,
+    "q57_contour_lines" -> q57PolylinesSql,
+    "q34_polygonize_rings" -> q34RingsSql,
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (

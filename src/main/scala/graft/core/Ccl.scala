@@ -142,6 +142,18 @@ object Ccl {
 
   /** Assemble one component's pixels into a JTS Polygon (shell + holes) in
     * global pixel-lattice coordinates. */
+  /** The polygon's ring vertex sequences as integer lattice rows — shell
+    * first (largest |signed area|, ties to trace order exactly like
+    * toPolygon's maxBy), then holes in trace order. Same rings as
+    * toPolygon, WITHOUT the float/WKT formatting: this is the
+    * oracle-hashable row surface (each ring open — first vertex not
+    * repeated at the end). */
+  def ringVertices(pixels: Array[(Long, Long)]): Array[Array[(Long, Long)]] = {
+    val rings = traceRings(pixels)
+    val shell = rings.maxBy(r => math.abs(r.signedArea))
+    (shell +: rings.filter(_ ne shell).toSeq).map(_.vertices).toArray
+  }
+
   def toPolygon(pixels: Array[(Long, Long)]): Polygon = {
     val rings = traceRings(pixels)
     def linear(r: Ring): LinearRing = {

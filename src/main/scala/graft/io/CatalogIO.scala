@@ -78,10 +78,15 @@ object CatalogIO {
     val committed: Set[String] =
       if (Files.exists(manifest)) parseStringArray(Files.readString(manifest)).toSet
       else Set.empty
-    import org.apache.spark.sql.functions.{col, lit}
+    // committed values as a broadcast ANTI-JOIN side, never an isin
+    // literal list: at 10⁵⁺ committed partitions an IN-list bloats the
+    // plan/codegen (the anti-pattern SpatialJoin's hot-cell path documents)
+    // while a broadcast DataFrame stays one compact hashed relation
     val pending =
       if (committed.isEmpty) df
-      else df.where(!col(partCol).cast("string").isin(committed.toSeq: _*))
+      else df.join(
+        broadcast(committedPartsDf(spark, committed.toSeq)),
+        df(partCol).cast("string") === col(CommittedCol), "left_anti")
     val newVals = pending.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
     if (newVals.nonEmpty) {
@@ -117,13 +122,21 @@ object CatalogIO {
     val committed: Seq[String] =
       if (Files.exists(manifest)) parseStringArray(Files.readString(manifest))
       else Seq.empty
-    import org.apache.spark.sql.functions.col
     // before any commit the data dir does not exist — an empty table, not
     // an AnalysisException
     if (committed.isEmpty || !Files.isDirectory(dir.resolve("data")))
       return spark.emptyDataFrame
     val all = spark.read.parquet(dir.resolve("data").toString)
-    all.where(col(partCol).cast("string").isin(committed: _*))
+    // broadcast semi-join, not an isin literal (see commitPartitioned)
+    all.join(broadcast(committedPartsDf(spark, committed)),
+      all(partCol).cast("string") === col(CommittedCol), "left_semi")
+  }
+
+  private val CommittedCol = "__committed_part"
+
+  private def committedPartsDf(spark: SparkSession, vals: Seq[String]): DataFrame = {
+    import spark.implicits._
+    vals.toDF(CommittedCol)
   }
 
   def isCommitted(root: String, jobId: String, stage: String): Boolean =

@@ -170,16 +170,54 @@ object Contour {
     * cross-multiplication), emitting WKT. Per-task memory is O(one
     * polyline); polylines assemble in parallel across the cluster.
     * Returns (polyline_id, n_segments, closed, wkt). */
+  private type Pt = (Long, Long, Long, Long) // xn, xd, yn, yd
+  // exact rational order: x then y (dens are positive by construction)
+  private def ptLt(a: Pt, b: Pt): Boolean = {
+    val cx = a._1 * b._2 - b._1 * a._2
+    if (cx != 0) cx < 0
+    else a._3 * b._4 - b._3 * a._4 < 0
+  }
+
+  /** Deterministic endpoint-graph walk for one stitched polyline: ordered
+    * vertex path (+ seg count and closed flag). Shared by the WKT and the
+    * vertex-row surfaces. */
+  private def walkGroup(
+      rows: Iterator[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)])
+      : (scala.collection.mutable.ArrayBuffer[Pt], Int, Boolean) = {
+    val ss = rows.toArray.sortBy(_._2)
+    val adj = scala.collection.mutable.Map.empty[Pt, List[(Int, Pt)]]
+    for (((_, _, x0n, x0d, y0n, y0d, x1n, x1d, y1n, y1d), i) <- ss.zipWithIndex) {
+      val a = (x0n, x0d, y0n, y0d); val b = (x1n, x1d, y1n, y1d)
+      adj(a) = (i, b) :: adj.getOrElse(a, Nil)
+      adj(b) = (i, a) :: adj.getOrElse(b, Nil)
+    }
+    val deg1 = adj.collect { case (p, l) if l.length == 1 => p }
+    val start =
+      if (deg1.nonEmpty) deg1.reduceLeft((a, b) => if (ptLt(a, b)) a else b)
+      else adj.keys.reduceLeft((a, b) => if (ptLt(a, b)) a else b)
+    val used = new Array[Boolean](ss.length)
+    val path = scala.collection.mutable.ArrayBuffer[Pt](start)
+    var cur = start
+    var walking = true
+    while (walking) {
+      // deterministic: among unused incident segments, take the one
+      // leading to the smallest next endpoint
+      val nexts = adj(cur).filter { case (i, _) => !used(i) }
+      if (nexts.isEmpty) walking = false
+      else {
+        val (i, nxt) = nexts.reduceLeft((a, b) => if (ptLt(a._2, b._2)) a else b)
+        used(i) = true
+        path += nxt
+        cur = nxt
+      }
+    }
+    val closed = path.length > 1 && path.head == path.last
+    (path, ss.length, closed)
+  }
+
   def polylines(segs: DataFrame): DataFrame = {
     val spark = segs.sparkSession
     import spark.implicits._
-    type Pt = (Long, Long, Long, Long) // xn, xd, yn, yd
-    // exact rational order: x then y (dens are positive by construction)
-    def lt(a: Pt, b: Pt): Boolean = {
-      val cx = a._1 * b._2 - b._1 * a._2
-      if (cx != 0) cx < 0
-      else a._3 * b._4 - b._3 * a._4 < 0
-    }
     labeled(segs)
       .select(col("rep"), col("seg_id"),
         col("x0n"), col("x0d"), col("y0n"), col("y0d"),
@@ -187,39 +225,36 @@ object Contour {
       .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .groupByKey(_._1)
       .mapGroups { (pid, rows) =>
-        val ss = rows.toArray.sortBy(_._2)
-        val adj = scala.collection.mutable.Map.empty[Pt, List[(Int, Pt)]]
-        for (((_, _, x0n, x0d, y0n, y0d, x1n, x1d, y1n, y1d), i) <- ss.zipWithIndex) {
-          val a = (x0n, x0d, y0n, y0d); val b = (x1n, x1d, y1n, y1d)
-          adj(a) = (i, b) :: adj.getOrElse(a, Nil)
-          adj(b) = (i, a) :: adj.getOrElse(b, Nil)
-        }
-        val deg1 = adj.collect { case (p, l) if l.length == 1 => p }
-        val start =
-          if (deg1.nonEmpty) deg1.reduceLeft((a, b) => if (lt(a, b)) a else b)
-          else adj.keys.reduceLeft((a, b) => if (lt(a, b)) a else b)
-        val used = new Array[Boolean](ss.length)
-        val path = scala.collection.mutable.ArrayBuffer[Pt](start)
-        var cur = start
-        var walking = true
-        while (walking) {
-          // deterministic: among unused incident segments, take the one
-          // leading to the smallest next endpoint
-          val nexts = adj(cur).filter { case (i, _) => !used(i) }
-          if (nexts.isEmpty) walking = false
-          else {
-            val (i, nxt) = nexts.reduceLeft((a, b) => if (lt(a._2, b._2)) a else b)
-            used(i) = true
-            path += nxt
-            cur = nxt
-          }
-        }
-        val closed = path.length > 1 && path.head == path.last
+        val (path, nSegs, closed) = walkGroup(rows)
         val wkt = path.map { case (xn, xd, yn, yd) =>
           s"${xn.toDouble / xd} ${yn.toDouble / yd}"
         }.mkString("LINESTRING(", ", ", ")")
-        (pid, ss.length.toLong, closed, wkt)
+        (pid, nSegs.toLong, closed, wkt)
       }
       .toDF("polyline_id", "n_segments", "closed", "wkt")
+  }
+
+  /** Vertex-row twin of polylines: the SAME deterministic walk emitted as
+    * exact-rational rows (polyline_id, seq, xn, xd, yn, yd, closed)
+    * instead of double-formatted WKT text — the oracle-hashable surface
+    * (every vertex has degree ≤ 2 in marching squares, so the walk is a
+    * forced successor chain a recursive SQL CTE replicates exactly; for a
+    * closed ring the start vertex repeats as the last row, like WKT). */
+  def polylineVertices(segs: DataFrame): DataFrame = {
+    val spark = segs.sparkSession
+    import spark.implicits._
+    labeled(segs)
+      .select(col("rep"), col("seg_id"),
+        col("x0n"), col("x0d"), col("y0n"), col("y0d"),
+        col("x1n"), col("x1d"), col("y1n"), col("y1d"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (pid, rows) =>
+        val (path, _, closed) = walkGroup(rows)
+        path.iterator.zipWithIndex.map { case ((xn, xd, yn, yd), seq) =>
+          (pid, seq.toLong, xn, xd, yn, yd, closed)
+        }
+      }
+      .toDF("polyline_id", "seq", "xn", "xd", "yn", "yd", "closed")
   }
 }

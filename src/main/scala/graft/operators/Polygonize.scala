@@ -233,9 +233,13 @@ object Polygonize {
     * assemble in parallel across the cluster; memory per task is
     * O(component pixels) — the same bound the reference needs for one
     * polygon. Output: (label, dn, n_pixels, wkt). */
-  def polygonizeWkt(tiles: DataFrame, w: Int, h: Int, gridW: Long, gridH: Long,
-                    mask: Double => Boolean,
-                    dnOf: Double => Double = identity): DataFrame = {
+  /** Per-pixel global component rows (label, dn, gx, gy) — the shared
+    * substrate of the ring-assembly outputs (polygonizeWkt /
+    * polygonizeRings). */
+  private def componentPixels(tiles: DataFrame, w: Int, h: Int,
+                              gridW: Long, gridH: Long,
+                              mask: Double => Boolean,
+                              dnOf: Double => Double): Dataset[(Long, Double, Long, Long)] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf).toDF()
@@ -263,9 +267,17 @@ object Polygonize {
         }
         out.result()
       }
-    val globalPx = pxl.join(rep, pxl("lbl") === rep("node"))
+    pxl.join(rep, pxl("lbl") === rep("node"))
       .select(col("rep").as("label"), col("dn"), col("gx"), col("gy"))
-    globalPx.as[(Long, Double, Long, Long)]
+      .as[(Long, Double, Long, Long)]
+  }
+
+  def polygonizeWkt(tiles: DataFrame, w: Int, h: Int, gridW: Long, gridH: Long,
+                    mask: Double => Boolean,
+                    dnOf: Double => Double = identity): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    componentPixels(tiles, w, h, gridW, gridH, mask, dnOf)
       .groupByKey(_._1)
       .mapGroups { (label, rows) =>
         val buf = rows.toArray
@@ -273,6 +285,33 @@ object Polygonize {
         (label, buf.head._2, buf.length.toLong, poly.toText)
       }
       .toDF("label", "dn", "n_pixels", "wkt")
+  }
+
+  /** Ring-row twin of polygonizeWkt: the same shell+holes assembly emitted
+    * as integer lattice vertex ROWS (label, ring, seq, x, y) instead of
+    * double-formatted WKT text, so the output is bit-exactly replicable by
+    * a SQL oracle (the ring walk is a static rightmost-turn successor
+    * permutation over the boundary's directed edges — see Ccl.traceRings).
+    * ring 0 = shell; holes follow in trace order. Rings are open (first
+    * vertex not repeated). Scale shape is polygonizeWkt's: one shuffle to
+    * group a component's pixels, per-task memory O(component). */
+  def polygonizeRings(tiles: DataFrame, w: Int, h: Int, gridW: Long, gridH: Long,
+                      mask: Double => Boolean,
+                      dnOf: Double => Double = identity): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    componentPixels(tiles, w, h, gridW, gridH, mask, dnOf)
+      .groupByKey(_._1)
+      .flatMapGroups { (label, rows) =>
+        val buf = rows.toArray
+        Ccl.ringVertices(buf.map(r => (r._3, r._4))).iterator.zipWithIndex.flatMap {
+          case (verts, ringIdx) =>
+            verts.iterator.zipWithIndex.map { case ((x, y), seq) =>
+              (label, ringIdx.toLong, seq.toLong, x, y)
+            }
+        }
+      }
+      .toDF("label", "ring", "seq", "x", "y")
   }
 
   /** Sieve filter (reference: alg/gdalsievefilter.cpp :: GDALSieveFilter):

@@ -440,26 +440,36 @@ object Raster {
     val comb = maskFull.join(edge, Seq("tx", "ty"))
       .withColumn("pixels", expr("zip_with(pixels, __e, (m, e) -> m * 2.0D + e)"))
       .select("tx", "ty", "pixels")
-    val dOut = Proximity.proximity(comb, w, h, nxTiles, nyTiles, _ == 1.0, blendPx.toDouble)
-      .withColumnRenamed("dist2", "d2o")
-    val dIn = Proximity.proximity(comb, w, h, nxTiles, nyTiles, _ == 3.0, blendPx.toDouble)
-      .withColumnRenamed("dist2", "d2i")
-    val px = tiles
+    // sparse (gx, gy, d2) boundary-distance rows re-keyed and AGGREGATED to
+    // per-tile maps (i -> d2): the join probe side stays ONE ROW PER TILE
+    // instead of one row per pixel — at 100-TB grids the raster never
+    // shuffles as pixel rows, only the O(perimeter·blend) distance maps do
+    def tileD2(mask01: Double => Boolean, name: String): DataFrame =
+      Proximity.proximity(comb, w, h, nxTiles, nyTiles, mask01, blendPx.toDouble)
+        .withColumn("tx", expr(s"gx div $w"))
+        .withColumn("ty", expr(s"gy div $h"))
+        .withColumn("i", expr(s"CAST((gy % $h) * $w + gx % $w AS INT)"))
+        .groupBy("tx", "ty")
+        .agg(map_from_entries(collect_list(struct(col("i"), col("dist2")))).as(name))
+    val dOut = tileD2(_ == 1.0, "__d2o")
+    val dIn = tileD2(_ == 3.0, "__d2i")
+    // per-tile weight arrays in one codegen'd transform (element_at on a
+    // missing key / NULL map yields NULL -> the far-from-edge defaults)
+    tiles
       .join(maskFull.withColumnRenamed("pixels", "__mpx"), Seq("tx", "ty"))
-      .select(col("tx"), col("ty"), col("__mpx"),
-        posexplode(col("pixels")).as(Seq("i", "v")))
-      .withColumn("m", expr("element_at(__mpx, i + 1)")).drop("__mpx")
-      .withColumn("gx", col("tx") * w + col("i") % w)
-      .withColumn("gy", col("ty") * h + expr(s"CAST(i div $w AS BIGINT)"))
-    px.join(dOut, Seq("gx", "gy"), "left").join(dIn, Seq("gx", "gy"), "left")
-      .withColumn("w_milli", expr(
-        s"""CASE WHEN m >= 0.5 THEN
-              CASE WHEN d2o IS NULL THEN 1000L
-                   ELSE CAST(floor(500.0 + (500.0 * sqrt(CAST(d2o AS DOUBLE))) / ${blendPx}.0) AS BIGINT) END
-            ELSE
-              CASE WHEN d2i IS NULL THEN 0L
-                   ELSE CAST(floor(500.0 - (500.0 * sqrt(CAST(d2i AS DOUBLE))) / ${blendPx}.0) AS BIGINT) END
-            END"""))
+      .join(dOut, Seq("tx", "ty"), "left")
+      .join(dIn, Seq("tx", "ty"), "left")
+      .withColumn("__w", expr(
+        s"""transform(sequence(0, ${w * h - 1}), i ->
+              CASE WHEN element_at(__mpx, i + 1) >= 0.5D THEN
+                coalesce(CAST(floor(500.0 + (500.0 * sqrt(CAST(element_at(__d2o, i) AS DOUBLE))) / ${blendPx}.0) AS BIGINT), 1000L)
+              ELSE
+                coalesce(CAST(floor(500.0 - (500.0 * sqrt(CAST(element_at(__d2i, i) AS DOUBLE))) / ${blendPx}.0) AS BIGINT), 0L)
+              END)"""))
+      // per-pixel contract rows, emitted POST-join (pure explode of the
+      // per-tile result; no per-pixel row ever feeds a join)
+      .select(col("tx"), col("ty"), col("__w"), posexplode(col("pixels")).as(Seq("i", "v")))
+      .withColumn("w_milli", expr("element_at(__w, i + 1)"))
       .withColumn("b_milli", expr("CAST(v AS BIGINT) * w_milli"))
       .select("tx", "ty", "i", "v", "w_milli", "b_milli")
   }

@@ -65,11 +65,10 @@ class EntrySpec extends AnyFunSuite {
 
   test("oracle coverage: every query has an oracle or is a documented rows-only op") {
     // q19/q24/q25/q45, then q35/q42, graduated to full oracles in round 3;
-    // only the WKT-assembly pair remains rows-only (ordered vertex-walk
-    // string output has no tractable SQL replica)
-    val rowsOnly = Set(
-      "q34_polygonize_wkt",  // WKT golden-matched vs JTS in PolygonizeSpec
-      "q57_contour_wkt")     // double-formatted WKT; pinned vs giant-tile in spec
+    // the former WKT-assembly pair (q34/q57) moved to integer vertex-row
+    // surfaces with recursive-CTE oracles in round 4 — the set is empty
+    // and must stay empty
+    val rowsOnly = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     // and the rows-only set must not silently regrow

@@ -219,6 +219,29 @@ class FocalProxContourSpec extends AnyFunSuite {
     assert(tiled.nonEmpty)
   }
 
+  test("contour polylineVertices rows rebuild exactly polylines' WKT paths (q57 surface)") {
+    val zoom = 1; val w = 8; val h = 8
+    val level2x = 15L
+    val segs = Contour.segments(Synth.maskTiles(spark, zoom, w, h), w, h,
+      1 << (zoom + 1), 1 << zoom, level2x)
+    val wkts = Contour.polylines(segs).collect()
+      .map(r => r.getAs[Long]("polyline_id") ->
+        (r.getAs[String]("wkt"), r.getAs[Boolean]("closed"))).toMap
+    val verts = Contour.polylineVertices(segs).collect()
+      .map(r => (r.getAs[Long]("polyline_id"), r.getAs[Long]("seq"),
+        r.getAs[Long]("xn"), r.getAs[Long]("xd"),
+        r.getAs[Long]("yn"), r.getAs[Long]("yd"), r.getAs[Boolean]("closed")))
+      .groupBy(_._1)
+    assert(verts.keySet == wkts.keySet)
+    verts.foreach { case (pid, rows) =>
+      val path = rows.sortBy(_._2)
+        .map(v => s"${v._3.toDouble / v._4} ${v._5.toDouble / v._6}")
+        .mkString("LINESTRING(", ", ", ")")
+      assert(path == wkts(pid)._1, s"polyline $pid")
+      assert(rows.forall(_._7 == wkts(pid)._2), s"polyline $pid closed flag")
+    }
+  }
+
   test("cutline blend: hand-pinned milli-weight ramp at the box edge") {
     import graft.functions.F
     import graft.operators.Raster

@@ -63,6 +63,27 @@ class IoStreamSpec extends AnyFunSuite {
     assert(CatalogIO.commitPartitioned(spark, full, root, "j", "s", "part") == 0)
   }
 
+  test("resume filter scales: 10^4 committed partitions stay a join, not an IN-list") {
+    // the round-3 implementation isin'd the committed values as literals —
+    // at 10^4 the plan string itself carried every value; the anti-join
+    // keeps the plan O(1) in the manifest size
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt4").toString
+    val nParts = 10000
+    val full = spark.range(2L * nParts).toDF("id")
+      .withColumn("part", col("id") % nParts).withColumn("v", col("id"))
+    assert(CatalogIO.commitPartitioned(spark, full.where(col("part") < nParts / 2),
+      root, "jBig", "s", "part") == nParts / 2)
+    // the pending-side plan must not enumerate committed values as literals
+    val pendingPlan = {
+      val committedDf = CatalogIO.readCommittedPartitions(spark, root, "jBig", "s", "part")
+      committedDf.queryExecution.executedPlan.toString
+    }
+    assert(!pendingPlan.contains("4999,"), "plan enumerates committed values as literals")
+    assert(CatalogIO.commitPartitioned(spark, full, root, "jBig", "s", "part") == nParts / 2)
+    val back = CatalogIO.readCommittedPartitions(spark, root, "jBig", "s", "part")
+    assert(back.count() == 2L * nParts)
+  }
+
   test("streaming: windowed event counts over file source reach memory sink") {
     val events = spark.read.parquet(s"${TestSpark.SfSmall}/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString

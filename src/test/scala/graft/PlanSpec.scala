@@ -79,6 +79,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q74: no per-pixel rows ever feed a join — all shuffles are tile-keyed") {
+    // the round-3 plan posexploded every pixel and left-joined the sparse
+    // distance maps per (gx, gy); at 100-TB grids that shuffles the whole
+    // raster as pixel rows. The re-plan aggregates the distance maps to
+    // per-tile arrays, so every exchange partitions on tile keys only.
+    val p = plan("q74_cutline_blend")
+    assert(!p.contains("hashpartitioning(gx"), p)
+    assert(!p.contains("hashpartitioning(gy"), p)
+  }
+
   test("q73: UTM forward is scan -> project, no shuffle before the aggregate-free sink") {
     val p = plan("q73_utm_forward")
     assert(!p.contains("Exchange hashpartitioning"), p)

@@ -184,6 +184,32 @@ class PolygonizeSpec extends AnyFunSuite {
     }
   }
 
+  test("polygonizeRings rows rebuild exactly polygonizeWkt's polygons (q34 surface)") {
+    val zoom = 1; val w = 8; val h = 8
+    val (_, gw, gh) = synthVals(zoom, w, h)
+    val mask = (v: Double) => v < 7.0
+    val wktRows = Polygonize.polygonizeWkt(Synth.maskTiles(spark, zoom, w, h), w, h, gw, gh, mask, _ => 1.0)
+      .collect().map(r => r.getAs[Long]("label") -> r.getAs[String]("wkt")).toMap
+    val ringRows = Polygonize.polygonizeRings(Synth.maskTiles(spark, zoom, w, h), w, h, gw, gh, mask, _ => 1.0)
+      .collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("ring"), r.getAs[Long]("seq"),
+        r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val reader = new org.locationtech.jts.io.WKTReader()
+    val byLabel = ringRows.groupBy(_._1)
+    assert(byLabel.keySet == wktRows.keySet)
+    byLabel.foreach { case (label, rows) =>
+      val rings = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, vs) =>
+        val pts = vs.sortBy(_._3).map(v => new Coordinate(v._4.toDouble, v._5.toDouble))
+        gf.createLinearRing((pts :+ pts.head).toArray)
+      }
+      val rebuilt = gf.createPolygon(rings.head, rings.tail.toArray)
+      val want = reader.read(wktRows(label))
+      // equalsExact: SAME ring decomposition and vertex order, not just
+      // the same point set — the row surface is the WKT surface
+      assert(rebuilt.equalsExact(want), s"component $label")
+    }
+  }
+
   test("sieve merges small components into largest neighbor") {
     // two tiles side by side; left tile: big blob dn=1 (12px) + the rest
     // dn=0; right tile: tiny blob dn=2 (2px) adjacent to the dn=0 sea
