@@ -246,6 +246,60 @@ FROM fin
 """
   }
 
+  /** q76: per-row UTM inverse (beta/delta Krüger series, core/Utm.inverse)
+    * replicated op-for-op under the q73 discipline: engine-exact runtime
+    * constants as decimal literals, exp-expanded hyperbolics, the engine's
+    * sequential -=/+= loops as left-assoc chains. Only transcendental
+    * ULPs remain, absorbed by the 1e-6-degree quantization on BOTH sides. */
+  def q76UtmInv: String = {
+    val kA = java.lang.Double.toString(graft.core.Utm.oracleKA)
+    val b = graft.core.Utm.oracleBeta.map(java.lang.Double.toString)
+    val dl = graft.core.Utm.oracleDelta.map(java.lang.Double.toString)
+    def cosh(x: String): String = s"((exp($x) + exp(-($x))) / 2.0)"
+    def sinh(x: String): String = s"((exp($x) - exp(-($x))) / 2.0)"
+    // engine: xip -= be(j)*sin(k*xi)*cosh(k*eta) — sequential -= is a
+    // left-assoc subtraction chain starting from xi (likewise etap)
+    val xipSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"- (${b(j)} * sin($k * xi)) * ${cosh(s"$k * eta")}"
+    }.mkString(" ")
+    val etapSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"- (${b(j)} * cos($k * xi)) * ${sinh(s"$k * eta")}"
+    }.mkString(" ")
+    val phiSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"+ ${dl(j)} * sin($k * chi)"
+    }.mkString(" ")
+    s"""
+WITH sp AS (SELECT s_suppkey AS q_id FROM supplier),
+base AS (
+  SELECT q_id, q_id % 60 + 1 AS zone, (q_id % 2 = 0) AS north,
+    CAST(100000 + (q_id * 48271) % 800001 AS DOUBLE) AS e_m,
+    (q_id * 16807) % 9000001 AS nr
+  FROM sp),
+x0 AS (
+  SELECT q_id, zone, north,
+    CASE WHEN north THEN 32600 + zone ELSE 32700 + zone END AS epsg,
+    ((CASE WHEN north THEN CAST(nr AS DOUBLE) ELSE CAST(10000000 - nr AS DOUBLE) END)
+      - CASE WHEN north THEN 0.0 ELSE 10000000.0 END) / $kA AS xi,
+    (e_m - 500000.0) / $kA AS eta
+  FROM base),
+s1 AS (SELECT *, xi $xipSer AS xip, eta $etapSer AS etap FROM x0),
+s2 AS (SELECT *, asin(sin(xip) / ${cosh("etap")}) AS chi FROM s1),
+s3 AS (SELECT *, chi $phiSer AS phi, atan2(${sinh("etap")}, cos(xip)) AS lam FROM s2),
+fin AS (
+  SELECT q_id, epsg,
+    (zone * 6.0 - 183.0) + ((lam * 180.0) / pi()) AS lon,
+    (phi * 180.0) / pi() AS lat
+  FROM s3)
+SELECT q_id, CAST(epsg AS INT) AS epsg,
+  CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS lon_e6,
+  CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS lat_e6
+FROM fin
+"""
+  }
+
   /** q75: per-tile Floyd–Steinberg dither replicated as a list_reduce
     * recurrence. Accumulator layout (1-based): [1]=right carry,
     * [2..9]=current-row incoming errors, [10..17]=next-row errors,

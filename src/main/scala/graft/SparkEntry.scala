@@ -557,6 +557,32 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 100.0 + 0.5) AS BIGINT)").as("e_cm"),
           expr("CAST(floor(st_y(u) * 100.0 + 0.5) AS BIGINT)").as("n_cm"))
     }),
+    "q76_utm_inverse" -> ((s, dir) => {
+      // inverse leg of the general-SRS surface (reference ogr/ogrct.cpp ::
+      // OGRProj4CT): deterministic per-row UTM coordinates — integer
+      // meters, hence exact doubles — inverse-transform to 4326 through
+      // the Krüger beta/delta series (core/Utm.inverse). Output quantized
+      // to 1e-6 degree (~11 cm) with floor(x*1e6 + 0.5); the oracle
+      // (OracleHashSql.q76UtmInv) replays the series op-for-op so only
+      // transcendental ULPs remain, absorbed by the quantum (q73 trick).
+      // Plan is scan → project, shuffle-free, like q73.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("zone", col("q_id") % 60 + 1)
+        .withColumn("north", col("q_id") % 2 === 0)
+        .withColumn("epsg", when(col("north"), col("zone") + 32600)
+          .otherwise(col("zone") + 32700).cast("int"))
+        .withColumn("e_m", (lit(100000L) + (col("q_id") * 48271) % 800001).cast("double"))
+        .withColumn("__nr", (col("q_id") * 16807) % 9000001)
+        .withColumn("n_m", when(col("north"), col("__nr"))
+          .otherwise(lit(10000000L) - col("__nr")).cast("double"))
+        .withColumn("u", F.st_transform(
+          F.st_point(col("e_m"), col("n_m")), col("epsg"), lit(4326)))
+        .select(col("q_id"), col("epsg"),
+          expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
+          expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
+    }),
 
     // ------------- multimodal resolver ------------------------------------
     "q44_media_mean" -> ((s, dir) => {
@@ -791,6 +817,22 @@ object SparkEntry {
       F.ensureRegistered(s)
       Media.decodeTiff(Media.encodeTiff(Synth.tiles(s, 3)))
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q77_jpeg_roundtrip" -> ((s, dir) => {
+      // lossy S3 path (reference frmts/jpeg/jpgdataset.cpp — the top
+      // lossy driver): JPEG encode at quality 1.0 (quant tables all ones)
+      // -> magic-byte-sniffed decode. Lossy bits are not checksum-stable,
+      // so the oracle is the PROPERTY contract instead: shape survives
+      // exactly and per-pixel |err| stays within the DCT-rounding bound
+      // (measured max 1 on this corpus; bound 2 carries 2x margin). The
+      // original pixels ride along as a column — no join, shuffle-free.
+      F.ensureRegistered(s)
+      val withOrig = Synth.tiles(s, 3).withColumn("orig", col("pixels"))
+      Media.decodeJpeg(Media.encodeJpeg(withOrig))
+        .select(col("tx"), col("ty"),
+          size(col("pixels")).as("n_px"),
+          expr("aggregate(zip_with(pixels, orig, (a, b) -> abs(a - b)), " +
+               "CAST(0.0 AS DOUBLE), (m, e) -> greatest(m, e)) <= 2.0D").as("err_le_2"))
     }),
     "q67_grid_stats" -> ((s, dir) => {
       // gdalgrid data-metric family completing A4: moving average
@@ -1522,6 +1564,17 @@ object SparkEntry {
     "q45_ann_lsh" -> OracleHashSql.q45AnnLsh,
     "q19_warp_checksum" -> OracleHashSql.q19WarpChecksum,
     "q73_utm_forward" -> OracleHashSql.q73Utm(qptsSql),
+    "q76_utm_inverse" -> OracleHashSql.q76UtmInv,
+    "q77_jpeg_roundtrip" ->
+      // JPEG is lossy — no pixel checksum can hold. The oracle pins the
+      // property contract the engine computes over the real codec: the
+      // decoded shape is exactly 64x64 and every per-pixel deviation is
+      // within the quality-1.0 DCT-rounding bound. A codec defect (wrong
+      // plugin, shape drift, quant-table surprise) flips a row.
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y))
+         SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(4096 AS INT) AS n_px, TRUE AS err_le_2 FROM tiles""",
     "q74_cutline_blend" -> q74CutlineBlendSql,
     "q35_sieve" -> q35SieveSql,
     "q75_dither" -> OracleHashSql.q75Dither,

@@ -61,4 +61,36 @@ object Codec {
     * same closed-form-pixel checksum oracle stays bit-exact. */
   def encodeTiffGray(px: Array[Int], w: Int, h: Int): Array[Byte] = encodeGray(px, w, h, "tiff")
   def decodeTiffGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = decodeGray(bytes)
+
+  /** JPEG via the JDK's built-in ImageIO plugin (reference:
+    * frmts/jpeg/jpgdataset.cpp — the most-used lossy driver). LOSSY, so
+    * no checksum oracle is possible; the contract is property-based
+    * instead: shape survives exactly, and at quality 1.0 the quantization
+    * tables are all ones, leaving only DCT rounding — per-pixel error ≤ 2
+    * (measured 1 on the synthetic corpus; bound carries 2× margin). */
+  def encodeJpegGray(px: Array[Int], w: Int, h: Int, quality: Float = 1.0f): Array[Byte] = {
+    require(px.length == w * h, s"pixel count ${px.length} != ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, math.min(255, math.max(0, px(y * w + x)))); x += 1 }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Magic-byte-sniffing decode works for JPEG too (ImageIO.read). */
+  def decodeJpegGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = decodeGray(bytes)
 }

@@ -104,8 +104,27 @@ object Scanline {
     * (its tile is therefore always in cells_cover). */
   def rasterizeLine(line: LineString, gx0: Double, gy0: Double, pw: Double, ph: Double,
                     w: Int, h: Int): Array[(Int, Int)] = {
+    val bits = new Array[Long]((w * h + 63) >> 6)
+    rasterizeLineBits(line, gx0, gy0, pw, ph, w, h, bits)
+    val out = Array.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < w * h) {
+      if ((bits(i >> 6) >>> (i & 63) & 1L) != 0L) out += ((i % w, i / w))
+      i += 1
+    }
+    out.result()
+  }
+
+  /** The same all-touched walk writing into a caller-owned w·h BITSET
+    * (row-major, bit i = pixel (i%w, i/w)): no per-pixel tuple boxing,
+    * dedupe for free, and the caller can coalesce row-adjacent pixels
+    * into runs in one scan (burnRuns does — a near-horizontal line then
+    * costs O(rows) aggregator inputs instead of O(pixels), the round-3
+    * q54 hot spot). The VISITED PIXEL SET is bit-identical to the tuple
+    * variant's: same closed-form sample walk, same floor. */
+  def rasterizeLineBits(line: LineString, gx0: Double, gy0: Double, pw: Double, ph: Double,
+                        w: Int, h: Int, bits: Array[Long]): Unit = {
     val cs = line.getCoordinateSequence
-    val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Int)]
     // sample-index window whose positions can land inside [-1, bound+1) —
     // a SUPERSET selector only (skipped samples provably fall outside the
     // grid), so per-tile walks stay bit-identical to the full walk while
@@ -134,12 +153,14 @@ object Scanline {
         val x = ((steps - s) * x0 + s * x1) / steps
         val y = ((steps - s) * y0 + s * y1) / steps
         val px = math.floor(x).toInt; val py = math.floor(y).toInt
-        if (px >= 0 && px < w && py >= 0 && py < h) out += ((px, py))
+        if (px >= 0 && px < w && py >= 0 && py < h) {
+          val idx = py * w + px
+          bits(idx >> 6) |= 1L << (idx & 63)
+        }
         s += 1
       }
       i += 1
     }
-    out.toArray
   }
 
   /** All burn runs of any geometry: polygons via scanline parity fill,
@@ -155,9 +176,32 @@ object Scanline {
       g.getGeometryN(i) match {
         case p: Polygon => out ++= fillPolygon(p, gx0, gy0, pw, ph, w, h)
         case l: LineString =>
-          rasterizeLine(l, gx0, gy0, pw, ph, w, h).foreach { case (px, py) =>
-            out += ((py, px, px + 1))
+          // bitset walk + one row scan: adjacent touched pixels coalesce
+          // into maximal (py, xs, xe) runs (same pixel SET as before,
+          // ~run-length fewer rows through the burn aggregator)
+          val bits = new Array[Long]((w * h + 63) >> 6)
+          rasterizeLineBits(l, gx0, gy0, pw, ph, w, h, bits)
+          // set-bit iteration (word-skip, clear-lowest): O(words + touched
+          // pixels), not O(w·h) — a sparse line tile scans 64 words, not
+          // 4096 bits. Bits come out in ascending idx = row-major order,
+          // so runs coalesce with one (py, xs, xe) accumulator.
+          var runPy = -1; var runXs = 0; var runXe = 0
+          var wi = 0
+          while (wi < bits.length) {
+            var word = bits(wi)
+            while (word != 0L) {
+              val idx = (wi << 6) + java.lang.Long.numberOfTrailingZeros(word)
+              word &= word - 1
+              val px = idx % w; val py = idx / w
+              if (py == runPy && px == runXe) runXe += 1
+              else {
+                if (runPy >= 0) out += ((runPy, runXs, runXe))
+                runPy = py; runXs = px; runXe = px + 1
+              }
+            }
+            wi += 1
           }
+          if (runPy >= 0) out += ((runPy, runXs, runXe))
         case pt: org.locationtech.jts.geom.Point =>
           val px = math.floor((pt.getX - gx0) / pw).toInt
           val py = math.floor((gy0 - pt.getY) / ph).toInt

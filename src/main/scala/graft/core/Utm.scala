@@ -63,6 +63,8 @@ object Utm {
   private[graft] def oracleC1: Double = twoSqrtNov
   private[graft] def oracleKA: Double = k0 * rectA
   private[graft] def oracleAlpha: Array[Double] = al.clone()
+  private[graft] def oracleBeta: Array[Double] = be.clone()
+  private[graft] def oracleDelta: Array[Double] = de.clone()
 
   /** Central meridian of a UTM zone, degrees. */
   def zoneLon0(zone: Int): Double = zone * 6.0 - 183.0

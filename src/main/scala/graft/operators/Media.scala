@@ -92,4 +92,22 @@ object Media {
   /** Binary TIFF column → pixel array; lossless round-trip. */
   def decodeTiff(media: DataFrame, binCol: String = "tiff"): DataFrame =
     media.withColumn("pixels", decUdf(col(binCol)))
+
+  // ---- JPEG via the JDK plugin (reference: frmts/jpeg/jpgdataset.cpp,
+  // the top lossy driver). Same UDF-exception rationale; LOSSY, so the
+  // downstream contract is property-based (shape + DCT-rounding error
+  // bound at quality 1.0), never a pixel checksum.
+
+  private val encJpegUdf = udf((px: Seq[Double], w: Int, h: Int) =>
+    graft.core.Codec.encodeJpegGray(px.map(_.toInt).toArray, w, h))
+
+  /** Tile table → real JPEG binary column (drops the pixel array). */
+  def encodeJpeg(tiles: DataFrame): DataFrame =
+    tiles.withColumn("jpeg", encJpegUdf(col("pixels"), col("w"), col("h")))
+      .drop("pixels")
+
+  /** Binary JPEG column → pixel array (magic-byte sniffed, same shared
+    * decode UDF as PNG/TIFF). */
+  def decodeJpeg(media: DataFrame, binCol: String = "jpeg"): DataFrame =
+    media.withColumn("pixels", decUdf(col(binCol)))
 }

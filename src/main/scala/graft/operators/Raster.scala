@@ -19,23 +19,33 @@ object Raster {
 
   import org.apache.spark.sql.graftshim.Columns.{of => expr2col, expr => asExpr}
 
-  case class BurnRun(py: Int, xs: Int, xe: Int, burn: Double)
+  case class PxRun(py: Int, xs: Int, xe: Int)
+  case class RunBatch(runs: Seq[PxRun], burn: Double)
 
-  /** Paints burn runs into a w×h pixel buffer.
+  /** Paints burn runs into a w×h pixel buffer. Input is ONE ROW PER
+    * (geometry, tile) carrying that geometry's whole run array — not one
+    * row per run: a line's DDA emits length-1 runs, so per-run rows made
+    * the partial aggregate chew ~w·h rows per tile (the round-3 q54
+    * bottleneck); batched, the shuffle and the agg input are both one row
+    * per touched (geom, tile).
     * mode "add":     pixel += burn   (MERGE_ALG=ADD; exact for integer burns)
     * mode "max":     pixel = max(pixel, burn) — deterministic REPLACE:
     * equals the reference's last-wins when burn encodes layer order
     * (reference: alg/gdalrasterize.cpp :: GDALRasterizeOptions MERGE_ALG). */
   class TileAssemble(w: Int, h: Int, mode: String)
-      extends Aggregator[BurnRun, Array[Double], Seq[Double]] {
+      extends Aggregator[RunBatch, Array[Double], Seq[Double]] {
     override def zero: Array[Double] = new Array[Double](w * h)
-    override def reduce(buf: Array[Double], r: BurnRun): Array[Double] = {
-      var x = r.xs
-      while (x < r.xe) {
-        val i = r.py * w + x
-        if (mode == "add") buf(i) += r.burn
-        else if (r.burn > buf(i)) buf(i) = r.burn
-        x += 1
+    override def reduce(buf: Array[Double], b: RunBatch): Array[Double] = {
+      val it = b.runs.iterator
+      while (it.hasNext) {
+        val r = it.next()
+        var x = r.xs
+        while (x < r.xe) {
+          val i = r.py * w + x
+          if (mode == "add") buf(i) += b.burn
+          else if (b.burn > buf(i)) buf(i) = b.burn
+          x += 1
+        }
       }
       buf
     }
@@ -70,17 +80,39 @@ object Raster {
     // the join-prune cap would silently emit coarser cells here
     val withCells = geoms
       .withColumn("__cell", explode(F.cells_cover_exact(col(geomCol), lit(zoom))))
+    // the run ARRAY stays one row per (geom, cell) — no per-run explode;
+    // a run-less covered cell is dropped exactly as the explode used to
+    // drop it (a degenerate boundary touch must not materialize a
+    // zero-filled tile)
     val runs = withCells
-      .withColumn("__run", explode(expr2col(
-        RasterRuns(asExpr(col(geomCol)), asExpr(col("__cell")), TW, TH))))
       .select(col("__cell"),
-        col("__run.py").as("py"), col("__run.xs").as("xs"),
-        col("__run.xe").as("xe"), col(burnCol).cast("double").as("burn"))
+        expr2col(RasterRuns(asExpr(col(geomCol)), asExpr(col("__cell")), TW, TH)).as("__runs"),
+        col(burnCol).cast("double").as("burn"))
+      .where(size(col("__runs")) > 0)
     runs.groupBy(col("__cell").as("cell"))
-      .agg(assembler(col("py"), col("xs"), col("xe"), col("burn")).as("pixels"))
+      .agg(assembler(col("__runs"), col("burn")).as("pixels"))
       .select(col("cell"), F.cell_zoom(col("cell")).as("zoom"),
         F.cell_tx(col("cell")).as("tx"), F.cell_ty(col("cell")).as("ty"),
         col("pixels"))
+  }
+
+  /** Sparse (i, d2) rows → dense length-n array, -1.0 at untouched
+    * indexes. O(1) positional writes; the map_from_entries alternative
+    * pays an O(entries) scan per later element_at lookup. */
+  private class SparseToDense(n: Int)
+      extends Aggregator[(Int, Double), Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = Array.fill(n)(-1.0)
+    override def reduce(b: Array[Double], t: (Int, Double)): Array[Double] = {
+      b(t._1) = t._2; b
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < n) { if (b(i) >= 0.0) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
   }
 
   case class Quad(qx: Int, qy: Int, pixels: Seq[Double])
@@ -441,20 +473,24 @@ object Raster {
       .withColumn("pixels", expr("zip_with(pixels, __e, (m, e) -> m * 2.0D + e)"))
       .select("tx", "ty", "pixels")
     // sparse (gx, gy, d2) boundary-distance rows re-keyed and AGGREGATED to
-    // per-tile maps (i -> d2): the join probe side stays ONE ROW PER TILE
-    // instead of one row per pixel — at 100-TB grids the raster never
-    // shuffles as pixel rows, only the O(perimeter·blend) distance maps do
+    // per-tile DENSE arrays (-1 at untouched indexes): the join probe side
+    // stays ONE ROW PER TILE instead of one row per pixel — at 100-TB
+    // grids the raster never shuffles as pixel rows, only the
+    // O(perimeter·blend) distance entries do. Dense array, NOT a map:
+    // Spark's map element_at is an O(entries) scan, which made the
+    // per-tile weight transform quadratic; array element_at is O(1).
+    val dense = udaf(new SparseToDense(w * h))
     def tileD2(mask01: Double => Boolean, name: String): DataFrame =
       Proximity.proximity(comb, w, h, nxTiles, nyTiles, mask01, blendPx.toDouble)
         .withColumn("tx", expr(s"gx div $w"))
         .withColumn("ty", expr(s"gy div $h"))
         .withColumn("i", expr(s"CAST((gy % $h) * $w + gx % $w AS INT)"))
         .groupBy("tx", "ty")
-        .agg(map_from_entries(collect_list(struct(col("i"), col("dist2")))).as(name))
+        .agg(dense(col("i"), col("dist2").cast("double")).as(name))
     val dOut = tileD2(_ == 1.0, "__d2o")
     val dIn = tileD2(_ == 3.0, "__d2i")
-    // per-tile weight arrays in one codegen'd transform (element_at on a
-    // missing key / NULL map yields NULL -> the far-from-edge defaults)
+    // per-tile weight arrays in one codegen'd transform (a NULL array —
+    // left-join miss — or a -1 sentinel means far-from-edge defaults)
     tiles
       .join(maskFull.withColumnRenamed("pixels", "__mpx"), Seq("tx", "ty"))
       .join(dOut, Seq("tx", "ty"), "left")
@@ -462,9 +498,11 @@ object Raster {
       .withColumn("__w", expr(
         s"""transform(sequence(0, ${w * h - 1}), i ->
               CASE WHEN element_at(__mpx, i + 1) >= 0.5D THEN
-                coalesce(CAST(floor(500.0 + (500.0 * sqrt(CAST(element_at(__d2o, i) AS DOUBLE))) / ${blendPx}.0) AS BIGINT), 1000L)
+                CASE WHEN __d2o IS NULL OR element_at(__d2o, i + 1) < 0.0D THEN 1000L
+                     ELSE CAST(floor(500.0 + (500.0 * sqrt(element_at(__d2o, i + 1))) / ${blendPx}.0) AS BIGINT) END
               ELSE
-                coalesce(CAST(floor(500.0 - (500.0 * sqrt(CAST(element_at(__d2i, i) AS DOUBLE))) / ${blendPx}.0) AS BIGINT), 0L)
+                CASE WHEN __d2i IS NULL OR element_at(__d2i, i + 1) < 0.0D THEN 0L
+                     ELSE CAST(floor(500.0 - (500.0 * sqrt(element_at(__d2i, i + 1))) / ${blendPx}.0) AS BIGINT) END
               END)"""))
       // per-pixel contract rows, emitted POST-join (pure explode of the
       // per-tile result; no per-pixel row ever feeds a join)

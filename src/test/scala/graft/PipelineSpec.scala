@@ -299,4 +299,27 @@ class PipelineSpec extends AnyFunSuite {
       assert(px == want.toSeq, s"tile ($tx,$ty)")
     }
   }
+
+  test("JPEG codec: real lossy container (FFD8 magic), shape exact, error within DCT bound") {
+    val tiles = graft.synth.Synth.tiles(spark, 2).limit(6)
+    val enc = graft.operators.Media.encodeJpeg(tiles.withColumn("orig", col("pixels")))
+    val rows = enc.select("tx", "ty", "jpeg").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val b = r.getAs[Array[Byte]]("jpeg")
+      // JPEG SOI marker FF D8, JFIF/raw FF at byte 2
+      assert((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8, "not a JPEG SOI")
+    }
+    val back = graft.operators.Media.decodeJpeg(enc)
+      .select("tx", "ty", "pixels").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    for (((tx, ty), px) <- back) {
+      val want = Array.tabulate(64 * 64)(i =>
+        ((tx * 131 + ty * 173 + (i % 64) * 7 + (i / 64) * 11 + 2) % 256).toDouble)
+      assert(px.length == 64 * 64, s"tile ($tx,$ty) shape")
+      val maxErr = px.toArray.zip(want).map { case (a, b) => math.abs(a - b) }.max
+      // quality 1.0 leaves only DCT rounding: measured max 1, bound 2
+      assert(maxErr <= 2.0, s"tile ($tx,$ty) maxErr=$maxErr exceeds DCT bound")
+    }
+  }
 }

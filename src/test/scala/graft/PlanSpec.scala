@@ -94,4 +94,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q76: UTM inverse is scan -> project, shuffle-free like q73") {
+    val p = plan("q76_utm_inverse")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q77: JPEG round-trip is map-side only — no join, no shuffle") {
+    val p = plan("q77_jpeg_roundtrip")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
