@@ -834,6 +834,44 @@ object SparkEntry {
           expr("aggregate(zip_with(pixels, orig, (a, b) -> abs(a - b)), " +
                "CAST(0.0 AS DOUBLE), (m, e) -> greatest(m, e)) <= 2.0D").as("err_le_2"))
     }),
+    "q78_vrt_compose" -> ((s, dir) => {
+      // VRTComplexSource chain (completes S5's scale/offset/LUT/nodata
+      // facet — reference frmts/vrt/vrtsources.cpp): two overlapping
+      // sources on the zoom-3 grid. src 1 everywhere (nodata 13,
+      // v' = 0.5v + 16); src 2 on even-tx tiles only, wins where valid
+      // (pixels (7p+31)%256, nodata 50, LUT 0->0, 128->64, 255->255).
+      // Per-pixel priority coalesce; background 0 where both nodata.
+      // Pure arithmetic end to end, so the oracle replica is bit-exact.
+      F.ensureRegistered(s)
+      val base = Synth.tiles(s, 3)
+      val s1 = base.withColumn("src_id", lit(1))
+      val s2 = base.where(col("tx") % 2 === 0).withColumn("src_id", lit(2))
+        .withColumn("pixels", expr(
+          "transform(pixels, p -> CAST((CAST(p AS BIGINT) * 7 + 31) % 256 AS DOUBLE))"))
+      val cfg = Map(
+        1 -> Raster.VrtSource(priority = 1, nodata = Some(13.0), scale = 0.5, offset = 16.0),
+        2 -> Raster.VrtSource(priority = 2, nodata = Some(50.0),
+          lut = Seq((0.0, 0.0), (128.0, 64.0), (255.0, 255.0))))
+      Raster.vrtCompose(s1.unionByName(s2), cfg, 64, 64)
+        .select(col("tx"), col("ty"), expr(
+          """aggregate(zip_with(pixels, sequence(0, 4095), (v, i) ->
+               CAST(floor(v * 1000.0D + 0.5D) AS BIGINT) * (i % 49 + 1)),
+             CAST(0 AS BIGINT), (a, b) -> a + b) % 65535""").as("cks_milli"))
+    }),
+    "q79_gcp_warp" -> ((s, dir) => {
+      // GCP-georeferenced warp (reference alg/gdal_crs.c order-1 +
+      // gdalwarp): 3 integer GCPs — dst(0,0)->src(7,11),
+      // dst(64,0)->src(87,27), dst(0,64)->src(-9,75) — give a rotated+
+      // scaled affine (den 4096) fit EXACTLY by Cramer; every dst pixel
+      // nearest-samples the zoom-3 source grid via Long floorDiv. The
+      // oracle solves the SAME Cramer system from the GCP literals in SQL
+      // and replays the integer sampling bit-for-bit.
+      F.ensureRegistered(s)
+      Raster.warpGcpNear(Synth.tiles(s, 3),
+        Seq((0L, 0L, 7L, 11L), (64L, 0L, 87L, 27L), (0L, 64L, -9L, 75L)),
+        srcW = 1024, srcH = 512, dstW = 1024, dstH = 512)
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q67_grid_stats" -> ((s, dir) => {
       // gdalgrid data-metric family completing A4: moving average
       // (fixed-point milli), nearest (GDAL first-closest, ties resolved
@@ -1565,6 +1603,88 @@ object SparkEntry {
     "q19_warp_checksum" -> OracleHashSql.q19WarpChecksum,
     "q73_utm_forward" -> OracleHashSql.q73Utm(qptsSql),
     "q76_utm_inverse" -> OracleHashSql.q76UtmInv,
+    "q79_gcp_warp" ->
+      // independent Cramer solve of the SAME 3-GCP system (generic det3
+      // formulas over the literals, sign-normalized so den > 0), then the
+      // exact floor-div sampling: fld(n, d) = (n - ((n % d) + d) % d) / d
+      // — identical to Java's Math.floorDiv for d > 0. Tiles with no
+      // in-grid sample drop (HAVING count(val) > 0 = the engine's `any`).
+      """WITH gc AS (
+           SELECT 0 AS x1, 0 AS y1, 7 AS u1, 11 AS v1,
+                  64 AS x2, 0 AS y2, 87 AS u2, 27 AS v2,
+                  0 AS x3, 64 AS y3, -9 AS u3, 75 AS v3),
+         cf0 AS (
+           SELECT
+             1*(x2*y3 - y2*x3) - x1*(1*y3 - y2*1) + y1*(1*x3 - x2*1) AS d,
+             u1*(x2*y3 - y2*x3) - x1*(u2*y3 - y2*u3) + y1*(u2*x3 - x2*u3) AS a0r,
+             1*(u2*y3 - y2*u3) - u1*(1*y3 - y2*1) + y1*(1*u3 - u2*1) AS a1r,
+             1*(x2*u3 - u2*x3) - x1*(1*u3 - u2*1) + u1*(1*x3 - x2*1) AS a2r,
+             v1*(x2*y3 - y2*x3) - x1*(v2*y3 - y2*v3) + y1*(v2*x3 - x2*v3) AS b0r,
+             1*(v2*y3 - y2*v3) - v1*(1*y3 - y2*1) + y1*(1*v3 - v2*1) AS b1r,
+             1*(x2*v3 - v2*x3) - x1*(1*v3 - v2*1) + v1*(1*x3 - x2*1) AS b2r
+           FROM gc),
+         cf AS (
+           SELECT CAST(sg*d AS BIGINT) AS den,
+             CAST(sg*a0r AS BIGINT) AS a0, CAST(sg*a1r AS BIGINT) AS a1, CAST(sg*a2r AS BIGINT) AS a2,
+             CAST(sg*b0r AS BIGINT) AS b0, CAST(sg*b1r AS BIGINT) AS b1, CAST(sg*b2r AS BIGINT) AS b2
+           FROM (SELECT *, CASE WHEN d < 0 THEN -1 ELSE 1 END AS sg FROM cf0)),
+         px AS (
+           SELECT dx.i AS gdx, dy.i AS gdy
+           FROM generate_series(0, 1023) dx(i), generate_series(0, 511) dy(i)),
+         m AS (
+           SELECT gdx, gdy,
+             a0 + a1*gdx + a2*gdy AS nx, b0 + b1*gdx + b2*gdy AS ny, den
+           FROM px, cf),
+         sm AS (
+           SELECT gdx, gdy,
+             (nx - ((nx % den) + den) % den) // den AS sgx,
+             (ny - ((ny % den) + den) % den) // den AS sgy
+           FROM m),
+         v AS (
+           SELECT gdx, gdy,
+             CASE WHEN sgx >= 0 AND sgx < 1024 AND sgy >= 0 AND sgy < 512
+               THEN ((sgx // 64)*131 + (sgy // 64)*173 + (sgx % 64)*7 + (sgy % 64)*11 + 3) % 256
+               ELSE NULL END AS val
+           FROM sm),
+         t AS (
+           SELECT gdx // 64 AS tx, gdy // 64 AS ty,
+             (gdy % 64) * 64 + gdx % 64 AS i, val
+           FROM v)
+         SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(coalesce(val, 0) AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM t GROUP BY 1, 2 HAVING count(val) > 0""",
+    "q78_vrt_compose" ->
+      // full VRTComplexSource replica: same closed-form source pixels,
+      // same per-source chain op order (nodata=null, scale·v+offset, LUT
+      // y_i + ((v-x_i)·Δy)/Δx), same priority coalesce and milli checksum
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             CAST((t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS DOUBLE) AS p
+           FROM tiles t, generate_series(0, 4095) i(i)),
+         s1 AS (
+           SELECT tx, ty, i,
+             CASE WHEN p = 13.0 THEN NULL ELSE p * 0.5 + 16.0 END AS v
+           FROM px),
+         s2p AS (
+           SELECT tx, ty, i, CAST((CAST(p AS BIGINT) * 7 + 31) % 256 AS DOUBLE) AS p
+           FROM px WHERE tx % 2 = 0),
+         s2 AS (
+           SELECT tx, ty, i,
+             CASE WHEN p = 50.0 THEN NULL ELSE
+               CASE WHEN (p * 1.0 + 0.0) <= 0.0 THEN 0.0
+                    WHEN (p * 1.0 + 0.0) <= 128.0 THEN 0.0 + (((p * 1.0 + 0.0) - 0.0) * 64.0) / 128.0
+                    WHEN (p * 1.0 + 0.0) <= 255.0 THEN 64.0 + (((p * 1.0 + 0.0) - 128.0) * 191.0) / 127.0
+                    ELSE 255.0 END
+             END AS v
+           FROM s2p),
+         comb AS (
+           SELECT a.tx, a.ty, a.i, coalesce(b.v, a.v, 0.0) AS v
+           FROM s1 a LEFT JOIN s2 b ON b.tx = a.tx AND b.ty = a.ty AND b.i = a.i)
+         SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(floor(v * 1000.0 + 0.5) AS BIGINT) * (i % 49 + 1)) % 65535 AS BIGINT) AS cks_milli
+         FROM comb GROUP BY 1, 2""",
     "q77_jpeg_roundtrip" ->
       // JPEG is lossy — no pixel checksum can hold. The oracle pins the
       // property contract the engine computes over the real codec: the

@@ -221,6 +221,70 @@ object Raster {
         asExpr(col("srcs")), asExpr(lit(method)))).as("pixels"))
   }
 
+  final case class GcpChunk(dtx: Long, dty: Long, stx: Long, sty: Long, pixels: Array[Double])
+
+  /** GCP-georeferenced warp, nearest kernel (reference: alg/gdal_crs.c ::
+    * GDALCreateGCPTransformer order 1 + alg/gdalwarpkernel.cpp ::
+    * GWKNearestNoMasksByte): the dst→src affine comes from an EXACT
+    * Cramer fit over 3 integer GCPs (core/Gcp.scala), so every dst pixel's
+    * source index is a Long floorDiv — integer math a SQL oracle replays
+    * bit-for-bit. Distribution is regrid's source-window chunk exchange:
+    * each src tile ships itself to the dst tiles whose inverse image can
+    * touch it (forward-affine bbox + 2 px pad — a SUPERSET selector; the
+    * exact kernel decides), one shuffle keyed by dst tile, then an
+    * independent kernel per dst tile. Dst tiles with zero in-grid samples
+    * are dropped (nodata analog); uncovered pixels inside an emitted tile
+    * are 0. */
+  def warpGcpNear(tiles: DataFrame, gcps: Seq[(Long, Long, Long, Long)],
+                  srcW: Long, srcH: Long, dstW: Long, dstH: Long): DataFrame = {
+    require(dstW % TW == 0 && dstH % TH == 0, "dst grid must be whole tiles")
+    val af = graft.core.Gcp.affineFromGcps(gcps)
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val w = TW; val h = TH
+    val nDtx = dstW / w; val nDty = dstH / h
+    val chunks = tiles.select(col("tx").cast("long"), col("ty").cast("long"), col("pixels"))
+      .as[(Long, Long, Seq[Double])]
+      .flatMap { case (stx, sty, px) =>
+        val xs = Seq(stx * w.toDouble, (stx + 1) * w.toDouble)
+        val ys = Seq(sty * h.toDouble, (sty + 1) * h.toDouble)
+        val corners = for (x <- xs; y <- ys) yield af.fwd(x, y)
+        val dx0 = math.floor((corners.map(_._1).min - 2.0) / w).toLong
+        val dx1 = math.floor((corners.map(_._1).max + 2.0) / w).toLong
+        val dy0 = math.floor((corners.map(_._2).min - 2.0) / h).toLong
+        val dy1 = math.floor((corners.map(_._2).max + 2.0) / h).toLong
+        for {
+          dtx <- math.max(0L, dx0) to math.min(nDtx - 1, dx1)
+          dty <- math.max(0L, dy0) to math.min(nDty - 1, dy1)
+        } yield GcpChunk(dtx, dty, stx, sty, px.toArray)
+      }
+    chunks.groupByKey(c => (c.dtx, c.dty))
+      .mapGroups { (key: (Long, Long), it: Iterator[GcpChunk]) =>
+        val (dtx, dty) = key
+        val srcs = new java.util.HashMap[Long, Array[Double]]()
+        it.foreach(c => srcs.put(c.sty * 1048576L + c.stx, c.pixels))
+        val out = new Array[Double](w * h)
+        var any = false
+        var i = 0
+        while (i < w * h) {
+          val gdx = dtx * w + i % w; val gdy = dty * h + i / w
+          val sgx = af.srcX(gdx, gdy); val sgy = af.srcY(gdx, gdy)
+          if (sgx >= 0 && sgx < srcW && sgy >= 0 && sgy < srcH) {
+            val arr = srcs.get((sgy / h) * 1048576L + sgx / w)
+            // the pad-2 superset routing must have shipped it — fail loud,
+            // never silently background, if that invariant ever breaks
+            require(arr != null, s"src tile (${sgx / w},${sgy / h}) not shipped to dst ($dtx,$dty)")
+            out(i) = arr((sgy % h).toInt * w + (sgx % w).toInt)
+            any = true
+          }
+          i += 1
+        }
+        (dtx, dty, if (any) out.toSeq else Seq.empty[Double])
+      }
+      .filter(_._3.nonEmpty)
+      .toDF("tx", "ty", "pixels")
+  }
+
   final case class GridChunk(dtx: Long, dty: Long, tx: Long, ty: Long, pixels: Array[Double])
 
   /** Re-grid a tiled pixel grid (srcW×srcH px) to a different resolution
@@ -518,6 +582,69 @@ object Raster {
   def mosaic(tiles: DataFrame, priorityCol: String): DataFrame =
     tiles.groupBy("zoom", "tx", "ty")
       .agg(max_by(col("pixels"), col(priorityCol)).as("pixels"))
+
+  /** One VRT source's pixel chain (reference: frmts/vrt/vrtsources.cpp ::
+    * VRTComplexSource — NODATA, ScaleOffset, LUT, in that order).
+    * The LUT is piecewise linear over sorted (x, y) breakpoints, clamped
+    * to the end values outside the range; the documented op order is
+    * y_i + ((v - x_i) * (y_{i+1} - y_i)) / (x_{i+1} - x_i), which a SQL
+    * oracle replays bit-for-bit (pure arithmetic, no transcendentals). */
+  final case class VrtSource(priority: Int,
+                             nodata: Option[Double] = None,
+                             scale: Double = 1.0, offset: Double = 0.0,
+                             lut: Seq[(Double, Double)] = Nil)
+
+  /** VRT compose (reference: frmts/vrt/vrtsources.cpp ::
+    * VRTComplexSource::RasterIO over apps/gdalbuildvrt.cpp stacking):
+    * per-source NODATA→null / scale·v+offset / LUT chains run as
+    * codegen'd `transform`s on each (tile, source) row, then ONE hash
+    * aggregate per tile folds the sources in priority order with a
+    * per-PIXEL coalesce (higher priority wins where its value is not
+    * nodata — the VRT per-pixel rule, not mosaic's per-tile max_by).
+    * Uncovered pixels end at `background` (VRTDataset's dest nodata).
+    * Input: (tx, ty, src_id, pixels); output: (tx, ty, pixels).
+    * Scale shape: map-side transforms + one shuffle keyed by tile —
+    * sources-per-tile is small and bounded, so the fold is O(srcs·w·h)
+    * per tile with no per-pixel shuffle rows. */
+  def vrtCompose(sources: DataFrame, cfgs: Map[Int, VrtSource], w: Int, h: Int,
+                 background: Double = 0.0): DataFrame = {
+    def lutSql(c: VrtSource): String => String = { v =>
+      if (c.lut.isEmpty) v
+      else {
+        val bp = c.lut.sortBy(_._1)
+        val cases = new StringBuilder(s"CASE WHEN $v <= ${bp.head._1}D THEN ${bp.head._2}D")
+        for (Seq((x0, y0), (x1, y1)) <- bp.sliding(2)) {
+          cases ++= s" WHEN $v <= ${x1}D THEN ${y0}D + (($v - ${x0}D) * ${y1 - y0}D) / ${x1 - x0}D"
+        }
+        cases ++= s" ELSE ${bp.last._2}D END"
+        cases.result()
+      }
+    }
+    def chainSql(c: VrtSource): String = {
+      val scaled = s"(p * ${c.scale}D + ${c.offset}D)"
+      val lutted = lutSql(c)(scaled)
+      c.nodata match {
+        case Some(nd) => s"transform(pixels, p -> CASE WHEN p = ${nd}D THEN CAST(NULL AS DOUBLE) ELSE $lutted END)"
+        case None     => s"transform(pixels, p -> $lutted)"
+      }
+    }
+    val branches = cfgs.toSeq.sortBy(_._1).map { case (id, c) =>
+      when(col("src_id") === id, expr(chainSql(c)))
+    }
+    val transformed = sources
+      .withColumn("__px", coalesce(branches: _*))
+      .withColumn("__prio", coalesce(cfgs.toSeq.sortBy(_._1).map { case (id, c) =>
+        when(col("src_id") === id, lit(c.priority)) }: _*))
+      .select(col("tx"), col("ty"), col("__prio"), col("__px"))
+    transformed.groupBy("tx", "ty")
+      .agg(expr(
+        s"""transform(
+              aggregate(
+                sort_array(collect_list(struct(__prio, __px))),
+                array_repeat(CAST(NULL AS DOUBLE), ${w * h}),
+                (acc, s) -> zip_with(acc, s.__px, (a, b) -> coalesce(b, a))),
+              p -> coalesce(p, ${background}D))""").as("pixels"))
+  }
 
   final case class Chunk(dtx: Long, dty: Long, off: Int, vals: Array[Double])
 

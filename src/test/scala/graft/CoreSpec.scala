@@ -260,6 +260,29 @@ class CoreSpec extends AnyFunSuite {
     assert(Dither.fsDither(Array.fill(64)(255), 8, 8).forall(_ == 255))
   }
 
+  test("GCP affine fit (Cramer, exact): interpolates GCPs, rejects collinear, inverts") {
+    import graft.core.Gcp
+    val gcps = Seq((0L, 0L, 7L, 11L), (64L, 0L, 87L, 27L), (0L, 64L, -9L, 75L))
+    val af = Gcp.affineFromGcps(gcps)
+    assert(af.den > 0)
+    // the fit must pass through each GCP exactly (den divides the dot
+    // product, so floorDiv lands on the src coordinate itself)
+    for ((dx, dy, sx, sy) <- gcps) {
+      assert(af.srcX(dx, dy) == sx && af.srcY(dx, dy) == sy, s"GCP ($dx,$dy)")
+    }
+    // forward (double) inverts the exact map to well under the 2 px
+    // routing pad on in-grid magnitudes
+    for ((dx, dy) <- Seq((10L, 20L), (500L, 300L), (1023L, 511L))) {
+      val sx = (af.a0 + af.a1 * dx + af.a2 * dy).toDouble / af.den
+      val sy = (af.b0 + af.b1 * dx + af.b2 * dy).toDouble / af.den
+      val (bx, by) = af.fwd(sx, sy)
+      assert(math.abs(bx - dx) < 1e-6 && math.abs(by - dy) < 1e-6, s"fwd at ($dx,$dy)")
+    }
+    intercept[IllegalArgumentException] {
+      Gcp.affineFromGcps(Seq((0L, 0L, 1L, 1L), (1L, 1L, 2L, 2L), (2L, 2L, 3L, 3L)))
+    }
+  }
+
   test("resample bilinear interpolates linear ramps exactly") {
     val src: (Int, Int) => Double = (x, y) =>
       if (x < 0 || y < 0 || x > 9 || y > 9) Double.NaN else x.toDouble + 2.0 * y

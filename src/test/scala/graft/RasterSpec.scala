@@ -299,4 +299,38 @@ class RasterSpec extends AnyFunSuite {
       .select(col("pixels")).collect()(0).getSeq[Double](0)
     assert(out(0) == synthPixel(2, 0, 0, 0, 0) + 5.0)
   }
+
+  test("warpGcpNear: identity GCPs reproduce the source grid exactly") {
+    val spark = TestSpark.spark
+    val tiles = graft.synth.Synth.tiles(spark, 2) // 8x4 tiles, 512x256 px
+    val out = Raster.warpGcpNear(tiles,
+      Seq((0L, 0L, 0L, 0L), (64L, 0L, 64L, 0L), (0L, 64L, 0L, 64L)),
+      srcW = 512, srcH = 256, dstW = 512, dstH = 256)
+    val got = out.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    val want = tiles.select(col("tx"), col("ty"), col("pixels")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, px) => assert(px == want(k), s"tile $k") }
+  }
+
+  test("warpGcpNear: translated+scaled affine pins hand-computed samples; off-grid tiles drop") {
+    val spark = TestSpark.spark
+    val tiles = graft.synth.Synth.tiles(spark, 2)
+    // dst (dx,dy) -> src (2dx - 100, dy + 3): x doubles with a negative
+    // offset, so low dst x maps off-grid (background / dropped columns)
+    val out = Raster.warpGcpNear(tiles,
+      Seq((0L, 0L, -100L, 3L), (64L, 0L, 28L, 3L), (0L, 64L, -100L, 67L)),
+      srcW = 512, srcH = 256, dstW = 512, dstH = 256)
+    val got = out.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    def srcPx(gx: Long, gy: Long): Double =
+      ((gx / 64) * 131 + (gy / 64) * 173 + (gx % 64) * 7 + (gy % 64) * 11 + 2) % 256
+    // dst gdx=50 -> sgx=0 (valid from gdx >= 50); pixel (50, 10) of tile (0,0)
+    val t00 = got((0L, 0L))
+    assert(t00(10 * 64 + 50) == srcPx(0, 13))
+    assert(t00(10 * 64 + 49) == 0.0, "left of src coverage must be background")
+    // dst gdx >= 306 -> sgx >= 512 out of grid; tile tx=5 has gdx in [320,384) -> dropped
+    assert(!got.contains((5L, 0L)))
+  }
 }
