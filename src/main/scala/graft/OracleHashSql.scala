@@ -300,6 +300,99 @@ FROM fin
 """
   }
 
+  /** q80: per-point LCC 2SP forward (Snyder/EPSG-9802, core/Lcc.forward)
+    * replicated op-for-op under the q73 discipline: derived projection
+    * constants (n, a·F, ρ0) embedded as the engine's exact runtime doubles,
+    * every power written exp(k·ln x), identical IEEE op order — only
+    * transcendental ULPs remain, absorbed by the cm quantization. Both
+    * supported CRS are GRS80, so e / e/2 are single shared literals. */
+  def q80Lcc(qptsSql: String): String = {
+    val c1 = graft.core.Lcc.crs2154; val c2 = graft.core.Lcc.crs3978
+    def d(x: Double): String = java.lang.Double.toString(x)
+    val e = d(c1.e); val he = d(c1.halfE)
+    s"""
+WITH qp AS ($qptsSql),
+c AS (
+  SELECT q_id, lon, lat,
+    CASE WHEN q_id % 2 = 0 THEN 2154 ELSE 3978 END AS epsg,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.n)} ELSE ${d(c2.n)} END AS cn,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.aF)} ELSE ${d(c2.aF)} END AS af,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.rho0)} ELSE ${d(c2.rho0)} END AS rho0,
+    CASE WHEN q_id % 2 = 0 THEN 3.0 ELSE -95.0 END AS lon0,
+    CASE WHEN q_id % 2 = 0 THEN 700000.0 ELSE 0.0 END AS fe,
+    CASE WHEN q_id % 2 = 0 THEN 6600000.0 ELSE 0.0 END AS fn
+  FROM qp),
+w AS (
+  SELECT *, CASE WHEN lon - lon0 > 180.0 THEN lon - lon0 - 360.0
+                 WHEN lon - lon0 < -180.0 THEN lon - lon0 + 360.0
+                 ELSE lon - lon0 END AS lamd FROM c),
+s1 AS (SELECT *, (lat / 180.0) * pi() AS phi, (lamd / 180.0) * pi() AS lam FROM w),
+s2 AS (SELECT *, sin(phi) AS sphi FROM s1),
+s3 AS (SELECT *,
+    tan(pi() / 4.0 - phi / 2.0)
+      * exp($he * ln((1.0 + $e * sphi) / (1.0 - $e * sphi))) AS tt
+  FROM s2),
+s4 AS (SELECT *, af * exp(cn * ln(tt)) AS rho, cn * lam AS th FROM s3),
+fin AS (
+  SELECT q_id, epsg,
+    fe + rho * sin(th) AS e_m,
+    fn + rho0 - rho * cos(th) AS n_m
+  FROM s4)
+SELECT q_id, CAST(epsg AS INT) AS epsg,
+  CAST(floor(e_m * 100.0 + 0.5) AS BIGINT) AS e_cm,
+  CAST(floor(n_m * 100.0 + 0.5) AS BIGINT) AS n_cm
+FROM fin
+"""
+  }
+
+  /** q81: per-row LCC 2SP inverse (core/Lcc.inverse) — spherical seed then
+    * the φ fixed-point iteration unrolled to the engine's exact 5 steps,
+    * exp(k·ln x) powers, engine-runtime constants as literals; 1e-6-degree
+    * quantization absorbs the transcendental ULPs (q76 trick). */
+  def q81LccInv: String = {
+    val c1 = graft.core.Lcc.crs2154; val c2 = graft.core.Lcc.crs3978
+    def d(x: Double): String = java.lang.Double.toString(x)
+    val e = d(c1.e); val he = d(c1.halfE)
+    def it(prev: String): String =
+      s"pi() / 2.0 - 2.0 * atan(tp * exp($he * ln((1.0 - $e * sin($prev)) / (1.0 + $e * sin($prev)))))"
+    s"""
+WITH sp AS (SELECT s_suppkey AS q_id FROM supplier),
+c AS (
+  SELECT q_id,
+    CASE WHEN q_id % 2 = 0 THEN 2154 ELSE 3978 END AS epsg,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.n)} ELSE ${d(c2.n)} END AS cn,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.aF)} ELSE ${d(c2.aF)} END AS af,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.rho0)} ELSE ${d(c2.rho0)} END AS rho0,
+    CASE WHEN q_id % 2 = 0 THEN 3.0 ELSE -95.0 END AS lon0,
+    CASE WHEN q_id % 2 = 0 THEN 700000.0 ELSE 0.0 END AS fe,
+    CASE WHEN q_id % 2 = 0 THEN 6600000.0 ELSE 0.0 END AS fn
+  FROM sp),
+b AS (
+  SELECT *,
+    fe + (CAST((q_id * 48271) % 2000001 AS DOUBLE) - 1000000.0) AS e_m,
+    fn + (CAST((q_id * 16807) % 3000001 AS DOUBLE) - 1500000.0) AS n_m
+  FROM c),
+x0 AS (SELECT *, e_m - fe AS dx, rho0 - (n_m - fn) AS dy FROM b),
+r1 AS (SELECT *, sqrt(dx * dx + dy * dy) AS rhop, atan2(dx, dy) AS thp FROM x0),
+r2 AS (SELECT *, exp(ln(rhop / af) / cn) AS tp, thp / cn AS lam FROM r1),
+i0 AS (SELECT *, pi() / 2.0 - 2.0 * atan(tp) AS p0 FROM r2),
+i1 AS (SELECT *, ${it("p0")} AS p1 FROM i0),
+i2 AS (SELECT *, ${it("p1")} AS p2 FROM i1),
+i3 AS (SELECT *, ${it("p2")} AS p3 FROM i2),
+i4 AS (SELECT *, ${it("p3")} AS p4 FROM i3),
+i5 AS (SELECT *, ${it("p4")} AS p5 FROM i4),
+fin AS (
+  SELECT q_id, epsg,
+    lon0 + (lam * 180.0) / pi() AS lon,
+    (p5 * 180.0) / pi() AS lat
+  FROM i5)
+SELECT q_id, CAST(epsg AS INT) AS epsg,
+  CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS lon_e6,
+  CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS lat_e6
+FROM fin
+"""
+  }
+
   /** q75: per-tile Floyd–Steinberg dither replicated as a list_reduce
     * recurrence. Accumulator layout (1-based): [1]=right carry,
     * [2..9]=current-row incoming errors, [10..17]=next-row errors,

@@ -583,6 +583,47 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q80_lcc_forward" -> ((s, dir) => {
+      // second general-SRS family (reference ogr/ogrct.cpp :: OGRProj4CT
+      // for PROJ's lcc): each query point forward-projects into an LCC 2SP
+      // CRS chosen per row — EPSG:2154 Lambert-93 (even q_id) or EPSG:3978
+      // Canada Atlas (odd) — via core/Lcc.forward, cm-quantized; the
+      // oracle (OracleHashSql.q80Lcc) replays the Snyder chain op-for-op
+      // with the engine's derived constants as literals (q73 trick).
+      // Plan: scan → project, shuffle-free.
+      F.ensureRegistered(s)
+      Synth.queryPoints(s, dir)
+        .withColumn("epsg", when(col("q_id") % 2 === 0, lit(2154))
+          .otherwise(lit(3978)).cast("int"))
+        .withColumn("u", call_function("st_transform",
+          F.st_point(col("lon"), col("lat")), lit(4326), col("epsg")))
+        .select(col("q_id"), col("epsg"),
+          expr("CAST(floor(st_x(u) * 100.0 + 0.5) AS BIGINT)").as("e_cm"),
+          expr("CAST(floor(st_y(u) * 100.0 + 0.5) AS BIGINT)").as("n_cm"))
+    }),
+    "q81_lcc_inverse" -> ((s, dir) => {
+      // LCC 2SP inverse leg: deterministic integer-meter easting/northing
+      // around each CRS's false origin (exact doubles) back to 4326 through
+      // core/Lcc.inverse — spherical seed + the φ fixed-point iteration
+      // unrolled to exactly 5 steps so the oracle can replay the same
+      // chain. 1e-6-degree quantization (q76 trick). Shuffle-free.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("epsg", when(col("q_id") % 2 === 0, lit(2154))
+          .otherwise(lit(3978)).cast("int"))
+        .withColumn("fe", when(col("q_id") % 2 === 0, lit(700000.0)).otherwise(lit(0.0)))
+        .withColumn("fn", when(col("q_id") % 2 === 0, lit(6600000.0)).otherwise(lit(0.0)))
+        .withColumn("e_m", col("fe") +
+          (((col("q_id") * 48271) % 2000001).cast("double") - 1000000.0))
+        .withColumn("n_m", col("fn") +
+          (((col("q_id") * 16807) % 3000001).cast("double") - 1500000.0))
+        .withColumn("u", F.st_transform(
+          F.st_point(col("e_m"), col("n_m")), col("epsg"), lit(4326)))
+        .select(col("q_id"), col("epsg"),
+          expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
+          expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
+    }),
 
     // ------------- multimodal resolver ------------------------------------
     "q44_media_mean" -> ((s, dir) => {
@@ -1603,6 +1644,8 @@ object SparkEntry {
     "q19_warp_checksum" -> OracleHashSql.q19WarpChecksum,
     "q73_utm_forward" -> OracleHashSql.q73Utm(qptsSql),
     "q76_utm_inverse" -> OracleHashSql.q76UtmInv,
+    "q80_lcc_forward" -> OracleHashSql.q80Lcc(qptsSql),
+    "q81_lcc_inverse" -> OracleHashSql.q81LccInv,
     "q79_gcp_warp" ->
       // independent Cramer solve of the SAME 3-GCP system (generic det3
       // formulas over the literals, sign-normalized so den > 0), then the

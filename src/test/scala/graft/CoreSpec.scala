@@ -226,6 +226,60 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(p.getDouble(3) - direct.getDouble(1)) < 1e-6)
   }
 
+  test("LCC 2SP: standard-parallel scale identity, anchors, round-trip") {
+    import graft.core.Lcc
+    for (c <- Seq(Lcc.crs2154, Lcc.crs3978)) {
+      // conformal-conic defining property: point scale k(φ) = n·ρ/(a·m) is
+      // EXACTLY 1 at both standard parallels — a structural check on the
+      // whole n/F/ρ constant derivation, independent of any test vector
+      val (l1, l2) = if (c.epsg == 2154) (49.0, 44.0) else (49.0, 77.0)
+      assert(math.abs(c.scaleFactor(l1) - 1.0) < 1e-12, s"k(φ1) != 1 for ${c.epsg}")
+      assert(math.abs(c.scaleFactor(l2) - 1.0) < 1e-12, s"k(φ2) != 1 for ${c.epsg}")
+      // between the parallels the cone is below scale, outside above
+      assert(c.scaleFactor((l1 + l2) / 2.0) < 1.0)
+      assert(c.scaleFactor(math.max(l1, l2) + 5.0) > 1.0)
+      // false-origin anchor: (λ0, φ0) maps to exactly (FE, FN)
+      val lat0 = if (c.epsg == 2154) 46.5 else 49.0
+      val (e0, n0) = Lcc.forward(c.lon0Deg, lat0, c)
+      assert(math.abs(e0 - c.fe) < 1e-6 && math.abs(n0 - c.fn) < 1e-6)
+      // round-trip grid across the CRS's working area
+      for (dloni <- -12 to 12 by 4; lati <- 30 to 70 by 8) {
+        val lon = c.lon0Deg + dloni; val lat = lati.toDouble
+        val (e, n) = Lcc.forward(lon, lat, c)
+        val (lon2, lat2) = Lcc.inverse(e, n, c)
+        assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+          s"round-trip drift at ($lon,$lat) epsg ${c.epsg}: ($lon2,$lat2)")
+      }
+    }
+    // λ−λ0 wrap: the far side of the globe stays finite and round-trips
+    val (ew, nw) = Lcc.forward(179.0, 50.0, Lcc.crs3978) // λ−λ0 = 274 → −86
+    val (lonw, latw) = Lcc.inverse(ew, nw, Lcc.crs3978)
+    assert(math.abs(latw - 50.0) < 1e-9 && math.abs(lonw - (179.0 - 360.0)) < 1e-9)
+  }
+
+  test("st_transform routes LCC <-> 4326 and chains to mercator") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    val wkt = Seq("POINT(2.3522 48.8566)").toDF("wkt")
+      .select(F.st_geomfromwkt(col("wkt")).as("g"))
+    val p = wkt.select(F.st_transform(col("g"), lit(4326), lit(2154)).as("u"))
+      .select(F.st_x(col("u")).as("e"), F.st_y(col("u")).as("n"),
+        F.st_transform(F.st_point(col("e"), col("n")), lit(2154), lit(3857)).as("m"))
+      .select(col("e"), col("n"), F.st_x(col("m")).as("mx"), F.st_y(col("m")).as("my"))
+      .collect()(0)
+    // Paris lands in Lambert-93's metropolitan-France envelope
+    assert(p.getDouble(0) > 500000 && p.getDouble(0) < 800000)
+    assert(p.getDouble(1) > 6700000 && p.getDouble(1) < 7000000)
+    // chained 2154→3857 equals direct 4326→3857 of the original point
+    val direct = wkt.select(F.st_transform(col("g"), lit(4326), lit(3857)).as("m"))
+      .select(F.st_x(col("m")), F.st_y(col("m"))).collect()(0)
+    assert(math.abs(p.getDouble(2) - direct.getDouble(0)) < 1e-6)
+    assert(math.abs(p.getDouble(3) - direct.getDouble(1)) < 1e-6)
+  }
+
   test("st_geomfromwkb / st_aswkb normalize foreign WKB to canonical bytes") {
     val spark = TestSpark.spark
     import spark.implicits._
