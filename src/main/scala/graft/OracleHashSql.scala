@@ -393,6 +393,61 @@ FROM fin
 """
   }
 
+  /** q82: RPC warp replica. The ground→image transform is pure +,·,/ on
+    * doubles with a fixed evaluation order (basis-order sums, left-assoc
+    * monomials), so the SQL below is BIT-EXACT — the only nondeterminism
+    * classes (transcendental libm gaps, reassociation) don't exist here.
+    * Coefficients embed as the engine's exact runtime doubles; the floor
+    * sampling and tile checksum mirror q79's. */
+  def q82Rpc: String = {
+    val m = graft.core.Rpc.demo
+    def d(x: Double): String = java.lang.Double.toString(x)
+    def polySql(cs: Array[Double]): String =
+      graft.core.Rpc.basis.zip(cs).map { case ((i, j, k), c) =>
+        val factors = Seq.fill(i)("l") ++ Seq.fill(j)("p") ++ Seq.fill(k)("hh")
+        val mono = if (factors.isEmpty) "1.0" else factors.mkString(" * ")
+        s"${d(c)} * ($mono)"
+      }.mkString(" + ")
+    s"""
+WITH px AS (
+  SELECT dx.i AS gdx, dy.i AS gdy
+  FROM generate_series(0, 1023) dx(i), generate_series(0, 511) dy(i)),
+g AS (
+  SELECT gdx, gdy,
+    -180.0 + gdx * 0.3515625 AS lon,
+    90.0 + gdy * (-0.3515625) AS lat
+  FROM px),
+nrm AS (
+  SELECT gdx, gdy,
+    (lon - ${d(m.lonOff)}) / ${d(m.lonScale)} AS l,
+    (lat - ${d(m.latOff)}) / ${d(m.latScale)} AS p,
+    (0.0 - ${d(m.hOff)}) / ${d(m.hScale)} AS hh
+  FROM g),
+r AS (
+  SELECT gdx, gdy,
+    (${polySql(m.sampNum)}) / (${polySql(m.sampDen)}) * ${d(m.sampScale)} + ${d(m.sampOff)} AS samp,
+    (${polySql(m.lineNum)}) / (${polySql(m.lineDen)}) * ${d(m.lineScale)} + ${d(m.lineOff)} AS line
+  FROM nrm),
+sm AS (
+  SELECT gdx, gdy,
+    CAST(floor(samp) AS BIGINT) AS sgx, CAST(floor(line) AS BIGINT) AS sgy
+  FROM r),
+v AS (
+  SELECT gdx, gdy,
+    CASE WHEN sgx >= 0 AND sgx < 1024 AND sgy >= 0 AND sgy < 512
+      THEN ((sgx // 64)*131 + (sgy // 64)*173 + (sgx % 64)*7 + (sgy % 64)*11 + 3) % 256
+      ELSE NULL END AS val
+  FROM sm),
+t AS (
+  SELECT gdx // 64 AS tx, gdy // 64 AS ty,
+    (gdy % 64) * 64 + gdx % 64 AS i, val
+  FROM v)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+  CAST(sum(CAST(coalesce(val, 0) AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+FROM t GROUP BY 1, 2 HAVING count(val) > 0
+"""
+  }
+
   /** q75: per-tile Floyd–Steinberg dither replicated as a list_reduce
     * recurrence. Accumulator layout (1-based): [1]=right carry,
     * [2..9]=current-row incoming errors, [10..17]=next-row errors,

@@ -913,6 +913,20 @@ object SparkEntry {
         srcW = 1024, srcH = 512, dstW = 1024, dstH = 512)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q82_rpc_warp" -> ((s, dir) => {
+      // RPC-georeferenced warp (reference alg/gdal_rpc.cpp + gdalwarp):
+      // each dst pixel's geodetic coordinate (exact dyadic grid — step
+      // 0.3515625 = 45/128) maps through the synthetic RPC00B model
+      // (core/Rpc.demo: dominant affine + mild quadratic/cubic distortion,
+      // denominator >= 0.99) and floor-samples the zoom-3 source grid.
+      // The transform is pure +,*,/ in a fixed order, so the oracle
+      // replays it bit-for-bit — no quantization margin needed.
+      F.ensureRegistered(s)
+      Raster.warpRpcNear(Synth.tiles(s, 3), graft.core.Rpc.demo,
+        srcW = 1024, srcH = 512, dstW = 1024, dstH = 512,
+        lon0 = -180.0, lonStep = 0.3515625, lat0 = 90.0, latStep = -0.3515625)
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q67_grid_stats" -> ((s, dir) => {
       // gdalgrid data-metric family completing A4: moving average
       // (fixed-point milli), nearest (GDAL first-closest, ties resolved
@@ -1646,6 +1660,7 @@ object SparkEntry {
     "q76_utm_inverse" -> OracleHashSql.q76UtmInv,
     "q80_lcc_forward" -> OracleHashSql.q80Lcc(qptsSql),
     "q81_lcc_inverse" -> OracleHashSql.q81LccInv,
+    "q82_rpc_warp" -> OracleHashSql.q82Rpc,
     "q79_gcp_warp" ->
       // independent Cramer solve of the SAME 3-GCP system (generic det3
       // formulas over the literals, sign-normalized so den > 0), then the

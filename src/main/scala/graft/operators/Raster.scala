@@ -285,6 +285,76 @@ object Raster {
       .toDF("tx", "ty", "pixels")
   }
 
+  /** RPC-georeferenced warp, nearest kernel (reference: alg/gdal_rpc.cpp
+    * :: GDALCreateRPCTransformer + gdalwarp): each dst pixel's geodetic
+    * coordinate (an EXACT double — dyadic grid step) maps through the
+    * rational-polynomial ground→image transform (core/Rpc.scala: pure
+    * +,·,/ in a fixed order, so a SQL oracle replays it bit-for-bit) and
+    * floor-samples the source grid. Distribution is DST-driven routing:
+    * each dst tile's 4 corners map through the RPC, the src bbox + 4 px
+    * pad selects the src tiles to ship (SUPERSET — the distortion terms
+    * are smooth and tiny across one 64-px tile; require() fails loud if
+    * the invariant ever breaks), one equi-join + one shuffle keyed by dst
+    * tile, then an independent kernel per dst tile. Dst tiles with zero
+    * in-grid samples drop; uncovered pixels inside an emitted tile are 0. */
+  def warpRpcNear(tiles: DataFrame, m: graft.core.Rpc.Model,
+                  srcW: Long, srcH: Long, dstW: Long, dstH: Long,
+                  lon0: Double, lonStep: Double, lat0: Double, latStep: Double): DataFrame = {
+    require(dstW % TW == 0 && dstH % TH == 0, "dst grid must be whole tiles")
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val w = TW; val h = TH
+    val nDtx = dstW / w; val nDty = dstH / h
+    val nStx = (srcW + w - 1) / w; val nSty = (srcH + h - 1) / h
+    val pairs = spark.range(nDtx * nDty).select(
+        (col("id") % nDtx).as("_1"), floor(col("id") / nDtx).cast("long").as("_2"))
+      .as[(Long, Long)]
+      .flatMap { case (dtx, dty) =>
+        val gxs = Seq(dtx * w, dtx * w + (w - 1))
+        val gys = Seq(dty * h, dty * h + (h - 1))
+        val pts = for (gx <- gxs; gy <- gys) yield
+          graft.core.Rpc.sampLine(m, lon0 + gx * lonStep, lat0 + gy * latStep, 0.0)
+        val sx0 = math.floor((pts.map(_._1).min - 4.0) / w).toLong
+        val sx1 = math.floor((pts.map(_._1).max + 4.0) / w).toLong
+        val sy0 = math.floor((pts.map(_._2).min - 4.0) / h).toLong
+        val sy1 = math.floor((pts.map(_._2).max + 4.0) / h).toLong
+        for {
+          stx <- math.max(0L, sx0) to math.min(nStx - 1, sx1)
+          sty <- math.max(0L, sy0) to math.min(nSty - 1, sy1)
+        } yield (dtx, dty, stx, sty)
+      }.toDF("dtx", "dty", "stx", "sty")
+    val src = tiles.select(col("tx").cast("long").as("stx"),
+      col("ty").cast("long").as("sty"), col("pixels"))
+    pairs.join(src, Seq("stx", "sty"))
+      .select(col("dtx"), col("dty"), col("stx"), col("sty"), col("pixels"))
+      .as[GcpChunk]
+      .groupByKey(c => (c.dtx, c.dty))
+      .mapGroups { (key: (Long, Long), it: Iterator[GcpChunk]) =>
+        val (dtx, dty) = key
+        val srcs = new java.util.HashMap[Long, Array[Double]]()
+        it.foreach(c => srcs.put(c.sty * 1048576L + c.stx, c.pixels))
+        val out = new Array[Double](w * h)
+        var any = false
+        var i = 0
+        while (i < w * h) {
+          val gdx = dtx * w + i % w; val gdy = dty * h + i / w
+          val (samp, line) = graft.core.Rpc.sampLine(m,
+            lon0 + gdx * lonStep, lat0 + gdy * latStep, 0.0)
+          val sgx = math.floor(samp).toLong; val sgy = math.floor(line).toLong
+          if (sgx >= 0 && sgx < srcW && sgy >= 0 && sgy < srcH) {
+            val arr = srcs.get((sgy / h) * 1048576L + sgx / w)
+            require(arr != null, s"src tile (${sgx / w},${sgy / h}) not shipped to dst ($dtx,$dty)")
+            out(i) = arr((sgy % h).toInt * w + (sgx % w).toInt)
+            any = true
+          }
+          i += 1
+        }
+        (dtx, dty, if (any) out.toSeq else Seq.empty[Double])
+      }
+      .filter(_._3.nonEmpty)
+      .toDF("tx", "ty", "pixels")
+  }
+
   final case class GridChunk(dtx: Long, dty: Long, tx: Long, ty: Long, pixels: Array[Double])
 
   /** Re-grid a tiled pixel grid (srcW×srcH px) to a different resolution

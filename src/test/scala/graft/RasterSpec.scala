@@ -333,4 +333,62 @@ class RasterSpec extends AnyFunSuite {
     // dst gdx >= 306 -> sgx >= 512 out of grid; tile tx=5 has gdx in [320,384) -> dropped
     assert(!got.contains((5L, 0L)))
   }
+
+  private def rpcCoeffs(pairs: (Int, Double)*): Array[Double] = {
+    val a = new Array[Double](20)
+    pairs.foreach { case (i, v) => a(i - 1) = v }
+    a
+  }
+
+  test("warpRpcNear: identity RPC (all ops dyadic-exact) reproduces the source grid") {
+    val spark = TestSpark.spark
+    val tiles = graft.synth.Synth.tiles(spark, 2) // 512x256 px
+    // samp = ((lon/180)·256 + 256) = gdx and line = ((-lat/90)·128 + 128)
+    // = gdy exactly: every step is a dyadic rational, so floor sampling
+    // is the identity and the warped grid must equal the source
+    val ident = graft.core.Rpc.Model(
+      0.0, 180.0, 0.0, 90.0, 0.0, 500.0,
+      256.0, 256.0, 128.0, 128.0,
+      rpcCoeffs(2 -> 1.0), rpcCoeffs(1 -> 1.0),
+      rpcCoeffs(3 -> -1.0), rpcCoeffs(1 -> 1.0))
+    val out = Raster.warpRpcNear(tiles, ident, 512, 256, 512, 256,
+      lon0 = -180.0, lonStep = 0.703125, lat0 = 90.0, latStep = -0.703125)
+    val got = out.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    val want = tiles.select(col("tx"), col("ty"), col("pixels")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, px) => assert(px == want(k), s"tile $k") }
+  }
+
+  test("warpRpcNear: distorted model routes/ships/samples correctly per pixel") {
+    val spark = TestSpark.spark
+    // zoom-3 (1024x512) — the geometry core/Rpc.demo is scaled for: the
+    // whole dst window maps inside the src grid, so all 128 tiles emit
+    val tiles = graft.synth.Synth.tiles(spark, 3)
+    val m = graft.core.Rpc.demo
+    val out = Raster.warpRpcNear(tiles, m, 1024, 512, 1024, 512,
+      lon0 = -180.0, lonStep = 0.3515625, lat0 = 90.0, latStep = -0.3515625)
+    val got = out.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    assert(got.size == 128, s"expected all 128 dst tiles, got ${got.size}")
+    // hand-replay a handful of pixels through the scalar transform and the
+    // closed-form source grid — pins the DISTRIBUTED path (corner routing,
+    // chunk shipping, per-tile indexing) against the scalar reference
+    def srcPx(gx: Long, gy: Long): Double =
+      ((gx / 64) * 131 + (gy / 64) * 173 + (gx % 64) * 7 + (gy % 64) * 11 + 3) % 256
+    for ((gdx, gdy) <- Seq((0L, 0L), (255L, 100L), (1023L, 511L), (600L, 7L))) {
+      val (samp, line) = graft.core.Rpc.sampLine(m,
+        -180.0 + gdx * 0.3515625, 90.0 + gdy * -0.3515625, 0.0)
+      val sgx = math.floor(samp).toLong; val sgy = math.floor(line).toLong
+      assert(sgx >= 0 && sgx < 1024 && sgy >= 0 && sgy < 512)
+      val key = (gdx / 64, gdy / 64)
+      assert(got(key)(((gdy % 64) * 64 + gdx % 64).toInt) == srcPx(sgx, sgy), s"pixel ($gdx,$gdy)")
+    }
+    // the distortion is real: some pixel must differ from the identity map
+    assert((0L until 1024L).exists { gdx =>
+      val (samp, _) = graft.core.Rpc.sampLine(m, -180.0 + gdx * 0.3515625, 0.0, 0.0)
+      math.floor(samp).toLong != gdx
+    })
+  }
 }
