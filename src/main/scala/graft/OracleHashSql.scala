@@ -448,6 +448,70 @@ FROM t GROUP BY 1, 2 HAVING count(val) > 0
 """
   }
 
+  /** q83: TPS forward transform. The oracle's samp/line expressions are
+    * THE SAME STRINGS (Tps.evalSql) the engine runs through Spark `expr`
+    * — op-sequence identity by construction. Coefficients are the solved
+    * runtime doubles (the Gaussian elimination is deterministic IEEE
+    * arithmetic, identical in any JVM); the only engine-vs-oracle gap is
+    * StrictMath-vs-libm ln ULPs, absorbed by milli-pixel quantization. */
+  def q83Tps: String = {
+    val m = graft.core.Tps.demo
+    s"""
+WITH qp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1048576 AS DOUBLE) / 1024.0 AS x,
+    CAST((s_suppkey * 104729) % 524288 AS DOUBLE) / 1024.0 AS y
+  FROM supplier),
+r AS (
+  SELECT q_id,
+    (${graft.core.Tps.evalSql(m, "x", "y", 'x')}) AS samp,
+    (${graft.core.Tps.evalSql(m, "x", "y", 'y')}) AS line
+  FROM qp)
+SELECT q_id,
+  CAST(floor(samp * 1000.0 + 0.5) AS BIGINT) AS samp_mpx,
+  CAST(floor(line * 1000.0 + 0.5) AS BIGINT) AS line_mpx
+FROM r
+"""
+  }
+
+  /** q84: TPS warp replica — q82's scaffold with the rational polynomial
+    * swapped for the spline (same evalSql strings as q83). Unquantized
+    * floor sampling: a flip needs samp/line within ~1e-13 (1 ln ulp) of
+    * an integer, absent by construction on this deterministic grid. */
+  def q84Tps: String = {
+    val m = graft.core.Tps.demo
+    s"""
+WITH px AS (
+  SELECT dx.i AS gdx, dy.i AS gdy
+  FROM generate_series(0, 1023) dx(i), generate_series(0, 511) dy(i)),
+g AS (
+  SELECT gdx, gdy, CAST(gdx AS DOUBLE) AS x, CAST(gdy AS DOUBLE) AS y
+  FROM px),
+r AS (
+  SELECT gdx, gdy,
+    (${graft.core.Tps.evalSql(m, "x", "y", 'x')}) AS samp,
+    (${graft.core.Tps.evalSql(m, "x", "y", 'y')}) AS line
+  FROM g),
+sm AS (
+  SELECT gdx, gdy,
+    CAST(floor(samp) AS BIGINT) AS sgx, CAST(floor(line) AS BIGINT) AS sgy
+  FROM r),
+v AS (
+  SELECT gdx, gdy,
+    CASE WHEN sgx >= 0 AND sgx < 1024 AND sgy >= 0 AND sgy < 512
+      THEN ((sgx // 64)*131 + (sgy // 64)*173 + (sgx % 64)*7 + (sgy % 64)*11 + 3) % 256
+      ELSE NULL END AS val
+  FROM sm),
+t AS (
+  SELECT gdx // 64 AS tx, gdy // 64 AS ty,
+    (gdy % 64) * 64 + gdx % 64 AS i, val
+  FROM v)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+  CAST(sum(CAST(coalesce(val, 0) AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+FROM t GROUP BY 1, 2 HAVING count(val) > 0
+"""
+  }
+
   /** q75: per-tile Floyd–Steinberg dither replicated as a list_reduce
     * recurrence. Accumulator layout (1-based): [1]=right carry,
     * [2..9]=current-row incoming errors, [10..17]=next-row errors,

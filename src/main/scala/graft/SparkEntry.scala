@@ -927,6 +927,39 @@ object SparkEntry {
         lon0 = -180.0, lonStep = 0.3515625, lat0 = 90.0, latStep = -0.3515625)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q83_tps_forward" -> ((s, dir) => {
+      // TPS transformer forward surface (reference alg/thinplatespline.cpp
+      // :: VizGeorefSpline2D): per-row dst pixel coords (exact dyadic
+      // doubles) map through the fitted core/Tps.demo spline. The engine
+      // evaluates THE SAME SQL string (Tps.evalSql) via expr that the
+      // oracle runs in DuckDB — op-sequence identity by construction;
+      // Spark's `ln` codegen is StrictMath.log (fdlibm) vs DuckDB's libm,
+      // the only gap, absorbed by milli-pixel quantization (q73 trick).
+      // Plan: scan → project, shuffle-free, whole-stage codegen.
+      val m = graft.core.Tps.demo
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("x", expr("CAST((q_id * 7919) % 1048576 AS DOUBLE) / 1024.0"))
+        .withColumn("y", expr("CAST((q_id * 104729) % 524288 AS DOUBLE) / 1024.0"))
+        .withColumn("samp", expr(graft.core.Tps.evalSql(m, "x", "y", 'x')))
+        .withColumn("line", expr(graft.core.Tps.evalSql(m, "x", "y", 'y')))
+        .select(col("q_id"),
+          expr("CAST(floor(samp * 1000.0 + 0.5) AS BIGINT)").as("samp_mpx"),
+          expr("CAST(floor(line * 1000.0 + 0.5) AS BIGINT)").as("line_mpx"))
+    }),
+    "q84_tps_warp" -> ((s, dir) => {
+      // TPS-georeferenced warp (reference alg/thinplatespline.cpp +
+      // gdalwarp): dst pixel coords map through the fitted spline and
+      // floor-sample the zoom-3 source grid; same dst-driven tile routing
+      // as q79/q82. The transform's +,·,− are IEEE-ordered; ln is the
+      // only transcendental (StrictMath vs libm, ≤1 ulp), and a flip
+      // needs samp within ~1e-13 of an integer — absent by construction
+      // on this deterministic grid (verified bit-exact).
+      F.ensureRegistered(s)
+      Raster.warpTpsNear(Synth.tiles(s, 3), graft.core.Tps.demo,
+        srcW = 1024, srcH = 512, dstW = 1024, dstH = 512)
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q67_grid_stats" -> ((s, dir) => {
       // gdalgrid data-metric family completing A4: moving average
       // (fixed-point milli), nearest (GDAL first-closest, ties resolved
@@ -1661,6 +1694,8 @@ object SparkEntry {
     "q80_lcc_forward" -> OracleHashSql.q80Lcc(qptsSql),
     "q81_lcc_inverse" -> OracleHashSql.q81LccInv,
     "q82_rpc_warp" -> OracleHashSql.q82Rpc,
+    "q83_tps_forward" -> OracleHashSql.q83Tps,
+    "q84_tps_warp" -> OracleHashSql.q84Tps,
     "q79_gcp_warp" ->
       // independent Cramer solve of the SAME 3-GCP system (generic det3
       // formulas over the literals, sign-normalized so den > 0), then the

@@ -299,7 +299,32 @@ object Raster {
     * in-grid samples drop; uncovered pixels inside an emitted tile are 0. */
   def warpRpcNear(tiles: DataFrame, m: graft.core.Rpc.Model,
                   srcW: Long, srcH: Long, dstW: Long, dstH: Long,
-                  lon0: Double, lonStep: Double, lat0: Double, latStep: Double): DataFrame = {
+                  lon0: Double, lonStep: Double, lat0: Double, latStep: Double): DataFrame =
+    warpPointNear(tiles,
+      (gx, gy) => graft.core.Rpc.sampLine(m, lon0 + gx * lonStep, lat0 + gy * latStep, 0.0),
+      srcW, srcH, dstW, dstH)
+
+  /** TPS-georeferenced warp, nearest kernel (reference:
+    * alg/thinplatespline.cpp via GDALCreateTPSTransformer + gdalwarp):
+    * the dst→src pixel mapping is the fitted spline [[graft.core.Tps]];
+    * same dst-driven routing as the RPC warp. The 4 px routing pad holds
+    * because the spline's deviation from its own 4-corner bbox across a
+    * 64-px tile is bounded by the mild demo curvature; the kernel's
+    * require() fails loud if a model ever violates it. */
+  def warpTpsNear(tiles: DataFrame, m: graft.core.Tps.Model,
+                  srcW: Long, srcH: Long, dstW: Long, dstH: Long): DataFrame =
+    warpPointNear(tiles, (gx, gy) => graft.core.Tps.eval(m, gx, gy), srcW, srcH, dstW, dstH)
+
+  /** Shared dst-driven router for warps whose dst→src map is an arbitrary
+    * smooth point transform (RPC, TPS): each dst tile's 4 corners map
+    * through `toSrc`, the src bbox + 4 px pad picks the src tiles to ship
+    * (SUPERSET — the exact kernel decides; require() fails loud if the
+    * smoothness invariant ever breaks), one equi-join + one shuffle keyed
+    * by dst tile, then an independent kernel per dst tile. Dst tiles with
+    * zero in-grid samples drop; uncovered pixels inside an emitted tile
+    * are 0. */
+  private def warpPointNear(tiles: DataFrame, toSrc: (Double, Double) => (Double, Double),
+                            srcW: Long, srcH: Long, dstW: Long, dstH: Long): DataFrame = {
     require(dstW % TW == 0 && dstH % TH == 0, "dst grid must be whole tiles")
     val spark = tiles.sparkSession
     import spark.implicits._
@@ -312,8 +337,7 @@ object Raster {
       .flatMap { case (dtx, dty) =>
         val gxs = Seq(dtx * w, dtx * w + (w - 1))
         val gys = Seq(dty * h, dty * h + (h - 1))
-        val pts = for (gx <- gxs; gy <- gys) yield
-          graft.core.Rpc.sampLine(m, lon0 + gx * lonStep, lat0 + gy * latStep, 0.0)
+        val pts = for (gx <- gxs; gy <- gys) yield toSrc(gx.toDouble, gy.toDouble)
         val sx0 = math.floor((pts.map(_._1).min - 4.0) / w).toLong
         val sx1 = math.floor((pts.map(_._1).max + 4.0) / w).toLong
         val sy0 = math.floor((pts.map(_._2).min - 4.0) / h).toLong
@@ -338,8 +362,7 @@ object Raster {
         var i = 0
         while (i < w * h) {
           val gdx = dtx * w + i % w; val gdy = dty * h + i / w
-          val (samp, line) = graft.core.Rpc.sampLine(m,
-            lon0 + gdx * lonStep, lat0 + gdy * latStep, 0.0)
+          val (samp, line) = toSrc(gdx.toDouble, gdy.toDouble)
           val sgx = math.floor(samp).toLong; val sgy = math.floor(line).toLong
           if (sgx >= 0 && sgx < srcW && sgy >= 0 && sgy < srcH) {
             val arr = srcs.get((sgy / h) * 1048576L + sgx / w)

@@ -391,4 +391,35 @@ class RasterSpec extends AnyFunSuite {
       math.floor(samp).toLong != gdx
     })
   }
+
+  test("warpTpsNear: distributed warp == per-pixel scalar replay of the spline") {
+    val spark = TestSpark.spark
+    val tiles = graft.synth.Synth.tiles(spark, 3) // 1024x512
+    val m = graft.core.Tps.demo
+    val out = Raster.warpTpsNear(tiles, m, 1024, 512, 1024, 512)
+    val got = out.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    def srcPx(gx: Long, gy: Long): Double =
+      ((gx / 64) * 131 + (gy / 64) * 173 + (gx % 64) * 7 + (gy % 64) * 11 + 3) % 256
+    // scalar replay of EVERY pixel in four spread tiles (incl. an edge tile
+    // where part of the window maps off-grid)
+    var expectTiles = Set.empty[(Long, Long)]
+    for ((dtx, dty) <- Seq((0L, 0L), (7L, 3L), (15L, 7L), (9L, 0L))) {
+      var any = false
+      val want = new Array[Double](64 * 64)
+      for (i <- 0 until 64 * 64) {
+        val gdx = dtx * 64 + i % 64; val gdy = dty * 64 + i / 64
+        val (samp, line) = graft.core.Tps.eval(m, gdx.toDouble, gdy.toDouble)
+        val sgx = math.floor(samp).toLong; val sgy = math.floor(line).toLong
+        if (sgx >= 0 && sgx < 1024 && sgy >= 0 && sgy < 512) {
+          want(i) = srcPx(sgx, sgy); any = true
+        }
+      }
+      if (any) { expectTiles += ((dtx, dty)); assert(got((dtx, dty)) == want.toSeq, s"tile ($dtx,$dty)") }
+    }
+    assert(expectTiles.forall(got.keySet.contains))
+    // the spline is not the identity anywhere useful: corner tile shifts
+    val identTile = (0 until 64 * 64).map(i => srcPx(i % 64, i / 64))
+    assert(got((0L, 0L)) != identTile)
+  }
 }
