@@ -448,6 +448,94 @@ FROM t GROUP BY 1, 2 HAVING count(val) > 0
 """
   }
 
+  /** q85: per-point polar stereographic variant B forward (EPSG 9829,
+    * core/Ps.forward) under the q73/q80 discipline: the single derived
+    * constant k = a·mF/tF embeds per CRS as the engine's exact runtime
+    * double, identical IEEE op order, cm quantization absorbs the
+    * transcendental ULPs. Both CRS are WGS84, so e / e/2 are shared. */
+  def q85Ps(qptsSql: String): String = {
+    val c1 = graft.core.Ps.crs3031; val c2 = graft.core.Ps.crs3413
+    def d(x: Double): String = java.lang.Double.toString(x)
+    val e = d(c1.e); val he = d(c1.halfE)
+    s"""
+WITH qp AS ($qptsSql),
+c AS (
+  SELECT q_id, lon, lat,
+    CASE WHEN q_id % 2 = 0 THEN 3031 ELSE 3413 END AS epsg,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.k)} ELSE ${d(c2.k)} END AS kk,
+    CASE WHEN q_id % 2 = 0 THEN 0.0 ELSE -45.0 END AS lon0,
+    q_id % 2 = 0 AS south
+  FROM qp),
+w AS (
+  SELECT *, CASE WHEN lon - lon0 > 180.0 THEN lon - lon0 - 360.0
+                 WHEN lon - lon0 < -180.0 THEN lon - lon0 + 360.0
+                 ELSE lon - lon0 END AS lamd FROM c),
+s1 AS (SELECT *, (lat / 180.0) * pi() AS phi, (lamd / 180.0) * pi() AS lam FROM w),
+s2 AS (SELECT *, sin(phi) AS sphi FROM s1),
+s3 AS (SELECT *,
+    CASE WHEN south
+      THEN tan(pi() / 4.0 + phi / 2.0) * exp($he * ln((1.0 - $e * sphi) / (1.0 + $e * sphi)))
+      ELSE tan(pi() / 4.0 - phi / 2.0) * exp($he * ln((1.0 + $e * sphi) / (1.0 - $e * sphi)))
+    END AS tt
+  FROM s2),
+s4 AS (SELECT *, kk * tt AS rho FROM s3),
+fin AS (
+  SELECT q_id, epsg,
+    0.0 + rho * sin(lam) AS e_m,
+    CASE WHEN south THEN 0.0 + rho * cos(lam) ELSE 0.0 - rho * cos(lam) END AS n_m
+  FROM s4)
+SELECT q_id, CAST(epsg AS INT) AS epsg,
+  CAST(floor(e_m * 100.0 + 0.5) AS BIGINT) AS e_cm,
+  CAST(floor(n_m * 100.0 + 0.5) AS BIGINT) AS n_cm
+FROM fin
+"""
+  }
+
+  /** q86: polar stereographic inverse — north-form φ fixed-point chain
+    * unrolled to the engine's exact 5 steps (q81 trick); south aspect
+    * mirrors via 0.0 − p5, bit-equal to the engine's unary negation. */
+  def q86PsInv: String = {
+    val c1 = graft.core.Ps.crs3031; val c2 = graft.core.Ps.crs3413
+    def d(x: Double): String = java.lang.Double.toString(x)
+    val e = d(c1.e); val he = d(c1.halfE)
+    def it(prev: String): String =
+      s"pi() / 2.0 - 2.0 * atan(tp * exp($he * ln((1.0 - $e * sin($prev)) / (1.0 + $e * sin($prev)))))"
+    s"""
+WITH sp AS (SELECT s_suppkey AS q_id FROM supplier),
+c AS (
+  SELECT q_id,
+    CASE WHEN q_id % 2 = 0 THEN 3031 ELSE 3413 END AS epsg,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.k)} ELSE ${d(c2.k)} END AS kk,
+    CASE WHEN q_id % 2 = 0 THEN 0.0 ELSE -45.0 END AS lon0,
+    q_id % 2 = 0 AS south
+  FROM sp),
+b AS (
+  SELECT *,
+    CAST((q_id * 48271) % 6000001 - 3000000 AS DOUBLE) AS e_m,
+    CAST((q_id * 16807) % 6000001 - 3000000 AS DOUBLE) AS n_m
+  FROM c),
+x0 AS (SELECT *, e_m - 0.0 AS dx,
+  CASE WHEN south THEN n_m - 0.0 ELSE 0.0 - n_m END AS dy FROM b),
+r1 AS (SELECT *, sqrt(dx * dx + dy * dy) AS rho, atan2(dx, dy) AS lam FROM x0),
+r2 AS (SELECT *, rho / kk AS tp FROM r1),
+i0 AS (SELECT *, pi() / 2.0 - 2.0 * atan(tp) AS p0 FROM r2),
+i1 AS (SELECT *, ${it("p0")} AS p1 FROM i0),
+i2 AS (SELECT *, ${it("p1")} AS p2 FROM i1),
+i3 AS (SELECT *, ${it("p2")} AS p3 FROM i2),
+i4 AS (SELECT *, ${it("p3")} AS p4 FROM i3),
+i5 AS (SELECT *, ${it("p4")} AS p5 FROM i4),
+fin AS (
+  SELECT q_id, epsg,
+    lon0 + (lam * 180.0) / pi() AS lon,
+    ((CASE WHEN south THEN 0.0 - p5 ELSE p5 END) * 180.0) / pi() AS lat
+  FROM i5)
+SELECT q_id, CAST(epsg AS INT) AS epsg,
+  CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS lon_e6,
+  CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS lat_e6
+FROM fin
+"""
+  }
+
   /** q83: TPS forward transform. The oracle's samp/line expressions are
     * THE SAME STRINGS (Tps.evalSql) the engine runs through Spark `expr`
     * — op-sequence identity by construction. Coefficients are the solved

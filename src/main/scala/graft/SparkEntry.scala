@@ -927,6 +927,43 @@ object SparkEntry {
         lon0 = -180.0, lonStep = 0.3515625, lat0 = 90.0, latStep = -0.3515625)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q85_ps_forward" -> ((s, dir) => {
+      // third general-SRS family (reference ogr/ogrct.cpp :: OGRProj4CT
+      // for PROJ's stere): polar stereographic variant B, EPSG:3031
+      // Antarctic (even q_id, south aspect) / EPSG:3413 NSIDC Arctic
+      // (odd, north aspect) via core/Ps.forward, cm-quantized; the oracle
+      // replays the chain op-for-op with the single derived constant
+      // k = a·mF/tF embedded per CRS (q73/q80 trick). Shuffle-free.
+      F.ensureRegistered(s)
+      Synth.queryPoints(s, dir)
+        .withColumn("epsg", when(col("q_id") % 2 === 0, lit(3031))
+          .otherwise(lit(3413)).cast("int"))
+        .withColumn("u", call_function("st_transform",
+          F.st_point(col("lon"), col("lat")), lit(4326), col("epsg")))
+        .select(col("q_id"), col("epsg"),
+          expr("CAST(floor(st_x(u) * 100.0 + 0.5) AS BIGINT)").as("e_cm"),
+          expr("CAST(floor(st_y(u) * 100.0 + 0.5) AS BIGINT)").as("n_cm"))
+    }),
+    "q86_ps_inverse" -> ((s, dir) => {
+      // polar stereographic inverse leg: deterministic integer-meter E/N
+      // in ±3000 km around each pole (exact doubles) back to 4326 through
+      // core/Ps.inverse — north-form φ fixed-point chain unrolled to 5
+      // steps (q81 trick), south aspect mirrored through φ→−φ which
+      // commutes bit-exactly with the degrees conversion. 1e-6-degree
+      // quantization absorbs transcendental ULPs. Shuffle-free.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("epsg", when(col("q_id") % 2 === 0, lit(3031))
+          .otherwise(lit(3413)).cast("int"))
+        .withColumn("e_m", (((col("q_id") * 48271) % 6000001) - lit(3000000)).cast("double"))
+        .withColumn("n_m", (((col("q_id") * 16807) % 6000001) - lit(3000000)).cast("double"))
+        .withColumn("u", F.st_transform(
+          F.st_point(col("e_m"), col("n_m")), col("epsg"), lit(4326)))
+        .select(col("q_id"), col("epsg"),
+          expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
+          expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
+    }),
     "q83_tps_forward" -> ((s, dir) => {
       // TPS transformer forward surface (reference alg/thinplatespline.cpp
       // :: VizGeorefSpline2D): per-row dst pixel coords (exact dyadic
@@ -1695,6 +1732,8 @@ object SparkEntry {
     "q81_lcc_inverse" -> OracleHashSql.q81LccInv,
     "q82_rpc_warp" -> OracleHashSql.q82Rpc,
     "q83_tps_forward" -> OracleHashSql.q83Tps,
+    "q85_ps_forward" -> OracleHashSql.q85Ps(qptsSql),
+    "q86_ps_inverse" -> OracleHashSql.q86PsInv,
     "q84_tps_warp" -> OracleHashSql.q84Tps,
     "q79_gcp_warp" ->
       // independent Cramer solve of the SAME 3-GCP system (generic det3

@@ -231,24 +231,26 @@ case class GeomWithDouble(left: Expression, right: Expression, op: String)
 
 /** st_transform(geom, src_srid, dst_srid) — closed-form pairs only:
   * 4326 (geodetic), 3857 (web mercator), the full WGS84 UTM family
-  * EPSG 32601-32660 / 32701-32760 (6th-order Krüger, core/Utm.scala) and
-  * the LCC 2SP pair EPSG 2154 / 3978 (Snyder 2SP, core/Lcc.scala).
-  * Any src→dst among those chains through 4326; other SRS stay a
-  * documented non-goal (SURVEY.md §2.2 — no PROJ in a stock JVM). */
+  * EPSG 32601-32660 / 32701-32760 (6th-order Krüger, core/Utm.scala),
+  * the LCC 2SP pair EPSG 2154 / 3978 (Snyder 2SP, core/Lcc.scala) and
+  * the polar-stereographic pair EPSG 3031 / 3413 (EPSG 9829 variant B,
+  * core/Ps.scala). Any src→dst among those chains through 4326; other
+  * SRS stay a documented non-goal (SURVEY.md §2.2 — no PROJ in a stock
+  * JVM). */
 case class StTransform(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
 
   private def supported(srid: Int): Boolean =
     srid == 4326 || srid == 3857 || graft.core.Utm.isUtm(srid) ||
-      graft.core.Lcc.isLcc(srid)
+      graft.core.Lcc.isLcc(srid) || graft.core.Ps.isPs(srid)
 
   override def nullSafeEval(g0: Any, s0: Any, d0: Any): Any = {
     val g = GeomOps.fromWkb(g0.asInstanceOf[Array[Byte]]).copy()
     val src = s0.asInstanceOf[Int]; val dst = d0.asInstanceOf[Int]
     if (src == dst) return GeomIO.toWkb(g)
     require(supported(src) && supported(dst),
-      s"st_transform supports 4326, 3857, UTM 326xx/327xx and LCC 2154/3978, got $src->$dst")
+      s"st_transform supports 4326, 3857, UTM 326xx/327xx, LCC 2154/3978 and polar-stereo 3031/3413, got $src->$dst")
     g.apply(new org.locationtech.jts.geom.CoordinateFilter {
       override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
         // hop 1: src → geodetic lon/lat
@@ -257,6 +259,9 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
           lon = TileMath.mercXToLon(c.x); lat = TileMath.mercYToLat(c.y)
         } else if (graft.core.Lcc.isLcc(src)) {
           val ll = graft.core.Lcc.inverse(c.x, c.y, graft.core.Lcc.byEpsg(src))
+          lon = ll._1; lat = ll._2
+        } else if (graft.core.Ps.isPs(src)) {
+          val ll = graft.core.Ps.inverse(c.x, c.y, graft.core.Ps.byEpsg(src))
           lon = ll._1; lat = ll._2
         } else if (src != 4326) {
           val (z, north) = graft.core.Utm.epsgZone(src)
@@ -269,6 +274,9 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
           c.x = TileMath.lonToMercX(lon); c.y = TileMath.latToMercY(lat)
         } else if (graft.core.Lcc.isLcc(dst)) {
           val en = graft.core.Lcc.forward(lon, lat, graft.core.Lcc.byEpsg(dst))
+          c.x = en._1; c.y = en._2
+        } else if (graft.core.Ps.isPs(dst)) {
+          val en = graft.core.Ps.forward(lon, lat, graft.core.Ps.byEpsg(dst))
           c.x = en._1; c.y = en._2
         } else {
           val (z, north) = graft.core.Utm.epsgZone(dst)

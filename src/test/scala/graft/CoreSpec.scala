@@ -280,6 +280,70 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(p.getDouble(3) - direct.getDouble(1)) < 1e-6)
   }
 
+  test("polar stereographic B: standard-parallel scale identity, pole anchor, round-trip") {
+    import graft.core.Ps
+    for (c <- Seq(Ps.crs3031, Ps.crs3413)) {
+      // defining property of variant B: point scale k(φ) = ρ/(a·m) is
+      // EXACTLY 1 at the standard parallel — structural check on the
+      // whole mF/tF/k derivation, independent of any test vector
+      val latF = if (c.epsg == 3031) -71.0 else 70.0
+      assert(math.abs(c.scaleFactor(latF) - 1.0) < 1e-12, s"k(φF) != 1 for ${c.epsg}")
+      // scale grows away from the pole, shrinks toward it
+      val toward = if (c.epsg == 3031) -85.0 else 85.0
+      val away = if (c.epsg == 3031) -55.0 else 55.0
+      assert(c.scaleFactor(toward) < 1.0 && c.scaleFactor(away) > 1.0)
+      // the pole itself maps to the false origin exactly (t = tan(0) = 0)
+      val pole = if (c.south) -90.0 else 90.0
+      val (pe, pn) = Ps.forward(123.0, pole, c)
+      assert(pe == c.fe && pn == c.fn)
+      // axis orientation (PROJ stere convention): on the central meridian
+      // at the standard parallel, E = 0 and N points away from λ0 for the
+      // north aspect (N < 0), toward it for the south aspect (N > 0)
+      val (e0, n0) = Ps.forward(c.lon0Deg, latF, c)
+      assert(math.abs(e0) < 1e-9)
+      if (c.south) assert(n0 > 2.0e6 && n0 < 2.2e6) else assert(n0 < -2.1e6 && n0 > -2.3e6)
+      // round-trip grid across the CRS's working area
+      val lats = if (c.epsg == 3031) -88 to -58 by 6 else 58 to 88 by 6
+      for (dloni <- -170 to 170 by 35; lati <- lats) {
+        val lon = c.lon0Deg + dloni; val lat = lati.toDouble
+        val (e, n) = Ps.forward(lon, lat, c)
+        val (lon2, lat2) = Ps.inverse(e, n, c)
+        assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+          s"round-trip drift at ($lon,$lat) epsg ${c.epsg}: ($lon2,$lat2)")
+      }
+    }
+    // λ−λ0 wrap for 3413 (λ0 = −45): lon 170 → λ−λ0 = 215 → −145
+    val (ew, nw) = graft.core.Ps.forward(170.0, 70.0, graft.core.Ps.crs3413)
+    val (lonw, latw) = graft.core.Ps.inverse(ew, nw, graft.core.Ps.crs3413)
+    assert(math.abs(latw - 70.0) < 1e-9 && math.abs(lonw - (170.0 - 360.0)) < 1e-9)
+  }
+
+  test("st_transform routes polar stereo <-> 4326 and chains to mercator") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    // McMurdo Station (~166.67E, 77.85S) in EPSG:3031
+    val wkt = Seq("POINT(166.67 -77.85)").toDF("wkt")
+      .select(F.st_geomfromwkt(col("wkt")).as("g"))
+    val p = wkt.select(F.st_transform(col("g"), lit(4326), lit(3031)).as("u"))
+      .select(F.st_x(col("u")).as("e"), F.st_y(col("u")).as("n"),
+        F.st_transform(F.st_point(col("e"), col("n")), lit(3031), lit(3857)).as("m"))
+      .select(col("e"), col("n"), F.st_x(col("m")).as("mx"), F.st_y(col("m")).as("my"))
+      .collect()(0)
+    // ~1350 km from the pole, in the +E (lon>0) / +N (|λ−λ0|<90 ... no:
+    // cos(166.67°) < 0 → N < 0) quadrant
+    val r = math.sqrt(p.getDouble(0) * p.getDouble(0) + p.getDouble(1) * p.getDouble(1))
+    assert(r > 1.2e6 && r < 1.5e6)
+    assert(p.getDouble(0) > 0 && p.getDouble(1) < 0)
+    // chained 3031→3857 equals direct 4326→3857 of the original point
+    val direct = wkt.select(F.st_transform(col("g"), lit(4326), lit(3857)).as("m"))
+      .select(F.st_x(col("m")), F.st_y(col("m"))).collect()(0)
+    assert(math.abs(p.getDouble(2) - direct.getDouble(0)) < 1e-6)
+    assert(math.abs(p.getDouble(3) - direct.getDouble(1)) < 1e-6)
+  }
+
   test("st_geomfromwkb / st_aswkb normalize foreign WKB to canonical bytes") {
     val spark = TestSpark.spark
     import spark.implicits._
