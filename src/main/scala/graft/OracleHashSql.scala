@@ -448,6 +448,132 @@ FROM t GROUP BY 1, 2 HAVING count(val) > 0
 """
   }
 
+  /** q87: BNG datum-shift forward — the full 4-stage chain (WGS84
+    * geodetic → geocentric → Helmert → Airy geodetic via 5 unrolled
+    * iterations → TM series) replicated op-for-op with every derived
+    * constant (ellipsoid e², series coefficients, M0, Helmert params)
+    * embedded as the engine's exact runtime doubles; cm quantization
+    * absorbs transcendental ULPs (q73 discipline). */
+  def q87Bng: String = {
+    import graft.core.Bng._
+    def d(x: Double): String = java.lang.Double.toString(x)
+    val (sE2W, sAW, sE2A, sAA, sEp2) = (d(e2W), d(aW), d(e2A), d(aA), d(ep2))
+    def geoIt(prev: String): String =
+      s"atan2(z2 + $sE2A * ($sAA / sqrt(1.0 - $sE2A * sin($prev) * sin($prev))) * sin($prev), p)"
+    s"""
+WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 12288 AS DOUBLE) / 1024.0 - 8.0 AS lon,
+    CAST((s_suppkey * 104729) % 11264 AS DOUBLE) / 1024.0 + 49.5 AS lat
+  FROM supplier),
+g1 AS (SELECT q_id, (lat / 180.0) * pi() AS phi, (lon / 180.0) * pi() AS lam FROM sp),
+g2 AS (SELECT *, sin(phi) AS sphi, cos(phi) AS cphi FROM g1),
+g3 AS (SELECT *, $sAW / sqrt(1.0 - $sE2W * sphi * sphi) AS nu FROM g2),
+g4 AS (SELECT q_id,
+    nu * cphi * cos(lam) AS x, nu * cphi * sin(lam) AS y,
+    nu * (1.0 - $sE2W) * sphi AS z
+  FROM g3),
+h1 AS (SELECT q_id,
+    ${d(tx)} + ${d(hs)} * (x - ${d(rz)} * y + ${d(ry)} * z) AS x2,
+    ${d(ty)} + ${d(hs)} * (${d(rz)} * x + y - ${d(rx)} * z) AS y2,
+    ${d(tz)} + ${d(hs)} * (${d(-ry)} * x + ${d(rx)} * y + z) AS z2
+  FROM g4),
+a1 AS (SELECT *, sqrt(x2 * x2 + y2 * y2) AS p, atan2(y2, x2) AS lam2 FROM h1),
+i0 AS (SELECT *, atan2(z2, p * (1.0 - $sE2A)) AS p0 FROM a1),
+i1 AS (SELECT *, ${geoIt("p0")} AS p1 FROM i0),
+i2 AS (SELECT *, ${geoIt("p1")} AS p2 FROM i1),
+i3 AS (SELECT *, ${geoIt("p2")} AS p3 FROM i2),
+i4 AS (SELECT *, ${geoIt("p3")} AS p4 FROM i3),
+i5 AS (SELECT *, ${geoIt("p4")} AS p5 FROM i4),
+t1 AS (SELECT q_id, lam2, p5 AS phi2 FROM i5),
+t2 AS (SELECT *, sin(phi2) AS s2a, cos(phi2) AS c2a, tan(phi2) AS tn FROM t1),
+t3 AS (SELECT *,
+    $sAA / sqrt(1.0 - $sE2A * s2a * s2a) AS nu2,
+    tn * tn AS ttt, $sEp2 * c2a * c2a AS ccc,
+    c2a * (lam2 - ${d(lon0Rad)}) AS ba
+  FROM t2),
+t4 AS (SELECT *, ba * ba AS a2 FROM t3),
+t5 AS (SELECT *, a2 * ba AS a3, a2 * a2 AS a4 FROM t4),
+t6 AS (SELECT *, a4 * ba AS a5, a4 * a2 AS a6,
+    $sAA * (${d(m0c)} * phi2 - ${d(m2c)} * sin(2.0 * phi2) + ${d(m4c)} * sin(4.0 * phi2) - ${d(m6c)} * sin(6.0 * phi2)) AS mm
+  FROM t5),
+fin AS (SELECT q_id,
+    ${d(fe)} + ${d(k0)} * nu2 * (ba + (1.0 - ttt + ccc) * a3 / 6.0 +
+      (5.0 - 18.0 * ttt + ttt * ttt + 72.0 * ccc - 58.0 * $sEp2) * a5 / 120.0) AS e_m,
+    ${d(fn)} + ${d(k0)} * (mm - ${d(m0v)} + nu2 * tn * (a2 / 2.0 +
+      (5.0 - ttt + 9.0 * ccc + 4.0 * ccc * ccc) * a4 / 24.0 +
+      (61.0 - 58.0 * ttt + ttt * ttt + 600.0 * ccc - 330.0 * $sEp2) * a6 / 720.0)) AS n_m
+  FROM t6)
+SELECT q_id,
+  CAST(floor(e_m * 100.0 + 0.5) AS BIGINT) AS e_cm,
+  CAST(floor(n_m * 100.0 + 0.5) AS BIGINT) AS n_cm
+FROM fin
+"""
+  }
+
+  /** q88: BNG inverse — TM footpoint series, Airy geocentric,
+    * reverse-sign Helmert, then the WGS84 5-step φ chain; constants and
+    * op order exactly the engine's (core/Bng.inverse). */
+  def q88BngInv: String = {
+    import graft.core.Bng._
+    def d(x: Double): String = java.lang.Double.toString(x)
+    val (sE2W, sAW, sE2A, sAA, sEp2) = (d(e2W), d(aW), d(e2A), d(aA), d(ep2))
+    def geoIt(prev: String): String =
+      s"atan2(z2 + $sE2W * ($sAW / sqrt(1.0 - $sE2W * sin($prev) * sin($prev))) * sin($prev), p)"
+    s"""
+WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST(100000 + (s_suppkey * 48271) % 500001 AS DOUBLE) AS e_m,
+    CAST((s_suppkey * 16807) % 1100001 AS DOUBLE) AS n_m
+  FROM supplier),
+u1 AS (SELECT *, ((n_m - ${d(fn)}) / ${d(k0)} + ${d(m0v)}) / ${d(muDen)} AS mu FROM sp),
+u2 AS (SELECT *, mu + ${d(f2c)} * sin(2.0 * mu) + ${d(f4c)} * sin(4.0 * mu) +
+    ${d(f6c)} * sin(6.0 * mu) + ${d(f8c)} * sin(8.0 * mu) AS phi1 FROM u1),
+u3 AS (SELECT *, sin(phi1) AS s1a, cos(phi1) AS c1a, tan(phi1) AS t1a FROM u2),
+u4 AS (SELECT *, sqrt(1.0 - $sE2A * s1a * s1a) AS den FROM u3),
+u5 AS (SELECT *, $sAA / den AS nu1, $sAA * (1.0 - $sE2A) / (den * den * den) AS rho1 FROM u4),
+u6 AS (SELECT *, (e_m - ${d(fe)}) / (nu1 * ${d(k0)}) AS dd,
+    t1a * t1a AS ttt1, $sEp2 * c1a * c1a AS cc1a FROM u5),
+u7 AS (SELECT *, dd * dd AS d2 FROM u6),
+u8 AS (SELECT *, d2 * dd AS d3, d2 * d2 AS d4 FROM u7),
+u9 AS (SELECT *, d4 * dd AS d5, d4 * d2 AS d6 FROM u8),
+v1 AS (SELECT q_id,
+    phi1 - (nu1 * t1a / rho1) * (d2 / 2.0 -
+      (5.0 + 3.0 * ttt1 + 10.0 * cc1a - 4.0 * cc1a * cc1a - 9.0 * $sEp2) * d4 / 24.0 +
+      (61.0 + 90.0 * ttt1 + 298.0 * cc1a + 45.0 * ttt1 * ttt1 - 252.0 * $sEp2 -
+        3.0 * cc1a * cc1a) * d6 / 720.0) AS phi2,
+    ${d(lon0Rad)} + (dd - (1.0 + 2.0 * ttt1 + cc1a) * d3 / 6.0 +
+      (5.0 - 2.0 * cc1a + 28.0 * ttt1 - 3.0 * cc1a * cc1a + 8.0 * $sEp2 +
+        24.0 * ttt1 * ttt1) * d5 / 120.0) / c1a AS lam2
+  FROM u9),
+v2 AS (SELECT *, sin(phi2) AS sp2, cos(phi2) AS cp2 FROM v1),
+v3 AS (SELECT *, $sAA / sqrt(1.0 - $sE2A * sp2 * sp2) AS nv FROM v2),
+v4 AS (SELECT q_id,
+    nv * cp2 * cos(lam2) AS x, nv * cp2 * sin(lam2) AS y,
+    nv * (1.0 - $sE2A) * sp2 AS z
+  FROM v3),
+w1 AS (SELECT q_id,
+    ${d(-tx)} + ${d(hsInv)} * (x + ${d(rz)} * y - ${d(ry)} * z) AS x2,
+    ${d(-ty)} + ${d(hsInv)} * (${d(-rz)} * x + y + ${d(rx)} * z) AS y2,
+    ${d(-tz)} + ${d(hsInv)} * (${d(ry)} * x - ${d(rx)} * y + z) AS z2
+  FROM v4),
+a1 AS (SELECT *, sqrt(x2 * x2 + y2 * y2) AS p, atan2(y2, x2) AS lam FROM w1),
+i0 AS (SELECT *, atan2(z2, p * (1.0 - $sE2W)) AS p0 FROM a1),
+i1 AS (SELECT *, ${geoIt("p0")} AS p1 FROM i0),
+i2 AS (SELECT *, ${geoIt("p1")} AS p2 FROM i1),
+i3 AS (SELECT *, ${geoIt("p2")} AS p3 FROM i2),
+i4 AS (SELECT *, ${geoIt("p3")} AS p4 FROM i3),
+i5 AS (SELECT *, ${geoIt("p4")} AS p5 FROM i4),
+fin AS (SELECT q_id,
+    (lam * 180.0) / pi() AS lon, (p5 * 180.0) / pi() AS lat
+  FROM i5)
+SELECT q_id,
+  CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS lon_e6,
+  CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS lat_e6
+FROM fin
+"""
+  }
+
   /** q85: per-point polar stereographic variant B forward (EPSG 9829,
     * core/Ps.forward) under the q73/q80 discipline: the single derived
     * constant k = a·mF/tF embeds per CRS as the engine's exact runtime

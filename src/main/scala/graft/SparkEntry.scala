@@ -927,6 +927,41 @@ object SparkEntry {
         lon0 = -180.0, lonStep = 0.3515625, lat0 = 90.0, latStep = -0.3515625)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q87_bng_forward" -> ((s, dir) => {
+      // first cross-DATUM transform (reference ogr/ogrct.cpp :: OGRProj4CT
+      // with towgs84): WGS84 → geocentric → 7-param position-vector
+      // Helmert → Airy 1830 geodetic (5-step unrolled iteration) → TM
+      // (core/Bng.scala). Dyadic UK-window points, cm-quantized; the
+      // oracle replays the full 4-stage chain op-for-op with every
+      // derived constant embedded as the engine's runtime double.
+      // Shuffle-free scan → project.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("lon", expr("CAST((q_id * 7919) % 12288 AS DOUBLE) / 1024.0 - 8.0"))
+        .withColumn("lat", expr("CAST((q_id * 104729) % 11264 AS DOUBLE) / 1024.0 + 49.5"))
+        .withColumn("u", F.st_transform(
+          F.st_point(col("lon"), col("lat")), lit(4326), lit(27700)))
+        .select(col("q_id"),
+          expr("CAST(floor(st_x(u) * 100.0 + 0.5) AS BIGINT)").as("e_cm"),
+          expr("CAST(floor(st_y(u) * 100.0 + 0.5) AS BIGINT)").as("n_cm"))
+    }),
+    "q88_bng_inverse" -> ((s, dir) => {
+      // BNG inverse leg: integer-meter E/N across the grid's published
+      // extent back to WGS84 through TM-inverse → Airy geocentric →
+      // reverse-sign Helmert → WGS84 geodetic (core/Bng.inverse);
+      // 1e-6-deg quantization (q76 trick). Shuffle-free.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("e_m", expr("CAST(100000 + (q_id * 48271) % 500001 AS DOUBLE)"))
+        .withColumn("n_m", expr("CAST((q_id * 16807) % 1100001 AS DOUBLE)"))
+        .withColumn("u", F.st_transform(
+          F.st_point(col("e_m"), col("n_m")), lit(27700), lit(4326)))
+        .select(col("q_id"),
+          expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
+          expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
+    }),
     "q85_ps_forward" -> ((s, dir) => {
       // third general-SRS family (reference ogr/ogrct.cpp :: OGRProj4CT
       // for PROJ's stere): polar stereographic variant B, EPSG:3031
@@ -1733,6 +1768,8 @@ object SparkEntry {
     "q82_rpc_warp" -> OracleHashSql.q82Rpc,
     "q83_tps_forward" -> OracleHashSql.q83Tps,
     "q85_ps_forward" -> OracleHashSql.q85Ps(qptsSql),
+    "q87_bng_forward" -> OracleHashSql.q87Bng,
+    "q88_bng_inverse" -> OracleHashSql.q88BngInv,
     "q86_ps_inverse" -> OracleHashSql.q86PsInv,
     "q84_tps_warp" -> OracleHashSql.q84Tps,
     "q79_gcp_warp" ->

