@@ -448,6 +448,55 @@ FROM t GROUP BY 1, 2 HAVING count(val) > 0
 """
   }
 
+  /** q89: circular-arc linearization replica (core/Arc.linearize). The
+    * dyadic lattice makes circumcenter/radius and BOTH endpoint angles
+    * bit-exact (exact Cramer sums; atan2(±0,x) is exact in every libm);
+    * the ceil carries the engine's own 1e-9 nudge so an exactly-integer
+    * sweep/step cannot flip the segment count across libms; interior
+    * cos/sin ULPs are absorbed by the 1e-6 quantization. */
+  def q89Curve: String = {
+    def m2p(x: String): String =
+      s"($x - 2.0 * pi() * floor(($x) / (2.0 * pi())))"
+    s"""
+WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 2048 AS DOUBLE) / 64.0 - 16.0 AS u,
+    CAST((s_suppkey * 104729) % 2048 AS DOUBLE) / 64.0 - 16.0 AS v,
+    1.0 + CAST(s_suppkey % 57 AS DOUBLE) / 64.0 AS r
+  FROM supplier),
+pts AS (
+  SELECT q_id, u - r AS ax, v AS ay, u AS bx,
+    CASE WHEN q_id % 3 = 0 THEN v + r ELSE v - r END AS by,
+    CASE WHEN q_id % 3 = 2 THEN u ELSE u + r END AS cx,
+    CASE WHEN q_id % 3 = 2 THEN v + r ELSE v END AS cy
+  FROM sp),
+c1 AS (SELECT *, 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by)) AS d,
+    ax * ax + ay * ay AS aa, bx * bx + by * by AS bb, cx * cx + cy * cy AS ccv
+  FROM pts),
+c2 AS (SELECT *, (aa * (by - cy) + bb * (cy - ay) + ccv * (ay - by)) / d AS ux,
+    (aa * (cx - bx) + bb * (ax - cx) + ccv * (bx - ax)) / d AS uy FROM c1),
+c3 AS (SELECT *, sqrt((ax - ux) * (ax - ux) + (ay - uy) * (ay - uy)) AS rr,
+    atan2(ay - uy, ax - ux) AS a0, atan2(by - uy, bx - ux) AS a1,
+    atan2(cy - uy, cx - ux) AS a2 FROM c2),
+c4 AS (SELECT *, ${m2p("a1 - a0")} AS ccw1, ${m2p("a2 - a0")} AS ccw2 FROM c3),
+c5 AS (SELECT *, ccw1 < ccw2 AS isccw,
+    CASE WHEN ccw1 < ccw2 THEN ccw2 ELSE ${m2p("a0 - a2")} END AS sweep FROM c4),
+c6 AS (SELECT *, GREATEST(CAST(1 AS BIGINT),
+    CAST(ceil(sweep / (pi() / 45.0) - 1.0E-9) AS BIGINT)) AS n FROM c5),
+vx AS (SELECT q_id, ux, uy, rr, a0, sweep, isccw, n, gs.i AS seq
+  FROM c6, generate_series(0, 68) gs(i) WHERE gs.i <= c6.n),
+ang AS (SELECT *,
+    CASE WHEN isccw THEN a0 + sweep * CAST(seq AS DOUBLE) / CAST(n AS DOUBLE)
+         ELSE a0 - sweep * CAST(seq AS DOUBLE) / CAST(n AS DOUBLE) END AS a
+  FROM vx),
+fin AS (SELECT q_id, seq, ux + rr * cos(a) AS x, uy + rr * sin(a) AS y FROM ang)
+SELECT q_id, CAST(seq AS BIGINT) AS seq,
+  CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS x_e6,
+  CAST(floor(y * 1000000.0 + 0.5) AS BIGINT) AS y_e6
+FROM fin
+"""
+  }
+
   /** q87: BNG datum-shift forward — the full 4-stage chain (WGS84
     * geodetic → geocentric → Helmert → Airy geodetic via 5 unrolled
     * iterations → TM series) replicated op-for-op with every derived

@@ -927,6 +927,39 @@ object SparkEntry {
         lon0 = -180.0, lonStep = 0.3515625, lat0 = 90.0, latStep = -0.3515625)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q89_curve_linearize" -> ((s, dir) => {
+      // curve geometries (reference ogr/ogr_geometry.h ::
+      // OGRCircularString [late-SVN], ogr/ogrgeometryfactory.cpp ::
+      // curveToLineString): per-row CIRCULARSTRING WKT over a dyadic
+      // lattice — exact circumcenter (Cramer on exact sums) and
+      // axis-crossing endpoints, so both endpoints' angles are IEEE-exact
+      // (atan2(±0,x)) — linearized on ingest by st_geomfromwkt at the 4°
+      // step; vertex rows via st_points + posexplode, 1e-6-quantized.
+      // Variants by q_id % 3: cw half, ccw half, ccw three-quarter arc.
+      // Shuffle-free scan → project → generate.
+      F.ensureRegistered(s)
+      val arc = "CIRCULARSTRING(%s %s, %s %s, %s %s)"
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("u", expr("CAST((q_id * 7919) % 2048 AS DOUBLE) / 64.0 - 16.0"))
+        .withColumn("v", expr("CAST((q_id * 104729) % 2048 AS DOUBLE) / 64.0 - 16.0"))
+        .withColumn("r", expr("1.0 + CAST(q_id % 57 AS DOUBLE) / 64.0"))
+        .withColumn("wkt",
+          when(col("q_id") % 3 === 0, format_string(arc,
+            col("u") - col("r"), col("v"), col("u"), col("v") + col("r"),
+            col("u") + col("r"), col("v")))
+          .when(col("q_id") % 3 === 1, format_string(arc,
+            col("u") - col("r"), col("v"), col("u"), col("v") - col("r"),
+            col("u") + col("r"), col("v")))
+          .otherwise(format_string(arc,
+            col("u") - col("r"), col("v"), col("u"), col("v") - col("r"),
+            col("u"), col("v") + col("r"))))
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .select(col("q_id"), posexplode(call_function("st_points", col("g"))))
+        .select(col("q_id"), col("pos").cast("long").as("seq"),
+          expr("CAST(floor(col.x * 1000000.0 + 0.5) AS BIGINT)").as("x_e6"),
+          expr("CAST(floor(col.y * 1000000.0 + 0.5) AS BIGINT)").as("y_e6"))
+    }),
     "q87_bng_forward" -> ((s, dir) => {
       // first cross-DATUM transform (reference ogr/ogrct.cpp :: OGRProj4CT
       // with towgs84): WGS84 → geocentric → 7-param position-vector
@@ -1769,6 +1802,7 @@ object SparkEntry {
     "q83_tps_forward" -> OracleHashSql.q83Tps,
     "q85_ps_forward" -> OracleHashSql.q85Ps(qptsSql),
     "q87_bng_forward" -> OracleHashSql.q87Bng,
+    "q89_curve_linearize" -> OracleHashSql.q89Curve,
     "q88_bng_inverse" -> OracleHashSql.q88BngInv,
     "q86_ps_inverse" -> OracleHashSql.q86PsInv,
     "q84_tps_warp" -> OracleHashSql.q84Tps,

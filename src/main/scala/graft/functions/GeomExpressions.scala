@@ -33,10 +33,39 @@ case class StGeomFromWkt(child: Expression)
     // must tolerate the convention. Truly malformed WKT still throws.
     val s = v.asInstanceOf[UTF8String].toString
     if (s.isEmpty || s.forall(_.isWhitespace)) null
+    // curve WKT (CIRCULARSTRING/COMPOUNDCURVE/CURVEPOLYGON/MULTICURVE)
+    // linearizes on ingest (core/Arc) — JTS/GEOS has no native arcs, and
+    // this is the reference's own OGR_G_GetLinearGeometry route
+    else if (graft.core.Arc.isCurveWkt(s)) GeomIO.toWkb(graft.core.Arc.fromCurveWkt(s))
     else GeomIO.toWkb(GeomIO.fromWkt(s))
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "st_geomfromwkt"
+}
+
+/** st_points(geom) → array<struct<x,y>> of the geometry's coordinate
+  * sequence in storage order (the analog of the reference's
+  * OGR_G_GetPoint iteration / ST_DumpPoints) — pairs with posexplode for
+  * vertex-row outputs. */
+case class StPoints(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeomOps.fromWkb(v.asInstanceOf[Array[Byte]])
+    val cs = g.getCoordinates
+    val rows = new Array[Any](cs.length)
+    var i = 0
+    while (i < cs.length) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(cs(i).x, cs(i).y)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_points"
 }
 
 /** st_geomfromwkb(binary) → canonical WKB: parses (validating the byte

@@ -403,6 +403,65 @@ class CoreSpec extends AnyFunSuite {
     assert(r.getDouble(1) > 175000 && r.getDouble(1) < 185000)
   }
 
+  test("curve WKT linearizes on ingest: arcs, compound, curvepolygon, multicurve") {
+    import graft.core.{Arc, GeomIO}
+    // half circle r=2 about (10, 5): 46 vertices (4° step), all on-circle
+    val half = Arc.fromCurveWkt("CIRCULARSTRING(8 5, 10 7, 12 5)")
+    assert(half.getGeometryType == "LineString")
+    assert(half.getNumPoints == 46)
+    half.getCoordinates.foreach { c =>
+      val d = math.hypot(c.x - 10.0, c.y - 5.0)
+      assert(math.abs(d - 2.0) < 1e-9, s"off-circle vertex $c")
+    }
+    // endpoints land exactly (axis-crossing angles are IEEE-exact)
+    assert(math.abs(half.getCoordinates.head.x - 8.0) < 1e-12)
+    assert(math.abs(half.getCoordinates.last.x - 12.0) < 1e-12)
+    // arc length ≈ πr with the inscribed-chord deficit under 0.1%
+    assert(math.abs(half.getLength - math.Pi * 2.0) / (math.Pi * 2.0) < 1e-3)
+    // chained arcs: 5-point CIRCULARSTRING = two joined arcs, one shared
+    // join vertex (92 - 1)
+    val chain = Arc.fromCurveWkt("CIRCULARSTRING(8 5, 10 7, 12 5, 14 3, 16 5)")
+    assert(chain.getNumPoints == 91)
+    // COMPOUNDCURVE arc + straight segment stays connected
+    val comp = Arc.fromCurveWkt("COMPOUNDCURVE(CIRCULARSTRING(0 0, 1 1, 2 0), (2 0, 4 0))")
+    assert(comp.getGeometryType == "LineString")
+    val cs = comp.getCoordinates
+    assert(cs.last.x == 4.0 && cs.last.y == 0.0)
+    // junction vertex (2,0) appears exactly once (shared endpoint deduped)
+    assert(cs(cs.length - 2).distance(new org.locationtech.jts.geom.Coordinate(2, 0)) < 1e-9)
+    assert(cs.count(c => c.distance(new org.locationtech.jts.geom.Coordinate(2, 0)) < 1e-9) == 1)
+    // CURVEPOLYGON with a full circular ring: area ≈ πr² (inscribed
+    // polygon deficit ~(2π/n)²/6 ≈ 0.3% at n≈90)
+    val poly = Arc.fromCurveWkt("CURVEPOLYGON(CIRCULARSTRING(-3 0, 0 3, 3 0, 0 -3, -3 0))")
+    assert(poly.getGeometryType == "Polygon")
+    assert(math.abs(poly.getArea - math.Pi * 9.0) / (math.Pi * 9.0) < 0.01)
+    // MULTICURVE
+    val mc = Arc.fromCurveWkt("MULTICURVE(CIRCULARSTRING(0 0, 1 1, 2 0), (5 5, 6 6))")
+    assert(mc.getGeometryType == "MultiLineString" && mc.getNumGeometries == 2)
+    // collinear control points degrade to the 3-point polyline
+    val lin = Arc.fromCurveWkt("CIRCULARSTRING(0 0, 1 1, 2 2)")
+    assert(lin.getNumPoints == 3)
+    // the st_geomfromwkt surface routes curve WKT (WKB round-trips)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    val n = Seq("CURVEPOLYGON(CIRCULARSTRING(-3 0, 0 3, 3 0, 0 -3, -3 0))").toDF("wkt")
+      .select(F.st_geomfromwkt(col("wkt")).as("g"))
+      .select(call_function("st_points", col("g")).as("p"))
+      .select(size(col("p"))).collect()(0).getInt(0)
+    // 46 + 45 chain vertices; the ring closure appends one more because
+    // the two arc endpoints recompute from ±π angles and differ by
+    // ±r·sin(π_double) ≈ 3.7e-16 in y — closeRing makes it exact
+    assert(n == 92, s"full-circle ring vertex count: $n")
+    // non-curve WKT still takes the JTS path untouched
+    val normal = Seq("POINT(1 2)").toDF("wkt")
+      .select(F.st_geomfromwkt(col("wkt")).as("g"))
+      .select(F.st_x(col("g"))).collect()(0).getDouble(0)
+    assert(normal == 1.0)
+  }
+
   test("st_geomfromwkb / st_aswkb normalize foreign WKB to canonical bytes") {
     val spark = TestSpark.spark
     import spark.implicits._
