@@ -448,6 +448,55 @@ FROM t GROUP BY 1, 2 HAVING count(val) > 0
 """
   }
 
+  /** q90: RAT per-class stats replayed per-pixel over the closed-form
+    * grid; engine sums are exact BIGINT by construction, so plain
+    * integer aggregation matches (outer CASTs per the q56 HUGEINT
+    * lesson). */
+  def q90Rat: String = """
+WITH px AS (
+  SELECT dx.i AS gx, dy.i AS gy
+  FROM generate_series(0, 1023) dx(i), generate_series(0, 511) dy(i)),
+v AS (
+  SELECT ((gx // 64)*131 + (gy // 64)*173 + (gx % 64)*7 + (gy % 64)*11 + 3) % 256 AS val
+  FROM px)
+SELECT CAST(floor(CAST(val AS DOUBLE) / 16.0) AS BIGINT) AS cls,
+  CAST(count(*) AS BIGINT) AS cnt,
+  min(CAST(val AS DOUBLE)) AS mn,
+  max(CAST(val AS DOUBLE)) AS mx,
+  CAST(sum(CAST(val AS BIGINT)) AS BIGINT) AS sm
+FROM v GROUP BY 1
+"""
+
+  /** q91: style-string parse vs direct reconstruction — the oracle
+    * rebuilds the (tool, seq, k, v) rows from the same q_id arithmetic
+    * the engine used to BUILD the style text, so the engine's parser is
+    * graded against ground truth, not against another parser. */
+  def q91Style: String = """
+WITH sp AS (SELECT s_suppkey AS q_id FROM supplier),
+allr AS (
+  SELECT q_id, 'PEN' AS tool, CAST(0 AS BIGINT) AS seq, 'c' AS k,
+    '#' || printf('%06x', (q_id * 2654435761) % 16777216) AS v
+  FROM sp WHERE q_id % 3 = 0
+  UNION ALL
+  SELECT q_id, 'PEN', CAST(1 AS BIGINT), 'w',
+    CAST(q_id % 10 + 1 AS VARCHAR) || 'px' FROM sp WHERE q_id % 3 = 0
+  UNION ALL
+  SELECT q_id, 'BRUSH', CAST(0 AS BIGINT), 'fc',
+    '#' || printf('%06x', (q_id * 2654435761) % 16777216) FROM sp WHERE q_id % 3 = 1
+  UNION ALL
+  SELECT q_id, 'BRUSH', CAST(1 AS BIGINT), 'bc',
+    '#' || printf('%06x', (q_id * 40503) % 16777216) FROM sp WHERE q_id % 3 = 1
+  UNION ALL
+  SELECT q_id, 'LABEL', CAST(0 AS BIGINT), 'f', 'Arial Narrow' FROM sp WHERE q_id % 3 = 2
+  UNION ALL
+  SELECT q_id, 'LABEL', CAST(1 AS BIGINT), 's',
+    CAST(q_id % 31 + 6 AS VARCHAR) || 'pt' FROM sp WHERE q_id % 3 = 2
+  UNION ALL
+  SELECT q_id, 'LABEL', CAST(2 AS BIGINT), 't',
+    'doc ' || CAST(q_id AS VARCHAR) FROM sp WHERE q_id % 3 = 2)
+SELECT q_id, tool, seq, k, v FROM allr
+"""
+
   /** q89: circular-arc linearization replica (core/Arc.linearize). The
     * dyadic lattice makes circumcenter/radius and BOTH endpoint angles
     * bit-exact (exact Cramer sums; atan2(±0,x) is exact in every libm);

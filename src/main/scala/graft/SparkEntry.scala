@@ -927,6 +927,38 @@ object SparkEntry {
         lon0 = -180.0, lonStep = 0.3515625, lat0 = 90.0, latStep = -0.3515625)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q90_rat" -> ((s, dir) => {
+      // raster attribute table (reference gcore/gdal_rat.cpp): per-class
+      // count/min/max/sum over the zoom-3 band, classes = value/16
+      // buckets over a 20-class domain (4 provably empty — dropped).
+      // Per-tile partial rows via codegen'd HOFs (20 rows/tile, never
+      // per-pixel), one hash agg, exact BIGINT sums.
+      F.ensureRegistered(s)
+      Raster.rat(Synth.tiles(s, 3), nClasses = 20, classWidth = 16.0)
+    }),
+    "q91_style" -> ((s, dir) => {
+      // feature style strings (reference ogr/ogrfeaturestyle.cpp): build
+      // a deterministic PEN/BRUSH/LABEL style per row, parse with
+      // style_tool/style_params, emit one row per (q_id, param). The
+      // LABEL branch exercises quoted values (quotes stripped, inner
+      // spaces kept). Shuffle-free scan → project → generate.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("style",
+          when(col("q_id") % 3 === 0, format_string("PEN(c:#%06x,w:%spx)",
+            pmod(col("q_id") * 2654435761L, lit(16777216L)), col("q_id") % 10 + 1))
+          .when(col("q_id") % 3 === 1, format_string("BRUSH(fc:#%06x,bc:#%06x)",
+            pmod(col("q_id") * 2654435761L, lit(16777216L)),
+            pmod(col("q_id") * 40503L, lit(16777216L))))
+          .otherwise(format_string("LABEL(f:\"Arial Narrow\",s:%spt,t:\"doc %s\")",
+            col("q_id") % 31 + 6, col("q_id"))))
+        .withColumn("tool", call_function("style_tool", col("style")))
+        .select(col("q_id"), col("tool"),
+          posexplode(call_function("style_params", col("style"))))
+        .select(col("q_id"), col("tool"), col("pos").cast("long").as("seq"),
+          col("col.k").as("k"), col("col.v").as("v"))
+    }),
     "q89_curve_linearize" -> ((s, dir) => {
       // curve geometries (reference ogr/ogr_geometry.h ::
       // OGRCircularString [late-SVN], ogr/ogrgeometryfactory.cpp ::
@@ -1803,6 +1835,8 @@ object SparkEntry {
     "q85_ps_forward" -> OracleHashSql.q85Ps(qptsSql),
     "q87_bng_forward" -> OracleHashSql.q87Bng,
     "q89_curve_linearize" -> OracleHashSql.q89Curve,
+    "q90_rat" -> OracleHashSql.q90Rat,
+    "q91_style" -> OracleHashSql.q91Style,
     "q88_bng_inverse" -> OracleHashSql.q88BngInv,
     "q86_ps_inverse" -> OracleHashSql.q86PsInv,
     "q84_tps_warp" -> OracleHashSql.q84Tps,

@@ -79,6 +79,8 @@ object F {
         "hamming64"      -> (e => Hamming64(e(0), e(1))),
         "jaccard_shingles" -> (e => JaccardShingles(e(0), e(1), e(2))),
         "lang_id"        -> (e => LangId(e.head)),
+        "style_tool"     -> (e => StyleTool(e.head)),
+        "style_params"   -> (e => StyleParams(e.head)),
         "quality_score"  -> (e => QualityScore(e.head)),
         "fingerprint64"  -> (e => Fingerprint64(e.head)),
         "cosine_sim"     -> (e => CosineSim(e(0), e(1))),

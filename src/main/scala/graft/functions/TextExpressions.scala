@@ -223,3 +223,60 @@ case class SignLshBuckets(first: Expression, second: Expression, third: Expressi
     copy(a, b, c)
   override def prettyName: String = "sign_lsh_buckets"
 }
+
+/** OGR feature-style-string parsing (reference: ogr/ogrfeaturestyle.cpp
+  * :: OGRStyleMgr/OGRStyleTool — the PEN/BRUSH/SYMBOL/LABEL mini-language
+  * attached to features as `TOOL(key:value,...)`). style_tool extracts
+  * the tool name; style_params returns the (k,v) pairs in source order
+  * (array<struct<k,v>>, pairs with posexplode). Values keep everything
+  * after the first ':' (so LABEL t:"a:b" survives) with ONE pair of
+  * surrounding double quotes stripped, and top-level commas inside
+  * quotes do not split — the reference's own tokenizer rules. */
+case class StyleTool(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val i = s.indexOf('(')
+    if (i <= 0 || !s.trim.endsWith(")")) null
+    else UTF8String.fromString(s.substring(0, i).trim.toUpperCase)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "style_tool"
+}
+
+case class StyleParams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("k", StringType, nullable = false),
+    StructField("v", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString.trim
+    val open = s.indexOf('(')
+    if (open <= 0 || !s.endsWith(")")) return null
+    val body = s.substring(open + 1, s.length - 1)
+    // split top-level commas (quotes guard), then k:v at the FIRST colon
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    body.foreach {
+      case '"' => inQ = !inQ; cur += '"'
+      case ',' if !inQ => parts += cur.result(); cur.clear()
+      case ch => cur += ch
+    }
+    if (cur.nonEmpty) parts += cur.result()
+    val rows = parts.filter(_.trim.nonEmpty).map { p =>
+      val c = p.indexOf(':')
+      val (k, raw) = if (c < 0) (p.trim, "") else (p.substring(0, c).trim, p.substring(c + 1).trim)
+      val vv = if (raw.length >= 2 && raw.head == '"' && raw.last == '"')
+        raw.substring(1, raw.length - 1) else raw
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(k.toLowerCase), UTF8String.fromString(vv))
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "style_params"
+}

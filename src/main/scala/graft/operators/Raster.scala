@@ -564,6 +564,30 @@ object Raster {
     (mapped, pal)
   }
 
+  /** Raster attribute table (reference: gcore/gdal_rat.cpp ::
+    * GDALDefaultRasterAttributeTable, the `gdalinfo -stats`/RAT per-class
+    * row model): one row per class (value bucket) with count / min / max
+    * / sum over the band. Plan: per-tile PARTIAL rows via codegen'd HOFs
+    * over the class domain — nClasses rows per tile, never per-pixel —
+    * then ONE hash agg; the per-tile sum is cast to BIGINT (pixel values
+    * are integer-valued doubles) so the cross-tile SUM is exact and
+    * combine-order-free, which is what makes the oracle comparable. */
+  def rat(tiles: DataFrame, nClasses: Int, classWidth: Double): DataFrame = {
+    val cls = s"CAST(floor(p / ${classWidth}D) AS INT)"
+    tiles
+      .select(posexplode(expr(
+        s"""transform(sequence(0, ${nClasses - 1}), c -> named_struct(
+           'cnt', size(filter(pixels, p -> $cls = c)),
+           'mn', array_min(filter(pixels, p -> $cls = c)),
+           'mx', array_max(filter(pixels, p -> $cls = c)),
+           'sm', CAST(aggregate(filter(pixels, p -> $cls = c), 0.0D, (a, p) -> a + p) AS BIGINT)))""")))
+      .select(col("pos").cast("long").as("cls"), col("col.*"))
+      .groupBy("cls")
+      .agg(sum(col("cnt")).cast("long").as("cnt"), min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"), sum(col("sm")).as("sm"))
+      .filter(col("cnt") > 0)
+  }
+
   /** pct2rgb (reference: swig/python/scripts/pct2rgb.py) — the inverse of
     * rgb2pct: expand a palette-indexed raster back to 3 RGB bands via a
     * plan-time literal palette lookup (codegen'd element_at over a ≤256

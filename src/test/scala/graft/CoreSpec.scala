@@ -462,6 +462,31 @@ class CoreSpec extends AnyFunSuite {
     assert(normal == 1.0)
   }
 
+  test("style strings: tool + params parse, quoted commas/colons survive") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    def parse(s: String): (String, Seq[(String, String)]) = {
+      val r = Seq(s).toDF("s")
+        .select(call_function("style_tool", col("s")).as("t"),
+          call_function("style_params", col("s")).as("p")).collect()(0)
+      (r.getString(0), r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getString(1))))
+    }
+    assert(parse("PEN(c:#ff0000,w:2px)") ==
+      (("PEN", Seq("c" -> "#ff0000", "w" -> "2px"))))
+    // quoted value keeps commas and colons; quotes stripped; keys fold to
+    // lower case like the reference's case-insensitive param lookup
+    assert(parse("""LABEL(F:"Arial, Bold",T:"a:b,c")""") ==
+      (("LABEL", Seq("f" -> "Arial, Bold", "t" -> "a:b,c"))))
+    // malformed (no parens) → null tool and params
+    val bad = Seq("nonsense").toDF("s")
+      .select(call_function("style_tool", col("s")).isNull.as("tn"),
+        call_function("style_params", col("s")).isNull.as("pn")).collect()(0)
+    assert(bad.getBoolean(0) && bad.getBoolean(1))
+  }
+
   test("st_geomfromwkb / st_aswkb normalize foreign WKB to canonical bytes") {
     val spark = TestSpark.spark
     import spark.implicits._

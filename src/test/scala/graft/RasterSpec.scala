@@ -392,6 +392,25 @@ class RasterSpec extends AnyFunSuite {
     })
   }
 
+  test("rat: per-class stats == per-pixel brute force; empty classes dropped") {
+    val spark = TestSpark.spark
+    val tiles = graft.synth.Synth.tiles(spark, 2) // 512x256
+    val got = Raster.rat(tiles, nClasses = 20, classWidth = 16.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // brute force over the closed-form grid
+    val brute = scala.collection.mutable.Map.empty[Long, (Long, Double, Double, Long)]
+    for (gx <- 0L until 512L; gy <- 0L until 256L) {
+      val v = ((gx / 64) * 131 + (gy / 64) * 173 + (gx % 64) * 7 + (gy % 64) * 11 + 2) % 256 // + zoom
+      val cls = v / 16
+      val (c, mn, mx, sm) = brute.getOrElse(cls, (0L, Double.MaxValue, Double.MinValue, 0L))
+      brute(cls) = (c + 1, math.min(mn, v.toDouble), math.max(mx, v.toDouble), sm + v)
+    }
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (cls, t) => assert(t == brute(cls), s"class $cls") }
+    // classes 16..19 can never occur (values < 256)
+    assert(got.keySet.forall(_ < 16))
+  }
+
   test("warpTpsNear: distributed warp == per-pixel scalar replay of the spline") {
     val spark = TestSpark.spark
     val tiles = graft.synth.Synth.tiles(spark, 3) // 1024x512
