@@ -91,19 +91,67 @@ class PlanSpec extends AnyFunSuite {
 
   test("q73: UTM forward is scan -> project, no shuffle before the aggregate-free sink") {
     val p = plan("q73_utm_forward")
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains(") Exchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q76: UTM inverse is scan -> project, shuffle-free like q73") {
     val p = plan("q76_utm_inverse")
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains(") Exchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q77: JPEG round-trip is map-side only — no join, no shuffle") {
     val p = plan("q77_jpeg_roundtrip")
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains(") Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("projection families (LCC/PS/BNG/TPS fwd+inv) are scan -> project, shuffle-free") {
+    for (q <- Seq("q80_lcc_forward", "q81_lcc_inverse", "q85_ps_forward",
+        "q86_ps_inverse", "q87_bng_forward", "q88_bng_inverse", "q83_tps_forward")) {
+      val p = plan(q)
+      assert(!p.contains(") Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), q)
+    }
+  }
+
+  test("q83: TPS forward stays inside whole-stage codegen (expr path, no UDF)") {
+    val p = plan("q83_tps_forward")
+    assert(p.contains("[codegen id"), p) // formatted mode's codegen marker
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q82/q84 point-map warps: ONE tile-keyed shuffle family, equi-join routing, no cartesian") {
+    for (q <- Seq("q82_rpc_warp", "q84_tps_warp")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), s"$q:\n$p")
+      // routing join is an equi-join on (stx, sty)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q lost its equi-join:\n$p")
+    }
+  }
+
+  test("q89: curve linearization is scan -> project -> generate, shuffle-free") {
+    val p = plan("q89_curve_linearize")
+    assert(!p.contains(") Exchange"), p)
+    assert(p.contains("Generate"), p) // posexplode of st_points
+  }
+
+  test("q90: RAT is per-tile partial rows -> ONE hash agg; never a per-pixel explode") {
+    val p = plan("q90_rat")
+    // exactly one aggregation pair (partial+final) over the exploded
+    // class rows; the explode generates nClasses (20) rows per tile
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    // one shuffle: the class-keyed aggregate exchange
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("q91: style parse is shuffle-free scan -> project -> generate") {
+    val p = plan("q91_style")
+    assert(!p.contains(") Exchange"), p)
     assert(!p.contains("Join"), p)
   }
 }
