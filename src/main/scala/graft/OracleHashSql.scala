@@ -448,6 +448,63 @@ FROM t GROUP BY 1, 2 HAVING count(val) > 0
 """
   }
 
+  /** q93: haversine replica — engine op order exactly (toRadians as
+    * (x/180)·π, sin half-angles squared, min(1,·) clamp), mm quantization
+    * absorbing the sin/cos/asin libm ULPs. */
+  def q93Sphere: String = """
+WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 368640 AS DOUBLE) / 1024.0 - 180.0 AS lon1,
+    CAST((s_suppkey * 104729) % 163840 AS DOUBLE) / 1024.0 - 80.0 AS lat1,
+    CAST((s_suppkey * 48271) % 368640 AS DOUBLE) / 1024.0 - 180.0 AS lon2,
+    CAST((s_suppkey * 16807) % 163840 AS DOUBLE) / 1024.0 - 80.0 AS lat2
+  FROM supplier),
+r1 AS (SELECT q_id,
+    (lat1 / 180.0) * pi() AS phi1, (lat2 / 180.0) * pi() AS phi2,
+    ((lat2 - lat1) / 180.0) * pi() AS dphi,
+    ((lon2 - lon1) / 180.0) * pi() AS dlam
+  FROM sp),
+r2 AS (SELECT *, sin(dphi / 2.0) AS sp2, sin(dlam / 2.0) AS sl2 FROM r1),
+r3 AS (SELECT *, sp2 * sp2 + cos(phi1) * cos(phi2) * (sl2 * sl2) AS h FROM r2),
+fin AS (SELECT q_id, 2.0 * 6371008.8 * asin(LEAST(1.0, sqrt(h))) AS d FROM r3)
+SELECT q_id, CAST(floor(d * 1000.0 + 0.5) AS BIGINT) AS dist_mm FROM fin
+"""
+
+  /** q92: segmentize replica — BIT-exact with no quantization: the whole
+    * chain is −,·,/,sqrt,ceil (all exactly rounded IEEE ops), original
+    * vertices copy through untouched, interiors interpolate with the
+    * engine's exact op order. */
+  def q92Segmentize: String = """
+WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 64.0 AS ax,
+    CAST((s_suppkey * 104729) % 1024 AS DOUBLE) / 64.0 AS ay,
+    0.5 + CAST(s_suppkey % 4 AS DOUBLE) / 8.0 AS ml
+  FROM supplier),
+p2 AS (SELECT *, ax + 1.0 + CAST(q_id % 13 AS DOUBLE) / 2.0 AS bx,
+    ay + CAST(q_id % 7 AS DOUBLE) / 4.0 AS by FROM sp),
+p3 AS (SELECT *, bx - CAST(q_id % 5 AS DOUBLE) / 2.0 AS cx,
+    by + 2.0 + CAST(q_id % 11 AS DOUBLE) / 8.0 AS cy FROM p2),
+segs AS (
+  SELECT q_id, ml, 0 AS seg, ax AS x0, ay AS y0, bx AS x1, by AS y1 FROM p3
+  UNION ALL
+  SELECT q_id, ml, 1, bx, by, cx, cy FROM p3),
+sn AS (SELECT *, x1 - x0 AS dx, y1 - y0 AS dy FROM segs),
+sn2 AS (SELECT *, GREATEST(CAST(1 AS BIGINT),
+    CAST(ceil(sqrt(dx * dx + dy * dy) / ml) AS BIGINT)) AS n FROM sn),
+verts AS (
+  SELECT q_id, -1 AS seg, 0 AS k, ax AS x, ay AS y FROM p3
+  UNION ALL
+  SELECT q_id, seg, gs.i AS k,
+    CASE WHEN gs.i = n THEN x1 ELSE x0 + dx * CAST(gs.i AS DOUBLE) / CAST(n AS DOUBLE) END,
+    CASE WHEN gs.i = n THEN y1 ELSE y0 + dy * CAST(gs.i AS DOUBLE) / CAST(n AS DOUBLE) END
+  FROM sn2, generate_series(1, 32) gs(i) WHERE gs.i <= sn2.n)
+SELECT q_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY seg, k) - 1 AS BIGINT) AS seq,
+  x, y
+FROM verts
+"""
+
   /** q90: RAT per-class stats replayed per-pixel over the closed-form
     * grid; engine sums are exact BIGINT by construction, so plain
     * integer aggregation matches (outer CASTs per the q56 HUGEINT

@@ -927,6 +927,49 @@ object SparkEntry {
         lon0 = -180.0, lonStep = 0.3515625, lat0 = 90.0, latStep = -0.3515625)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q93_sphere_distance" -> ((s, dir) => {
+      // great-circle distance surface (reference geodesic path; sphere
+      // approximation documented): per-row dyadic point pairs through
+      // st_distance_sphere, mm-quantized — the oracle replays the
+      // haversine op-for-op (sin/cos/asin ULPs absorbed by the mm
+      // quantum). Shuffle-free scan → project.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("lon1", expr("CAST((q_id * 7919) % 368640 AS DOUBLE) / 1024.0 - 180.0"))
+        .withColumn("lat1", expr("CAST((q_id * 104729) % 163840 AS DOUBLE) / 1024.0 - 80.0"))
+        .withColumn("lon2", expr("CAST((q_id * 48271) % 368640 AS DOUBLE) / 1024.0 - 180.0"))
+        .withColumn("lat2", expr("CAST((q_id * 16807) % 163840 AS DOUBLE) / 1024.0 - 80.0"))
+        .withColumn("d", call_function("st_distance_sphere",
+          F.st_point(col("lon1"), col("lat1")), F.st_point(col("lon2"), col("lat2"))))
+        .select(col("q_id"),
+          expr("CAST(floor(d * 1000.0 + 0.5) AS BIGINT)").as("dist_mm"))
+    }),
+    "q92_segmentize" -> ((s, dir) => {
+      // ogr2ogr -segmentize (reference ogr/ogrgeometry.cpp ::
+      // OGRGeometry::segmentize): per-row dyadic 3-point LINESTRING
+      // densified so no segment exceeds the per-row maxLen. The whole
+      // pipeline is −,·,/,sqrt,ceil — exactly rounded IEEE ops, zero
+      // transcendentals — so the oracle reproduces the output doubles
+      // BIT-exactly with no quantization. Shuffle-free scan → generate.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 64.0"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 1024 AS DOUBLE) / 64.0"))
+        .withColumn("bx", expr("ax + 1.0 + CAST(q_id % 13 AS DOUBLE) / 2.0"))
+        .withColumn("by", expr("ay + CAST(q_id % 7 AS DOUBLE) / 4.0"))
+        .withColumn("cx", expr("bx - CAST(q_id % 5 AS DOUBLE) / 2.0"))
+        .withColumn("cy", expr("by + 2.0 + CAST(q_id % 11 AS DOUBLE) / 8.0"))
+        .withColumn("ml", expr("0.5 + CAST(q_id % 4 AS DOUBLE) / 8.0"))
+        .withColumn("wkt", format_string("LINESTRING(%s %s, %s %s, %s %s)",
+          col("ax"), col("ay"), col("bx"), col("by"), col("cx"), col("cy")))
+        .withColumn("g", call_function("st_segmentize",
+          call_function("st_geomfromwkt", col("wkt")), col("ml")))
+        .select(col("q_id"), posexplode(call_function("st_points", col("g"))))
+        .select(col("q_id"), col("pos").cast("long").as("seq"),
+          col("col.x").as("x"), col("col.y").as("y"))
+    }),
     "q90_rat" -> ((s, dir) => {
       // raster attribute table (reference gcore/gdal_rat.cpp): per-class
       // count/min/max/sum over the zoom-3 band, classes = value/16
@@ -1836,6 +1879,8 @@ object SparkEntry {
     "q87_bng_forward" -> OracleHashSql.q87Bng,
     "q89_curve_linearize" -> OracleHashSql.q89Curve,
     "q90_rat" -> OracleHashSql.q90Rat,
+    "q92_segmentize" -> OracleHashSql.q92Segmentize,
+    "q93_sphere_distance" -> OracleHashSql.q93Sphere,
     "q91_style" -> OracleHashSql.q91Style,
     "q88_bng_inverse" -> OracleHashSql.q88BngInv,
     "q86_ps_inverse" -> OracleHashSql.q86PsInv,

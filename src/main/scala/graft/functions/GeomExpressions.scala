@@ -43,6 +43,91 @@ case class StGeomFromWkt(child: Expression)
   override def prettyName: String = "st_geomfromwkt"
 }
 
+/** st_segmentize(geom, maxLen) — the reference's
+  * OGRGeometry::segmentize (ogr2ogr -segmentize): every segment longer
+  * than maxLen gets ceil(len/maxLen)−1 equally spaced interior vertices;
+  * ORIGINAL vertices are kept bit-exact (interiors interpolate, endpoints
+  * copy). Every operation is −,·,/,sqrt,ceil — all exactly rounded IEEE
+  * ops with no transcendentals — so a SQL oracle reproduces the output
+  * doubles BIT-exactly with no quantization. */
+case class StSegmentize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  private def densify(cs: Array[org.locationtech.jts.geom.Coordinate], maxLen: Double):
+      Array[org.locationtech.jts.geom.Coordinate] = {
+    val out = scala.collection.mutable.ArrayBuffer[org.locationtech.jts.geom.Coordinate](cs.head)
+    var i = 0
+    while (i + 1 < cs.length) {
+      val p = cs(i); val q = cs(i + 1)
+      val dx = q.x - p.x; val dy = q.y - p.y
+      val len = math.sqrt(dx * dx + dy * dy)
+      val n = math.max(1L, math.ceil(len / maxLen).toLong)
+      var k = 1L
+      while (k < n) {
+        out += new org.locationtech.jts.geom.Coordinate(
+          p.x + dx * k.toDouble / n.toDouble, p.y + dy * k.toDouble / n.toDouble)
+        k += 1
+      }
+      out += q
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def rebuild(g: Geometry, maxLen: Double): Geometry = {
+    val f = GeomIO.factory
+    g match {
+      case l: org.locationtech.jts.geom.LineString =>
+        f.createLineString(densify(l.getCoordinates, maxLen))
+      case p: org.locationtech.jts.geom.Polygon =>
+        val shell = f.createLinearRing(densify(p.getExteriorRing.getCoordinates, maxLen))
+        val holes = (0 until p.getNumInteriorRing).map(i =>
+          f.createLinearRing(densify(p.getInteriorRingN(i).getCoordinates, maxLen))).toArray
+        f.createPolygon(shell, holes)
+      case m: org.locationtech.jts.geom.GeometryCollection =>
+        f.createGeometryCollection(
+          (0 until m.getNumGeometries).map(i => rebuild(m.getGeometryN(i), maxLen)).toArray)
+      case other => other // points etc. pass through
+    }
+  }
+
+  override def nullSafeEval(g0: Any, d0: Any): Any = {
+    val g = GeomOps.fromWkb(g0.asInstanceOf[Array[Byte]])
+    val maxLen = d0.asInstanceOf[Double]
+    require(maxLen > 0.0, "st_segmentize needs maxLen > 0")
+    GeomIO.toWkb(rebuild(g, maxLen))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "st_segmentize"
+}
+
+/** st_distance_sphere(a, b) — great-circle distance in meters between
+  * two point geometries on the IUGG mean-radius sphere (6371008.8 m),
+  * via the haversine form (reference surface: ogr/ogr_api `OGR_G_Distance`
+  * is planar; the geodesic variant ships in the reference's proj/geod
+  * path — the sphere approximation is this engine's documented stand-in,
+  * the PostGIS ST_DistanceSphere contract). Fixed IEEE op order:
+  * sin/cos/asin/sqrt only, oracle-replayable under mm quantization. */
+case class StDistanceSphere(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a0: Any, b0: Any): Any = {
+    val a = GeomOps.fromWkb(a0.asInstanceOf[Array[Byte]]).getCoordinate
+    val b = GeomOps.fromWkb(b0.asInstanceOf[Array[Byte]]).getCoordinate
+    val phi1 = math.toRadians(a.y); val phi2 = math.toRadians(b.y)
+    val dphi = math.toRadians(b.y - a.y)
+    val dlam = math.toRadians(b.x - a.x)
+    val sp = math.sin(dphi / 2.0); val sl = math.sin(dlam / 2.0)
+    val h = sp * sp + math.cos(phi1) * math.cos(phi2) * (sl * sl)
+    2.0 * 6371008.8 * math.asin(math.min(1.0, math.sqrt(h)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "st_distance_sphere"
+}
+
 /** st_points(geom) → array<struct<x,y>> of the geometry's coordinate
   * sequence in storage order (the analog of the reference's
   * OGR_G_GetPoint iteration / ST_DumpPoints) — pairs with posexplode for

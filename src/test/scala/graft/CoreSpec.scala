@@ -462,6 +462,64 @@ class CoreSpec extends AnyFunSuite {
     assert(normal == 1.0)
   }
 
+  test("st_distance_sphere: haversine anchors, symmetry, antipodal clamp") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    def d(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
+      Seq(1).toDF("i").select(call_function("st_distance_sphere",
+        F.st_point(lit(lon1), lit(lat1)), F.st_point(lit(lon2), lit(lat2))))
+        .collect()(0).getDouble(0)
+    val r = 6371008.8
+    // 1 degree along the equator = R·π/180
+    assert(math.abs(d(0, 0, 1, 0) - r * math.Pi / 180.0) < 1e-6)
+    // same for latitude (great circles through poles)
+    assert(math.abs(d(10, 20, 10, 21) - r * math.Pi / 180.0) < 1e-6)
+    // antipodal: exactly half the circumference, min(1,·) clamp holds
+    assert(math.abs(d(0, 0, 180, 0) - r * math.Pi) < 1e-6)
+    // identity and symmetry
+    assert(d(12.5, 47.25, 12.5, 47.25) == 0.0)
+    assert(d(2, 48, -74, 41) == d(-74, 41, 2, 48))
+    // Paris->NYC ~ 5837 km (great circle, mean sphere)
+    assert(math.abs(d(2.3522, 48.8566, -73.9857, 40.7484) - 5.837e6) < 2e4)
+  }
+
+  test("st_segmentize: interior vertices inserted, originals kept bit-exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    def pts(wkt: String, ml: Double): Seq[(Double, Double)] =
+      Seq(wkt).toDF("w")
+        .select(call_function("st_points", call_function("st_segmentize",
+          F.st_geomfromwkt(col("w")), lit(ml))).as("p"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+    // exact division: 3/1 → vertices at 0,1,2,3
+    assert(pts("LINESTRING(0 0, 3 0)", 1.0) ==
+      Seq((0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (3.0, 0.0)))
+    // non-dividing: ceil(3/0.9)=4 → quarter points, endpoint exact
+    assert(pts("LINESTRING(0 0, 3 0)", 0.9) ==
+      Seq((0.0, 0.0), (0.75, 0.0), (1.5, 0.0), (2.25, 0.0), (3.0, 0.0)))
+    // segment shorter than maxLen: untouched
+    assert(pts("LINESTRING(0 0, 3 0)", 5.0) == Seq((0.0, 0.0), (3.0, 0.0)))
+    // polygon ring densifies but area/validity are invariant
+    val row = Seq("POLYGON((0 0, 8 0, 8 4, 0 4, 0 0))").toDF("w")
+      .select(call_function("st_segmentize", F.st_geomfromwkt(col("w")), lit(1.0)).as("g"))
+      .select(F.st_area(col("g")).as("a"), F.st_isvalid(col("g")).as("v"),
+        size(call_function("st_points", col("g"))).as("n")).collect()(0)
+    assert(row.getDouble(0) == 32.0 && row.getBoolean(1))
+    assert(row.getInt(2) == 25) // perimeter 24 at step 1 + closing vertex
+    // point passes through
+    val p = Seq("POINT(2 3)").toDF("w")
+      .select(F.st_astext(call_function("st_segmentize", F.st_geomfromwkt(col("w")), lit(0.5))))
+      .collect()(0).getString(0)
+    assert(p == "POINT (2 3)")
+  }
+
   test("style strings: tool + params parse, quoted commas/colons survive") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -154,4 +154,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains(") Exchange"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q92/q93: segmentize and sphere distance are shuffle-free projections") {
+    for (q <- Seq("q92_segmentize", "q93_sphere_distance")) {
+      val p = plan(q)
+      assert(!p.contains(") Exchange"), s"$q:\n$p")
+      assert(!p.contains("Join"), q)
+    }
+  }
 }
