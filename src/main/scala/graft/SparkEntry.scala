@@ -382,6 +382,27 @@ object SparkEntry {
       // trig output — not bit-stable across engines (rows-only; kernel
       // pinned by hand cases + whole-grid oracle in FocalProxContourSpec)
       focalPixels(s, "hillshade")),
+    "q94_slope" -> ((s, dir) =>
+      // gdaldem slope (Horn kernel, degrees; apps/gdaldem.cpp ::
+      // GDALSlope) — milli-degree quantization absorbs the JVM-vs-libm
+      // atan ULP gap (values far from .0005 boundaries on this corpus)
+      focalPixels(s, "slope_deg")
+        .select(col("gx"), col("gy"),
+          expr("CAST(floor(val * 1000.0 + 0.5) AS BIGINT)").as("slope_milli"))),
+    "q95_aspect" -> ((s, dir) =>
+      // gdaldem aspect (azimuth the slope faces, degrees clockwise from
+      // north; flat cells → the reference's -9999 sentinel, which
+      // quantizes exactly). atan2(±0, x) is exact in every libm, so the
+      // 90°-wrap branch boundary (deg == 90 ⇔ dzdx == 0 ∧ dzdy > 0)
+      // resolves identically on both engines.
+      focalPixels(s, "aspect_deg")
+        .select(col("gx"), col("gy"),
+          expr("CAST(floor(val * 1000.0 + 0.5) AS BIGINT)").as("aspect_milli"))),
+    "q96_hillshade_md" -> ((s, dir) =>
+      // gdaldem hillshade -multidirectional (USGS/Mark Smith 225/270/
+      // 315/360 blend); byte-quantized with floor(x+0.5) like q39 so the
+      // trig ULP gap only matters within ~1e-13 of a rounding boundary
+      focalPixels(s, "hillshade_md")),
     "q40_proximity" -> ((s, dir) =>
       Proximity.proximity(Synth.maskTiles(s, 2), 8, 8, 8, 4, _ < 1.0, maxDistPx = 10.0)),
     "q53_fillnodata" -> ((s, dir) =>
@@ -1628,8 +1649,11 @@ object SparkEntry {
     * only matters within ~1e-13 of a rounding boundary — none occur on
     * this corpus, and a future divergence fails the gate loudly rather
     * than silently. */
-  private def hillshadeOracle: String =
-    s"""WITH px AS (
+  /** Shared 3×3-window pivot over the zoom-2 synthetic grid: the nine
+    * Horn taps a..i (center e omitted — the Horn family never reads it)
+    * as DOUBLEs with edge clamping, used by the q39/q94/q95/q96 oracles. */
+  private val focalWinCte: String =
+    """WITH px AS (
          SELECT gx.x AS gx, gy.y AS gy
          FROM generate_series(0, 63) gx(x), generate_series(0, 31) gy(y)),
        nbr AS (SELECT dx.d AS dx, dy.d AS dy
@@ -1651,7 +1675,78 @@ object SparkEntry {
            sum(CASE WHEN dx=-1 AND dy= 1 THEN v END) AS g,
            sum(CASE WHEN dx= 0 AND dy= 1 THEN v END) AS hh,
            sum(CASE WHEN dx= 1 AND dy= 1 THEN v END) AS i
-         FROM vals GROUP BY 1, 2),
+         FROM vals GROUP BY 1, 2)"""
+
+  /** q94: Horn slope in degrees — kernel arithmetic replicated op-for-op
+    * (ewres=nsres=z=scale=1 defaults kept as literal 1.0 factors, exact
+    * identities on both engines), atan output milli-deg quantized. */
+  private def slopeOracle: String =
+    s"""$focalWinCte,
+       sh AS (
+         SELECT gx, gy,
+           ((c + 2*f + i) - (a + 2*d + g)) / (8.0 * 1.0) AS dzdx,
+           ((g + 2*hh + i) - (a + 2*b + c)) / (8.0 * 1.0) AS dzdy
+         FROM win)
+       SELECT gx, gy,
+         CAST(floor((atan(1.0 * sqrt(dzdx*dzdx + dzdy*dzdy) / 1.0)
+           / (pi() / 180.0)) * 1000.0 + 0.5) AS BIGINT) AS slope_milli
+       FROM sh"""
+
+  /** q95: aspect — atan2(dzdy, −dzdx) in degrees, 90°−deg wrapped into
+    * [0, 360), flat cells → −9999 (quantizes to the exact −9999000).
+    * The wrap branch boundary falls only on the exact atan2(+,0)=π/2
+    * case, identical in every libm. */
+  private def aspectOracle: String =
+    s"""$focalWinCte,
+       sh AS (
+         SELECT gx, gy,
+           ((c + 2*f + i) - (a + 2*d + g)) / 8.0 AS dzdx,
+           ((g + 2*hh + i) - (a + 2*b + c)) / 8.0 AS dzdy
+         FROM win),
+       dg AS (SELECT gx, gy, dzdx, dzdy,
+           atan2(dzdy, -dzdx) / (pi() / 180.0) AS deg FROM sh),
+       az AS (SELECT gx, gy,
+           CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN -9999.0
+                WHEN 90.0 - deg < 0.0 THEN (90.0 - deg) + 360.0
+                WHEN 90.0 - deg >= 360.0 THEN (90.0 - deg) - 360.0
+                ELSE 90.0 - deg END AS v
+         FROM dg)
+       SELECT gx, gy,
+         CAST(floor(v * 1000.0 + 0.5) AS BIGINT) AS aspect_milli
+       FROM az"""
+
+  /** q96: multidirectional hillshade — the four azimuth terms unrolled
+    * in the kernel's exact accumulation order ((t225+t270)+t315)+t360,
+    * sin²(aspect−az) weights, max(cang,0) clamps, /2 normalization,
+    * byte-quantized with the same floor(x+0.5) as q39. */
+  private def hillshadeMdOracle: String = {
+    val terms = Seq("225.0", "270.0", "315.0", "360.0").map { az =>
+      val azr = s"($az * (pi() / 180.0))"
+      s"""(sin(aspect - $azr) * sin(aspect - $azr))
+           * greatest(sin(45.0 * (pi() / 180.0)) * sin(slope)
+             + cos(45.0 * (pi() / 180.0)) * cos(slope)
+               * cos($azr - pi() / 2.0 - aspect), 0.0)"""
+    }
+    val acc = terms.reduce((l, r) => s"($l + $r)")
+    s"""$focalWinCte,
+       sh AS (
+         SELECT gx, gy,
+           1.0 * ((a + 2*d + g) - (c + 2*f + i)) / (8.0 * 1.0 * 1.0) AS xx,
+           1.0 * ((g + 2*hh + i) - (a + 2*b + c)) / (8.0 * 1.0 * 1.0) AS yy
+         FROM win),
+       sa AS (
+         SELECT gx, gy,
+           pi() / 2.0 - atan(sqrt(xx*xx + yy*yy)) AS slope,
+           atan2(yy, xx) AS aspect
+         FROM sh),
+       cmb AS (SELECT gx, gy, ($acc) / 2.0 AS c2 FROM sa)
+       SELECT gx, gy,
+         CASE WHEN c2 <= 0.0 THEN 1.0 ELSE floor(1.0 + 254.0 * c2 + 0.5) END AS val
+       FROM cmb"""
+  }
+
+  private def hillshadeOracle: String =
+    s"""$focalWinCte,
        sh AS (
          SELECT gx, gy,
            1.0 * ((a + 2*d + g) - (c + 2*f + i)) / (8.0 * 1.0 * 1.0) AS xx,
@@ -2079,6 +2174,9 @@ object SparkEntry {
     "q37_focal_tpi" -> focalOracle("tpi"),
     "q38_focal_roughness" -> focalOracle("roughness"),
     "q39_hillshade" -> hillshadeOracle,
+    "q94_slope" -> slopeOracle,
+    "q95_aspect" -> aspectOracle,
+    "q96_hillshade_md" -> hillshadeMdOracle,
     "q40_proximity" ->
       """WITH px AS (
            SELECT gx.x AS gx, gy.y AS gy,

@@ -68,6 +68,40 @@ class FocalProxContourSpec extends AnyFunSuite {
     }
   }
 
+  test("slope/aspect anchors: tilted planes, the flat sentinel, compass azimuths") {
+    val gw = 5; val gh = 5
+    // z = x plane (rises eastward): slope 45°, downslope faces west (270°)
+    val zx = Array.tabulate(gw * gh)(i => (i % gw).toDouble)
+    val s1 = FocalKernel.wholeGrid(zx, gw, gh, "slope_deg")
+    val a1 = FocalKernel.wholeGrid(zx, gw, gh, "aspect_deg")
+    for (y <- 1 until gh - 1; x <- 1 until gw - 1) {
+      assert(math.abs(s1(y * gw + x) - 45.0) < 1e-12, s"slope ($x,$y)")
+      assert(math.abs(a1(y * gw + x) - 270.0) < 1e-9, s"aspect ($x,$y): ${a1(y * gw + x)}")
+    }
+    // z = y plane (rises southward, y down): downslope faces north — az 0
+    // (or its 360° twin within ULPs of the wrap boundary)
+    val zy = Array.tabulate(gw * gh)(i => (i / gw).toDouble)
+    val a2 = FocalKernel.wholeGrid(zy, gw, gh, "aspect_deg")
+    for (y <- 1 until gh - 1; x <- 1 until gw - 1) {
+      val v = a2(y * gw + x)
+      assert(math.min(v, 360.0 - v) < 1e-9, s"north aspect ($x,$y): $v")
+    }
+    // z = -y (rises northward): downslope faces south — az 180
+    val zny = Array.tabulate(gw * gh)(i => -(i / gw).toDouble)
+    val a3 = FocalKernel.wholeGrid(zny, gw, gh, "aspect_deg")
+    for (y <- 1 until gh - 1; x <- 1 until gw - 1)
+      assert(math.abs(a3(y * gw + x) - 180.0) < 1e-9)
+    // flat → the reference's -9999 sentinel, everywhere (borders included)
+    val flat = Array.fill(gw * gh)(7.0)
+    assert(FocalKernel.wholeGrid(flat, gw, gh, "aspect_deg").forall(_ == -9999.0))
+    // steeper plane: z = 2x → slope atan(2)
+    val z2x = Array.tabulate(gw * gh)(i => 2.0 * (i % gw))
+    val s2 = FocalKernel.wholeGrid(z2x, gw, gh, "slope_deg")
+    val want = math.atan(2.0) / (math.Pi / 180.0)
+    for (y <- 1 until gh - 1; x <- 1 until gw - 1)
+      assert(math.abs(s2(y * gw + x) - want) < 1e-12)
+  }
+
   test("kernel hand-pins: flat raster and a single spike") {
     // flat 3x3=5 everywhere: TRI=0, TPI=0, roughness=0, slope=0, hillshade = flat-face value
     val flat = Array.fill(25)(5.0)

@@ -155,6 +155,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q94/q95/q96 focal DEM family: exactly ONE exchange (the halo shuffle), no join") {
+    // the halo exchange is O(perimeter); a second exchange would mean the
+    // kernel result is being re-shuffled per pixel — the scale-killer the
+    // strip design exists to avoid
+    for (q <- Seq("q94_slope", "q95_aspect", "q96_hillshade_md")) {
+      val p = plan(q)
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"$q: expected 1 exchange, got $exchanges:\n$p")
+      assert(!p.contains("Join"), q)
+    }
+  }
+
   test("q92/q93: segmentize and sphere distance are shuffle-free projections") {
     for (q <- Seq("q92_segmentize", "q93_sphere_distance")) {
       val p = plan(q)
