@@ -403,6 +403,15 @@ object SparkEntry {
       // 315/360 blend); byte-quantized with floor(x+0.5) like q39 so the
       // trig ULP gap only matters within ~1e-13 of a rounding boundary
       focalPixels(s, "hillshade_md")),
+    "q97_nearblack" -> ((s, dir) =>
+      // nearblack collar strip (apps/nearblack.cpp, per-scanline form):
+      // nb=6 over the 0..15 zoom-2 grid — pixels outside each row's
+      // [first, last] v>6 bounds become 255. Pure integer-valued-double
+      // compares, bit-exact oracle.
+      Raster.nearblack(Synth.maskTiles(s, 2), 8, 8, nb = 6.0)
+        .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "val")))
+        .select((col("tx") * 8 + col("i") % 8).as("gx"),
+          (col("ty") * 8 + (col("i") / 8).cast("long")).as("gy"), col("val"))),
     "q40_proximity" -> ((s, dir) =>
       Proximity.proximity(Synth.maskTiles(s, 2), 8, 8, 8, 4, _ < 1.0, maxDistPx = 10.0)),
     "q53_fillnodata" -> ((s, dir) =>
@@ -2175,6 +2184,22 @@ object SparkEntry {
     "q38_focal_roughness" -> focalOracle("roughness"),
     "q39_hillshade" -> hillshadeOracle,
     "q94_slope" -> slopeOracle,
+    "q97_nearblack" ->
+      // per-row bounds = min/max gx with v > 6; all-collar rows get the
+      // engine's (2^62, −1) sentinels so the between-test replays exactly
+      """WITH px AS (
+           SELECT gx.x AS gx, gy.y AS gy,
+             CAST(((gx.x // 8) * 131 + (gy.y // 8) * 173
+               + (gx.x % 8) * 7 + (gy.y % 8) * 11) % 16 AS DOUBLE) AS v
+           FROM generate_series(0, 63) gx(x), generate_series(0, 31) gy(y)),
+         b AS (
+           SELECT gy,
+             coalesce(min(CASE WHEN abs(v - 0.0) > 6.0 THEN gx END), 4611686018427387904) AS l,
+             coalesce(max(CASE WHEN abs(v - 0.0) > 6.0 THEN gx END), -1) AS r
+           FROM px GROUP BY gy)
+         SELECT p.gx, p.gy,
+           CASE WHEN p.gx >= b.l AND p.gx <= b.r THEN p.v ELSE 255.0 END AS val
+         FROM px p JOIN b ON b.gy = p.gy""",
     "q95_aspect" -> aspectOracle,
     "q96_hillshade_md" -> hillshadeMdOracle,
     "q40_proximity" ->

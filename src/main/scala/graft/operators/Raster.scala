@@ -996,4 +996,46 @@ object Raster {
       .select(col("zoom"), col("tx"), col("ty"), col("o.band").as("band"),
         col("o.pixels").as("pixels"))
   }
+
+  /** nearblack (reference: apps/nearblack.cpp) — strips the near-`collar`
+    * scanline collar: on every ROW of the raster, each pixel left of the
+    * first and right of the last pixel with |v − collar| > nb becomes
+    * `replace`. Interior near-collar pixels (between the bounds) are
+    * kept. This is the pure per-scanline form; the reference additionally
+    * caps each line's collar extent by the previous line's (a serial
+    * flood constraint across scanlines) — a documented divergence, like
+    * the dither operator's tile-boundary error reset.
+    *
+    * Plan shape (100-TB): tiles emit h PER-ROW PARTIAL rows (first/last
+    * exceeding gx per tile-row — O(tiles·h), never per-pixel), ONE hash
+    * aggregate keyed by global row folds them to per-row bounds, the
+    * bounds re-aggregate to one dense array row per tile row-band, and a
+    * broadcast equi-join (O(raster height / h) rows) hands every tile its
+    * band's bounds; the mask applies inside a codegen'd transform. No
+    * per-pixel row ever shuffles. All-collar rows carry (2^62, −1)
+    * sentinels so the between-test rejects every pixel without a null
+    * branch. */
+  def nearblack(tiles: DataFrame, w: Int, h: Int, nb: Double,
+                collar: Double = 0.0, replace: Double = 255.0): DataFrame = {
+    val rows = tiles
+      .withColumn("py", explode(expr(s"sequence(0, ${h - 1})")))
+      .withColumn("ex", expr(
+        s"filter(sequence(0, ${w - 1}), x -> abs(element_at(pixels, py * $w + x + 1) - ${collar}D) > ${nb}D)"))
+      .select(expr(s"ty * $h + py").as("gy"),
+        expr(s"CASE WHEN size(ex) > 0 THEN tx * $w + element_at(ex, 1) END").as("first"),
+        expr(s"CASE WHEN size(ex) > 0 THEN tx * $w + element_at(ex, -1) END").as("last"))
+    val bounds = rows.groupBy("gy").agg(
+      expr("coalesce(min(first), 4611686018427387904L)").as("l"),
+      expr("coalesce(max(last), -1L)").as("r"))
+    val perBand = bounds
+      .groupBy(expr(s"gy div $h").as("bty"))
+      .agg(expr(s"array_sort(collect_list(struct(CAST(gy % $h AS INT) AS py, l, r)))").as("b"))
+    tiles.join(broadcast(perBand), col("ty") === col("bty"))
+      .withColumn("pixels", expr(
+        s"""transform(pixels, (v, i) ->
+              IF(tx * $w + i % $w >= element_at(b, CAST(i div $w AS INT) + 1).l
+                 AND tx * $w + i % $w <= element_at(b, CAST(i div $w AS INT) + 1).r,
+                 v, ${replace}D))"""))
+      .drop("bty", "b")
+  }
 }

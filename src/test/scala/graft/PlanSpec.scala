@@ -167,6 +167,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q97: nearblack bounds join is a broadcast equi-join; no per-pixel shuffle") {
+    val p = plan("q97_nearblack")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the only shuffles are the per-ROW bounds aggregates (gy, then the
+    // row-band fold); per-pixel rows never partition an exchange
+    assert(!p.contains("hashpartitioning(gx"), p)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges:\n$p")
+  }
+
   test("q92/q93: segmentize and sphere distance are shuffle-free projections") {
     for (q <- Seq("q92_segmentize", "q93_sphere_distance")) {
       val p = plan(q)

@@ -441,4 +441,40 @@ class RasterSpec extends AnyFunSuite {
     val identTile = (0 until 64 * 64).map(i => srcPx(i % 64, i / 64))
     assert(got((0L, 0L)) != identTile)
   }
+
+  test("nearblack: per-row collar trim == scalar replica; interior near-collar kept; all-collar rows wiped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val w = 4; val h = 2
+    // 2×2 tiles of 4×2: global 8×4. Row layouts exercise all branches:
+    //   gy 0: collar both ends, a near-collar INTERIOR pixel kept
+    //   gy 1: exceeds at both extremes (nothing trimmed)
+    //   gy 2: all-collar (sentinel row → fully replaced)
+    //   gy 3: collar on the left only
+    val grid: Array[Array[Double]] = Array(
+      Array(0, 2, 9, 1, 8, 3, 0, 0),
+      Array(7, 0, 0, 0, 0, 0, 0, 9),
+      Array(1, 2, 3, 0, 4, 5, 0, 1),
+      Array(0, 0, 0, 7, 9, 8, 6, 5))
+    val tiles = (for (tty <- 0 to 1; ttx <- 0 to 1) yield {
+      val px = for (py <- 0 until h; x <- 0 until w) yield grid(tty * h + py)(ttx * w + x)
+      (ttx.toLong, tty.toLong, px)
+    }).toDF("tx", "ty", "pixels")
+    val got = Raster.nearblack(tiles, w, h, nb = 5.0, collar = 0.0, replace = 255.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    // scalar replica
+    val want = grid.map { row =>
+      val ex = row.indices.filter(x => math.abs(row(x) - 0.0) > 5.0)
+      if (ex.isEmpty) Array.fill(row.length)(255.0)
+      else row.indices.map(x => if (x >= ex.head && x <= ex.last) row(x) else 255.0).toArray
+    }
+    for (tty <- 0 to 1; ttx <- 0 to 1; py <- 0 until h; x <- 0 until w)
+      assert(got((ttx.toLong, tty.toLong))(py * w + x) == want(tty * h + py)(ttx * w + x),
+        s"tile($ttx,$tty) px($x,$py)")
+    // the hand-pins the replica must itself satisfy:
+    assert(want(0).toSeq == Seq(255.0, 255.0, 9.0, 1.0, 8.0, 255.0, 255.0, 255.0)) // interior 1 kept
+    assert(want(1).toSeq == grid(1).toSeq)                  // full-width row untouched
+    assert(want(2).forall(_ == 255.0))                      // all-collar row wiped
+    assert(want(3).toSeq == Seq(255.0, 255.0, 255.0, 7.0, 9.0, 8.0, 6.0, 255.0))
+  }
 }
