@@ -470,6 +470,36 @@ fin AS (SELECT q_id, 2.0 * 6371008.8 * asin(LEAST(1.0, sqrt(h))) AS d FROM r3)
 SELECT q_id, CAST(floor(d * 1000.0 + 0.5) AS BIGINT) AS dist_mm FROM fin
 """
 
+  /** q98: explodecollections replica — the member/vertex rows rebuilt
+    * from the generating arithmetic (dyadic coords; the engine's %s WKT
+    * round-trip is exact), so the compare is bit-exact unquantized and
+    * grades st_dump's member ORDER against ground truth. */
+  def q98Explode: String = """
+WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 64.0 AS ax,
+    CAST((s_suppkey * 104729) % 1024 AS DOUBLE) / 64.0 AS ay
+  FROM supplier),
+p2 AS (SELECT *,
+    ax + 1.0 + CAST(q_id % 9 AS DOUBLE) / 4.0 AS bx,
+    ay + CAST(q_id % 5 AS DOUBLE) / 2.0 AS by,
+    ax - CAST(q_id % 7 AS DOUBLE) / 8.0 AS cx,
+    ay + 2.0 AS cy
+  FROM sp),
+vrows AS (
+  SELECT q_id, 0 AS part, 'LINESTRING' AS gtype, 0 AS seq, ax AS x, ay AS y FROM p2 WHERE q_id % 3 = 0
+  UNION ALL SELECT q_id, 0, 'LINESTRING', 1, bx, by FROM p2 WHERE q_id % 3 = 0
+  UNION ALL SELECT q_id, 0, 'LINESTRING', 0, ax, ay FROM p2 WHERE q_id % 3 = 1
+  UNION ALL SELECT q_id, 0, 'LINESTRING', 1, bx, by FROM p2 WHERE q_id % 3 = 1
+  UNION ALL SELECT q_id, 1, 'LINESTRING', 0, cx, cy FROM p2 WHERE q_id % 3 = 1
+  UNION ALL SELECT q_id, 1, 'LINESTRING', 1, ax, ay FROM p2 WHERE q_id % 3 = 1
+  UNION ALL SELECT q_id, 0, 'POINT', 0, ax, ay FROM p2 WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 1, 'POINT', 0, cx, cy FROM p2 WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 2, 'POINT', 0, bx, by FROM p2 WHERE q_id % 3 = 2)
+SELECT q_id, CAST(part AS BIGINT) AS part, gtype, CAST(seq AS BIGINT) AS seq, x, y
+FROM vrows
+"""
+
   /** q92: segmentize replica — BIT-exact with no quantization: the whole
     * chain is −,·,/,sqrt,ceil (all exactly rounded IEEE ops), original
     * vertices copy through untouched, interiors interpolate with the

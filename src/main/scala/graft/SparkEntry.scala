@@ -975,6 +975,41 @@ object SparkEntry {
         .select(col("q_id"),
           expr("CAST(floor(d * 1000.0 + 0.5) AS BIGINT)").as("dist_mm"))
     }),
+    "q98_explode" -> ((s, dir) => {
+      // ogr2ogr -explodecollections (reference apps/ogr2ogr.cpp splits a
+      // collection feature into one feature per member, OGR_G_GetGeometryRef
+      // order): per-row WKT cycles LINESTRING / MULTILINESTRING(2 parts) /
+      // MULTIPOINT(3); st_dump emits members in storage order, each part
+      // dumped to vertex rows. All coordinates are dyadic and the %s WKT
+      // round-trip is exact (q92 precedent) — the oracle replays the
+      // generating arithmetic bit-for-bit, no quantization. Shuffle-free
+      // scan → project → generate ×2.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 64.0"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 1024 AS DOUBLE) / 64.0"))
+        .withColumn("bx", expr("ax + 1.0 + CAST(q_id % 9 AS DOUBLE) / 4.0"))
+        .withColumn("by", expr("ay + CAST(q_id % 5 AS DOUBLE) / 2.0"))
+        .withColumn("cx", expr("ax - CAST(q_id % 7 AS DOUBLE) / 8.0"))
+        .withColumn("cy", expr("ay + 2.0"))
+        .withColumn("wkt", expr(
+          """CASE WHEN q_id % 3 = 0 THEN
+               format_string('LINESTRING(%s %s, %s %s)', ax, ay, bx, by)
+             WHEN q_id % 3 = 1 THEN
+               format_string('MULTILINESTRING((%s %s, %s %s), (%s %s, %s %s))',
+                 ax, ay, bx, by, cx, cy, ax, ay)
+             ELSE
+               format_string('MULTIPOINT((%s %s), (%s %s), (%s %s))', ax, ay, cx, cy, bx, by)
+             END"""))
+        .select(col("q_id"), posexplode(call_function("st_dump",
+          call_function("st_geomfromwkt", col("wkt")))).as(Seq("part", "g")))
+        .select(col("q_id"), col("part").cast("long").as("part"),
+          call_function("st_geometrytype", col("g")).as("gtype"),
+          posexplode(call_function("st_points", col("g"))).as(Seq("seq", "p")))
+        .select(col("q_id"), col("part"), col("gtype"),
+          col("seq").cast("long").as("seq"), col("p.x").as("x"), col("p.y").as("y"))
+    }),
     "q92_segmentize" -> ((s, dir) => {
       // ogr2ogr -segmentize (reference ogr/ogrgeometry.cpp ::
       // OGRGeometry::segmentize): per-row dyadic 3-point LINESTRING
@@ -1984,6 +2019,7 @@ object SparkEntry {
     "q89_curve_linearize" -> OracleHashSql.q89Curve,
     "q90_rat" -> OracleHashSql.q90Rat,
     "q92_segmentize" -> OracleHashSql.q92Segmentize,
+    "q98_explode" -> OracleHashSql.q98Explode,
     "q93_sphere_distance" -> OracleHashSql.q93Sphere,
     "q91_style" -> OracleHashSql.q91Style,
     "q88_bng_inverse" -> OracleHashSql.q88BngInv,

@@ -153,6 +153,31 @@ case class StPoints(child: Expression)
   override def prettyName: String = "st_points"
 }
 
+/** st_dump(geom) → array<binary> of the geometry's top-level members in
+  * storage order (the ogr2ogr -explodecollections analog — reference
+  * apps/ogr2ogr.cpp splits each collection feature into one feature per
+  * member; OGR_G_GetGeometryRef iteration). JTS Multi* types all subclass
+  * GeometryCollection, so one case covers MULTIPOINT/LINESTRING/POLYGON
+  * and heterogeneous collections; atomic geometries dump to a singleton.
+  * Pairs with posexplode exactly like st_points. */
+case class StDump(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeomOps.fromWkb(v.asInstanceOf[Array[Byte]])
+    val parts: IndexedSeq[Geometry] = g match {
+      case c: org.locationtech.jts.geom.GeometryCollection =>
+        (0 until c.getNumGeometries).map(c.getGeometryN)
+      case atomic => IndexedSeq(atomic)
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      parts.map(p => GeomIO.toWkb(p): Any).toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_dump"
+}
+
 /** st_geomfromwkb(binary) → canonical WKB: parses (validating the byte
   * stream) and re-serializes, so foreign WKB (different byte order /
   * 2.5D flags) normalizes to the engine's canonical form. st_aswkb is its

@@ -486,6 +486,30 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(d(2.3522, 48.8566, -73.9857, 40.7484) - 5.837e6) < 2e4)
   }
 
+  test("st_dump: members in storage order; atomics dump to a singleton") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    def parts(wkt: String): Seq[String] =
+      Seq(wkt).toDF("w")
+        .select(explode(call_function("st_dump", F.st_geomfromwkt(col("w")))).as("g"))
+        .select(F.st_astext(col("g")))
+        .collect().map(_.getString(0)).toSeq
+    // atomic → singleton
+    assert(parts("POINT(1 2)") == Seq("POINT (1 2)"))
+    // MULTIPOINT keeps declaration order
+    assert(parts("MULTIPOINT((3 4), (1 2), (5 6))") ==
+      Seq("POINT (3 4)", "POINT (1 2)", "POINT (5 6)"))
+    // MULTIPOLYGON members split with rings intact
+    assert(parts("MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 6 5, 6 6, 5 5)))") ==
+      Seq("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON ((5 5, 6 5, 6 6, 5 5))"))
+    // heterogeneous collection: members in order, types preserved
+    assert(parts("GEOMETRYCOLLECTION(POINT(9 9), LINESTRING(0 0, 1 1))") ==
+      Seq("POINT (9 9)", "LINESTRING (0 0, 1 1)"))
+  }
+
   test("st_segmentize: interior vertices inserted, originals kept bit-exact") {
     val spark = TestSpark.spark
     import spark.implicits._

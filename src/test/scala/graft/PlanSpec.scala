@@ -178,8 +178,8 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges:\n$p")
   }
 
-  test("q92/q93: segmentize and sphere distance are shuffle-free projections") {
-    for (q <- Seq("q92_segmentize", "q93_sphere_distance")) {
+  test("q92/q93/q98: segmentize, sphere distance, explodecollections are shuffle-free") {
+    for (q <- Seq("q92_segmentize", "q93_sphere_distance", "q98_explode")) {
       val p = plan(q)
       assert(!p.contains(") Exchange"), s"$q:\n$p")
       assert(!p.contains("Join"), q)
