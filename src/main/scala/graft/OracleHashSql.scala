@@ -500,6 +500,55 @@ SELECT q_id, CAST(part AS BIGINT) AS part, gtype, CAST(seq AS BIGINT) AS seq, x,
 FROM vrows
 """
 
+  /** q101: GeoJSON replica — the JSON string is rebuilt with the writer's
+    * exact formatting contract (integer-valued doubles → BIGINT cast,
+    * others → DuckDB's shortest-round-trip VARCHAR cast, which matches
+    * Java's Double.toString on this dyadic corpus), and the vertex rows
+    * replay the generating arithmetic, grading writer AND parser with no
+    * quantization. */
+  def q101GeoJson: String = {
+    def f(e: String): String =
+      s"CASE WHEN ($e) = floor($e) THEN CAST(CAST(($e) AS BIGINT) AS VARCHAR) " +
+        s"ELSE CAST(($e) AS VARCHAR) END"
+    def pt(x: String, y: String): String =
+      s"'[' || ${f(x)} || ',' || ${f(y)} || ']'"
+    s"""WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 4.0 AS ax,
+    CAST((s_suppkey * 104729) % 512 AS DOUBLE) AS ay,
+    1.0 + CAST(s_suppkey % 7 AS DOUBLE) / 2.0 AS w,
+    2.0 + CAST(s_suppkey % 5 AS DOUBLE) AS h
+  FROM supplier),
+cc AS (
+  SELECT q_id, ax, ay, ax + w AS x2, ay + h AS y2, ay + 2.0 * h AS y3 FROM sp),
+js AS (
+  SELECT q_id,
+    CASE WHEN q_id % 3 = 0 THEN
+      '{"type":"Point","coordinates":' || ${pt("ax", "ay")} || '}'
+    WHEN q_id % 3 = 1 THEN
+      '{"type":"LineString","coordinates":[' || ${pt("ax", "ay")} || ',' ||
+        ${pt("x2", "y2")} || ',' || ${pt("ax", "y3")} || ']}'
+    ELSE
+      '{"type":"Polygon","coordinates":[[' || ${pt("ax", "ay")} || ',' ||
+        ${pt("x2", "ay")} || ',' || ${pt("x2", "y2")} || ',' ||
+        ${pt("ax", "y2")} || ',' || ${pt("ax", "ay")} || ']]}'
+    END AS gjson
+  FROM cc),
+vr AS (
+  SELECT q_id, 0 AS seq, ax AS x, ay AS y FROM cc WHERE q_id % 3 = 0
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 3 = 1
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 3 = 1
+  UNION ALL SELECT q_id, 2, ax, y3 FROM cc WHERE q_id % 3 = 1
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 1, x2, ay FROM cc WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 2, x2, y2 FROM cc WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 3, ax, y2 FROM cc WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 4, ax, ay FROM cc WHERE q_id % 3 = 2)
+SELECT v.q_id, j.gjson, CAST(v.seq AS BIGINT) AS seq, v.x, v.y
+FROM vr v JOIN js j ON j.q_id = v.q_id
+"""
+  }
+
   /** q92: segmentize replica — BIT-exact with no quantization: the whole
     * chain is −,·,/,sqrt,ceil (all exactly rounded IEEE ops), original
     * vertices copy through untouched, interiors interpolate with the

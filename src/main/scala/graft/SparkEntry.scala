@@ -403,6 +403,35 @@ object SparkEntry {
       // 315/360 blend); byte-quantized with floor(x+0.5) like q39 so the
       // trig ULP gap only matters within ~1e-13 of a rounding boundary
       focalPixels(s, "hillshade_md")),
+    "q99_hillshade_combined" -> ((s, dir) =>
+      // gdaldem hillshade -combined (apps/gdaldem.cpp ::
+      // GDALHillshadeCombinedAlg): the Horn shade angle acos(cang) damped
+      // by the slope angle — cmb = 1 − acos(cang)·slopeAng·4/π², so flat
+      // terrain is always 255 and oblique contrast grows with steepness.
+      // Byte-quantized with floor(x+0.5) like q39/q96; the acos clamp is
+      // min-then-max on both engines.
+      focalPixels(s, "hillshade_combined")),
+    "q100_locationinfo" -> ((s, dir) => {
+      // gdallocationinfo (apps/gdallocationinfo.cpp): world coordinate →
+      // inverse geotransform → (pixel, line) → band value at that cell.
+      // gt = (-32, 0.5, 0, 64, 0, -0.5) over the zoom-4 synthetic grid
+      // (256×128 px in 8×8 tiles). All coords are dyadic so the floor
+      // arithmetic is exact on both engines. The lookup is a tile
+      // equi-join + O(1) element_at: the raster never shuffles per pixel,
+      // and the join broadcasts whichever side is small.
+      F.ensureRegistered(s)
+      val pts = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("q_id"))
+        .withColumn("x", expr("-32.0D + CAST((q_id * 7919) % 4096 AS DOUBLE) / 32.0D"))
+        .withColumn("y", expr("64.0D - CAST((q_id * 104729) % 2048 AS DOUBLE) / 32.0D"))
+        .withColumn("px", expr("CAST(floor((x - -32.0D) / 0.5D) AS BIGINT)"))
+        .withColumn("py", expr("CAST(floor((64.0D - y) / 0.5D) AS BIGINT)"))
+        .withColumn("tx", expr("px div 8"))
+        .withColumn("ty", expr("py div 8"))
+      pts.join(Synth.maskTiles(s, 4), Seq("tx", "ty"))
+        .select(col("q_id"), col("px"), col("py"),
+          expr("element_at(pixels, CAST((py % 8) * 8 + px % 8 AS INT) + 1)").as("v"))
+    }),
     "q97_nearblack" -> ((s, dir) =>
       // nearblack collar strip (apps/nearblack.cpp, per-scanline form):
       // nb=6 over the 0..15 zoom-2 grid — pixels outside each row's
@@ -1009,6 +1038,38 @@ object SparkEntry {
           posexplode(call_function("st_points", col("g"))).as(Seq("seq", "p")))
         .select(col("q_id"), col("part"), col("gtype"),
           col("seq").cast("long").as("seq"), col("p.x").as("x"), col("p.y").as("y"))
+    }),
+    "q101_geojson" -> ((s, dir) => {
+      // OGR GeoJSON driver analog (ogr/ogrsf_frmts/geojson/
+      // ogrgeojsonwriter.cpp + ogrgeojsonreader.cpp): write each geometry
+      // as RFC 7946 text, parse it BACK, and dump vertex rows from the
+      // round-tripped geometry. The oracle rebuilds both the JSON string
+      // (the integer-vs-shortest-decimal formatting contract) and the
+      // vertices from the generating arithmetic, so the compare grades
+      // writer AND parser bit-exactly — shortest-round-trip decimals
+      // parse back to the same doubles. Shuffle-free scan → project →
+      // generate.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 4.0D"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 512 AS DOUBLE)"))
+        .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
+        .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
+        .withColumn("wkt", expr(
+          """CASE WHEN q_id % 3 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+             WHEN q_id % 3 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
+               ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
+             ELSE format_string('POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))',
+               ax, ay, ax + w, ay, ax + w, ay + h, ax, ay + h, ax, ay)
+             END"""))
+        .withColumn("gjson", call_function("st_asgeojson",
+          call_function("st_geomfromwkt", col("wkt"))))
+        .select(col("q_id"), col("gjson"),
+          posexplode(call_function("st_points",
+            call_function("st_geomfromgeojson", col("gjson")))).as(Seq("seq", "p")))
+        .select(col("q_id"), col("gjson"), col("seq").cast("long").as("seq"),
+          col("p.x").as("x"), col("p.y").as("y"))
     }),
     "q92_segmentize" -> ((s, dir) => {
       // ogr2ogr -segmentize (reference ogr/ogrgeometry.cpp ::
@@ -1789,6 +1850,58 @@ object SparkEntry {
        FROM cmb"""
   }
 
+  /** q99: combined hillshade — the Horn shade angle acos(cang) damped by
+    * the slope angle (cmb = 1 − acos·slopeAng·4/π²), replayed in the
+    * kernel's exact op order: slopeAng stored once, slope = π/2 − slopeAng
+    * inline, cang's a + b·c·d left-assoc chain, least-then-greatest clamp
+    * inside acos, then the q39/q96 floor(x+0.5) byte quantization. */
+  private def hillshadeCombinedOracle: String =
+    s"""$focalWinCte,
+       sh AS (
+         SELECT gx, gy,
+           1.0 * ((a + 2*d + g) - (c + 2*f + i)) / (8.0 * 1.0 * 1.0) AS xx,
+           1.0 * ((g + 2*hh + i) - (a + 2*b + c)) / (8.0 * 1.0 * 1.0) AS yy
+         FROM win),
+       sa AS (
+         SELECT gx, gy,
+           atan(sqrt(xx*xx + yy*yy)) AS slopeang,
+           atan2(yy, xx) AS aspect
+         FROM sh),
+       cg AS (
+         SELECT gx, gy, slopeang,
+           sin(45.0 * (pi() / 180.0)) * sin(pi() / 2.0 - slopeang)
+           + cos(45.0 * (pi() / 180.0)) * cos(pi() / 2.0 - slopeang)
+             * cos(315.0 * (pi() / 180.0) - pi() / 2.0 - aspect) AS cang
+         FROM sa),
+       cmb AS (
+         SELECT gx, gy,
+           1.0 - acos(greatest(-1.0, least(1.0, cang))) * slopeang
+             / (pi() * pi() / 4.0) AS c2
+         FROM cg)
+       SELECT gx, gy,
+         CASE WHEN c2 <= 0.0 THEN 1.0 ELSE floor(1.0 + 254.0 * c2 + 0.5) END AS val
+       FROM cmb"""
+
+  /** q100: locationinfo replica — the inverse-geotransform floor
+    * arithmetic is exact on the dyadic point lattice, and the tile pixel
+    * function is closed-form, so the oracle recomputes the value without
+    * the join (px//8 == tx, py//8 == ty by construction). */
+  private def locationInfoOracle: String =
+    """WITH pts AS (
+         SELECT c_custkey AS q_id,
+           -32.0 + CAST((c_custkey * 7919) % 4096 AS DOUBLE) / 32.0 AS x,
+           64.0 - CAST((c_custkey * 104729) % 2048 AS DOUBLE) / 32.0 AS y
+         FROM customer),
+       pl AS (
+         SELECT q_id,
+           CAST(floor((x - -32.0) / 0.5) AS BIGINT) AS px,
+           CAST(floor((64.0 - y) / 0.5) AS BIGINT) AS py
+         FROM pts)
+       SELECT q_id, px, py,
+         CAST(((px // 8) * 131 + (py // 8) * 173
+             + (px % 8) * 7 + (py % 8) * 11) % 16 AS DOUBLE) AS v
+       FROM pl"""
+
   private def hillshadeOracle: String =
     s"""$focalWinCte,
        sh AS (
@@ -2020,6 +2133,7 @@ object SparkEntry {
     "q90_rat" -> OracleHashSql.q90Rat,
     "q92_segmentize" -> OracleHashSql.q92Segmentize,
     "q98_explode" -> OracleHashSql.q98Explode,
+    "q101_geojson" -> OracleHashSql.q101GeoJson,
     "q93_sphere_distance" -> OracleHashSql.q93Sphere,
     "q91_style" -> OracleHashSql.q91Style,
     "q88_bng_inverse" -> OracleHashSql.q88BngInv,
@@ -2238,6 +2352,8 @@ object SparkEntry {
          FROM px p JOIN b ON b.gy = p.gy""",
     "q95_aspect" -> aspectOracle,
     "q96_hillshade_md" -> hillshadeMdOracle,
+    "q99_hillshade_combined" -> hillshadeCombinedOracle,
+    "q100_locationinfo" -> locationInfoOracle,
     "q40_proximity" ->
       """WITH px AS (
            SELECT gx.x AS gx, gy.y AS gy,

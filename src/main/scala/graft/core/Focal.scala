@@ -20,8 +20,9 @@ object Focal {
                           z: Double = 1.0, scale: Double = 1.0,
                           altDeg: Double = 45.0, azDeg: Double = 315.0)
 
-  /** Apply `mode` to the padded buffer. Modes: hillshade, slope_deg,
-    * aspect_deg, tri, tpi, roughness. */
+  /** Apply `mode` to the padded buffer. Modes: hillshade, hillshade_md,
+    * hillshade_combined, slope_deg, aspect_deg, tri, tpi, roughness,
+    * edge8. */
   def apply(padded: Array[Double], w: Int, h: Int, mode: String,
             p: Params = Params()): Array[Double] = {
     val pw = w + 2
@@ -105,6 +106,25 @@ object Focal {
               az += 45.0
             }
             val cmb = acc / 2.0
+            if (cmb <= 0.0) 1.0 else math.floor(1.0 + 254.0 * cmb + 0.5)
+          case "hillshade_combined" =>
+            // combined shading (reference: gdaldem hillshade -combined):
+            // the Horn shade angle acos(cang) damped by the slope angle,
+            // cmb = 1 − acos(cang)·slopeAng·(4/π²) — flat terrain (slopeAng
+            // = 0) always maps to 255 regardless of altitude, full-contrast
+            // oblique shading only on steep cells. cang is a true cosine
+            // but FP error can land a hair outside [−1,1], so it is clamped
+            // min-then-max (the oracle replays least-then-greatest in the
+            // same order).
+            val xx = p.z * ((a + 2 * d + g) - (c + 2 * f + i)) / (8.0 * p.ewres * p.scale)
+            val yy = p.z * ((g + 2 * hh + i) - (a + 2 * b + c)) / (8.0 * p.nsres * p.scale)
+            val slopeAng = math.atan(math.sqrt(xx * xx + yy * yy))
+            val slope = math.Pi / 2.0 - slopeAng
+            val aspect = math.atan2(yy, xx)
+            val cang = sinAlt * math.sin(slope) +
+              cosAlt * math.cos(slope) * math.cos(azRad - math.Pi / 2.0 - aspect)
+            val cmb = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cang))) *
+              slopeAng / (math.Pi * math.Pi / 4.0)
             if (cmb <= 0.0) 1.0 else math.floor(1.0 + 254.0 * cmb + 0.5)
           case "edge8" =>
             // class-boundary marker: 1 where the center differs from any

@@ -178,6 +178,41 @@ case class StDump(child: Expression)
   override def prettyName: String = "st_dump"
 }
 
+/** st_asgeojson(geom) → RFC 7946 GeoJSON text (reference:
+  * ogr/ogrsf_frmts/geojson/ogrgeojsonwriter.cpp :: OGRGeoJSONWriteGeometry).
+  * Integer-valued coordinates print without a decimal point (the
+  * OGRFormatDouble trailing-zero trim), others as shortest-round-trip
+  * decimals — see core/GeoJson for the oracle-replayable contract. */
+case class StAsGeoJson(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (b.isEmpty) null
+    else UTF8String.fromString(graft.core.GeoJson.write(GeomOps.fromWkb(b)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_asgeojson"
+}
+
+/** st_geomfromgeojson(text) → WKB (reference:
+  * ogr/ogrsf_frmts/geojson/ogrgeojsonreader.cpp :: OGRGeoJSONReadGeometry).
+  * Accepts the seven RFC types, any member order, foreign members
+  * ignored; blank input → null like st_geomfromwkt. */
+case class StGeomFromGeoJson(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty || s.forall(_.isWhitespace)) null
+    else GeomIO.toWkb(graft.core.GeoJson.parse(s))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_geomfromgeojson"
+}
+
 /** st_geomfromwkb(binary) → canonical WKB: parses (validating the byte
   * stream) and re-serializes, so foreign WKB (different byte order /
   * 2.5D flags) normalizes to the engine's canonical form. st_aswkb is its

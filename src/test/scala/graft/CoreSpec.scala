@@ -510,6 +510,59 @@ class CoreSpec extends AnyFunSuite {
       Seq("POINT (9 9)", "LINESTRING (0 0, 1 1)"))
   }
 
+  test("q100 locationinfo: inverse geotransform + tile lookup == scalar replay, no row lost") {
+    val spark = TestSpark.spark
+    val df = SparkEntry.queries("q100_locationinfo")(spark, TestSpark.SfSmall)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val x = -32.0 + ((q * 7919) % 4096).toDouble / 32.0
+      val y = 64.0 - ((q * 104729) % 2048).toDouble / 32.0
+      val px = math.floor((x - -32.0) / 0.5).toLong
+      val py = math.floor((64.0 - y) / 0.5).toLong
+      assert(r.getLong(1) == px && r.getLong(2) == py, s"q=$q pixel/line")
+      val v = (((px / 8) * 131 + (py / 8) * 173 + (px % 8) * 7 + (py % 8) * 11) % 16).toDouble
+      assert(r.getDouble(3) == v, s"q=$q value")
+    }
+    // the tile join must resolve every point to exactly one pixel
+    val n = spark.read.parquet(s"${TestSpark.SfSmall}/customer.parquet").count()
+    assert(rows.length.toLong == n)
+  }
+
+  test("GeoJson: write/parse round-trip across all seven types; formatting contract") {
+    import graft.core.{GeoJson, GeomIO}
+    def rt(wkt: String): Unit = {
+      val g = GeomIO.fromWkt(wkt)
+      val back = GeoJson.parse(GeoJson.write(g))
+      assert(back.equalsExact(g), s"round-trip of $wkt:\n${GeoJson.write(g)}")
+    }
+    rt("POINT(3 4)")
+    rt("LINESTRING(0 0, 1.25 2.5, -3 4)")
+    rt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    rt("MULTIPOINT((1 2), (3.5 -4))")
+    rt("MULTILINESTRING((0 0, 1 1), (2 2, 3 3, 4 4))")
+    rt("MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    rt("GEOMETRYCOLLECTION(POINT(1 2), LINESTRING(0 0, 1 1), POLYGON((0 0, 1 0, 1 1, 0 0)))")
+    // formatting contract: integers print bare, fractions as shortest decimals
+    assert(GeoJson.write(GeomIO.point(3.0, -4.0)) ==
+      """{"type":"Point","coordinates":[3,-4]}""")
+    assert(GeoJson.write(GeomIO.point(3.25, 0.5)) ==
+      """{"type":"Point","coordinates":[3.25,0.5]}""")
+    // parser tolerance: member order, whitespace, foreign members, escapes
+    val p = GeoJson.parse(
+      """ { "bbox" : [0, 0, 9, 9], "coordinates" : [ 1.5 , 2 ] ,
+            "name": "a\"bA", "type" : "Point" } """)
+    assert(p.equalsExact(GeomIO.point(1.5, 2.0)))
+    // z-coordinate present in input → ignored (RFC allows, we read x/y)
+    val pz = GeoJson.parse("""{"type":"Point","coordinates":[1,2,3]}""")
+    assert(pz.equalsExact(GeomIO.point(1.0, 2.0)))
+    // malformed inputs raise, not corrupt
+    intercept[Exception](GeoJson.parse("""{"type":"Point"}"""))
+    intercept[Exception](GeoJson.parse("""{"type":"Nope","coordinates":[1,2]}"""))
+    intercept[Exception](GeoJson.parse("""{"type":"Point","coordinates":[1,2]} x"""))
+  }
+
   test("st_segmentize: interior vertices inserted, originals kept bit-exact") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -28,7 +28,8 @@ class FocalProxContourSpec extends AnyFunSuite {
     val zoom = 2; val w = 8; val h = 8
     val (vals, gw, gh) = synthVals(zoom, w, h)
     val tiles = Synth.maskTiles(spark, zoom, w, h)
-    for (mode <- Seq("tri", "tpi", "roughness", "slope_deg", "aspect_deg", "hillshade", "hillshade_md")) {
+    for (mode <- Seq("tri", "tpi", "roughness", "slope_deg", "aspect_deg",
+      "hillshade", "hillshade_md", "hillshade_combined")) {
       val want = FocalKernel.wholeGrid(vals, gw, gh, mode)
       val got = Focal.focal(tiles, w, h, 1 << (zoom + 1), 1 << zoom, mode)
         .collect()
@@ -114,6 +115,21 @@ class FocalProxContourSpec extends AnyFunSuite {
     // multidirectional degenerates to the same value on flat terrain
     // (sin² weights sum to 2, each azimuth's cang = sin(alt))
     assert(FocalKernel.wholeGrid(flat, 5, 5, "hillshade_md").forall(_ == 181.0))
+    // combined hillshade: flat → 255 ALWAYS (slope angle 0 kills the
+    // acos damping term), unlike plain hillshade's alt-dependent 181 —
+    // the mode's defining property
+    assert(FocalKernel.wholeGrid(flat, 5, 5, "hillshade_combined").forall(_ == 255.0))
+    // tilted-plane anchors (interior cells; bytes computed independently
+    // from cmb = 1 − acos(cang)·slopeAng·4/π², margins ≥0.19 from the
+    // rounding boundary so libm ULPs can't flip them)
+    val zxPlane = Array.tabulate(25)(i => (i % 5).toDouble)
+    val cz = FocalKernel.wholeGrid(zxPlane, 5, 5, "hillshade_combined")
+    for (y <- 1 until 4; x <- 1 until 4)
+      assert(cz(y * 5 + x) == 211.0, s"z=x combined ($x,$y): ${cz(y * 5 + x)}")
+    val zyPlane = Array.tabulate(25)(i => (i / 5).toDouble)
+    val cy = FocalKernel.wholeGrid(zyPlane, 5, 5, "hillshade_combined")
+    for (y <- 1 until 4; x <- 1 until 4)
+      assert(cy(y * 5 + x) == 140.0, s"z=y combined ($x,$y): ${cy(y * 5 + x)}")
     // spike at center of 3x3 zeros
     val spike = Array(0.0, 0.0, 0.0, 0.0, 9.0, 0.0, 0.0, 0.0, 0.0)
     val tri = FocalKernel.wholeGrid(spike, 3, 3, "tri")

@@ -155,16 +155,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("q94/q95/q96 focal DEM family: exactly ONE exchange (the halo shuffle), no join") {
+  test("q94/q95/q96/q99 focal DEM family: exactly ONE exchange (the halo shuffle), no join") {
     // the halo exchange is O(perimeter); a second exchange would mean the
     // kernel result is being re-shuffled per pixel — the scale-killer the
     // strip design exists to avoid
-    for (q <- Seq("q94_slope", "q95_aspect", "q96_hillshade_md")) {
+    for (q <- Seq("q94_slope", "q95_aspect", "q96_hillshade_md", "q99_hillshade_combined")) {
       val p = plan(q)
       val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
       assert(exchanges == 1, s"$q: expected 1 exchange, got $exchanges:\n$p")
       assert(!p.contains("Join"), q)
     }
+  }
+
+  test("q100: locationinfo is a broadcast equi-join + O(1) element_at; no cartesian") {
+    val p = plan("q100_locationinfo")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
   test("q97: nearblack bounds join is a broadcast equi-join; no per-pixel shuffle") {
@@ -178,8 +184,8 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges:\n$p")
   }
 
-  test("q92/q93/q98: segmentize, sphere distance, explodecollections are shuffle-free") {
-    for (q <- Seq("q92_segmentize", "q93_sphere_distance", "q98_explode")) {
+  test("q92/q93/q98/q101: segmentize, sphere distance, explodecollections, geojson are shuffle-free") {
+    for (q <- Seq("q92_segmentize", "q93_sphere_distance", "q98_explode", "q101_geojson")) {
       val p = plan(q)
       assert(!p.contains(") Exchange"), s"$q:\n$p")
       assert(!p.contains("Join"), q)
