@@ -1039,6 +1039,59 @@ object SparkEntry {
         .select(col("q_id"), col("part"), col("gtype"),
           col("seq").cast("long").as("seq"), col("p.x").as("x"), col("p.y").as("y"))
     }),
+    "q102_translate_scale" -> ((s, dir) => {
+      // gdal_translate -scale/-exponent (apps/gdal_translate_lib.cpp →
+      // frmts/vrt/vrtsources.cpp :: VRTComplexSource exponent scaling):
+      // out = dst_min + (dst_max−dst_min)·ratio^exp, ratio = (v−src_min)/
+      // (src_max−src_min) clamped to [0,1]. The SAME SQL string runs
+      // through Spark expr() and the DuckDB oracle (q83 same-string
+      // trick), so the only cross-engine gap is fdlibm-vs-libm exp/ln
+      // ULPs — absorbed by milli quantization (min margin 0.11 milli on
+      // this corpus, checked at authoring). Two bands: full-range
+      // exp 1.5, and a clamping (2..13 → 10..250) exp 0.8 window.
+      // Shuffle-free scan → generate → codegen'd project.
+      F.ensureRegistered(s)
+      Synth.maskTiles(s, 2)
+        .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "v")))
+        .select((col("tx") * 8 + col("i") % 8).as("gx"),
+          (col("ty") * 8 + (col("i") / 8).cast("long")).as("gy"), col("v"))
+        .withColumn("scaled_milli",
+          expr(s"CAST(floor(($scaleFullSql) * 1000.0 + 0.5) AS BIGINT)"))
+        .withColumn("clamp_milli",
+          expr(s"CAST(floor(($scaleClampSql) * 1000.0 + 0.5) AS BIGINT)"))
+        .drop("v")
+    }),
+    "q103_clipsrc" -> ((s, dir) => {
+      // ogr2ogr -clipsrc (apps/ogr2ogr.cpp: each feature's geometry is
+      // intersected with the clip polygon; features whose intersection is
+      // empty are dropped). Boxes live on the quarter lattice and the
+      // clip window on the 1/8 lattice, so a box edge can never coincide
+      // with a clip edge — every intersection is either empty or a
+      // full-dimensional rectangle whose corners mix the two inputs'
+      // exact dyadic coordinates, making area and envelope closed-form
+      // oracle-replayable with NO quantization. Shuffle-free.
+      F.ensureRegistered(s)
+      val clip = "POLYGON((0.125 0.125, 256.125 0.125, 256.125 128.125, " +
+        "0.125 128.125, 0.125 0.125))"
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("-100.0D + CAST((q_id * 7919) % 2048 AS DOUBLE) / 4.0D"))
+        .withColumn("ay", expr("-50.0D + CAST((q_id * 104729) % 1024 AS DOUBLE) / 4.0D"))
+        .withColumn("w", expr("2.0D + CAST(q_id % 13 AS DOUBLE) / 4.0D"))
+        .withColumn("h", expr("3.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
+        .withColumn("wkt", expr(
+          """format_string('POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))',
+               ax, ay, ax + w, ay, ax + w, ay + h, ax, ay + h, ax, ay)"""))
+        .withColumn("clipped", call_function("st_intersection",
+          call_function("st_geomfromwkt", col("wkt")),
+          call_function("st_geomfromwkt", lit(clip))))
+        .where(!call_function("st_isempty", col("clipped")))
+        .withColumn("env", call_function("st_env_bounds", col("clipped")))
+        .select(col("q_id"),
+          call_function("st_area", col("clipped")).as("area"),
+          element_at(col("env"), 1).as("xmin"), element_at(col("env"), 2).as("ymin"),
+          element_at(col("env"), 3).as("xmax"), element_at(col("env"), 4).as("ymax"))
+    }),
     "q101_geojson" -> ((s, dir) => {
       // OGR GeoJSON driver analog (ogr/ogrsf_frmts/geojson/
       // ogrgeojsonwriter.cpp + ogrgeojsonreader.cpp): write each geometry
@@ -1882,6 +1935,53 @@ object SparkEntry {
          CASE WHEN c2 <= 0.0 THEN 1.0 ELSE floor(1.0 + 254.0 * c2 + 0.5) END AS val
        FROM cmb"""
 
+  /** q102 shared scale expression (same-string trick, q83 precedent):
+    * the identical SQL text runs through Spark expr() and the DuckDB
+    * oracle, so the op sequence is identical by construction; ^exp is
+    * written exp(e·ln r) — Spark codegen calls StrictMath.log/exp
+    * (fdlibm) where DuckDB calls libm, the ULP gap absorbed by the
+    * caller's milli quantization. */
+  private def scaleCaseSql(srcMin: String, srcMax: String,
+                           dstMin: String, dstMax: String, e: String): String =
+    s"""CASE WHEN v <= $srcMin THEN $dstMin
+        WHEN v >= $srcMax THEN $dstMax
+        ELSE $dstMin + ($dstMax - $dstMin)
+          * exp($e * ln((v - $srcMin) / ($srcMax - $srcMin))) END"""
+  private val scaleFullSql = scaleCaseSql("0.0", "15.0", "0.0", "255.0", "1.5")
+  private val scaleClampSql = scaleCaseSql("2.0", "13.0", "10.0", "250.0", "0.8")
+
+  private def translateScaleOracle: String =
+    s"""WITH px AS (
+         SELECT gx.x AS gx, gy.y AS gy,
+           CAST(((gx.x // 8)*131 + (gy.y // 8)*173
+               + (gx.x % 8)*7 + (gy.y % 8)*11) % 16 AS DOUBLE) AS v
+         FROM generate_series(0, 63) gx(x), generate_series(0, 31) gy(y))
+       SELECT gx, gy,
+         CAST(floor(($scaleFullSql) * 1000.0 + 0.5) AS BIGINT) AS scaled_milli,
+         CAST(floor(($scaleClampSql) * 1000.0 + 0.5) AS BIGINT) AS clamp_milli
+       FROM px"""
+
+  /** q103: clipsrc replica — box ∩ clip-window on mismatched dyadic
+    * lattices (edges can never coincide): intersection extents are
+    * greatest/least picks of exact inputs, area their exact product;
+    * empty intersections are dropped like ogr2ogr drops empty features. */
+  private def clipsrcOracle: String =
+    """WITH sp AS (
+         SELECT s_suppkey AS q_id,
+           -100.0 + CAST((s_suppkey * 7919) % 2048 AS DOUBLE) / 4.0 AS ax,
+           -50.0 + CAST((s_suppkey * 104729) % 1024 AS DOUBLE) / 4.0 AS ay,
+           2.0 + CAST(s_suppkey % 13 AS DOUBLE) / 4.0 AS w,
+           3.0 + CAST(s_suppkey % 7 AS DOUBLE) / 2.0 AS h
+         FROM supplier),
+       ix AS (
+         SELECT q_id,
+           greatest(ax, 0.125) AS xmin, greatest(ay, 0.125) AS ymin,
+           least(ax + w, 256.125) AS xmax, least(ay + h, 128.125) AS ymax
+         FROM sp)
+       SELECT q_id, (xmax - xmin) * (ymax - ymin) AS area,
+         xmin, ymin, xmax, ymax
+       FROM ix WHERE xmin < xmax AND ymin < ymax"""
+
   /** q100: locationinfo replica — the inverse-geotransform floor
     * arithmetic is exact on the dyadic point lattice, and the tile pixel
     * function is closed-form, so the oracle recomputes the value without
@@ -2354,6 +2454,8 @@ object SparkEntry {
     "q96_hillshade_md" -> hillshadeMdOracle,
     "q99_hillshade_combined" -> hillshadeCombinedOracle,
     "q100_locationinfo" -> locationInfoOracle,
+    "q102_translate_scale" -> translateScaleOracle,
+    "q103_clipsrc" -> clipsrcOracle,
     "q40_proximity" ->
       """WITH px AS (
            SELECT gx.x AS gx, gy.y AS gy,

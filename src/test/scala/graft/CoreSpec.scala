@@ -530,6 +530,65 @@ class CoreSpec extends AnyFunSuite {
     assert(rows.length.toLong == n)
   }
 
+  test("q102 translate -scale/-exponent: endpoints exact, interior == StrictMath replica") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("q102_translate_scale")(spark, TestSpark.SfSmall).collect()
+    assert(rows.length == 64 * 32)
+    def pix(gx: Long, gy: Long): Double =
+      (((gx / 8) * 131 + (gy / 8) * 173 + (gx % 8) * 7 + (gy % 8) * 11) % 16).toDouble
+    def scale(x: Double, sMin: Double, sMax: Double,
+              dMin: Double, dMax: Double, e: Double): Long = {
+      val out = if (x <= sMin) dMin else if (x >= sMax) dMax
+        else dMin + (dMax - dMin) *
+          StrictMath.exp(e * StrictMath.log((x - sMin) / (sMax - sMin)))
+      math.floor(out * 1000.0 + 0.5).toLong
+    }
+    rows.foreach { r =>
+      val x = pix(r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == scale(x, 0.0, 15.0, 0.0, 255.0, 1.5), s"full v=$x")
+      assert(r.getLong(3) == scale(x, 2.0, 13.0, 10.0, 250.0, 0.8), s"clamp v=$x")
+    }
+    // endpoint / saturation anchors: 0 → dst_min, 15 → dst_max, and the
+    // clamping band pins 0..2 to 10 000 and 13..15 to 250 000 milli
+    val byV = rows.map(r => (pix(r.getLong(0), r.getLong(1)),
+      (r.getLong(2), r.getLong(3)))).toMap
+    assert(byV(0.0) == ((0L, 10000L)) && byV(15.0) == ((255000L, 250000L)))
+    assert(byV(1.0)._2 == 10000L && byV(14.0)._2 == 250000L)
+  }
+
+  test("q103 clipsrc: inside kept whole, partials clipped exactly, outside dropped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    val clip = "POLYGON((0.125 0.125, 256.125 0.125, 256.125 128.125, " +
+      "0.125 128.125, 0.125 0.125))"
+    def clipBox(wkt: String): Option[(Double, Double, Double, Double, Double)] =
+      Seq(wkt).toDF("w")
+        .withColumn("c", call_function("st_intersection",
+          call_function("st_geomfromwkt", col("w")),
+          call_function("st_geomfromwkt", lit(clip))))
+        .where(!call_function("st_isempty", col("c")))
+        .select(call_function("st_area", col("c")),
+          call_function("st_env_bounds", col("c")))
+        .collect().headOption.map { r =>
+          val e = r.getSeq[Double](1)
+          (r.getDouble(0), e(0), e(1), e(2), e(3))
+        }
+    // fully inside: geometry passes through bit-exact
+    assert(clipBox("POLYGON((10 10, 14.25 10, 14.25 13.5, 10 13.5, 10 10))")
+      .contains((4.25 * 3.5, 10.0, 10.0, 14.25, 13.5)))
+    // straddling the left clip edge: xmin snaps to the window's 0.125
+    assert(clipBox("POLYGON((-2 5, 3 5, 3 9, -2 9, -2 5))")
+      .contains(((3.0 - 0.125) * 4.0, 0.125, 5.0, 3.0, 9.0)))
+    // corner overlap at the window's top-right
+    assert(clipBox("POLYGON((255 127, 300 127, 300 200, 255 200, 255 127))")
+      .contains(((256.125 - 255.0) * (128.125 - 127.0), 255.0, 127.0, 256.125, 128.125)))
+    // fully outside: the feature is dropped, not emitted empty
+    assert(clipBox("POLYGON((300 5, 305 5, 305 9, 300 9, 300 5))").isEmpty)
+  }
+
   test("GeoJson: write/parse round-trip across all seven types; formatting contract") {
     import graft.core.{GeoJson, GeomIO}
     def rt(wkt: String): Unit = {

@@ -184,8 +184,9 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges:\n$p")
   }
 
-  test("q92/q93/q98/q101: segmentize, sphere distance, explodecollections, geojson are shuffle-free") {
-    for (q <- Seq("q92_segmentize", "q93_sphere_distance", "q98_explode", "q101_geojson")) {
+  test("q92/q93/q98/q101/q102/q103: scalar-surface queries are shuffle-free") {
+    for (q <- Seq("q92_segmentize", "q93_sphere_distance", "q98_explode",
+      "q101_geojson", "q102_translate_scale", "q103_clipsrc")) {
       val p = plan(q)
       assert(!p.contains(") Exchange"), s"$q:\n$p")
       assert(!p.contains("Join"), q)
