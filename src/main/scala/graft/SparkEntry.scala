@@ -1039,6 +1039,50 @@ object SparkEntry {
         .select(col("q_id"), col("part"), col("gtype"),
           col("seq").cast("long").as("seq"), col("p.x").as("x"), col("p.y").as("y"))
     }),
+    "q104_identify" -> ((s, dir) => {
+      // gdalmanage identify (apps/gdalmanage.cpp): route each tile
+      // through a REAL codec chosen by tx % 3, then classify the binary
+      // purely from magic bytes and count per format — grading that the
+      // three JDK codecs emit their signatures AND that identification is
+      // container-only (no decode). Oracle: the closed-form tx % 3 census
+      // of the zoom-3 tile grid.
+      F.ensureRegistered(s)
+      val t = Synth.tiles(s, 3)
+      val png = Media.encodePng(t.where(col("tx") % 3 === 0))
+        .select(col("png").as("media"))
+      val tif = Media.encodeTiff(t.where(col("tx") % 3 === 1))
+        .select(col("tiff").as("media"))
+      val jpg = Media.encodeJpeg(t.where(col("tx") % 3 === 2))
+        .select(col("jpeg").as("media"))
+      Media.identify(png.unionByName(tif).unionByName(jpg), "media")
+        .groupBy("fmt").agg(count(lit(1)).as("n"))
+    }),
+    "q105_wrapdateline" -> ((s, dir) => {
+      // ogr2ogr -wrapdateline (apps/ogr2ogr.cpp →
+      // CutGeometryOnDateLineAndAddToMulti): boxes straddling lon 180 are
+      // split — [−180,180] part in place, (180,540) part shifted −360 —
+      // with non-crossing boxes passing through untouched. The corpus
+      // lives on the 1/16 lattice offset so no edge can coincide with
+      // 180 exactly; every part is a full-dimensional rectangle whose
+      // envelope and area are closed-form, NO quantization. Shuffle-free.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("170.0625D + CAST((q_id * 7919) % 160 AS DOUBLE) / 8.0D"))
+        .withColumn("ay", expr("-50.0625D + CAST((q_id * 104729) % 640 AS DOUBLE) / 8.0D"))
+        .withColumn("w", expr("2.0D + CAST(q_id % 9 AS DOUBLE) / 2.0D"))
+        .withColumn("h", expr("1.0D + CAST(q_id % 5 AS DOUBLE) / 4.0D"))
+        .withColumn("wkt", expr(
+          """format_string('POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))',
+               ax, ay, ax + w, ay, ax + w, ay + h, ax, ay + h, ax, ay)"""))
+        .select(col("q_id"), posexplode(call_function("st_wrapdateline",
+          call_function("st_geomfromwkt", col("wkt")))).as(Seq("part", "g")))
+        .withColumn("env", call_function("st_env_bounds", col("g")))
+        .select(col("q_id"), col("part").cast("long").as("part"),
+          element_at(col("env"), 1).as("xmin"), element_at(col("env"), 2).as("ymin"),
+          element_at(col("env"), 3).as("xmax"), element_at(col("env"), 4).as("ymax"),
+          call_function("st_area", col("g")).as("area"))
+    }),
     "q102_translate_scale" -> ((s, dir) => {
       // gdal_translate -scale/-exponent (apps/gdal_translate_lib.cpp →
       // frmts/vrt/vrtsources.cpp :: VRTComplexSource exponent scaling):
@@ -1982,6 +2026,43 @@ object SparkEntry {
          xmin, ymin, xmax, ymax
        FROM ix WHERE xmin < xmax AND ymin < ymax"""
 
+  /** q104: identify replica — the zoom-3 grid's tx % 3 census; the
+    * engine's value comes from real codec bytes + magic sniffing, the
+    * oracle from the routing arithmetic alone, so any signature or
+    * sniffing defect breaks the count. */
+  private def identifyOracle: String =
+    """WITH t AS (
+         SELECT gx.x AS tx FROM generate_series(0, 15) gx(x),
+                                generate_series(0, 7) gy(y))
+       SELECT CASE tx % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'tiff'
+              ELSE 'jpeg' END AS fmt,
+         count(*) AS n
+       FROM t GROUP BY 1"""
+
+  /** q105: wrapdateline replica — split boxes in closed form: the west
+    * part exists iff ax < 180 (xmax clamped to 180), the shifted part iff
+    * ax + w > 180 (bounds − 360), part order west-then-shifted exactly as
+    * st_wrapdateline emits. All lattice-exact, no quantization. */
+  private def wrapDatelineOracle: String =
+    """WITH sp AS (
+         SELECT s_suppkey AS q_id,
+           170.0625 + CAST((s_suppkey * 7919) % 160 AS DOUBLE) / 8.0 AS ax,
+           -50.0625 + CAST((s_suppkey * 104729) % 640 AS DOUBLE) / 8.0 AS ay,
+           2.0 + CAST(s_suppkey % 9 AS DOUBLE) / 2.0 AS w,
+           1.0 + CAST(s_suppkey % 5 AS DOUBLE) / 4.0 AS h
+         FROM supplier),
+       parts AS (
+         SELECT q_id, 0 AS part, ax AS xmin, ay AS ymin,
+           least(ax + w, 180.0) AS xmax, ay + h AS ymax
+         FROM sp WHERE ax < 180.0
+         UNION ALL
+         SELECT q_id, CASE WHEN ax < 180.0 THEN 1 ELSE 0 END,
+           greatest(ax, 180.0) - 360.0, ay, (ax + w) - 360.0, ay + h
+         FROM sp WHERE ax + w > 180.0)
+       SELECT q_id, CAST(part AS BIGINT) AS part, xmin, ymin, xmax, ymax,
+         (xmax - xmin) * (ymax - ymin) AS area
+       FROM parts"""
+
   /** q100: locationinfo replica — the inverse-geotransform floor
     * arithmetic is exact on the dyadic point lattice, and the tile pixel
     * function is closed-form, so the oracle recomputes the value without
@@ -2456,6 +2537,8 @@ object SparkEntry {
     "q100_locationinfo" -> locationInfoOracle,
     "q102_translate_scale" -> translateScaleOracle,
     "q103_clipsrc" -> clipsrcOracle,
+    "q104_identify" -> identifyOracle,
+    "q105_wrapdateline" -> wrapDatelineOracle,
     "q40_proximity" ->
       """WITH px AS (
            SELECT gx.x AS gx, gy.y AS gy,

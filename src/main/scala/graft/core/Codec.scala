@@ -35,6 +35,23 @@ object Codec {
     bos.toByteArray
   }
 
+  /** Container format from the magic bytes — the gdalmanage identify /
+    * GDALIdentifyDriver analog (reference: apps/gdalmanage.cpp,
+    * gcore/gdaldrivermanager.cpp: each driver's Identify() checks its
+    * signature against the header). Returns the short driver-style name,
+    * or "unknown" — never throws, identification is a total function. */
+  def identify(bytes: Array[Byte]): String = {
+    def at(i: Int, v: Int): Boolean =
+      i < bytes.length && (bytes(i) & 0xff) == v
+    if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "png"
+    else if ((at(0, 'I') && at(1, 'I') && at(2, 0x2a) && at(3, 0x00)) ||
+             (at(0, 'M') && at(1, 'M') && at(2, 0x00) && at(3, 0x2a))) "tiff"
+    else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) "jpeg"
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8')) "gif"
+    else if (at(0, 'B') && at(1, 'M')) "bmp"
+    else "unknown"
+  }
+
   /** (w, h, pixels row-major). Format is sniffed from the magic bytes, so
     * one decoder serves PNG and TIFF alike. */
   private def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {

@@ -62,6 +62,7 @@ object F {
         "st_points"      -> (e => StPoints(e.head)),
         "st_dump"        -> (e => StDump(e.head)),
         "st_asgeojson"   -> (e => StAsGeoJson(e.head)),
+        "st_wrapdateline" -> (e => StWrapDateline(e.head)),
         "st_geomfromgeojson" -> (e => StGeomFromGeoJson(e.head)),
         "st_segmentize"  -> (e => StSegmentize(e(0), e(1))),
         "st_distance_sphere" -> (e => StDistanceSphere(e(0), e(1))),

@@ -178,6 +178,39 @@ case class StDump(child: Expression)
   override def prettyName: String = "st_dump"
 }
 
+/** st_wrapdateline(geom) → array<binary> (reference: apps/ogr2ogr.cpp
+  * -wrapdateline → ogr/ogrgeometryfactory.cpp ::
+  * transformWithOptions/CutGeometryOnDateLineAndAddToMulti): the geometry
+  * is split at lon 180 — the part inside [−180, 180] kept in place, the
+  * part in (180, 540) shifted west by 360 — and the non-empty parts
+  * return in that fixed order, pairing with posexplode like st_dump.
+  * A geometry already inside the range returns as a singleton, exactly
+  * as the reference leaves non-crossing features untouched. */
+case class StWrapDateline(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val g = GeomOps.fromWkb(v.asInstanceOf[Array[Byte]])
+    val west = g.intersection(GeomIO.box(-180.0, -90.0, 180.0, 90.0))
+    val eastRaw = g.intersection(GeomIO.box(180.0, -90.0, 540.0, 90.0))
+    val east = if (eastRaw.isEmpty) eastRaw else {
+      val c = eastRaw.copy()
+      c.apply(new org.locationtech.jts.geom.CoordinateFilter {
+        override def filter(coord: org.locationtech.jts.geom.Coordinate): Unit =
+          coord.x -= 360.0
+      })
+      c.geometryChanged()
+      c
+    }
+    val parts = Seq(west, east).filter(!_.isEmpty)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      parts.map(p => GeomIO.toWkb(p): Any).toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_wrapdateline"
+}
+
 /** st_asgeojson(geom) → RFC 7946 GeoJSON text (reference:
   * ogr/ogrsf_frmts/geojson/ogrgeojsonwriter.cpp :: OGRGeoJSONWriteGeometry).
   * Integer-valued coordinates print without a decimal point (the

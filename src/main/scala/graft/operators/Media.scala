@@ -110,4 +110,13 @@ object Media {
     * decode UDF as PNG/TIFF). */
   def decodeJpeg(media: DataFrame, binCol: String = "jpeg"): DataFrame =
     media.withColumn("pixels", decUdf(col(binCol)))
+
+  // ---- gdalmanage identify (apps/gdalmanage.cpp): classify a binary
+  // column by magic-byte signature. Total — foreign bytes → 'unknown',
+  // never an exception (identification precedes any decode attempt).
+
+  private val identifyUdf = udf((b: Array[Byte]) => graft.core.Codec.identify(b))
+
+  def identify(media: DataFrame, binCol: String): DataFrame =
+    media.withColumn("fmt", identifyUdf(col(binCol)))
 }

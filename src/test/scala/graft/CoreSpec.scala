@@ -589,6 +589,50 @@ class CoreSpec extends AnyFunSuite {
     assert(clipBox("POLYGON((300 5, 305 5, 305 9, 300 9, 300 5))").isEmpty)
   }
 
+  test("Codec.identify: magic-byte signatures, total on foreign bytes") {
+    import graft.core.Codec
+    assert(Codec.identify(Codec.encodeGray(Array.fill(16)(7), 4, 4, "png")) == "png")
+    assert(Codec.identify(Codec.encodeGray(Array.fill(16)(7), 4, 4, "tiff")) == "tiff")
+    assert(Codec.identify(Codec.encodeJpegGray(Array.fill(16)(7), 4, 4)) == "jpeg")
+    assert(Codec.identify("GIF89a".getBytes) == "gif")
+    assert(Codec.identify(Array[Byte]('B', 'M', 0, 0)) == "bmp")
+    assert(Codec.identify("not an image".getBytes) == "unknown")
+    assert(Codec.identify(Array.emptyByteArray) == "unknown")
+    assert(Codec.identify(Array[Byte](0x89.toByte)) == "unknown") // truncated header
+  }
+
+  test("st_wrapdateline: passthrough / split / pure-shift; split conserves area") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    def parts(wkt: String): Seq[(Double, Double, Double, Double, Double)] =
+      Seq(wkt).toDF("w")
+        .select(posexplode(call_function("st_wrapdateline",
+          call_function("st_geomfromwkt", col("w")))).as(Seq("i", "g")))
+        .orderBy("i")
+        .select(call_function("st_env_bounds", col("g")),
+          call_function("st_area", col("g")))
+        .collect().map { r =>
+          val e = r.getSeq[Double](0); (e(0), e(1), e(2), e(3), r.getDouble(1))
+        }.toSeq
+    // fully west of 180: untouched singleton
+    assert(parts("POLYGON((170 10, 175 10, 175 12, 170 12, 170 10))") ==
+      Seq((170.0, 10.0, 175.0, 12.0, 10.0)))
+    // straddling: west part clamped at 180, east part shifted to −180
+    assert(parts("POLYGON((178 0, 183 0, 183 2, 178 2, 178 0))") ==
+      Seq((178.0, 0.0, 180.0, 2.0, 4.0), (-180.0, 0.0, -177.0, 2.0, 6.0)))
+    // fully east: single shifted part
+    assert(parts("POLYGON((181 -5, 184 -5, 184 -3, 181 -3, 181 -5))") ==
+      Seq((-179.0, -5.0, -176.0, -3.0, 6.0)))
+    // non-rectangular crossing: two parts, areas sum to the original
+    // (intersection vertices on x=180 interpolate, so compare within 1e-9)
+    val tri = parts("POLYGON((176 0, 184 0, 176 8, 176 0))")
+    assert(tri.length == 2)
+    assert(math.abs(tri.map(_._5).sum - 32.0) < 1e-9)
+  }
+
   test("GeoJson: write/parse round-trip across all seven types; formatting contract") {
     import graft.core.{GeoJson, GeomIO}
     def rt(wkt: String): Unit = {

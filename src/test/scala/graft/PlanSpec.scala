@@ -167,6 +167,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q104: identify is union -> classify -> ONE count exchange; no join") {
+    val p = plan("q104_identify")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (the fmt count agg), got $exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q100: locationinfo is a broadcast equi-join + O(1) element_at; no cartesian") {
     val p = plan("q100_locationinfo")
     assert(p.contains("BroadcastHashJoin"), p)
@@ -186,7 +193,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("q92/q93/q98/q101/q102/q103: scalar-surface queries are shuffle-free") {
     for (q <- Seq("q92_segmentize", "q93_sphere_distance", "q98_explode",
-      "q101_geojson", "q102_translate_scale", "q103_clipsrc")) {
+      "q101_geojson", "q102_translate_scale", "q103_clipsrc",
+      "q105_wrapdateline")) {
       val p = plan(q)
       assert(!p.contains(") Exchange"), s"$q:\n$p")
       assert(!p.contains("Join"), q)
