@@ -584,6 +584,93 @@ SELECT q_id,
 FROM verts
 """
 
+  /** q106: ogrlineref mileposts + locate replayed closed-form over the
+    * 3-point corpus. Replicates LineRefOps' pinned op order exactly:
+    * dx=x1−x0, ls=dx·dx+dy·dy, len=sqrt(ls), cum left-assoc from 0.0
+    * (0.0+l1 == l1 bit-exact, so `cum+li` is l1 / l1+l2 verbatim);
+    * every op is exactly rounded so NO quantization is needed. Segment
+    * choice `d <= l1` / `d <= l1+l2`, the locate clamp and the strict
+    * d22 < d21 argmin all decide on identical doubles in both engines. */
+  def q106LineRef: String = """
+WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 64.0 AS ax,
+    CAST((s_suppkey * 104729) % 1024 AS DOUBLE) / 64.0 AS ay
+  FROM supplier),
+p2 AS (SELECT *, ax + 1.0 + CAST(q_id % 13 AS DOUBLE) / 2.0 AS bx,
+    ay + CAST(q_id % 7 AS DOUBLE) / 4.0 AS by FROM sp),
+p3 AS (SELECT *, bx - CAST(q_id % 5 AS DOUBLE) / 2.0 AS cx,
+    by + 2.0 + CAST(q_id % 11 AS DOUBLE) / 8.0 AS cy,
+    0.5 + CAST(q_id % 4 AS DOUBLE) / 8.0 AS step FROM p2),
+dg AS (SELECT *, bx - ax AS dx1, by - ay AS dy1, cx - bx AS dx2, cy - by AS dy2,
+    ax + 1.0 AS qx, ay + 2.0 AS qy FROM p3),
+ll AS (SELECT *, dx1*dx1 + dy1*dy1 AS ls1, dx2*dx2 + dy2*dy2 AS ls2,
+    sqrt(dx1*dx1 + dy1*dy1) AS l1, sqrt(dx2*dx2 + dy2*dy2) AS l2 FROM dg),
+tt AS (SELECT *, l1 + l2 AS tot FROM ll),
+pr AS (SELECT *,
+    LEAST(GREATEST(((qx - ax) * dx1 + (qy - ay) * dy1) / ls1, 0.0), 1.0) AS t1,
+    LEAST(GREATEST(((qx - bx) * dx2 + (qy - by) * dy2) / ls2, 0.0), 1.0) AS t2
+  FROM tt),
+dc AS (SELECT *,
+    (qx - (ax + dx1 * t1)) * (qx - (ax + dx1 * t1))
+      + (qy - (ay + dy1 * t1)) * (qy - (ay + dy1 * t1)) AS d21,
+    (qx - (bx + dx2 * t2)) * (qx - (bx + dx2 * t2))
+      + (qy - (by + dy2 * t2)) * (qy - (by + dy2 * t2)) AS d22
+  FROM pr),
+lc AS (SELECT *,
+    CASE WHEN d22 < d21 THEN (l1 + l2 * t2) / tot ELSE (l1 * t1) / tot END AS loc
+  FROM dc),
+mp AS (SELECT lc.*, gs.i AS k, CAST(gs.i AS DOUBLE) * step AS d
+  FROM lc, generate_series(0, 63) gs(i)
+  WHERE gs.i <= CAST(floor(tot / step) AS BIGINT))
+SELECT q_id, CAST(k AS BIGINT) AS k,
+  CASE WHEN d <= l1 THEN ax + dx1 * (d / l1)
+       WHEN d <= l1 + l2 THEN bx + dx2 * ((d - l1) / l2)
+       ELSE cx END AS mx,
+  CASE WHEN d <= l1 THEN ay + dy1 * (d / l1)
+       WHEN d <= l1 + l2 THEN by + dy2 * ((d - l1) / l2)
+       ELSE cy END AS my,
+  loc
+FROM mp
+"""
+
+  /** q107: sub-line vertex rows rebuilt closed-form — interpolate(d0),
+    * the middle vertex iff l1 strictly inside (d0,d1), interpolate(d1);
+    * d0/d1 are exact ×2^-2 scalings of tot, comparisons and lerps run
+    * the identical op sequence, so the vertex doubles match BIT-exactly
+    * with no quantization. */
+  def q107LineSub: String = """
+WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 64.0 AS ax,
+    CAST((s_suppkey * 104729) % 1024 AS DOUBLE) / 64.0 AS ay
+  FROM supplier),
+p2 AS (SELECT *, ax + 1.0 + CAST(q_id % 13 AS DOUBLE) / 2.0 AS bx,
+    ay + CAST(q_id % 7 AS DOUBLE) / 4.0 AS by FROM sp),
+p3 AS (SELECT *, bx - CAST(q_id % 5 AS DOUBLE) / 2.0 AS cx,
+    by + 2.0 + CAST(q_id % 11 AS DOUBLE) / 8.0 AS cy FROM p2),
+dg AS (SELECT *, bx - ax AS dx1, by - ay AS dy1, cx - bx AS dx2, cy - by AS dy2 FROM p3),
+ll AS (SELECT *, sqrt(dx1*dx1 + dy1*dy1) AS l1, sqrt(dx2*dx2 + dy2*dy2) AS l2 FROM dg),
+tt AS (SELECT *, l1 + l2 AS tot FROM ll),
+dd AS (SELECT *, tot * 0.25 AS d0, tot * 0.75 AS d1 FROM tt),
+verts AS (
+  SELECT q_id, 0 AS ord,
+    CASE WHEN d0 <= l1 THEN ax + dx1 * (d0 / l1) ELSE bx + dx2 * ((d0 - l1) / l2) END AS x,
+    CASE WHEN d0 <= l1 THEN ay + dy1 * (d0 / l1) ELSE by + dy2 * ((d0 - l1) / l2) END AS y
+  FROM dd
+  UNION ALL
+  SELECT q_id, 1, bx, by FROM dd WHERE l1 > d0 AND l1 < d1
+  UNION ALL
+  SELECT q_id, 2,
+    CASE WHEN d1 <= l1 THEN ax + dx1 * (d1 / l1) ELSE bx + dx2 * ((d1 - l1) / l2) END,
+    CASE WHEN d1 <= l1 THEN ay + dy1 * (d1 / l1) ELSE by + dy2 * ((d1 - l1) / l2) END
+  FROM dd)
+SELECT q_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY ord) - 1 AS BIGINT) AS seq,
+  x, y
+FROM verts
+"""
+
   /** q90: RAT per-class stats replayed per-pixel over the closed-form
     * grid; engine sums are exact BIGINT by construction, so plain
     * integer aggregation matches (outer CASTs per the q56 HUGEINT

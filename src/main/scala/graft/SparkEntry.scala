@@ -1083,6 +1083,70 @@ object SparkEntry {
           element_at(col("env"), 3).as("xmax"), element_at(col("env"), 4).as("ymax"),
           call_function("st_area", col("g")).as("area"))
     }),
+    "q106_lineref" -> ((s, dir) => {
+      // ogrlineref -create mileposts + -get_pos (apps/ogrlineref.cpp;
+      // per-segment primitives ogr/ogrlinestring.cpp ::
+      // OGRLineString::Value/Project): per-row dyadic 3-point LINESTRING
+      // (the q92 corpus arithmetic), mileposts every `step` along the
+      // line via st_line_interpolate at k·step for k = 0..floor(len/step),
+      // plus the located fraction of an off-line lattice probe point.
+      // The whole chain is −,·,/,sqrt — exactly rounded IEEE ops, zero
+      // transcendentals — so the oracle replays every double BIT-exactly
+      // with no quantization (LineRefOps' pinned op order). Shuffle-free
+      // scan → project → generate.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 64.0"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 1024 AS DOUBLE) / 64.0"))
+        .withColumn("bx", expr("ax + 1.0 + CAST(q_id % 13 AS DOUBLE) / 2.0"))
+        .withColumn("by", expr("ay + CAST(q_id % 7 AS DOUBLE) / 4.0"))
+        .withColumn("cx", expr("bx - CAST(q_id % 5 AS DOUBLE) / 2.0"))
+        .withColumn("cy", expr("by + 2.0 + CAST(q_id % 11 AS DOUBLE) / 8.0"))
+        .withColumn("step", expr("0.5 + CAST(q_id % 4 AS DOUBLE) / 8.0"))
+        .withColumn("wkt", format_string("LINESTRING(%s %s, %s %s, %s %s)",
+          col("ax"), col("ay"), col("bx"), col("by"), col("cx"), col("cy")))
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("tot", call_function("st_line_length", col("g")))
+        .withColumn("loc", call_function("st_line_locate", col("g"),
+          expr("ax + 1.0"), expr("ay + 2.0")))
+        .withColumn("k", explode(sequence(lit(0L),
+          expr("CAST(floor(tot / step) AS BIGINT)"))))
+        .withColumn("p", call_function("st_line_interpolate", col("g"),
+          expr("CAST(k AS DOUBLE) * step")))
+        .select(col("q_id"), col("k"),
+          call_function("st_x", col("p")).as("mx"),
+          call_function("st_y", col("p")).as("my"),
+          col("loc"))
+    }),
+    "q107_line_substring" -> ((s, dir) => {
+      // ogrlineref -get_subline (apps/ogrlineref.cpp): the sub-line
+      // between distances 0.25·len and 0.75·len (both exact ×2^-2
+      // scalings) dumped to typed vertex rows. Endpoints interpolate
+      // with the pinned LineRefOps op order; the middle vertex copies
+      // through bit-exact iff its cumulative distance falls strictly
+      // inside the window — both the within-one-segment and the
+      // spanning cases fire on this corpus, and the oracle rebuilds the
+      // same vertex list closed-form. NO quantization. Shuffle-free.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 64.0"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 1024 AS DOUBLE) / 64.0"))
+        .withColumn("bx", expr("ax + 1.0 + CAST(q_id % 13 AS DOUBLE) / 2.0"))
+        .withColumn("by", expr("ay + CAST(q_id % 7 AS DOUBLE) / 4.0"))
+        .withColumn("cx", expr("bx - CAST(q_id % 5 AS DOUBLE) / 2.0"))
+        .withColumn("cy", expr("by + 2.0 + CAST(q_id % 11 AS DOUBLE) / 8.0"))
+        .withColumn("wkt", format_string("LINESTRING(%s %s, %s %s, %s %s)",
+          col("ax"), col("ay"), col("bx"), col("by"), col("cx"), col("cy")))
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("tot", call_function("st_line_length", col("g")))
+        .withColumn("sub", call_function("st_line_substring", col("g"),
+          expr("tot * 0.25"), expr("tot * 0.75")))
+        .select(col("q_id"), posexplode(call_function("st_points", col("sub"))))
+        .select(col("q_id"), col("pos").cast("long").as("seq"),
+          col("col.x").as("x"), col("col.y").as("y"))
+    }),
     "q102_translate_scale" -> ((s, dir) => {
       // gdal_translate -scale/-exponent (apps/gdal_translate_lib.cpp →
       // frmts/vrt/vrtsources.cpp :: VRTComplexSource exponent scaling):
@@ -2313,6 +2377,8 @@ object SparkEntry {
     "q89_curve_linearize" -> OracleHashSql.q89Curve,
     "q90_rat" -> OracleHashSql.q90Rat,
     "q92_segmentize" -> OracleHashSql.q92Segmentize,
+    "q106_lineref" -> OracleHashSql.q106LineRef,
+    "q107_line_substring" -> OracleHashSql.q107LineSub,
     "q98_explode" -> OracleHashSql.q98Explode,
     "q101_geojson" -> OracleHashSql.q101GeoJson,
     "q93_sphere_distance" -> OracleHashSql.q93Sphere,

@@ -66,6 +66,10 @@ object F {
         "st_geomfromgeojson" -> (e => StGeomFromGeoJson(e.head)),
         "st_segmentize"  -> (e => StSegmentize(e(0), e(1))),
         "st_distance_sphere" -> (e => StDistanceSphere(e(0), e(1))),
+        "st_line_length"    -> (e => StLineLength(e.head)),
+        "st_line_interpolate" -> (e => StLineInterpolate(e(0), e(1))),
+        "st_line_locate"    -> (e => StLineLocate(e(0), e(1), e(2))),
+        "st_line_substring" -> (e => StLineSubstring(e(0), e(1), e(2))),
         "cell_encode"    -> (e => CellEncode(e(0), e(1), e(2))),
         "cell_encode_merc" -> (e => CellEncode(e(0), e(1), e(2), mercator = true)),
         "cell_zoom"      -> (e => CellPart(e.head, "zoom")),

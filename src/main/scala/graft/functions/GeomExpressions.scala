@@ -535,3 +535,162 @@ case class GeomPredicatePoint(first: Expression, second: Expression,
     copy(a, b, c, op)
   override def prettyName: String = s"st_${op}_point"
 }
+
+/** Linear referencing (reference apps/ogrlineref.cpp — the -create
+  * milepost, -get_pos and -get_subline modes; the per-segment primitives
+  * live in ogr/ogrlinestring.cpp :: OGRLineString::Value/Project). All
+  * four functions share ONE pinned IEEE op order so a SQL oracle replays
+  * the output doubles BIT-exactly with no quantization (the q92
+  * discipline): per segment i in vertex order dx=x1−x0, dy=y1−y0,
+  * ls=dx·dx+dy·dy, len=sqrt(ls); cumulative length accumulates
+  * left-assoc from 0.0. Every op is −,·,/,sqrt — exactly rounded, zero
+  * transcendentals — so engine and oracle produce identical doubles from
+  * identical inputs, and every comparison (segment choice, clamp,
+  * nearest-segment argmin) decides identically too, even on would-be
+  * ties. Zero-length segments are skipped (they carry no interior
+  * distance and would divide 0/0). */
+object LineRefOps {
+  import org.locationtech.jts.geom.Coordinate
+
+  private def segLen(cs: Array[Coordinate], i: Int): Double = {
+    val dx = cs(i + 1).x - cs(i).x; val dy = cs(i + 1).y - cs(i).y
+    math.sqrt(dx * dx + dy * dy)
+  }
+
+  def totalLen(cs: Array[Coordinate]): Double = {
+    var tot = 0.0; var i = 0
+    while (i + 1 < cs.length) { tot += segLen(cs, i); i += 1 }
+    tot
+  }
+
+  /** Point at distance d along the line: the FIRST segment whose
+    * cumulative end reaches d interpolates t=(d−cum)/len, x=x0+dx·t;
+    * d ≤ 0 → first vertex, past the end → last vertex (ogrlineref
+    * clamps the same way). */
+  def interpolate(cs: Array[Coordinate], dist: Double): (Double, Double) = {
+    if (!(dist > 0.0)) return (cs.head.x, cs.head.y)
+    var cum = 0.0; var i = 0
+    while (i + 1 < cs.length) {
+      val li = segLen(cs, i)
+      if (li > 0.0 && dist <= cum + li) {
+        val t = (dist - cum) / li
+        val dx = cs(i + 1).x - cs(i).x; val dy = cs(i + 1).y - cs(i).y
+        return (cs(i).x + dx * t, cs(i).y + dy * t)
+      }
+      cum += li
+      i += 1
+    }
+    (cs.last.x, cs.last.y)
+  }
+
+  /** Fraction of total length (0..1) at the nearest point of the line to
+    * (px,py): per segment t=((px−x0)·dx+(py−y0)·dy)/ls clamped to [0,1],
+    * foot f=p0+d·t, d2=(p−f)·(p−f); strict < argmin keeps the FIRST best
+    * segment; result (cumAtSeg + len·t)/total. */
+  def locate(cs: Array[Coordinate], px: Double, py: Double): Double = {
+    val tot = totalLen(cs)
+    if (!(tot > 0.0)) return 0.0
+    var best = Double.PositiveInfinity
+    var frac = 0.0
+    var cum = 0.0; var i = 0
+    while (i + 1 < cs.length) {
+      val dx = cs(i + 1).x - cs(i).x; val dy = cs(i + 1).y - cs(i).y
+      val ls = dx * dx + dy * dy
+      val li = math.sqrt(ls)
+      if (li > 0.0) {
+        var t = ((px - cs(i).x) * dx + (py - cs(i).y) * dy) / ls
+        if (t < 0.0) t = 0.0 else if (t > 1.0) t = 1.0
+        val fx = cs(i).x + dx * t; val fy = cs(i).y + dy * t
+        val ex = px - fx; val ey = py - fy
+        val d2 = ex * ex + ey * ey
+        if (d2 < best) { best = d2; frac = (cum + li * t) / tot }
+      }
+      cum += li
+      i += 1
+    }
+    frac
+  }
+
+  /** Vertices of the sub-line between distances d0 ≤ d1: interpolate(d0),
+    * then every ORIGINAL interior vertex whose cumulative distance lies
+    * STRICTLY inside (d0, d1) copied bit-exact, then interpolate(d1).
+    * Duplicates are not collapsed (d0==d1 yields the degenerate 2-point
+    * line) — the oracle builds the same list. */
+  def substring(cs: Array[Coordinate], d0: Double, d1: Double): Array[Coordinate] = {
+    require(d0 <= d1, s"st_line_substring needs d0 <= d1, got $d0 > $d1")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+    val s = interpolate(cs, d0)
+    out += new Coordinate(s._1, s._2)
+    var cum = 0.0; var i = 0
+    while (i + 1 < cs.length) {
+      cum += segLen(cs, i)
+      // vertex i+1 sits at cumulative distance cum; the LAST vertex is
+      // never emitted here (interpolate(d1) already caps at it)
+      if (i + 2 < cs.length && cum > d0 && cum < d1)
+        out += new Coordinate(cs(i + 1).x, cs(i + 1).y)
+      i += 1
+    }
+    val e = interpolate(cs, d1)
+    out += new Coordinate(e._1, e._2)
+    out.toArray
+  }
+}
+
+/** st_line_length(geom) — cumulative per-segment sqrt length in the
+  * LineRefOps op order (NOT JTS getLength, whose accumulation order is
+  * not a contract of this engine). */
+case class StLineLength(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    LineRefOps.totalLen(GeomOps.fromWkb(v.asInstanceOf[Array[Byte]]).getCoordinates)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_line_length"
+}
+
+/** st_line_interpolate(geom, dist) — POINT at distance dist along the
+  * line (ogrlineref -create milepost primitive). */
+case class StLineInterpolate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(g0: Any, d0: Any): Any = {
+    val cs = GeomOps.fromWkb(g0.asInstanceOf[Array[Byte]]).getCoordinates
+    val p = LineRefOps.interpolate(cs, d0.asInstanceOf[Double])
+    GeomIO.toWkb(GeomIO.factory.createPoint(
+      new org.locationtech.jts.geom.Coordinate(p._1, p._2)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "st_line_interpolate"
+}
+
+/** st_line_locate(geom, px, py) — fraction of the line's length at the
+  * nearest point to (px,py) (ogrlineref -get_pos). */
+case class StLineLocate(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(g0: Any, x0: Any, y0: Any): Any =
+    LineRefOps.locate(GeomOps.fromWkb(g0.asInstanceOf[Array[Byte]]).getCoordinates,
+      x0.asInstanceOf[Double], y0.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+  override def prettyName: String = "st_line_locate"
+}
+
+/** st_line_substring(geom, d0, d1) — LINESTRING between the two
+  * distances (ogrlineref -get_subline). */
+case class StLineSubstring(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(g0: Any, a0: Any, b0: Any): Any = {
+    val cs = GeomOps.fromWkb(g0.asInstanceOf[Array[Byte]]).getCoordinates
+    val sub = LineRefOps.substring(cs, a0.asInstanceOf[Double], b0.asInstanceOf[Double])
+    GeomIO.toWkb(GeomIO.factory.createLineString(sub))
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+  override def prettyName: String = "st_line_substring"
+}

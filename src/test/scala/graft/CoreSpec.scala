@@ -700,6 +700,66 @@ class CoreSpec extends AnyFunSuite {
     assert(p == "POINT (2 3)")
   }
 
+  test("linear referencing: interpolate/locate/substring/length (ogrlineref)") {
+    import graft.functions.LineRefOps
+    val cs = GeomIO.fromWkt("LINESTRING(0 0, 3 0, 3 4)").getCoordinates
+    // length: 3 + 4 = 7 exactly
+    assert(LineRefOps.totalLen(cs) == 7.0)
+    // interpolate: clamps, segment pick, exact-vertex landing
+    assert(LineRefOps.interpolate(cs, 0.0) == ((0.0, 0.0)))
+    assert(LineRefOps.interpolate(cs, -1.0) == ((0.0, 0.0)))
+    assert(LineRefOps.interpolate(cs, 1.5) == ((1.5, 0.0)))
+    assert(LineRefOps.interpolate(cs, 3.0) == ((3.0, 0.0))) // first segment wins d == l1
+    assert(LineRefOps.interpolate(cs, 5.0) == ((3.0, 2.0)))
+    assert(LineRefOps.interpolate(cs, 99.0) == ((3.0, 4.0)))
+    // locate: per-segment projection, strict-< argmin keeps FIRST on ties
+    assert(LineRefOps.locate(cs, 1.5, 1.0) == 1.5 / 7.0)
+    assert(LineRefOps.locate(cs, 4.0, 2.0) == (3.0 + 4.0 * 0.5) / 7.0)
+    assert(LineRefOps.locate(cs, -5.0, -5.0) == 0.0)   // clamp t<0 on seg 1
+    assert(LineRefOps.locate(cs, 3.0, 9.0) == 1.0)     // clamp t>1 on last seg
+    assert(LineRefOps.locate(cs, 3.0, 0.0) == 3.0 / 7.0) // shared vertex: d2==0 twice, first wins
+    // substring: endpoints interpolate, interior originals copy, no dedup
+    def subXY(d0: Double, d1: Double): Seq[(Double, Double)] =
+      LineRefOps.substring(cs, d0, d1).toSeq.map(c => (c.x, c.y))
+    assert(subXY(0.0, 7.0) == Seq((0.0, 0.0), (3.0, 0.0), (3.0, 4.0)))
+    assert(subXY(1.0, 5.0) == Seq((1.0, 0.0), (3.0, 0.0), (3.0, 2.0)))
+    assert(subXY(2.0, 2.0) == Seq((2.0, 0.0), (2.0, 0.0))) // degenerate window
+    assert(subXY(4.0, 6.0) == Seq((3.0, 1.0), (3.0, 3.0))) // within one segment
+    intercept[IllegalArgumentException](LineRefOps.substring(cs, 5.0, 1.0))
+
+    // distributed q106/q107 rows replay EXACTLY against the scalar ops
+    val spark = TestSpark.spark
+    val q106 = SparkEntry.queries("q106_lineref")(spark, TestSpark.SfSmall)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val q107 = SparkEntry.queries("q107_line_substring")(spark, TestSpark.SfSmall)
+      .collect().groupBy(_.getLong(0))
+    assert(q106.nonEmpty && q107.nonEmpty)
+    val qids: Set[Long] = q106.keysIterator.map(_._1).take(200).toSet
+    for (qid <- qids) {
+      val ax = ((qid * 7919) % 1024).toDouble / 64.0
+      val ay = ((qid * 104729) % 1024).toDouble / 64.0
+      val bx = ax + 1.0 + (qid % 13).toDouble / 2.0
+      val by = ay + (qid % 7).toDouble / 4.0
+      val cx = bx - (qid % 5).toDouble / 2.0
+      val cy = by + 2.0 + (qid % 11).toDouble / 8.0
+      val step = 0.5 + (qid % 4).toDouble / 8.0
+      val lcs = GeomIO.fromWkt(s"LINESTRING($ax $ay, $bx $by, $cx $cy)").getCoordinates
+      val tot = LineRefOps.totalLen(lcs)
+      val loc = LineRefOps.locate(lcs, ax + 1.0, ay + 2.0)
+      val nK = math.floor(tot / step).toLong
+      for (k <- 0L to nK) {
+        val (ex, ey) = LineRefOps.interpolate(lcs, k.toDouble * step)
+        val (gx, gy, gl) = q106((qid, k))
+        assert(gx == ex && gy == ey && gl == loc, s"q106 qid=$qid k=$k")
+      }
+      assert(!q106.contains((qid, nK + 1)), s"milepost overrun qid=$qid")
+      val want = LineRefOps.substring(lcs, tot * 0.25, tot * 0.75)
+      val got = q107(qid).sortBy(_.getLong(1)).map(r => (r.getDouble(2), r.getDouble(3)))
+      assert(got.toSeq == want.toSeq.map(c => (c.x, c.y)), s"q107 qid=$qid")
+    }
+  }
+
   test("style strings: tool + params parse, quoted commas/colons survive") {
     val spark = TestSpark.spark
     import spark.implicits._
