@@ -411,6 +411,25 @@ object SparkEntry {
       // Byte-quantized with floor(x+0.5) like q39/q96; the acos clamp is
       // min-then-max on both engines.
       focalPixels(s, "hillshade_combined")),
+    "q108_slope_zt" -> ((s, dir) =>
+      // gdaldem slope -alg ZevenbergenThorne (apps/gdaldem.cpp ::
+      // GDALSlopeZevenbergenThorneAlg): central differences over the 4
+      // edge neighbors, denominator 2 — milli-deg quantized like q94
+      focalPixels(s, "slope_zt")
+        .select(col("gx"), col("gy"),
+          expr("CAST(floor(val * 1000.0 + 0.5) AS BIGINT)").as("slope_milli"))),
+    "q109_aspect_zt" -> ((s, dir) =>
+      // gdaldem aspect -alg ZevenbergenThorne: ZT gradient, Horn's wrap/
+      // flat-sentinel logic. ZT flags flat wherever f==d AND hh==b — a
+      // strictly larger sentinel set than Horn's (corner taps ignored),
+      // which the spec pins as the kernels' defining difference.
+      focalPixels(s, "aspect_zt")
+        .select(col("gx"), col("gy"),
+          expr("CAST(floor(val * 1000.0 + 0.5) AS BIGINT)").as("aspect_milli"))),
+    "q110_hillshade_zt" -> ((s, dir) =>
+      // gdaldem hillshade -alg ZevenbergenThorne: the Horn shade chain
+      // over the 2-tap ZT derivative, q39 byte quantization
+      focalPixels(s, "hillshade_zt")),
     "q100_locationinfo" -> ((s, dir) => {
       // gdallocationinfo (apps/gdallocationinfo.cpp): world coordinate →
       // inverse geotransform → (pixel, line) → band value at that cell.
@@ -2164,6 +2183,57 @@ object SparkEntry {
          CASE WHEN cg <= 0.0 THEN 1.0 ELSE floor(1.0 + 254.0 * cg + 0.5) END AS val
        FROM cang"""
 
+  /** q108/q109/q110: the ZT twins of the q94/q95/q39 oracles — identical
+    * downstream trig replay, gradient lines swapped for the 2-tap central
+    * differences ((f−d)/2, (hh−b)/2; hillshade signs (d−f), (hh−b)). */
+  private def slopeZtOracle: String =
+    s"""$focalWinCte,
+       sh AS (
+         SELECT gx, gy,
+           (f - d) / (2.0 * 1.0) AS dzdx,
+           (hh - b) / (2.0 * 1.0) AS dzdy
+         FROM win)
+       SELECT gx, gy,
+         CAST(floor((atan(1.0 * sqrt(dzdx*dzdx + dzdy*dzdy) / 1.0)
+           / (pi() / 180.0)) * 1000.0 + 0.5) AS BIGINT) AS slope_milli
+       FROM sh"""
+
+  private def aspectZtOracle: String =
+    s"""$focalWinCte,
+       sh AS (
+         SELECT gx, gy,
+           (f - d) / 2.0 AS dzdx,
+           (hh - b) / 2.0 AS dzdy
+         FROM win),
+       dg AS (SELECT gx, gy, dzdx, dzdy,
+           atan2(dzdy, -dzdx) / (pi() / 180.0) AS deg FROM sh),
+       az AS (SELECT gx, gy,
+           CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN -9999.0
+                WHEN 90.0 - deg < 0.0 THEN (90.0 - deg) + 360.0
+                WHEN 90.0 - deg >= 360.0 THEN (90.0 - deg) - 360.0
+                ELSE 90.0 - deg END AS v
+         FROM dg)
+       SELECT gx, gy,
+         CAST(floor(v * 1000.0 + 0.5) AS BIGINT) AS aspect_milli
+       FROM az"""
+
+  private def hillshadeZtOracle: String =
+    s"""$focalWinCte,
+       sh AS (
+         SELECT gx, gy,
+           1.0 * (d - f) / (2.0 * 1.0 * 1.0) AS xx,
+           1.0 * (hh - b) / (2.0 * 1.0 * 1.0) AS yy
+         FROM win),
+       cang AS (
+         SELECT gx, gy,
+           sin(45.0 * (pi() / 180.0)) * sin(pi() / 2.0 - atan(sqrt(xx*xx + yy*yy)))
+           + cos(45.0 * (pi() / 180.0)) * cos(pi() / 2.0 - atan(sqrt(xx*xx + yy*yy)))
+             * cos(315.0 * (pi() / 180.0) - pi() / 2.0 - atan2(yy, xx)) AS cg
+         FROM sh)
+       SELECT gx, gy,
+         CASE WHEN cg <= 0.0 THEN 1.0 ELSE floor(1.0 + 254.0 * cg + 0.5) END AS val
+       FROM cang"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg_filter" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2581,6 +2651,9 @@ object SparkEntry {
     "q38_focal_roughness" -> focalOracle("roughness"),
     "q39_hillshade" -> hillshadeOracle,
     "q94_slope" -> slopeOracle,
+    "q108_slope_zt" -> slopeZtOracle,
+    "q109_aspect_zt" -> aspectZtOracle,
+    "q110_hillshade_zt" -> hillshadeZtOracle,
     "q97_nearblack" ->
       // per-row bounds = min/max gx with v > 6; all-collar rows get the
       // engine's (2^62, −1) sentinels so the between-test replays exactly

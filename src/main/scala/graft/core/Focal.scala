@@ -71,6 +71,37 @@ object Focal {
               val az = 90.0 - deg
               if (az < 0) az + 360.0 else if (az >= 360.0) az - 360.0 else az
             }
+          case "slope_zt" =>
+            // Zevenbergen–Thorne slope (reference: apps/gdaldem.cpp ::
+            // GDALSlopeZevenbergenThorneAlg, the -alg ZevenbergenThorne
+            // flag): central differences over the 4 edge neighbors only,
+            // denominator 2 instead of Horn's weighted 8
+            val dzdx = (f - d) / (2.0 * p.ewres)
+            val dzdy = (hh - b) / (2.0 * p.nsres)
+            math.atan(p.z * math.sqrt(dzdx * dzdx + dzdy * dzdy) / p.scale) / degToRad
+          case "aspect_zt" =>
+            // ZT aspect: same wrap/flat-sentinel logic as Horn aspect,
+            // gradient from the edge neighbors alone — flat fires whenever
+            // f==d AND hh==b, a strictly larger set than Horn's
+            val dzdx = (f - d) / 2.0
+            val dzdy = (hh - b) / 2.0
+            if (dzdx == 0 && dzdy == 0) -9999.0
+            else {
+              val deg = math.atan2(dzdy, -dzdx) / degToRad
+              val az = 90.0 - deg
+              if (az < 0) az + 360.0 else if (az >= 360.0) az - 360.0 else az
+            }
+          case "hillshade_zt" =>
+            // ZT hillshade: the Horn shade chain over the ZT gradient
+            // (reference GDALHillshadeZevenbergenThorneAlg wires the same
+            // shade formula to the 2-tap derivative)
+            val xx = p.z * (d - f) / (2.0 * p.ewres * p.scale)
+            val yy = p.z * (hh - b) / (2.0 * p.nsres * p.scale)
+            val slope = math.Pi / 2.0 - math.atan(math.sqrt(xx * xx + yy * yy))
+            val aspect = math.atan2(yy, xx)
+            val cang = sinAlt * math.sin(slope) +
+              cosAlt * math.cos(slope) * math.cos(azRad - math.Pi / 2.0 - aspect)
+            if (cang <= 0.0) 1.0 else math.floor(1.0 + 254.0 * cang + 0.5)
           case "hillshade" =>
             // Horn hillshade, byte 1..255 (reference: gdaldem hillshade)
             val xx = p.z * ((a + 2 * d + g) - (c + 2 * f + i)) / (8.0 * p.ewres * p.scale)

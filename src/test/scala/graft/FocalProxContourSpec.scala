@@ -29,7 +29,8 @@ class FocalProxContourSpec extends AnyFunSuite {
     val (vals, gw, gh) = synthVals(zoom, w, h)
     val tiles = Synth.maskTiles(spark, zoom, w, h)
     for (mode <- Seq("tri", "tpi", "roughness", "slope_deg", "aspect_deg",
-      "hillshade", "hillshade_md", "hillshade_combined")) {
+      "hillshade", "hillshade_md", "hillshade_combined",
+      "slope_zt", "aspect_zt", "hillshade_zt")) {
       val want = FocalKernel.wholeGrid(vals, gw, gh, mode)
       val got = Focal.focal(tiles, w, h, 1 << (zoom + 1), 1 << zoom, mode)
         .collect()
@@ -101,6 +102,39 @@ class FocalProxContourSpec extends AnyFunSuite {
     val want = math.atan(2.0) / (math.Pi / 180.0)
     for (y <- 1 until gh - 1; x <- 1 until gw - 1)
       assert(math.abs(s2(y * gw + x) - want) < 1e-12)
+  }
+
+  test("Zevenbergen-Thorne kernels: plane-identical to Horn, corner-blind where Horn is not") {
+    val gw = 5; val gh = 5
+    // on any PLANE the 2-tap central difference equals Horn's weighted
+    // gradient, so slope/aspect/hillshade agree exactly in the interior
+    val zx = Array.tabulate(gw * gh)(i => (i % gw).toDouble)
+    for ((hm, zm) <- Seq(("slope_deg", "slope_zt"), ("aspect_deg", "aspect_zt"),
+      ("hillshade", "hillshade_zt"))) {
+      val horn = FocalKernel.wholeGrid(zx, gw, gh, hm)
+      val zt = FocalKernel.wholeGrid(zx, gw, gh, zm)
+      for (y <- 1 until gh - 1; x <- 1 until gw - 1)
+        assert(zt(y * gw + x) == horn(y * gw + x), s"$zm plane ($x,$y)")
+    }
+    assert(math.abs(FocalKernel.wholeGrid(zx, gw, gh, "slope_zt")(2 * gw + 2) - 45.0) < 1e-12)
+    assert(math.abs(FocalKernel.wholeGrid(zx, gw, gh, "aspect_zt")(2 * gw + 2) - 270.0) < 1e-9)
+    // the defining difference: a lone CORNER spike moves Horn's gradient
+    // but is invisible to ZT's edge-only taps — ZT stays flat (sentinel)
+    val spike = Array.fill(gw * gh)(0.0)
+    spike(1 * gw + 1) = 8.0 // NW corner neighbor of center (2,2)
+    val c = 2 * gw + 2
+    assert(FocalKernel.wholeGrid(spike, gw, gh, "aspect_zt")(c) == -9999.0)
+    assert(FocalKernel.wholeGrid(spike, gw, gh, "aspect_deg")(c) != -9999.0)
+    assert(FocalKernel.wholeGrid(spike, gw, gh, "slope_zt")(c) == 0.0)
+    assert(FocalKernel.wholeGrid(spike, gw, gh, "slope_deg")(c) > 0.0)
+    // an EDGE spike moves ZT twice as hard as Horn (weight 1/2 vs 2/8=1/4
+    // per tap... identical here: (f-d)/2 with f=8 vs (2f)/8 — ZT sees
+    // gradient 4.0, Horn 2.0)
+    val espike = Array.fill(gw * gh)(0.0)
+    espike(2 * gw + 3) = 8.0 // E neighbor of center
+    val sZt = FocalKernel.wholeGrid(espike, gw, gh, "slope_zt")(c)
+    val sHorn = FocalKernel.wholeGrid(espike, gw, gh, "slope_deg")(c)
+    assert(sZt == math.atan(4.0) / (math.Pi / 180.0) && sHorn == math.atan(2.0) / (math.Pi / 180.0))
   }
 
   test("kernel hand-pins: flat raster and a single spike") {
