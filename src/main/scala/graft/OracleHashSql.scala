@@ -671,6 +671,32 @@ SELECT q_id,
 FROM verts
 """
 
+  /** q111: Douglas–Peucker keep/drop replayed as ground truth — the
+    * apex's perpendicular distance to the horizontal base is exactly h
+    * (apex x strictly interior), so the simplifier's decision must equal
+    * `h > tol` and survivors are bit-exact input vertices. */
+  def q111Simplify: String = """
+WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 64.0 AS ax,
+    CAST((s_suppkey * 104729) % 1024 AS DOUBLE) / 64.0 AS ay
+  FROM supplier),
+p2 AS (SELECT *, 4.0 + CAST(q_id % 3 AS DOUBLE) AS ln,
+    ax + 1.0 + CAST(q_id % 2 AS DOUBLE) AS mx,
+    CAST(q_id % 8 AS DOUBLE) / 4.0 AS h FROM sp),
+p3 AS (SELECT *, CASE WHEN q_id % 2 = 0 THEN ay + h ELSE ay - h END AS my FROM p2),
+verts AS (
+  SELECT q_id, 0 AS ord, ax AS x, ay AS y FROM p3
+  UNION ALL
+  SELECT q_id, 1, mx, my FROM p3 WHERE h > 0.875
+  UNION ALL
+  SELECT q_id, 2, ax + ln, ay FROM p3)
+SELECT q_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY ord) - 1 AS BIGINT) AS seq,
+  x, y
+FROM verts
+"""
+
   /** q90: RAT per-class stats replayed per-pixel over the closed-form
     * grid; engine sums are exact BIGINT by construction, so plain
     * integer aggregation matches (outer CASTs per the q56 HUGEINT

@@ -1166,6 +1166,36 @@ object SparkEntry {
         .select(col("q_id"), col("pos").cast("long").as("seq"),
           col("col.x").as("x"), col("col.y").as("y"))
     }),
+    "q111_simplify" -> ((s, dir) => {
+      // ogr2ogr -simplify (reference ogr/ogrgeometry.cpp ::
+      // OGRGeometry::Simplify → GEOS Douglas–Peucker; JTS
+      // DouglasPeuckerSimplifier here): per-row 3-point "tent" on a
+      // horizontal dyadic base, apex height h ∈ {0, 0.25 … 1.75},
+      // tolerance 0.875 — the apex's perpendicular distance IS h (base
+      // horizontal, apex x strictly interior), so keep-vs-drop is
+      // closed-form with a 0.125 decision margin (≫ the one-ulp FP noise
+      // in JTS's point-to-segment distance) and the surviving vertices
+      // are bit-exact originals. The oracle rebuilds the vertex list
+      // from the generating arithmetic — grading the simplifier against
+      // ground truth, NOT against a second simplifier. Shuffle-free.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 64.0"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 1024 AS DOUBLE) / 64.0"))
+        .withColumn("ln", expr("4.0 + CAST(q_id % 3 AS DOUBLE)"))
+        .withColumn("mx", expr("ax + 1.0 + CAST(q_id % 2 AS DOUBLE)"))
+        .withColumn("h", expr("CAST(q_id % 8 AS DOUBLE) / 4.0"))
+        .withColumn("my", expr("CASE WHEN q_id % 2 = 0 THEN ay + h ELSE ay - h END"))
+        .withColumn("wkt", format_string("LINESTRING(%s %s, %s %s, %s %s)",
+          col("ax"), col("ay"), col("mx"), col("my"),
+          expr("ax + ln"), col("ay")))
+        .withColumn("g", call_function("st_simplify",
+          call_function("st_geomfromwkt", col("wkt")), lit(0.875)))
+        .select(col("q_id"), posexplode(call_function("st_points", col("g"))))
+        .select(col("q_id"), col("pos").cast("long").as("seq"),
+          col("col.x").as("x"), col("col.y").as("y"))
+    }),
     "q102_translate_scale" -> ((s, dir) => {
       // gdal_translate -scale/-exponent (apps/gdal_translate_lib.cpp →
       // frmts/vrt/vrtsources.cpp :: VRTComplexSource exponent scaling):
@@ -2448,6 +2478,7 @@ object SparkEntry {
     "q90_rat" -> OracleHashSql.q90Rat,
     "q92_segmentize" -> OracleHashSql.q92Segmentize,
     "q106_lineref" -> OracleHashSql.q106LineRef,
+    "q111_simplify" -> OracleHashSql.q111Simplify,
     "q107_line_substring" -> OracleHashSql.q107LineSub,
     "q98_explode" -> OracleHashSql.q98Explode,
     "q101_geojson" -> OracleHashSql.q101GeoJson,

@@ -760,6 +760,34 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("st_simplify: DP keep/drop against ground truth, survivors bit-exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    def simp(wkt: String, tol: Double): Seq[(Double, Double)] =
+      Seq(wkt).toDF("w")
+        .select(call_function("st_points", call_function("st_simplify",
+          F.st_geomfromwkt(col("w")), lit(tol))).as("p"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+    // apex below tolerance → dropped; above → kept bit-exact
+    assert(simp("LINESTRING(0 0, 2 0.5, 4 0)", 0.875) == Seq((0.0, 0.0), (4.0, 0.0)))
+    assert(simp("LINESTRING(0 0, 2 1.25, 4 0)", 0.875) ==
+      Seq((0.0, 0.0), (2.0, 1.25), (4.0, 0.0)))
+    // negative apex is symmetric
+    assert(simp("LINESTRING(0 0, 2 -1.25, 4 0)", 0.875) ==
+      Seq((0.0, 0.0), (2.0, -1.25), (4.0, 0.0)))
+    // exactly at tolerance: DP keeps only distance > tol → dropped
+    assert(simp("LINESTRING(0 0, 2 0.875, 4 0)", 0.875) == Seq((0.0, 0.0), (4.0, 0.0)))
+    // polygon survives with validity intact under a small tolerance
+    val row = Seq("POLYGON((0 0, 8 0.1, 16 0, 16 8, 0 8, 0 0))").toDF("w")
+      .select(call_function("st_simplify", F.st_geomfromwkt(col("w")), lit(0.5)).as("g"))
+      .select(F.st_isvalid(col("g")), F.st_area(col("g"))).collect()(0)
+    assert(row.getBoolean(0) && row.getDouble(1) > 0.0)
+  }
+
   test("style strings: tool + params parse, quoted commas/colons survive") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -195,7 +195,8 @@ class PlanSpec extends AnyFunSuite {
   test("q92/q93/q98/q101/q102/q103: scalar-surface queries are shuffle-free") {
     for (q <- Seq("q92_segmentize", "q93_sphere_distance", "q98_explode",
       "q101_geojson", "q102_translate_scale", "q103_clipsrc",
-      "q105_wrapdateline", "q106_lineref", "q107_line_substring")) {
+      "q105_wrapdateline", "q106_lineref", "q107_line_substring",
+      "q111_simplify")) {
       val p = plan(q)
       assert(!p.contains(") Exchange"), s"$q:\n$p")
       assert(!p.contains("Join"), q)
