@@ -1166,6 +1166,41 @@ object SparkEntry {
         .select(col("q_id"), col("pos").cast("long").as("seq"),
           col("col.x").as("x"), col("col.y").as("y"))
     }),
+    "q112_kml" -> ((s, dir) => {
+      // OGR KML driver analog (ogr/ogrsf_frmts/kml/ogr2kmlgeometry.cpp
+      // writer + kml/kmlnode.cpp reader): write each geometry as KML 2.2
+      // text, parse it BACK, and dump vertex rows from the round-tripped
+      // geometry. Same grading shape as q101: the oracle rebuilds the
+      // KML string (the shared GeoJson.fmt integer-vs-shortest-decimal
+      // contract, tuples x,y space-joined) AND the vertices from the
+      // generating arithmetic, so writer and parser are both bit-exact
+      // UNQUANTIZED. The q_id%4==3 branch routes a MULTILINESTRING
+      // through <MultiGeometry> and the parser's homogeneous-promotion.
+      // Shuffle-free scan → project → generate.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 4.0D"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 512 AS DOUBLE)"))
+        .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
+        .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
+        .withColumn("wkt", expr(
+          """CASE WHEN q_id % 4 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+             WHEN q_id % 4 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
+               ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
+             WHEN q_id % 4 = 2 THEN format_string('POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))',
+               ax, ay, ax + w, ay, ax + w, ay + h, ax, ay + h, ax, ay)
+             ELSE format_string('MULTILINESTRING((%s %s, %s %s), (%s %s, %s %s))',
+               ax, ay, ax + w, ay + h, ax, ay + h, ax + w, ay)
+             END"""))
+        .withColumn("kml", call_function("st_askml",
+          call_function("st_geomfromwkt", col("wkt"))))
+        .select(col("q_id"), col("kml"),
+          posexplode(call_function("st_points",
+            call_function("st_geomfromkml", col("kml")))).as(Seq("seq", "p")))
+        .select(col("q_id"), col("kml"), col("seq").cast("long").as("seq"),
+          col("p.x").as("x"), col("p.y").as("y"))
+    }),
     "q111_simplify" -> ((s, dir) => {
       // ogr2ogr -simplify (reference ogr/ogrgeometry.cpp ::
       // OGRGeometry::Simplify → GEOS Douglas–Peucker; JTS
@@ -2479,6 +2514,7 @@ object SparkEntry {
     "q92_segmentize" -> OracleHashSql.q92Segmentize,
     "q106_lineref" -> OracleHashSql.q106LineRef,
     "q111_simplify" -> OracleHashSql.q111Simplify,
+    "q112_kml" -> OracleHashSql.q112Kml,
     "q107_line_substring" -> OracleHashSql.q107LineSub,
     "q98_explode" -> OracleHashSql.q98Explode,
     "q101_geojson" -> OracleHashSql.q101GeoJson,

@@ -26,7 +26,7 @@ object GeoJson {
   /** 2^53: below this every integer-valued double has an exact Long. */
   private final val IntExactBound = 9.007199254740992e15
 
-  private def fmt(v: Double): String =
+  private[core] def fmt(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < IntExactBound) v.toLong.toString
     else java.lang.Double.toString(v)
 

@@ -233,6 +233,36 @@ case class StAsGeoJson(child: Expression)
   * ogr/ogrsf_frmts/geojson/ogrgeojsonreader.cpp :: OGRGeoJSONReadGeometry).
   * Accepts the seven RFC types, any member order, foreign members
   * ignored; blank input → null like st_geomfromwkt. */
+/** st_askml(geom) — KML 2.2 geometry text (reference:
+  * ogr/ogrsf_frmts/kml/ogr2kmlgeometry.cpp; core/Kml writer contract). */
+case class StAsKml(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (b.isEmpty) null
+    else UTF8String.fromString(graft.core.Kml.write(GeomOps.fromWkb(b)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_askml"
+}
+
+/** st_geomfromkml(text) — parse a KML geometry fragment
+  * (reference: ogr/ogrsf_frmts/kml/kmlnode.cpp readers). */
+case class StGeomFromKml(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty || s.forall(_.isWhitespace)) null
+    else GeomIO.toWkb(graft.core.Kml.parse(s))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_geomfromkml"
+}
+
 case class StGeomFromGeoJson(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

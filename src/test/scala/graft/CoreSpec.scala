@@ -760,6 +760,53 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("KML: write/parse round-trips, reader tolerance, number contract") {
+    import graft.core.Kml
+    def rt(wkt: String): Unit = {
+      val g = GeomIO.fromWkt(wkt)
+      val back = Kml.parse(Kml.write(g))
+      assert(back.equalsExact(g), s"$wkt -> ${Kml.write(g)} -> $back")
+    }
+    rt("POINT (3 4.25)")
+    rt("LINESTRING (0 0, 1.5 2, 3 0)")
+    rt("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))")
+    rt("MULTIPOINT ((1 2), (3 4))")
+    rt("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))")
+    rt("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 10, 12 10, 12 12, 10 12, 10 10)))")
+    // mixed collection stays a collection
+    val mixed = GeomIO.fromWkt("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    val backMixed = Kml.parse(Kml.write(mixed))
+    assert(backMixed.getGeometryType == "GeometryCollection" && backMixed.equalsExact(mixed))
+    // number contract: integers bare, fractions shortest-round-trip
+    assert(Kml.write(GeomIO.point(3.0, 4.25)) ==
+      "<Point><coordinates>3,4.25</coordinates></Point>")
+    // reader tolerance: prolog, comments, attributes, namespace prefixes,
+    // altitude in tuples, unknown children, arbitrary whitespace
+    val tolerant = Kml.parse(
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<!-- a comment -->
+        |<kml:Point xmlns:kml="http://www.opengis.net/kml/2.2" id="p1">
+        |  <extrude>1</extrude><altitudeMode>clampToGround</altitudeMode>
+        |  <kml:coordinates> 3,4.25,99 </kml:coordinates>
+        |</kml:Point>""".stripMargin)
+    assert(tolerant.equalsExact(GeomIO.point(3.0, 4.25)))
+    val lineWs = Kml.parse(
+      "<LineString><coordinates>0,0\n\t 1,1 \n 2,0</coordinates></LineString>")
+    assert(lineWs.equalsExact(GeomIO.fromWkt("LINESTRING (0 0, 1 1, 2 0)")))
+    // self-closing unknown child + homogeneous promotion to MultiPoint
+    val promoted = Kml.parse(
+      """<MultiGeometry><extrude/>
+        |<Point><coordinates>1,2</coordinates></Point>
+        |<Point><coordinates>3,4</coordinates></Point></MultiGeometry>""".stripMargin)
+    assert(promoted.getGeometryType == "MultiPoint" &&
+      promoted.equalsExact(GeomIO.fromWkt("MULTIPOINT ((1 2), (3 4))")))
+    // malformed inputs raise, not corrupt
+    intercept[Exception](Kml.parse("<Point><coordinates></coordinates></Point>"))
+    intercept[Exception](Kml.parse("<Point><coordinates>1,2</coordinates></Line>"))
+    intercept[Exception](Kml.parse("<Point><coordinates>1,2</coordinates></Point> junk"))
+    intercept[Exception](Kml.parse("<Nope><coordinates>1,2</coordinates></Nope>"))
+  }
+
   test("st_simplify: DP keep/drop against ground truth, survivors bit-exact") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -196,7 +196,7 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("q92_segmentize", "q93_sphere_distance", "q98_explode",
       "q101_geojson", "q102_translate_scale", "q103_clipsrc",
       "q105_wrapdateline", "q106_lineref", "q107_line_substring",
-      "q111_simplify")) {
+      "q111_simplify", "q112_kml")) {
       val p = plan(q)
       assert(!p.contains(") Exchange"), s"$q:\n$p")
       assert(!p.contains("Join"), q)
