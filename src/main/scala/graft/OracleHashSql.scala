@@ -757,6 +757,28 @@ SELECT q_id,
 FROM verts
 """
 
+  /** q113: band statistics replayed per-pixel over the closed-form
+    * zoom-3 grid. The mean/std expressions are graft.operators.Raster's
+    * own SQL strings verbatim (same-string trick), fed by exact integer
+    * sums on both sides — bit-exact with no quantization. */
+  def q113BandStats: String = {
+    val mean = graft.operators.Raster.bandStatsMeanSql
+    val std = graft.operators.Raster.bandStatsStdSql
+    s"""WITH px AS (
+  SELECT gx.x AS gx, gy.y AS gy
+  FROM generate_series(0, 1023) gx(x), generate_series(0, 511) gy(y)),
+v AS (
+  SELECT CAST(((gx // 64)*131 + (gy // 64)*173 + (gx % 64)*7 + (gy % 64)*11 + 3) % 256 AS BIGINT) AS val
+  FROM px),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(val) AS BIGINT) AS s,
+    CAST(sum(val * val) AS BIGINT) AS sq,
+    CAST(min(val) AS BIGINT) AS mn, CAST(max(val) AS BIGINT) AS mx
+  FROM v)
+SELECT n, mn, mx, $mean AS mean, $std AS std FROM g
+"""
+  }
+
   /** q90: RAT per-class stats replayed per-pixel over the closed-form
     * grid; engine sums are exact BIGINT by construction, so plain
     * integer aggregation matches (outer CASTs per the q56 HUGEINT

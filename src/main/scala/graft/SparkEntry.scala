@@ -1350,6 +1350,13 @@ object SparkEntry {
       F.ensureRegistered(s)
       Raster.rat(Synth.tiles(s, 3), nClasses = 20, classWidth = 16.0)
     }),
+    "q113_band_stats" -> ((s, dir) =>
+      // gdalinfo -stats (reference gcore/gdalrasterband.cpp ::
+      // ComputeStatistics): exact global band statistics, per-tile HOF
+      // partials → ONE agg; mean/std replayed through the SAME SQL
+      // string in the oracle — bit-exact UNQUANTIZED (exact integer
+      // sums in, exactly-rounded /,*,−,sqrt out)
+      Raster.bandStats(Synth.tiles(s, 3))),
     "q91_style" -> ((s, dir) => {
       // feature style strings (reference ogr/ogrfeaturestyle.cpp): build
       // a deterministic PEN/BRUSH/LABEL style per row, parse with
@@ -2515,6 +2522,7 @@ object SparkEntry {
     "q106_lineref" -> OracleHashSql.q106LineRef,
     "q111_simplify" -> OracleHashSql.q111Simplify,
     "q112_kml" -> OracleHashSql.q112Kml,
+    "q113_band_stats" -> OracleHashSql.q113BandStats,
     "q107_line_substring" -> OracleHashSql.q107LineSub,
     "q98_explode" -> OracleHashSql.q98Explode,
     "q101_geojson" -> OracleHashSql.q101GeoJson,

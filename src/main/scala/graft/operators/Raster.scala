@@ -588,6 +588,35 @@ object Raster {
       .filter(col("cnt") > 0)
   }
 
+  /** gdalinfo -stats / GDALRasterBand::ComputeStatistics analog
+    * (reference gcore/gdalrasterband.cpp :: ComputeStatistics): exact
+    * global min/max/mean/stddev (population, GDAL's definition) over all
+    * tiles of a band. Per-tile PARTIALS via codegen'd HOFs — one 5-field
+    * row per tile, never a per-pixel explode — then ONE hash agg to the
+    * global sums: the 100-TB shape, the shuffle carries O(tiles) rows of
+    * ~40 bytes. Count/sum/sumsq stay exact integers (byte-valued pixels:
+    * per-tile double accumulation < 2^53, global BIGINT sums < 2^63), so
+    * the final mean/std doubles are a FIXED op sequence over exact
+    * integers — bit-identical in any IEEE engine, no quantization. The
+    * mean/std SQL strings are shared verbatim with the DuckDB oracle
+    * (q83 same-string trick). */
+  val bandStatsMeanSql = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+  val bandStatsStdSql: String =
+    s"sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) - ($bandStatsMeanSql) * ($bandStatsMeanSql))"
+
+  def bandStats(tiles: DataFrame): DataFrame =
+    tiles
+      .select(
+        expr("CAST(size(pixels) AS BIGINT)").as("n"),
+        expr("CAST(aggregate(pixels, 0.0D, (a, p) -> a + p) AS BIGINT)").as("s"),
+        expr("CAST(aggregate(pixels, 0.0D, (a, p) -> a + p * p) AS BIGINT)").as("sq"),
+        expr("array_min(pixels)").as("mn"),
+        expr("array_max(pixels)").as("mx"))
+      .agg(sum("n").as("n"), sum("s").as("s"), sum("sq").as("sq"),
+        min("mn").as("mn"), max("mx").as("mx"))
+      .select(col("n"), col("mn").cast("long").as("mn"), col("mx").cast("long").as("mx"),
+        expr(bandStatsMeanSql).as("mean"), expr(bandStatsStdSql).as("std"))
+
   /** pct2rgb (reference: swig/python/scripts/pct2rgb.py) — the inverse of
     * rgb2pct: expand a palette-indexed raster back to 3 RGB bands via a
     * plan-time literal palette lookup (codegen'd element_at over a ≤256

@@ -192,6 +192,13 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges:\n$p")
   }
 
+  test("q113: band stats is per-tile partials -> ONE exchange, no join, no per-pixel explode") {
+    val p = plan("q113_band_stats")
+    assert(!p.contains("Join") && !p.contains("Generate"), p)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n$p")
+  }
+
   test("q92/q93/q98/q101/q102/q103: scalar-surface queries are shuffle-free") {
     for (q <- Seq("q92_segmentize", "q93_sphere_distance", "q98_explode",
       "q101_geojson", "q102_translate_scale", "q103_clipsrc",

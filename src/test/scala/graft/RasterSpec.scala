@@ -411,6 +411,32 @@ class RasterSpec extends AnyFunSuite {
     assert(got.keySet.forall(_ < 16))
   }
 
+  test("bandStats: exact global stats == per-pixel brute force; hand anchors") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val row = Raster.bandStats(graft.synth.Synth.tiles(spark, 3)).collect().head
+    // brute force over the closed-form zoom-3 grid with EXACT integers,
+    // then the identical double op sequence
+    var s = 0L; var sq = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    val n = 1024L * 512L
+    for (gx <- 0L until 1024L; gy <- 0L until 512L) {
+      val v = ((gx / 64) * 131 + (gy / 64) * 173 + (gx % 64) * 7 + (gy % 64) * 11 + 3) % 256
+      s += v; sq += v * v; mn = math.min(mn, v); mx = math.max(mx, v)
+    }
+    val mean = s.toDouble / n.toDouble
+    val std = math.sqrt(sq.toDouble / n.toDouble - mean * mean)
+    assert(row.getLong(0) == n && row.getLong(1) == mn && row.getLong(2) == mx)
+    assert(row.getDouble(3) == mean && row.getDouble(4) == std, "mean/std must be BIT-exact")
+    // hand anchors: constant band → std 0; two-value band → half-spread
+    def statsOf(px: Seq[Double]): (Long, Long, Long, Double, Double) = {
+      val r = Raster.bandStats(Seq((0L, 0L, px)).toDF("tx", "ty", "pixels")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+    assert(statsOf(Seq.fill(16)(7.0)) == ((16L, 7L, 7L, 7.0, 0.0)))
+    val (n2, mn2, mx2, mean2, std2) = statsOf(Seq.fill(8)(1.0) ++ Seq.fill(8)(3.0))
+    assert(n2 == 16L && mn2 == 1L && mx2 == 3L && mean2 == 2.0 && std2 == 1.0)
+  }
+
   test("warpTpsNear: distributed warp == per-pixel scalar replay of the spline") {
     val spark = TestSpark.spark
     val tiles = graft.synth.Synth.tiles(spark, 3) // 1024x512
