@@ -351,6 +351,20 @@ object SparkEntry {
       Polygonize.components(Synth.maskTiles(s, 2), 8, 8, 64, 32, _ < 7.0, _ => 1.0)
         .select(col("label"), col("n_pixels"),
           col("min_gx"), col("max_gx"), col("min_gy"), col("max_gy"))),
+    "q114_polygonize8" -> ((s, dir) =>
+      // gdal_polygonize -8 (reference alg/polygonize.cpp, the CONNECTED8
+      // enumerator option): same mask and output as q33 but components
+      // are maximal 8-connected sets — diagonal adjacency unions locally
+      // (Ccl conn8 stencil) and across tile seams (E/S borders key the
+      // two diagonal neighbor coordinates too). Mask v < 3 (19% fill),
+      // not q33's v < 7: the dense mask percolates to ONE component
+      // under 8-connectivity (site threshold ≈ 0.407), which would grade
+      // nothing — the sparse mask keeps hundreds of components whose
+      // boundaries are exactly the diagonal merges.
+      Polygonize.components(Synth.maskTiles(s, 2), 8, 8, 64, 32, _ < 3.0, _ => 1.0,
+        conn8 = true)
+        .select(col("label"), col("n_pixels"),
+          col("min_gx"), col("max_gx"), col("min_gy"), col("max_gy"))),
     "q34_polygonize_rings" -> ((s, dir) =>
       // full ring assembly as integer vertex ROWS (label, ring, seq, x, y)
       // — oracle-exact: the rightmost-turn boundary walk is a static
@@ -2710,6 +2724,36 @@ object SparkEntry {
            UNION ALL
            SELECT b.id AS a, a.id AS b FROM nodes a JOIN nodes b
              ON (b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1)),
+         reach AS (
+           WITH RECURSIVE r(id, root) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.a, r.root FROM r JOIN edges e ON e.b = r.id WHERE r.root < e.a
+           ) SELECT * FROM r),
+         lbl AS (SELECT id, min(root) AS label FROM reach GROUP BY id)
+         SELECT l.label, count(*) AS n_pixels,
+           min(n.gx) AS min_gx, max(n.gx) AS max_gx,
+           min(n.gy) AS min_gy, max(n.gy) AS max_gy
+         FROM lbl l JOIN nodes n ON n.id = l.id GROUP BY 1""",
+    "q114_polygonize8" ->
+      // the q33 closure with the two diagonal adjacency offsets added —
+      // 8-connected components (the reverse UNION ALL covers the other
+      // two diagonal directions)
+      """WITH px AS (
+           SELECT (t.tx * 8 + i.i % 8) AS gx, (t.ty * 8 + i.i // 8) AS gy,
+                  (t.tx*131 + t.ty*173 + (i.i % 8)*7 + (i.i // 8)*11) % 16 AS v
+           FROM (SELECT gx.x AS tx, gy.y AS ty
+                 FROM generate_series(0, 7) gx(x), generate_series(0, 3) gy(y)) t,
+                generate_series(0, 63) i(i)),
+         nodes AS (SELECT gx, gy, gy * 64 + gx AS id FROM px WHERE v < 3),
+         edges AS (
+           SELECT a.id AS a, b.id AS b FROM nodes a JOIN nodes b
+             ON (b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1)
+             OR (b.gx = a.gx + 1 AND b.gy = a.gy + 1) OR (b.gx = a.gx + 1 AND b.gy = a.gy - 1)
+           UNION ALL
+           SELECT b.id AS a, a.id AS b FROM nodes a JOIN nodes b
+             ON (b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1)
+             OR (b.gx = a.gx + 1 AND b.gy = a.gy + 1) OR (b.gx = a.gx + 1 AND b.gy = a.gy - 1)),
          reach AS (
            WITH RECURSIVE r(id, root) AS (
              SELECT id, id FROM nodes

@@ -22,7 +22,8 @@ object Ccl {
     * mask(i) is false. Two-row scan + union-by-min with path compression —
     * the same equivalence-merge structure as the reference's two-row
     * enumerator, collapsed to one pass since the tile is in memory. */
-  def labelLocal(dn: Array[Double], mask: Array[Boolean], w: Int, h: Int): Array[Int] = {
+  def labelLocal(dn: Array[Double], mask: Array[Boolean], w: Int, h: Int,
+                 conn8: Boolean = false): Array[Int] = {
     val n = w * h
     val parent = Array.tabulate(n)(identity)
     def find(i0: Int): Int = {
@@ -42,6 +43,12 @@ object Ccl {
         if (mask(i)) {
           if (x > 0 && mask(i - 1) && dn(i - 1) == dn(i)) union(i, i - 1)
           if (y > 0 && mask(i - w) && dn(i - w) == dn(i)) union(i, i - w)
+          // 8-connectivity (the reference's GDALPolygonize/-8 / sieve
+          // -8 option): the two upper diagonals complete the stencil
+          if (conn8 && y > 0) {
+            if (x > 0 && mask(i - w - 1) && dn(i - w - 1) == dn(i)) union(i, i - w - 1)
+            if (x < w - 1 && mask(i - w + 1) && dn(i - w + 1) == dn(i)) union(i, i - w + 1)
+          }
         }
         x += 1
       }

@@ -51,7 +51,8 @@ object Polygonize {
     * (the reference's mask band); `dnOf` buckets pixel values into the DN
     * that defines "same component" (identity = exact equality). */
   private def emitLocal(tiles: DataFrame, w: Int, h: Int, gridW: Long, gridH: Long,
-                        mask: Double => Boolean, dnOf: Double => Double): Dataset[Emit] = {
+                        mask: Double => Boolean, dnOf: Double => Double,
+                        conn8: Boolean = false): Dataset[Emit] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     tiles.select(col("tx").cast("long"), col("ty").cast("long"), col("pixels"))
@@ -60,7 +61,7 @@ object Polygonize {
         val vals = px.toArray
         val dn = vals.map(dnOf)
         val m = vals.map(mask)
-        val labels = Ccl.labelLocal(dn, m, w, h)
+        val labels = Ccl.labelLocal(dn, m, w, h, conn8)
         val x0 = tx * w; val y0 = ty * h
         def gid(i: Int): Long = (y0 + i / w) * gridW + (x0 + i % w)
         val out = Array.newBuilder[Emit]
@@ -117,6 +118,37 @@ object Polygonize {
           if (labels(iN) >= 0)
             out += Emit(2, gid(labels(iN)), dn(iN), 0, 0, 0, 0, 0, x0 + xx, y0, 0)
           xx += 1
+        }
+        if (conn8) {
+          // diagonal cross-tile adjacency: E/S border pixels also key the
+          // two diagonal neighbor coordinates. Every diagonal target lands
+          // in the receiving tile's W column or N row, which already emits
+          // kind-2 own-coordinate rows — including the four tile-corner
+          // diagonals (the NE-diag corner sits in that tile's W column,
+          // the SW-diag corner in its N row). Duplicate edges from the
+          // corner overlaps die in seams()' distinct.
+          var ye = 0
+          while (ye < h) {
+            val iE = ye * w + (w - 1)
+            if (labels(iE) >= 0 && x0 + w < gridW) {
+              if (y0 + ye > 0)
+                out += Emit(1, gid(labels(iE)), dn(iE), 0, 0, 0, 0, 0, x0 + w, y0 + ye - 1, 0)
+              if (y0 + ye + 1 < gridH)
+                out += Emit(1, gid(labels(iE)), dn(iE), 0, 0, 0, 0, 0, x0 + w, y0 + ye + 1, 0)
+            }
+            ye += 1
+          }
+          var xs = 0
+          while (xs < w) {
+            val iS = (h - 1) * w + xs
+            if (labels(iS) >= 0 && y0 + h < gridH) {
+              if (x0 + xs > 0)
+                out += Emit(1, gid(labels(iS)), dn(iS), 0, 0, 0, 0, 0, x0 + xs - 1, y0 + h, 0)
+              if (x0 + xs + 1 < gridW)
+                out += Emit(1, gid(labels(iS)), dn(iS), 0, 0, 0, 0, 0, x0 + xs + 1, y0 + h, 0)
+            }
+            xs += 1
+          }
         }
         out.result()
       }
@@ -202,8 +234,9 @@ object Polygonize {
     * min_gy, max_gy). label = min global pixel id of the component. */
   def components(tiles: DataFrame, w: Int, h: Int, gridW: Long, gridH: Long,
                  mask: Double => Boolean,
-                 dnOf: Double => Double = identity): DataFrame = {
-    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf).toDF()
+                 dnOf: Double => Double = identity,
+                 conn8: Boolean = false): DataFrame = {
+    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf, conn8).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comps = emits.where(col("kind") === 0)
       .select(col("lbl"), col("dn"), col("n"),

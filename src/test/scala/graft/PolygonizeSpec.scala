@@ -113,6 +113,58 @@ class PolygonizeSpec extends AnyFunSuite {
     assert(comps.head.getAs[Long]("label") == 2L * gw + 0) // min pixel id: (gy=2,gx=0)
   }
 
+  test("8-connectivity: diagonal merges locally, across seams, and on every tile-corner diagonal") {
+    val w = 4; val h = 4
+    // distributed == whole-grid scalar with conn8, on the synthetic mask
+    val zoom = 2
+    val (vals, gw, gh) = synthVals(zoom, 8, 8)
+    val mask = (v: Double) => v < 7.0
+    val m = vals.map(mask)
+    val want = {
+      val labels = Ccl.labelLocal(vals.map(_ => 1.0), m, gw, gh, conn8 = true)
+      labels.filter(_ >= 0).groupBy(identity).map { case (l, a) => (l.toLong, a.length.toLong) }
+    }
+    val got = Polygonize.components(Synth.maskTiles(spark, zoom, 8, 8), 8, 8, gw, gh,
+      mask, _ => 1.0, conn8 = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want, s"got ${got.size} comps, want ${want.size}")
+    // 8-conn must merge strictly more than 4-conn on this mask
+    val got4 = Polygonize.components(Synth.maskTiles(spark, zoom, 8, 8), 8, 8, gw, gh,
+      mask, _ => 1.0).collect().length
+    assert(got.size < got4, s"8-conn ${got.size} vs 4-conn $got4")
+    // in-tile anti-diagonal pair: one component under conn8, two under 4
+    val one = Seq((0L, 0L, Array.tabulate(w * h)(i => if (i == 1 * w + 2 || i == 2 * w + 1) 1.0 else 0.0).toSeq))
+      .toDF("tx", "ty", "pixels")
+    assert(Polygonize.components(one, w, h, w, h, _ > 0.5, conn8 = true).collect().length == 1)
+    assert(Polygonize.components(one, w, h, w, h, _ > 0.5).collect().length == 2)
+    // cross-tile corner diagonals on a 2x2 tile grid, one pair per
+    // direction (NOT a 2x2 block — each pair touches only corner-to-
+    // corner): SE diagonal (3,3)/(4,4) and SW anti-diagonal (4,3)/(3,4)
+    def cornerTiles(pxSet: Set[(Long, Long)]) =
+      (for (ty <- 0 until 2; tx <- 0 until 2) yield {
+        val px = Array.tabulate(w * h) { i =>
+          val gx = tx * w + i % w; val gy = ty * h + i / w
+          if (pxSet.contains((gx.toLong, gy.toLong))) 1.0 else 0.0
+        }
+        (tx.toLong, ty.toLong, px.toSeq)
+      }).toDF("tx", "ty", "pixels")
+    for (pair <- Seq(Set((3L, 3L), (4L, 4L)), Set((4L, 3L), (3L, 4L)))) {
+      val t2 = cornerTiles(pair)
+      val c8 = Polygonize.components(t2, w, h, 8, 8, _ > 0.5, conn8 = true).collect()
+      assert(c8.length == 1 && c8.head.getAs[Long]("n_pixels") == 2L, s"pair $pair")
+      assert(Polygonize.components(t2, w, h, 8, 8, _ > 0.5).collect().length == 2, s"pair $pair")
+    }
+    val tilesDn = (for (ty <- 0 until 2; tx <- 0 until 2) yield {
+      val px = Array.tabulate(w * h) { i =>
+        val gx = tx * w + i % w; val gy = ty * h + i / w
+        if ((gx, gy) == ((3, 3))) 1.0 else if ((gx, gy) == ((4, 4))) 2.0 else 0.0
+      }
+      (tx.toLong, ty.toLong, px.toSeq)
+    }).toDF("tx", "ty", "pixels")
+    assert(Polygonize.components(tilesDn, w, h, 8, 8, _ > 0.5, dnOf = v => v,
+      conn8 = true).collect().length == 2)
+  }
+
   test("ring assembly equals JTS union of pixel squares (random blobs, incl. holes)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 8) {
