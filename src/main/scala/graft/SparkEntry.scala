@@ -377,6 +377,14 @@ object SparkEntry {
       // DuckDB, q35SieveSql; semantics also pinned in PolygonizeSpec)
       Polygonize.sieve(Synth.maskTiles(s, 1), 8, 8, 32, 16, threshold = 3, _ => true,
         v => math.floor(v / 4.0))),
+    "q116_sieve8" -> ((s, dir) =>
+      // gdal_sieve -8 (reference alg/sievefilter.cpp, the -8 flag): the
+      // q35 sieve with the 8-connected stencil applied to BOTH component
+      // building and largest-neighbor targeting — diagonal intra-tile
+      // pairs join the kind-3 adjacency and the conn8 seam emissions
+      // extend neighbor detection across tiles
+      Polygonize.sieve(Synth.maskTiles(s, 1), 8, 8, 32, 16, threshold = 3, _ => true,
+        v => math.floor(v / 4.0), conn8 = true)),
     "q75_dither" -> ((s, dir) => {
       // Floyd–Steinberg 1-bit dither (reference alg/gdaldither.cpp; the
       // A9 dither divergence closed as a per-tile recurrence with
@@ -770,6 +778,19 @@ object SparkEntry {
       // so the mean of integer sources is bit-exact vs the DuckDB oracle
       F.ensureRegistered(s)
       Raster.regrid(Synth.tiles(s, 3), 1024, 512, 640, 320, "average")
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q115_warp_nodata" -> ((s, dir) => {
+      // gdalwarp -srcnodata 0 -ts 640 320 -r average: the q55 box kernel
+      // with declared-nodata sources excluded from the mean (reference
+      // alg/gdalwarpkernel.cpp honors the per-pixel nodata mask); windows
+      // whose every center is nodata write the nodata value back. The
+      // synthetic grid's v==0 pixels (~1/256) are the nodata set, and the
+      // 8/5 scale's single-center windows make all-excluded fallbacks
+      // actually fire. Integer-exact mean, checksum per dst tile.
+      F.ensureRegistered(s)
+      Raster.regrid(Synth.tiles(s, 3), 1024, 512, 640, 320, "average",
+        nodata = Some(0.0))
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
     "q58_warp_mode" -> ((s, dir) => {
@@ -1554,18 +1575,32 @@ object SparkEntry {
     * r2: DuckDB resolves nested recursive CTEs by name across CTE bodies,
     * so reusing `r` silently references the first closure), and the
     * surviving member's dn. Matches the engine bit-for-bit. */
-  private def q35SieveSql: String =
-    """WITH px AS (
+  private def q35SieveSql: String = sieveSql(conn8 = false)
+
+  /** q116 is q35 with the -8 stencil: the SAME sieve replica over the
+    * 8-connected neighbor condition in BOTH the same-dn closure and the
+    * different-label adjacency (the reference applies connectedness to
+    * component building and merge targeting alike). */
+  private def q116Sieve8Sql: String = sieveSql(conn8 = true)
+
+  private def sieveSql(conn8: Boolean): String = {
+    val adj =
+      if (conn8)
+        """((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1)
+           OR (b.gx = a.gx + 1 AND b.gy = a.gy + 1) OR (b.gx = a.gx + 1 AND b.gy = a.gy - 1))"""
+      else
+        """((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))"""
+    s"""WITH px AS (
          SELECT gx.x AS gx, gy.y AS gy,
            ((gx.x // 8)*131 + (gy.y // 8)*173 + (gx.x % 8)*7 + (gy.y % 8)*11) % 16 AS v
          FROM generate_series(0, 31) gx(x), generate_series(0, 15) gy(y)),
        nodes AS (SELECT gx, gy, gy*32 + gx AS id, v // 4 AS dn FROM px),
        edges AS (
          SELECT a.id AS a, b.id AS b FROM nodes a JOIN nodes b
-           ON a.dn = b.dn AND ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))
+           ON a.dn = b.dn AND $adj
          UNION ALL
          SELECT b.id, a.id FROM nodes a JOIN nodes b
-           ON a.dn = b.dn AND ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))),
+           ON a.dn = b.dn AND $adj),
        reach AS (
          WITH RECURSIVE r(id, root) AS (
            SELECT id, id FROM nodes
@@ -1580,7 +1615,7 @@ object SparkEntry {
        adjpairs AS (
          SELECT DISTINCT la.label AS la, lb.label AS lb
          FROM nodes a JOIN nodes b
-           ON ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))
+           ON $adj
          JOIN lbl la ON la.id = a.id JOIN lbl lb ON lb.id = b.id
          WHERE la.label != lb.label),
        sym AS (SELECT la, lb FROM adjpairs UNION SELECT lb AS la, la AS lb FROM adjpairs),
@@ -1616,6 +1651,7 @@ object SparkEntry {
          min(m.min_gy) AS min_gy, max(m.max_gy) AS max_gy
        FROM merged m JOIN picked p USING (flabel)
        GROUP BY 1, 2 ORDER BY 1"""
+  }
 
   /** Shared q41/q42 oracle body: marching-squares segments at level 7.5
     * over the zoom-2 grid with reduced-rational endpoints (exactly
@@ -2639,6 +2675,7 @@ object SparkEntry {
            CAST(4096 AS INT) AS n_px, TRUE AS err_le_2 FROM tiles""",
     "q74_cutline_blend" -> q74CutlineBlendSql,
     "q35_sieve" -> q35SieveSql,
+    "q116_sieve8" -> q116Sieve8Sql,
     "q75_dither" -> OracleHashSql.q75Dither,
     "q42_contour_stitch" -> q42StitchSql,
     "q57_contour_lines" -> q57PolylinesSql,
@@ -3019,6 +3056,18 @@ object SparkEntry {
       // exact mean of integer sources, then GDAL checksum per 64x64 tile
       s"""WITH $regridValsSql,
          avgd AS (SELECT dgx, dgy, CAST(sum(v) AS DOUBLE)/count(*) AS v FROM vals GROUP BY 1, 2),
+         tilepx AS (SELECT dgx//64 AS tx, dgy//64 AS ty, (dgy%64)*64 + dgx%64 AS i, v FROM avgd)
+         SELECT tx, ty, CAST(sum(CAST(floor(v) AS BIGINT) * (i%49+1)) % 65535 AS INT) AS cks
+         FROM tilepx GROUP BY 1, 2""",
+    "q115_warp_nodata" ->
+      // q55's oracle with the nodata gate: v=0 centers drop out of the
+      // mean; all-excluded windows fall back to the nodata value 0
+      s"""WITH $regridValsSql,
+         avgd AS (SELECT dgx, dgy,
+           CASE WHEN count(CASE WHEN v <> 0 THEN 1 END) = 0 THEN 0.0
+                ELSE CAST(sum(CASE WHEN v <> 0 THEN v END) AS DOUBLE)
+                     / count(CASE WHEN v <> 0 THEN 1 END) END AS v
+           FROM vals GROUP BY 1, 2),
          tilepx AS (SELECT dgx//64 AS tx, dgy//64 AS ty, (dgy%64)*64 + dgx%64 AS i, v FROM avgd)
          SELECT tx, ty, CAST(sum(CAST(floor(v) AS BIGINT) * (i%49+1)) % 65535 AS INT) AS cks
          FROM tilepx GROUP BY 1, 2""",

@@ -90,6 +90,19 @@ object Polygonize {
               val a = gid(math.min(labels(i - w), r)); val b = gid(math.max(labels(i - w), r))
               out += Emit(3, a, 0.0, 0, 0, 0, 0, 0, 0, 0, b)
             }
+            // 8-conn sieve adjacency: the two upper diagonals too (the
+            // reference applies the -8 stencil to neighbor detection as
+            // well as component building)
+            if (conn8 && i / w > 0) {
+              if (i % w > 0 && labels(i - w - 1) >= 0 && labels(i - w - 1) != r) {
+                val a = gid(math.min(labels(i - w - 1), r)); val b = gid(math.max(labels(i - w - 1), r))
+                out += Emit(3, a, 0.0, 0, 0, 0, 0, 0, 0, 0, b)
+              }
+              if (i % w < w - 1 && labels(i - w + 1) >= 0 && labels(i - w + 1) != r) {
+                val a = gid(math.min(labels(i - w + 1), r)); val b = gid(math.max(labels(i - w + 1), r))
+                out += Emit(3, a, 0.0, 0, 0, 0, 0, 0, 0, 0, b)
+              }
+            }
           }
           i += 1
         }
@@ -355,8 +368,9 @@ object Polygonize {
   def sieve(tiles: DataFrame, w: Int, h: Int, gridW: Long, gridH: Long,
             threshold: Long,
             mask: Double => Boolean,
-            dnOf: Double => Double = identity): DataFrame = {
-    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf).toDF()
+            dnOf: Double => Double = identity,
+            conn8: Boolean = false): DataFrame = {
+    val emits = emitLocal(tiles, w, h, gridW, gridH, mask, dnOf, conn8).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comps = emits.where(col("kind") === 0)
       .select(col("lbl"), col("dn"), col("n"),

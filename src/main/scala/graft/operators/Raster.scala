@@ -394,9 +394,15 @@ object Raster {
     * footprint overlaps it — shuffle O(src tiles), dst universe derived
     * from src coverage, then one independent kernel per dst tile. */
   def regrid(tiles: DataFrame, srcW: Long, srcH: Long, dstW: Long, dstH: Long,
-             method: String = "average"): DataFrame = {
+             method: String = "average", nodata: Option[Double] = None): DataFrame = {
     require(dstW % TW == 0 && dstH % TH == 0, "dst grid must be whole tiles")
     require(method == "average" || method == "mode", s"regrid: near/bilinear/cubic go through warp; got $method")
+    // -srcnodata (reference: alg/gdalwarpkernel.cpp GWKAverageOrModeThread
+    // honoring the nodata masks): declared-nodata sources are excluded
+    // from the kernel exactly like off-grid pixels; an all-excluded
+    // window writes the nodata value back (dstnodata == srcnodata here)
+    val nd = nodata.getOrElse(Double.NaN) // NaN compares false to everything
+    val fallback = nodata.getOrElse(0.0)
     val spark = tiles.sparkSession
     import spark.implicits._
     val w = TW; val h = TH
@@ -443,7 +449,7 @@ object Raster {
               while ((2 * gx + 1) * dstW < 2 * dgx * srcW) gx += 1
               while ((2 * gx + 1) * dstW < 2 * (dgx + 1) * srcW) {
                 val v = src(gx, gy)
-                if (!v.isNaN) {
+                if (!v.isNaN && v != nd) {
                   if (counts != null) counts.merge(v, 1, (a, b) => a + b)
                   else { sum += v; n += 1 }
                 }
@@ -453,7 +459,7 @@ object Raster {
             }
             out(py * w + px) =
               if (counts != null) {
-                if (counts.isEmpty) 0.0
+                if (counts.isEmpty) fallback
                 else {
                   var best = 0.0; var bestN = 0
                   val itc = counts.entrySet().iterator()
@@ -463,7 +469,7 @@ object Raster {
                   }
                   best
                 }
-              } else if (n == 0) 0.0 else sum / n
+              } else if (n == 0) fallback else sum / n
             px += 1
           }
           py += 1

@@ -262,6 +262,27 @@ class PolygonizeSpec extends AnyFunSuite {
     }
   }
 
+  test("sieve -8: a diagonal pair is ONE component and survives a threshold 4-conn would kill") {
+    val w = 4; val h = 4 // 8x4 grid, 2 tiles: sea dn=1 with a diagonal dn=2 pair
+    val pairSet = Set((4L, 1L), (5L, 2L))
+    val tiles = (for (tx <- 0 until 2) yield {
+      val px = Array.tabulate(w * h) { i =>
+        val gx = tx * w + i % w; val gy = i / w
+        if (pairSet.contains((gx.toLong, gy.toLong))) 2.0 else 1.0
+      }
+      (tx.toLong, 0L, px.toSeq)
+    }).toDF("tx", "ty", "pixels")
+    // conn8: the pair is one size-2 component -> meets threshold 2, survives
+    val s8 = Polygonize.sieve(tiles, w, h, 8, 4, threshold = 2, _ => true,
+      identity, conn8 = true).collect()
+    assert(s8.length == 2, s8.mkString("; "))
+    assert(s8.map(_.getAs[Long]("n_pixels")).sorted.toSeq == Seq(2L, 30L))
+    // 4-conn: two size-1 singles, both sieved into the sea
+    val s4 = Polygonize.sieve(tiles, w, h, 8, 4, threshold = 2, _ => true, identity).collect()
+    assert(s4.length == 1 && s4.head.getAs[Long]("n_pixels") == 32L
+      && s4.head.getAs[Double]("dn") == 1.0)
+  }
+
   test("sieve merges small components into largest neighbor") {
     // two tiles side by side; left tile: big blob dn=1 (12px) + the rest
     // dn=0; right tile: tiny blob dn=2 (2px) adjacent to the dn=0 sea

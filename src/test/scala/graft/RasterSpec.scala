@@ -411,6 +411,34 @@ class RasterSpec extends AnyFunSuite {
     assert(got.keySet.forall(_ < 16))
   }
 
+  test("regrid -srcnodata: nodata excluded from average/mode, all-nodata windows fall back") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 128x64 src (2 tiles) -> 64x64 dst: each dst px averages 2 src
+    // centers on x (row 0 probes below), 1 on y
+    val p0 = Array.fill(64 * 64)(5.0)
+    p0(0) = 2.0; p0(1) = 9.0 // dst(0,0): mixed nodata
+    p0(2) = 2.0; p0(3) = 2.0 // dst(1,0): ALL nodata
+    p0(4) = 2.0; p0(5) = 7.0 // dst(2,0): mode discriminator
+    val tiles = Seq((0L, 0L, p0.toSeq), (1L, 0L, Array.fill(64 * 64)(5.0).toSeq))
+      .toDF("tx", "ty", "pixels")
+    def px0(method: String, nd: Option[Double]): Seq[Double] =
+      graft.operators.Raster.regrid(tiles, 128, 64, 64, 64, method, nd)
+        .where(col("tx") === 0 && col("ty") === 0)
+        .collect().head.getSeq[Double](2)
+    val ndAvg = px0("average", Some(2.0))
+    assert(ndAvg(0) == 9.0, "mixed window averages valid sources only")
+    assert(ndAvg(1) == 2.0, "all-nodata window writes the nodata value back")
+    assert(ndAvg(2) == 7.0) // valid-only mean of {7}
+    val plainAvg = px0("average", None)
+    assert(plainAvg(0) == (2.0 + 9.0) / 2.0 && plainAvg(2) == (2.0 + 7.0) / 2.0,
+      "default path unchanged")
+    val ndMode = px0("mode", Some(2.0))
+    val plainMode = px0("mode", None)
+    assert(ndMode(0) == 9.0 && ndMode(1) == 2.0 && ndMode(2) == 7.0)
+    assert(plainMode(2) == 2.0, "tie resolves to smallest value without the gate")
+  }
+
   test("bandStats: exact global stats == per-pixel brute force; hand anchors") {
     val spark = TestSpark.spark
     import spark.implicits._
