@@ -433,6 +433,13 @@ object SparkEntry {
       // Byte-quantized with floor(x+0.5) like q39/q96; the acos clamp is
       // min-then-max on both engines.
       focalPixels(s, "hillshade_combined")),
+    "q117_slope_pct" -> ((s, dir) =>
+      // gdaldem slope -p: percent slope = 100·rise/run over the Horn
+      // gradient — zero transcendentals (*,/,sqrt only), so the oracle
+      // replays the doubles bit-exactly with NO quantization (the first
+      // unquantized query in the focal family)
+      focalPixels(s, "slope_pct")
+        .select(col("gx"), col("gy"), col("val").as("slope_pct"))),
     "q108_slope_zt" -> ((s, dir) =>
       // gdaldem slope -alg ZevenbergenThorne (apps/gdaldem.cpp ::
       // GDALSlopeZevenbergenThorneAlg): central differences over the 4
@@ -2320,6 +2327,20 @@ object SparkEntry {
            / (pi() / 180.0)) * 1000.0 + 0.5) AS BIGINT) AS slope_milli
        FROM sh"""
 
+  /** q117: percent slope — no trig, so the replay is UNQUANTIZED: the
+    * gradient ratios and sqrt are exactly rounded from exact integer
+    * window sums on both engines. */
+  private def slopePctOracle: String =
+    s"""$focalWinCte,
+       sh AS (
+         SELECT gx, gy,
+           ((c + 2*f + i) - (a + 2*d + g)) / (8.0 * 1.0) AS dzdx,
+           ((g + 2*hh + i) - (a + 2*b + c)) / (8.0 * 1.0) AS dzdy
+         FROM win)
+       SELECT gx, gy,
+         100.0 * (1.0 * sqrt(dzdx*dzdx + dzdy*dzdy) / 1.0) AS slope_pct
+       FROM sh"""
+
   private def aspectZtOracle: String =
     s"""$focalWinCte,
        sh AS (
@@ -2808,6 +2829,7 @@ object SparkEntry {
     "q39_hillshade" -> hillshadeOracle,
     "q94_slope" -> slopeOracle,
     "q108_slope_zt" -> slopeZtOracle,
+    "q117_slope_pct" -> slopePctOracle,
     "q109_aspect_zt" -> aspectZtOracle,
     "q110_hillshade_zt" -> hillshadeZtOracle,
     "q97_nearblack" ->

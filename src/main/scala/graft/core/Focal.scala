@@ -71,6 +71,15 @@ object Focal {
               val az = 90.0 - deg
               if (az < 0) az + 360.0 else if (az >= 360.0) az - 360.0 else az
             }
+          case "slope_pct" =>
+            // gdaldem slope -p (percent slope; reference apps/gdaldem.cpp
+            // GDALSlope percent branch): 100·rise/run over the Horn
+            // gradient — no trig at all, so with integer inputs the whole
+            // chain is exactly-rounded *, /, sqrt and the oracle replays
+            // it bit-exactly UNQUANTIZED
+            val dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * p.ewres)
+            val dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / (8.0 * p.nsres)
+            100.0 * (p.z * math.sqrt(dzdx * dzdx + dzdy * dzdy) / p.scale)
           case "slope_zt" =>
             // Zevenbergen–Thorne slope (reference: apps/gdaldem.cpp ::
             // GDALSlopeZevenbergenThorneAlg, the -alg ZevenbergenThorne

@@ -30,7 +30,7 @@ class FocalProxContourSpec extends AnyFunSuite {
     val tiles = Synth.maskTiles(spark, zoom, w, h)
     for (mode <- Seq("tri", "tpi", "roughness", "slope_deg", "aspect_deg",
       "hillshade", "hillshade_md", "hillshade_combined",
-      "slope_zt", "aspect_zt", "hillshade_zt")) {
+      "slope_zt", "aspect_zt", "hillshade_zt", "slope_pct")) {
       val want = FocalKernel.wholeGrid(vals, gw, gh, mode)
       val got = Focal.focal(tiles, w, h, 1 << (zoom + 1), 1 << zoom, mode)
         .collect()
@@ -102,6 +102,15 @@ class FocalProxContourSpec extends AnyFunSuite {
     val want = math.atan(2.0) / (math.Pi / 180.0)
     for (y <- 1 until gh - 1; x <- 1 until gw - 1)
       assert(math.abs(s2(y * gw + x) - want) < 1e-12)
+    // percent slope: z = x plane → 100%, z = 2x → 200%, flat → 0 (EXACT —
+    // the mode has no trig)
+    val pct1 = FocalKernel.wholeGrid(zx, gw, gh, "slope_pct")
+    val pct2 = FocalKernel.wholeGrid(z2x, gw, gh, "slope_pct")
+    for (y <- 1 until gh - 1; x <- 1 until gw - 1) {
+      assert(pct1(y * gw + x) == 100.0, s"pct plane ($x,$y)")
+      assert(pct2(y * gw + x) == 200.0, s"pct 2x plane ($x,$y)")
+    }
+    assert(FocalKernel.wholeGrid(flat, gw, gh, "slope_pct").forall(_ == 0.0))
   }
 
   test("Zevenbergen-Thorne kernels: plane-identical to Horn, corner-blind where Horn is not") {
