@@ -1243,6 +1243,56 @@ object SparkEntry {
         .select(col("q_id"), col("kml"), col("seq").cast("long").as("seq"),
           col("p.x").as("x"), col("p.y").as("y"))
     }),
+    "q118_layer_identity" -> ((s, dir) => {
+      // ogr_layer_algebra Identity (reference swig/python/samples/
+      // ogr_layer_algebra.py :: Identity, built on OGRLayer::Identity):
+      // each input feature splits into its piece inside the method layer
+      // (st_intersection) and its piece outside (st_difference), empty
+      // pieces dropped — the layer-overlay analog of q103's one-window
+      // clip. One method rectangle per 32-unit region, input boxes
+      // confined to their region, so the pairing is a BROADCAST equi-join
+      // on the region id (the 100-TB shape: no all-pairs, no cartesian).
+      // A boxes live on the quarter lattice, B on the eighth-offset
+      // lattice — edges can never coincide, so every intersection is a
+      // full-dimensional rectangle and every difference a rectangle or an
+      // L whose shoelace area and envelope are closed-form: the oracle
+      // replays both UNQUANTIZED from the generating arithmetic,
+      // including the covered-strip envelope collapse cases.
+      F.ensureRegistered(s)
+      val a = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("rid", expr("q_id % 32"))
+        .withColumn("x0", expr("CAST(rid * 32 AS DOUBLE) + 2.0 + CAST((q_id * 7919) % 96 AS DOUBLE) / 4.0"))
+        .withColumn("y0", expr("2.0 + CAST((q_id * 104729) % 96 AS DOUBLE) / 4.0"))
+        .withColumn("x1", expr("x0 + 1.0 + CAST(q_id % 14 AS DOUBLE) / 4.0"))
+        .withColumn("y1", expr("y0 + 1.0 + CAST(q_id % 11 AS DOUBLE) / 4.0"))
+        .withColumn("ga", call_function("st_geomfromwkt", format_string(
+          "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
+          col("x0"), col("y0"), col("x1"), col("y0"), col("x1"), col("y1"),
+          col("x0"), col("y1"), col("x0"), col("y0"))))
+      val b = s.range(32)
+        .select(col("id").as("rid"))
+        .withColumn("u0", expr("CAST(rid * 32 AS DOUBLE) + 6.125 + CAST(rid % 3 AS DOUBLE)"))
+        .withColumn("v0", expr("6.125 + CAST(rid % 5 AS DOUBLE)"))
+        .withColumn("u1", expr("u0 + 14.0")).withColumn("v1", expr("v0 + 12.0"))
+        .withColumn("gb", call_function("st_geomfromwkt", format_string(
+          "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
+          col("u0"), col("v0"), col("u1"), col("v0"), col("u1"), col("v1"),
+          col("u0"), col("v1"), col("u0"), col("v0"))))
+        .select(col("rid"), col("gb"))
+      a.join(broadcast(b), Seq("rid"))
+        .select(col("q_id"), explode(array(
+          struct(lit("int").as("kind"),
+            call_function("st_intersection", col("ga"), col("gb")).as("g")),
+          struct(lit("diff").as("kind"),
+            call_function("st_difference", col("ga"), col("gb")).as("g")))).as("p"))
+        .where(!call_function("st_isempty", col("p.g")))
+        .withColumn("env", call_function("st_env_bounds", col("p.g")))
+        .select(col("q_id"), col("p.kind").as("kind"),
+          call_function("st_area", col("p.g")).as("area"),
+          element_at(col("env"), 1).as("xmin"), element_at(col("env"), 2).as("ymin"),
+          element_at(col("env"), 3).as("xmax"), element_at(col("env"), 4).as("ymax"))
+    }),
     "q111_simplify" -> ((s, dir) => {
       // ogr2ogr -simplify (reference ogr/ogrgeometry.cpp ::
       // OGRGeometry::Simplify → GEOS Douglas–Peucker; JTS
@@ -2592,6 +2642,7 @@ object SparkEntry {
     "q92_segmentize" -> OracleHashSql.q92Segmentize,
     "q106_lineref" -> OracleHashSql.q106LineRef,
     "q111_simplify" -> OracleHashSql.q111Simplify,
+    "q118_layer_identity" -> OracleHashSql.q118LayerIdentity,
     "q112_kml" -> OracleHashSql.q112Kml,
     "q113_band_stats" -> OracleHashSql.q113BandStats,
     "q107_line_substring" -> OracleHashSql.q107LineSub,

@@ -760,6 +760,43 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("layer identity pieces: corner L, strip collapse, inside-drop, outside passthrough") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    def pieces(aw: String, bw: String): Map[String, (Double, Double, Double, Double, Double)] =
+      Seq((aw, bw)).toDF("aw", "bw")
+        .select(explode(array(
+          struct(lit("int").as("kind"),
+            call_function("st_intersection", F.st_geomfromwkt(col("aw")), F.st_geomfromwkt(col("bw"))).as("g")),
+          struct(lit("diff").as("kind"),
+            call_function("st_difference", F.st_geomfromwkt(col("aw")), F.st_geomfromwkt(col("bw"))).as("g")))).as("p"))
+        .where(!call_function("st_isempty", col("p.g")))
+        .select(col("p.kind"), F.st_area(col("p.g")).as("a"),
+          call_function("st_env_bounds", col("p.g")).as("e"))
+        .collect().map { r =>
+          val e = r.getSeq[Double](2)
+          r.getString(0) -> ((r.getDouble(1), e(0), e(1), e(2), e(3)))
+        }.toMap
+    def box(x0: Double, y0: Double, x1: Double, y1: Double): String =
+      s"POLYGON(($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))"
+    // corner overlap: diff is an L keeping a's FULL envelope
+    val corner = pieces(box(0, 0, 4, 4), box(2.125, 2.125, 10, 10))
+    assert(corner("int") == ((1.875 * 1.875, 2.125, 2.125, 4.0, 4.0)))
+    assert(corner("diff") == ((16.0 - 1.875 * 1.875, 0.0, 0.0, 4.0, 4.0)))
+    // full vertical strip covered: diff envelope collapses on that side
+    val strip = pieces(box(0, 0, 4, 4), box(2.125, -1, 10, 10))
+    assert(strip("diff") == ((2.125 * 4.0, 0.0, 0.0, 2.125, 4.0)))
+    // a fully inside b: only the int piece survives
+    val inside = pieces(box(0, 0, 4, 4), box(-0.875, -0.875, 10, 10))
+    assert(!inside.contains("diff") && inside("int") == ((16.0, 0.0, 0.0, 4.0, 4.0)))
+    // disjoint: only the full-area diff survives
+    val outside = pieces(box(0, 0, 4, 4), box(6.125, 6.125, 10, 10))
+    assert(!outside.contains("int") && outside("diff") == ((16.0, 0.0, 0.0, 4.0, 4.0)))
+  }
+
   test("KML: write/parse round-trips, reader tolerance, number contract") {
     import graft.core.Kml
     def rt(wkt: String): Unit = {

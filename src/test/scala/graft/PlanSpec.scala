@@ -192,6 +192,12 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges:\n$p")
   }
 
+  test("q118: layer identity is a broadcast equi-join on the region id, never all-pairs") {
+    val p = plan("q118_layer_identity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q113: band stats is per-tile partials -> ONE exchange, no join, no per-pixel explode") {
     val p = plan("q113_band_stats")
     assert(!p.contains("Join") && !p.contains("Generate"), p)
