@@ -239,6 +239,24 @@ object SparkEntry {
       Raster.rasterize(geoms, "geom", "burn", zoom = 4, mode = "add")
         .select(col("zoom"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q119_rasterize_invert" -> ((s, dir) => {
+      // gdal_rasterize -i: burn 5 into every pixel NOT covered by the q17
+      // box set, over the full zoom-4 universe (all 512 tiles emitted —
+      // untouched tiles are all-burn, fully-covered ones all-zero).
+      // Coverage reuses the q17 scanline machinery with burn=1/max, so
+      // the oracle replays the SAME run arithmetic and complements it.
+      F.ensureRegistered(s)
+      val geoms = Synth.boxes(s, dir)
+        .where(col("box_id") % 7 === 0)
+        .withColumn("geom", F.st_geomfromwkt(format_string(
+          "POLYGON((%.12f %.12f, %.12f %.12f, %.12f %.12f, %.12f %.12f, %.12f %.12f))",
+          col("xmin"), col("ymin"), col("xmax"), col("ymin"),
+          col("xmax"), col("ymax"), col("xmin"), col("ymax"), col("xmin"), col("ymin"))))
+      Raster.rasterizeInvert(geoms, "geom", zoom = 4, burnVal = 5.0,
+        nxTiles = 32, nyTiles = 16)
+        .select(col("zoom").cast("long").as("zoom"), col("tx"), col("ty"),
+          F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q18_pyramid_checksum" -> ((s, dir) => {
       F.ensureRegistered(s)
       Raster.pyramidUp(Synth.tiles(s, zoom = 3), method = "average")
@@ -2555,6 +2573,43 @@ object SparkEntry {
          SELECT CAST(4 AS BIGINT) AS zoom, tx, ty,
            CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM tilepx GROUP BY 1, 2, 3""",
+    "q119_rasterize_invert" ->
+      // the q17 coverage chain (burn-free), complemented over the FULL
+      // zoom-4 universe: uncovered pixels take 5, covered 0, every one
+      // of the 512 tiles emits a checksum (all-burn when untouched)
+      s"""WITH boxes AS (SELECT * FROM ($boxesSql) WHERE box_id % 7 = 0),
+         res AS (SELECT 11.25 AS res, 11.25/64 AS pres),
+         cover AS (
+           SELECT b.box_id, t.tx, t.ty,
+             -180.0 + t.tx * r.res AS west, 90.0 - t.ty * r.res AS north, r.pres
+           FROM boxes b, res r,
+             (SELECT gx.x AS tx, gy.y AS ty
+                FROM generate_series(0, 31) gx(x), generate_series(0, 15) gy(y)) t
+           WHERE t.tx BETWEEN CAST(least(greatest(floor((b.xmin+180.0)/360.0*32),0),31) AS BIGINT)
+                          AND CAST(least(greatest(floor((b.xmax+180.0)/360.0*32),0),31) AS BIGINT)
+             AND t.ty BETWEEN CAST(least(greatest(floor((90.0-b.ymax)/180.0*16),0),15) AS BIGINT)
+                          AND CAST(least(greatest(floor((90.0-b.ymin)/180.0*16),0),15) AS BIGINT)),
+         runs AS (
+           SELECT c.tx, c.ty, py.py AS py,
+             greatest(CAST(ceil((b.xmin - c.west)/c.pres - 0.5) AS BIGINT), 0) AS xs,
+             least(CAST(ceil((b.xmax - c.west)/c.pres - 0.5) AS BIGINT), 64) AS xe
+           FROM cover c JOIN boxes b ON b.box_id = c.box_id,
+             generate_series(0, 63) py(py)
+           WHERE (py.py + 0.5) >= (c.north - b.ymax)/c.pres
+             AND (py.py + 0.5) <  (c.north - b.ymin)/c.pres),
+         covpx AS (
+           SELECT DISTINCT r.tx, r.ty, (r.py*64 + x.x) AS i
+           FROM runs r, generate_series(0, 63) x(x)
+           WHERE x.x >= r.xs AND x.x < r.xe),
+         allpx AS (
+           SELECT t.tx, t.ty, i.i AS i
+           FROM (SELECT gx.x AS tx, gy.y AS ty
+                 FROM generate_series(0, 31) gx(x), generate_series(0, 15) gy(y)) t,
+                generate_series(0, 4095) i(i))
+         SELECT CAST(4 AS BIGINT) AS zoom, a.tx, a.ty,
+           CAST(sum(CASE WHEN c.i IS NULL THEN 5 * (a.i % 49 + 1) ELSE 0 END) % 65535 AS INT) AS cks
+         FROM allpx a LEFT JOIN covpx c ON c.tx = a.tx AND c.ty = a.ty AND c.i = a.i
+         GROUP BY 2, 3""",
     "q18_pyramid_checksum" ->
       // parent(zoom 2) pixel = avg of the 2x2 block of child(zoom 3) tile
       // (2tx+qx, 2ty+qy); child pixel value is the closed-form synth

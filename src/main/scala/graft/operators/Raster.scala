@@ -96,6 +96,33 @@ object Raster {
         col("pixels"))
   }
 
+  /** gdal_rasterize -i (reference apps/gdal_rasterize.cpp, the bInverse
+    * option → alg/gdalrasterize.cpp invert path): burn `burnVal` into
+    * every pixel NOT covered by any geometry, over the FULL nxTiles ×
+    * nyTiles output extent. The 100-TB shape: coverage reuses the
+    * ordinary rasterize aggregate (one mask row per TOUCHED tile, shuffle
+    * O(touched)), the dst universe is GENERATED (spark.range — never
+    * materialized input), and the complement is a LEFT equi-join on the
+    * cell key + a codegen'd transform; fully-uncovered tiles take a
+    * constant all-burn array without ever seeing geometry data. */
+  def rasterizeInvert(geoms: DataFrame, geomCol: String, zoom: Int,
+                      burnVal: Double, nxTiles: Long, nyTiles: Long): DataFrame = {
+    val spark = geoms.sparkSession
+    F.ensureRegistered(spark)
+    val cover = rasterize(geoms.withColumn("__one", lit(1.0)), geomCol, "__one", zoom, "max")
+      .select(col("cell"), col("pixels").as("__mask"))
+    val universe = spark.range(nxTiles * nyTiles)
+      .select((col("id") % nxTiles).as("tx"),
+        (col("id") / nxTiles).cast("long").as("ty"))
+      .withColumn("cell", F.cell_pack(lit(zoom), col("tx"), col("ty")))
+    universe.join(cover, Seq("cell"), "left")
+      .select(col("cell"), lit(zoom).as("zoom"), col("tx"), col("ty"),
+        when(col("__mask").isNull,
+          expr(s"array_repeat(CAST($burnVal AS DOUBLE), ${TW * TH})"))
+          .otherwise(expr(s"transform(__mask, v -> IF(v > 0.0D, 0.0D, CAST($burnVal AS DOUBLE)))"))
+          .as("pixels"))
+  }
+
   /** Sparse (i, d2) rows → dense length-n array, -1.0 at untouched
     * indexes. O(1) positional writes; the map_from_entries alternative
     * pays an O(entries) scan per later element_at lookup. */

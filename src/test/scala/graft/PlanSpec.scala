@@ -198,6 +198,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q119: invert is generated-universe LEFT equi-join on the cell key, never all-pairs") {
+    val p = plan("q119_rasterize_invert")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("Range"), p) // the dst universe is generated, not read
+  }
+
   test("q113: band stats is per-tile partials -> ONE exchange, no join, no per-pixel explode") {
     val p = plan("q113_band_stats")
     assert(!p.contains("Join") && !p.contains("Generate"), p)

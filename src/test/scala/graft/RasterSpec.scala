@@ -411,6 +411,32 @@ class RasterSpec extends AnyFunSuite {
     assert(got.keySet.forall(_ < 16))
   }
 
+  test("rasterizeInvert: exact complement of coverage over the FULL tile universe") {
+    val spark = TestSpark.spark
+    F.ensureRegistered(spark)
+    val geoms = graft.synth.Synth.boxes(spark, TestSpark.SfSmall)
+      .where(col("box_id") % 7 === 0)
+      .withColumn("geom", F.st_geomfromwkt(format_string(
+        "POLYGON((%.12f %.12f, %.12f %.12f, %.12f %.12f, %.12f %.12f, %.12f %.12f))",
+        col("xmin"), col("ymin"), col("xmax"), col("ymin"),
+        col("xmax"), col("ymax"), col("xmin"), col("ymax"), col("xmin"), col("ymin"))))
+    val cover = Raster.rasterize(geoms.withColumn("burn", lit(1.0)), "geom", "burn", 4, "max")
+      .collect().map(r => (r.getLong(2), r.getLong(3)) -> r.getSeq[Double](4)).toMap
+    val inv = Raster.rasterizeInvert(geoms, "geom", 4, 5.0, 32, 16).collect()
+    assert(inv.length == 32 * 16, "every universe tile must emit")
+    assert(cover.nonEmpty && cover.size < 32 * 16, "need touched AND untouched tiles")
+    inv.foreach { r =>
+      val key = (r.getLong(2), r.getLong(3))
+      val px = r.getSeq[Double](4)
+      cover.get(key) match {
+        case None => assert(px.forall(_ == 5.0), s"untouched tile $key must be all-burn")
+        case Some(mask) =>
+          for (i <- px.indices)
+            assert(px(i) == (if (mask(i) > 0.0) 0.0 else 5.0), s"tile $key px $i")
+      }
+    }
+  }
+
   test("regrid -srcnodata: nodata excluded from average/mode, all-nodata windows fall back") {
     val spark = TestSpark.spark
     import spark.implicits._
