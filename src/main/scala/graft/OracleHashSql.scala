@@ -731,6 +731,28 @@ FROM vr v JOIN ks k ON k.q_id = v.q_id
 """
   }
 
+  /** q120: the streaming sessionizer replayed in its OWN arithmetic —
+    * epoch-millisecond gaps (micros truncate identically on both
+    * engines) with the engine's (ms, event_id) sort order, so the
+    * batch replica produces exactly the sessions the stateful streaming
+    * query emits once the sentinel batches flush its state. */
+  def q120StreamSessionize: String = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+g AS (
+  SELECT user_id, event_id, ms,
+    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, CAST(min(ms) AS BIGINT) AS start_ms,
+  count(*) AS n_events, CAST(min(event_id) AS BIGINT) AS first_event
+FROM s GROUP BY user_id, sid
+"""
+
   /** q118: layer-algebra Identity replayed closed-form. Intersections are
     * GREATEST/LEAST rectangles; differences are rectangles or Ls whose
     * exact shoelace area is areaA − areaInt and whose envelope collapses

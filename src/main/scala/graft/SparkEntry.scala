@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.F
-import graft.operators.{Ann, Contour, Dedup, Focal, Knn, Media, Osm, Polygonize, Proximity, Raster, SpatialJoin}
+import graft.operators.{Ann, Contour, Dedup, Focal, Knn, Media, Osm, Polygonize, Proximity, Raster, SpatialJoin, Streaming}
 import graft.synth.Synth
 
 /** Driver contract (see /root/repo/SURVEY.md §7 + the builder prompt).
@@ -348,6 +348,46 @@ object SparkEntry {
             .cast("long").as("ws_tokens"),
           regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
             .cast("long").as("bpe_tokens"))),
+    "q120_stream_sessionize" -> ((s, dir) => {
+      // §3.9 stateful streaming, ORACLE-adjudicated end-to-end: the real
+      // flatMapGroupsWithState sessionizer (event-time timeout, append
+      // mode) runs as a genuine file-source → parquet-sink streaming
+      // query inside the lambda, then the sink is read back as the
+      // result. Real events land in ONE batch (no late-drop
+      // nondeterminism); two far-future sentinel batches then advance
+      // the watermark so every still-open session times out and emits
+      // deterministically (sentinel2's batch processes timeouts using
+      // the post-sentinel1 watermark — no reliance on no-data
+      // micro-batch timing). Sessions close on >1800s gaps in the
+      // engine's MILLISECOND arithmetic; the oracle replays epoch-ms
+      // session logic with the same (ms, event_id) ordering.
+      import s.implicits._
+      val src = java.nio.file.Files.createTempDirectory("q120src").toString
+      val out = java.nio.file.Files.createTempDirectory("q120out").toString
+      val ckp = java.nio.file.Files.createTempDirectory("q120ckp").toString
+      // watermarks need TIMESTAMP (with tz); the parquet ts is NTZ — the
+      // cast is epoch-preserving under the session's UTC timeZone, so
+      // getTime() millis equal the oracle's epoch_ms of the NTZ value
+      val batch = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"))
+      batch.write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(batch.schema).parquet(src)
+      val q = Streaming.sessionizeStream(stream)
+        .filter(so => so.user_id >= 0)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckp).outputMode("append").start()
+      q.processAllAvailable()
+      val maxMs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+      def sentinel(days: Long): Unit =
+        Seq((-1L, -1L, new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)))
+          .toDF("user_id", "event_id", "ts")
+          .write.mode("append").parquet(src)
+      sentinel(30); q.processAllAvailable()
+      sentinel(31); q.processAllAvailable()
+      q.stop()
+      s.read.parquet(out)
+        .select(col("user_id"), col("start_ms"), col("n_events"), col("first_event"))
+    }),
     "q30_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       s.read.parquet(s"$dir/events.parquet")
@@ -2698,6 +2738,7 @@ object SparkEntry {
     "q106_lineref" -> OracleHashSql.q106LineRef,
     "q111_simplify" -> OracleHashSql.q111Simplify,
     "q118_layer_identity" -> OracleHashSql.q118LayerIdentity,
+    "q120_stream_sessionize" -> OracleHashSql.q120StreamSessionize,
     "q112_kml" -> OracleHashSql.q112Kml,
     "q113_band_stats" -> OracleHashSql.q113BandStats,
     "q107_line_substring" -> OracleHashSql.q107LineSub,
