@@ -388,6 +388,32 @@ object SparkEntry {
       s.read.parquet(out)
         .select(col("user_id"), col("start_ms"), col("n_events"), col("first_event"))
     }),
+    "q121_stream_pip" -> ((s, dir) => {
+      // The streaming twin of q11, ORACLE-adjudicated: arriving points
+      // flow through the stream-static point-in-polygon join (cell
+      // equi-join + envelope gate + exact refine against the broadcast
+      // static cover) as a real file-source → parquet-sink query, then
+      // the sink reads back as the result. Stream-static joins are
+      // STATELESS, so one processAllAvailable drains everything
+      // deterministically — the row set must equal the batch operator's
+      // (same oracle SQL as q11).
+      F.ensureRegistered(s)
+      val src = java.nio.file.Files.createTempDirectory("q121src").toString
+      val out = java.nio.file.Files.createTempDirectory("q121out").toString
+      val ckp = java.nio.file.Files.createTempDirectory("q121ckp").toString
+      val ptsBatch = Synth.points(s, dir).select(col("pt_id"), col("lon"), col("lat"))
+      ptsBatch.write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(ptsBatch.schema).parquet(src)
+      val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
+      val q = Streaming.streamPointInPolygon(stream, polys, "geom", "lon", "lat", zoom = 7)
+        .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckp).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      Streaming.releaseStaticCovers()
+      s.read.parquet(out).select(col("box_id"), col("pt_id"))
+    }),
     "q30_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       s.read.parquet(s"$dir/events.parquet")
@@ -2536,6 +2562,13 @@ object SparkEntry {
          FROM pts p JOIN boxes b
            ON p.lon > b.xmin AND p.lon < b.xmax AND p.lat > b.ymin AND p.lat < b.ymax""",
     "q12_pip_salted" ->
+      s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql)
+         SELECT b.box_id AS box_id, p.pt_id AS pt_id
+         FROM pts p JOIN boxes b
+           ON p.lon > b.xmin AND p.lon < b.xmax AND p.lat > b.ymin AND p.lat < b.ymax""",
+    "q121_stream_pip" ->
+      // identical row-set contract to q11 — the streaming path must not
+      // change the join's semantics
       s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql)
          SELECT b.box_id AS box_id, p.pt_id AS pt_id
          FROM pts p JOIN boxes b
