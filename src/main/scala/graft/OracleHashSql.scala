@@ -821,6 +821,39 @@ SELECT q_id,
 FROM verts
 """
 
+  /** q122: gdal2xyz pixel-center dump — dyadic geotransform, every
+    * coordinate exact, UNQUANTIZED. */
+  def q122Gdal2xyz: String = """
+WITH px AS (
+  SELECT gx.x AS gx, gy.y AS gy
+  FROM generate_series(0, 1023) gx(x), generate_series(0, 63) gy(y)),
+v AS (
+  SELECT gx, gy,
+    CAST(((gx//64)*131 + (gy//64)*173 + (gx%64)*7 + (gy%64)*11 + 3) % 256 AS DOUBLE) AS v
+  FROM px)
+SELECT -32.0 + (CAST(gx AS DOUBLE) + 0.5) * 0.25 AS x,
+       64.0 - (CAST(gy AS DOUBLE) + 0.5) * 0.25 AS y,
+       v
+FROM v WHERE v <> 0
+"""
+
+  /** q123: gdalcompare census — both value functions replayed per-pixel
+    * (the +3 vs +4 zoom seeds), exact integer diffs. */
+  def q123GdalCompare: String = """
+WITH px AS (
+  SELECT gx.x AS gx, gy.y AS gy
+  FROM generate_series(0, 1023) gx(x), generate_series(0, 511) gy(y)),
+v AS (
+  SELECT
+    ((gx//64)*131 + (gy//64)*173 + (gx%64)*7 + (gy%64)*11 + 3) % 256 AS v3,
+    ((gx//64)*131 + (gy//64)*173 + (gx%64)*7 + (gy%64)*11 + 4) % 256 AS v4
+  FROM px)
+SELECT CAST(count(CASE WHEN v3 <> v4 THEN 1 END) AS BIGINT) AS pixels_differing,
+  CAST(max(abs(v3 - v4)) AS BIGINT) AS max_abs_diff,
+  CAST(sum(abs(v3 - v4)) AS BIGINT) AS sum_abs_diff
+FROM v
+"""
+
   /** q113: band statistics replayed per-pixel over the closed-form
     * zoom-3 grid. The mean/std expressions are graft.operators.Raster's
     * own SQL strings verbatim (same-string trick), fed by exact integer

@@ -1526,6 +1526,41 @@ object SparkEntry {
       F.ensureRegistered(s)
       Raster.rat(Synth.tiles(s, 3), nClasses = 20, classWidth = 16.0)
     }),
+    "q122_gdal2xyz" -> ((s, dir) =>
+      // gdal2xyz (reference swig/python/scripts/gdal2xyz.py): dump every
+      // pixel as (x, y, v) rows with world coordinates from the
+      // geotransform — x = west + (gx+0.5)·res (pixel CENTER, the
+      // script's default). Dyadic geotransform (res 1/4, origin −32/64)
+      // keeps every coordinate exact, the oracle replays the arithmetic
+      // closed-form, UNQUANTIZED. Skip-nodata (v=0) matches the script's
+      // -skipnodata flag and keeps the output sparse. Shuffle-free
+      // generate → filter.
+      Synth.tiles(s, 3)
+        .where(col("ty") === 0) // one tile row keeps the dump bounded
+        .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "v")))
+        .where(col("v") =!= 0.0)
+        .select(
+          expr("-32.0D + (CAST(tx * 64 + i % 64 AS DOUBLE) + 0.5D) * 0.25D").as("x"),
+          expr("64.0D - (CAST(ty * 64 + CAST(i / 64 AS BIGINT) AS DOUBLE) + 0.5D) * 0.25D").as("y"),
+          col("v"))),
+    "q123_gdalcompare" -> ((s, dir) =>
+      // gdalcompare (reference swig/python/scripts/gdalcompare.py):
+      // pixels-differing census between two rasters — count of differing
+      // pixels, max |diff|, and sum of |diff| per band pair, computed as
+      // per-tile HOF partials (zip_with over the two aligned tiles) →
+      // ONE agg, never a per-pixel explode. The comparand is the same
+      // grid warped by +1 zoom seed (a closed-form change), so the
+      // oracle replays both value functions and the census exactly.
+      Synth.tiles(s, 3).select(col("tx"), col("ty"), col("pixels"))
+        .join(Synth.tiles(s, 4).where(col("tx") < 16 && col("ty") < 8)
+          .select(col("tx"), col("ty"), col("pixels").as("pixels2")), Seq("tx", "ty"))
+        .select(
+          expr("CAST(aggregate(zip_with(pixels, pixels2, (a, b) -> IF(a <> b, 1.0D, 0.0D)), 0.0D, (s, x) -> s + x) AS BIGINT)").as("nd"),
+          expr("aggregate(zip_with(pixels, pixels2, (a, b) -> abs(a - b)), 0.0D, (s, x) -> greatest(s, x))").as("mx"),
+          expr("CAST(aggregate(zip_with(pixels, pixels2, (a, b) -> abs(a - b)), 0.0D, (s, x) -> s + x) AS BIGINT)").as("sm"))
+        .agg(sum("nd").as("pixels_differing"),
+          max("mx").cast("long").as("max_abs_diff"),
+          sum("sm").as("sum_abs_diff"))),
     "q113_band_stats" -> ((s, dir) =>
       // gdalinfo -stats (reference gcore/gdalrasterband.cpp ::
       // ComputeStatistics): exact global band statistics, per-tile HOF
@@ -2774,6 +2809,8 @@ object SparkEntry {
     "q120_stream_sessionize" -> OracleHashSql.q120StreamSessionize,
     "q112_kml" -> OracleHashSql.q112Kml,
     "q113_band_stats" -> OracleHashSql.q113BandStats,
+    "q122_gdal2xyz" -> OracleHashSql.q122Gdal2xyz,
+    "q123_gdalcompare" -> OracleHashSql.q123GdalCompare,
     "q107_line_substring" -> OracleHashSql.q107LineSub,
     "q98_explode" -> OracleHashSql.q98Explode,
     "q101_geojson" -> OracleHashSql.q101GeoJson,

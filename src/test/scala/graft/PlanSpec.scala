@@ -198,6 +198,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q123: compare census is per-tile zip_with partials -> equi-join + ONE agg") {
+    val p = plan("q123_gdalcompare")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Generate"), p) // never a per-pixel explode
+  }
+
   test("q119: invert is generated-universe LEFT equi-join on the cell key, never all-pairs") {
     val p = plan("q119_rasterize_invert")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
@@ -215,7 +221,7 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("q92_segmentize", "q93_sphere_distance", "q98_explode",
       "q101_geojson", "q102_translate_scale", "q103_clipsrc",
       "q105_wrapdateline", "q106_lineref", "q107_line_substring",
-      "q111_simplify", "q112_kml")) {
+      "q111_simplify", "q112_kml", "q122_gdal2xyz")) {
       val p = plan(q)
       assert(!p.contains(") Exchange"), s"$q:\n$p")
       assert(!p.contains("Join"), q)
