@@ -517,6 +517,19 @@ object SparkEntry {
       // Byte-quantized with floor(x+0.5) like q39/q96; the acos clamp is
       // min-then-max on both engines.
       focalPixels(s, "hillshade_combined")),
+    "q124_hillshade_params" -> ((s, dir) =>
+      // gdaldem hillshade with the FULL parameter surface exercised
+      // non-default (-alt 30 -az 225 -z 2 -s 2 + 0.5-unit cell size):
+      // every other focal query runs kernel defaults, so this pins the
+      // Params plumbing end-to-end. Same q39 byte quantization; the
+      // oracle replays the kernel with the same constants, and the low
+      // 30-deg sun makes the cang<=0 clamp-to-1 branch actually fire.
+      Focal.focal(Synth.maskTiles(s, 2), 8, 8, 8, 4, "hillshade",
+        graft.core.Focal.Params(ewres = 0.5, nsres = 0.5, z = 2.0, scale = 2.0,
+          altDeg = 30.0, azDeg = 225.0))
+        .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "val")))
+        .select((col("tx") * 8 + col("i") % 8).as("gx"),
+          (col("ty") * 8 + (col("i") / 8).cast("long")).as("gy"), col("val"))),
     "q117_slope_pct" -> ((s, dir) =>
       // gdaldem slope -p: percent slope = 100·rise/run over the Horn
       // gradient — zero transcendentals (*,/,sqrt only), so the oracle
@@ -2510,6 +2523,26 @@ object SparkEntry {
          100.0 * (1.0 * sqrt(dzdx*dzdx + dzdy*dzdy) / 1.0) AS slope_pct
        FROM sh"""
 
+  /** q124: the q39 hillshade replay with the full non-default parameter
+    * set (alt 30, az 225, z 2, scale 2, 0.5-unit cells) — identical op
+    * order, constants swapped. */
+  private def hillshadeParamsOracle: String =
+    s"""$focalWinCte,
+       sh AS (
+         SELECT gx, gy,
+           2.0 * ((a + 2*d + g) - (c + 2*f + i)) / (8.0 * 0.5 * 2.0) AS xx,
+           2.0 * ((g + 2*hh + i) - (a + 2*b + c)) / (8.0 * 0.5 * 2.0) AS yy
+         FROM win),
+       cang AS (
+         SELECT gx, gy,
+           sin(30.0 * (pi() / 180.0)) * sin(pi() / 2.0 - atan(sqrt(xx*xx + yy*yy)))
+           + cos(30.0 * (pi() / 180.0)) * cos(pi() / 2.0 - atan(sqrt(xx*xx + yy*yy)))
+             * cos(225.0 * (pi() / 180.0) - pi() / 2.0 - atan2(yy, xx)) AS cg
+         FROM sh)
+       SELECT gx, gy,
+         CASE WHEN cg <= 0.0 THEN 1.0 ELSE floor(1.0 + 254.0 * cg + 0.5) END AS val
+       FROM cang"""
+
   private def aspectZtOracle: String =
     s"""$focalWinCte,
        sh AS (
@@ -3047,6 +3080,7 @@ object SparkEntry {
     "q94_slope" -> slopeOracle,
     "q108_slope_zt" -> slopeZtOracle,
     "q117_slope_pct" -> slopePctOracle,
+    "q124_hillshade_params" -> hillshadeParamsOracle,
     "q109_aspect_zt" -> aspectZtOracle,
     "q110_hillshade_zt" -> hillshadeZtOracle,
     "q97_nearblack" ->

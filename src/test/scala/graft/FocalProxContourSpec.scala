@@ -146,6 +146,31 @@ class FocalProxContourSpec extends AnyFunSuite {
     assert(sZt == math.atan(4.0) / (math.Pi / 180.0) && sHorn == math.atan(2.0) / (math.Pi / 180.0))
   }
 
+  test("hillshade Params: non-default alt/az/z/scale/res pin against a scalar replica") {
+    val gw = 5; val gh = 5
+    val p = FocalKernel.Params(ewres = 0.5, nsres = 0.5, z = 2.0, scale = 2.0,
+      altDeg = 30.0, azDeg = 225.0)
+    // flat raster: cang = sin(alt) -> byte floor(1 + 254*sin30 + 0.5) = 128
+    val flat = Array.fill(gw * gh)(3.0)
+    assert(FocalKernel.wholeGrid(flat, gw, gh, "hillshade", p).forall(_ == 128.0))
+    // tilted plane z = x: replay the kernel arithmetic exactly
+    val zx = Array.tabulate(gw * gh)(i => (i % gw).toDouble)
+    val got = FocalKernel.wholeGrid(zx, gw, gh, "hillshade", p)(2 * gw + 2)
+    val d2r = math.Pi / 180.0
+    val xx = 2.0 * ((1.0 + 2.0 + 1.0) - (3.0 + 6.0 + 3.0)) / (8.0 * 0.5 * 2.0)
+    val yy = 2.0 * ((1.0 + 4.0 + 3.0) - (1.0 + 4.0 + 3.0)) / (8.0 * 0.5 * 2.0)
+    val slope = math.Pi / 2.0 - math.atan(math.sqrt(xx * xx + yy * yy))
+    val cang = math.sin(30.0 * d2r) * math.sin(slope) +
+      math.cos(30.0 * d2r) * math.cos(slope) *
+        math.cos(225.0 * d2r - math.Pi / 2.0 - math.atan2(yy, xx))
+    val want = if (cang <= 0.0) 1.0 else math.floor(1.0 + 254.0 * cang + 0.5)
+    assert(got == want, s"$got vs $want")
+    // low sun on a steep WEST-rising plane (east-facing slope, away from
+    // the 225-deg sun): the cang<=0 clamp actually fires
+    val steep = Array.tabulate(gw * gh)(i => -40.0 * (i % gw))
+    assert(FocalKernel.wholeGrid(steep, gw, gh, "hillshade", p)(2 * gw + 2) == 1.0)
+  }
+
   test("kernel hand-pins: flat raster and a single spike") {
     // flat 3x3=5 everywhere: TRI=0, TPI=0, roughness=0, slope=0, hillshade = flat-face value
     val flat = Array.fill(25)(5.0)

@@ -160,7 +160,8 @@ class PlanSpec extends AnyFunSuite {
     // kernel result is being re-shuffled per pixel — the scale-killer the
     // strip design exists to avoid
     for (q <- Seq("q94_slope", "q95_aspect", "q96_hillshade_md", "q99_hillshade_combined",
-      "q108_slope_zt", "q109_aspect_zt", "q110_hillshade_zt", "q117_slope_pct")) {
+      "q108_slope_zt", "q109_aspect_zt", "q110_hillshade_zt", "q117_slope_pct",
+      "q124_hillshade_params")) {
       val p = plan(q)
       val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
       assert(exchanges == 1, s"$q: expected 1 exchange, got $exchanges:\n$p")
