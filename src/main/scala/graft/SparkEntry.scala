@@ -530,6 +530,13 @@ object SparkEntry {
         .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "val")))
         .select((col("tx") * 8 + col("i") % 8).as("gx"),
           (col("ty") * 8 + (col("i") / 8).cast("long")).as("gy"), col("val"))),
+    "q125_aspect_trig" -> ((s, dir) =>
+      // gdaldem aspect -trigonometric -zero_for_flat: math-convention
+      // angle (CCW from east) in [0,360), flat -> 0 (quantizes exactly);
+      // milli-deg quantization like q95
+      focalPixels(s, "aspect_trig")
+        .select(col("gx"), col("gy"),
+          expr("CAST(floor(val * 1000.0 + 0.5) AS BIGINT)").as("aspect_milli"))),
     "q117_slope_pct" -> ((s, dir) =>
       // gdaldem slope -p: percent slope = 100·rise/run over the Horn
       // gradient — zero transcendentals (*,/,sqrt only), so the oracle
@@ -2523,6 +2530,26 @@ object SparkEntry {
          100.0 * (1.0 * sqrt(dzdx*dzdx + dzdy*dzdy) / 1.0) AS slope_pct
        FROM sh"""
 
+  /** q125: trigonometric aspect — the q95 replay with the math-angle
+    * wrap (deg<0 → +360) and the zero-for-flat sentinel. */
+  private def aspectTrigOracle: String =
+    s"""$focalWinCte,
+       sh AS (
+         SELECT gx, gy,
+           ((c + 2*f + i) - (a + 2*d + g)) / 8.0 AS dzdx,
+           ((g + 2*hh + i) - (a + 2*b + c)) / 8.0 AS dzdy
+         FROM win),
+       dg AS (SELECT gx, gy, dzdx, dzdy,
+           atan2(dzdy, -dzdx) / (pi() / 180.0) AS deg FROM sh),
+       az AS (SELECT gx, gy,
+           CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN 0.0
+                WHEN deg < 0.0 THEN deg + 360.0
+                ELSE deg END AS v
+         FROM dg)
+       SELECT gx, gy,
+         CAST(floor(v * 1000.0 + 0.5) AS BIGINT) AS aspect_milli
+       FROM az"""
+
   /** q124: the q39 hillshade replay with the full non-default parameter
     * set (alt 30, az 225, z 2, scale 2, 0.5-unit cells) — identical op
     * order, constants swapped. */
@@ -3081,6 +3108,7 @@ object SparkEntry {
     "q108_slope_zt" -> slopeZtOracle,
     "q117_slope_pct" -> slopePctOracle,
     "q124_hillshade_params" -> hillshadeParamsOracle,
+    "q125_aspect_trig" -> aspectTrigOracle,
     "q109_aspect_zt" -> aspectZtOracle,
     "q110_hillshade_zt" -> hillshadeZtOracle,
     "q97_nearblack" ->

@@ -71,6 +71,18 @@ object Focal {
               val az = 90.0 - deg
               if (az < 0) az + 360.0 else if (az >= 360.0) az - 360.0 else az
             }
+          case "aspect_trig" =>
+            // gdaldem aspect -trigonometric -zero_for_flat: the angle
+            // stays mathematical (CCW from east, atan2(dzdy, -dzdx)
+            // wrapped into [0,360)) instead of compass, and flat cells
+            // return 0 instead of the -9999 sentinel
+            val dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / 8.0
+            val dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / 8.0
+            if (dzdx == 0 && dzdy == 0) 0.0
+            else {
+              val deg = math.atan2(dzdy, -dzdx) / degToRad
+              if (deg < 0) deg + 360.0 else deg
+            }
           case "slope_pct" =>
             // gdaldem slope -p (percent slope; reference apps/gdaldem.cpp
             // GDALSlope percent branch): 100·rise/run over the Horn

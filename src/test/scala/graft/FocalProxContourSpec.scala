@@ -30,7 +30,7 @@ class FocalProxContourSpec extends AnyFunSuite {
     val tiles = Synth.maskTiles(spark, zoom, w, h)
     for (mode <- Seq("tri", "tpi", "roughness", "slope_deg", "aspect_deg",
       "hillshade", "hillshade_md", "hillshade_combined",
-      "slope_zt", "aspect_zt", "hillshade_zt", "slope_pct")) {
+      "slope_zt", "aspect_zt", "hillshade_zt", "slope_pct", "aspect_trig")) {
       val want = FocalKernel.wholeGrid(vals, gw, gh, mode)
       val got = Focal.focal(tiles, w, h, 1 << (zoom + 1), 1 << zoom, mode)
         .collect()
@@ -111,6 +111,17 @@ class FocalProxContourSpec extends AnyFunSuite {
       assert(pct2(y * gw + x) == 200.0, s"pct 2x plane ($x,$y)")
     }
     assert(FocalKernel.wholeGrid(flat, gw, gh, "slope_pct").forall(_ == 0.0))
+    // trigonometric aspect: CCW-from-east math angle, zero for flat.
+    // z = x rises east -> downslope vector points WEST -> atan2(0, -1)
+    // = 180; z = y (y down, rises south) -> dzdy > 0 -> atan2(+, 0) = 90
+    val at1 = FocalKernel.wholeGrid(zx, gw, gh, "aspect_trig")
+    for (y <- 1 until gh - 1; x <- 1 until gw - 1)
+      assert(math.abs(at1(y * gw + x) - 180.0) < 1e-9, s"trig east-rise ($x,$y)")
+    val zy2 = Array.tabulate(gw * gh)(i => (i / gw).toDouble)
+    val at2 = FocalKernel.wholeGrid(zy2, gw, gh, "aspect_trig")
+    for (y <- 1 until gh - 1; x <- 1 until gw - 1)
+      assert(math.abs(at2(y * gw + x) - 90.0) < 1e-9, s"trig south-rise ($x,$y)")
+    assert(FocalKernel.wholeGrid(flat, gw, gh, "aspect_trig").forall(_ == 0.0))
   }
 
   test("Zevenbergen-Thorne kernels: plane-identical to Horn, corner-blind where Horn is not") {

@@ -161,7 +161,7 @@ class PlanSpec extends AnyFunSuite {
     // strip design exists to avoid
     for (q <- Seq("q94_slope", "q95_aspect", "q96_hillshade_md", "q99_hillshade_combined",
       "q108_slope_zt", "q109_aspect_zt", "q110_hillshade_zt", "q117_slope_pct",
-      "q124_hillshade_params")) {
+      "q124_hillshade_params", "q125_aspect_trig")) {
       val p = plan(q)
       val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
       assert(exchanges == 1, s"$q: expected 1 exchange, got $exchanges:\n$p")
