@@ -795,6 +795,40 @@ FROM ii
 WHERE NOT (hasint AND u0 < x0 AND u1 > x1 AND v0 < y0 AND v1 > y1)
 """
 
+  /** q126: layer-algebra Update — q118's diff arithmetic for the 'keep'
+    * pieces plus every method box verbatim as an 'upd' row (keyed
+    * rid−1000 to stay disjoint from supplier q_ids). */
+  def q126LayerUpdate: String = """
+WITH sp AS (SELECT s_suppkey AS q_id, s_suppkey % 32 AS rid FROM supplier),
+aa AS (SELECT q_id, rid,
+    CAST(rid * 32 AS DOUBLE) + 2.0 + CAST((q_id * 7919) % 96 AS DOUBLE) / 4.0 AS x0,
+    2.0 + CAST((q_id * 104729) % 96 AS DOUBLE) / 4.0 AS y0
+  FROM sp),
+a2 AS (SELECT *, x0 + 1.0 + CAST(q_id % 14 AS DOUBLE) / 4.0 AS x1,
+    y0 + 1.0 + CAST(q_id % 11 AS DOUBLE) / 4.0 AS y1 FROM aa),
+bb AS (SELECT r.i AS rid,
+    CAST(r.i * 32 AS DOUBLE) + 6.125 + CAST(r.i % 3 AS DOUBLE) AS u0,
+    6.125 + CAST(r.i % 5 AS DOUBLE) AS v0
+  FROM generate_series(0, 31) r(i)),
+b2 AS (SELECT *, u0 + 14.0 AS u1, v0 + 12.0 AS v1 FROM bb),
+j AS (SELECT a2.q_id, a2.x0, a2.y0, a2.x1, a2.y1, b2.u0, b2.v0, b2.u1, b2.v1
+  FROM a2 JOIN b2 USING (rid)),
+ii AS (SELECT *, GREATEST(x0, u0) AS ix0, GREATEST(y0, v0) AS iy0,
+    LEAST(x1, u1) AS ix1, LEAST(y1, v1) AS iy1,
+    (GREATEST(x0, u0) < LEAST(x1, u1) AND GREATEST(y0, v0) < LEAST(y1, v1)) AS hasint
+  FROM j)
+SELECT q_id, 'keep' AS kind,
+  (x1 - x0) * (y1 - y0) - CASE WHEN hasint THEN (ix1 - ix0) * (iy1 - iy0) ELSE 0.0 END AS area,
+  CASE WHEN hasint AND u0 < x0 AND v0 < y0 AND v1 > y1 THEN ix1 ELSE x0 END AS xmin,
+  CASE WHEN hasint AND v0 < y0 AND u0 < x0 AND u1 > x1 THEN iy1 ELSE y0 END AS ymin,
+  CASE WHEN hasint AND u1 > x1 AND v0 < y0 AND v1 > y1 THEN ix0 ELSE x1 END AS xmax,
+  CASE WHEN hasint AND v1 > y1 AND u0 < x0 AND u1 > x1 THEN iy0 ELSE y1 END AS ymax
+FROM ii
+WHERE NOT (hasint AND u0 < x0 AND u1 > x1 AND v0 < y0 AND v1 > y1)
+UNION ALL
+SELECT rid - 1000, 'upd', (u1 - u0) * (v1 - v0), u0, v0, u1, v1 FROM b2
+"""
+
   /** q111: Douglas–Peucker keep/drop replayed as ground truth — the
     * apex's perpendicular distance to the horizontal base is exactly h
     * (apex x strictly interior), so the simplifier's decision must equal

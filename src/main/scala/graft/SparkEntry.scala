@@ -1397,6 +1397,47 @@ object SparkEntry {
           element_at(col("env"), 1).as("xmin"), element_at(col("env"), 2).as("ymin"),
           element_at(col("env"), 3).as("xmax"), element_at(col("env"), 4).as("ymax"))
     }),
+    "q126_layer_update" -> ((s, dir) => {
+      // ogr_layer_algebra Update (swig/python/samples/ogr_layer_algebra.py
+      // :: Update, OGRLayer::Update): the method layer's features replace
+      // the input wherever they overlap — output is every method feature
+      // as-is ('upd') plus each input feature's outside piece
+      // (st_difference, 'keep'; empty pieces dropped). Same corpus,
+      // broadcast region join and closed-form rect/L oracle as q118.
+      F.ensureRegistered(s)
+      val a = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("rid", expr("q_id % 32"))
+        .withColumn("x0", expr("CAST(rid * 32 AS DOUBLE) + 2.0 + CAST((q_id * 7919) % 96 AS DOUBLE) / 4.0"))
+        .withColumn("y0", expr("2.0 + CAST((q_id * 104729) % 96 AS DOUBLE) / 4.0"))
+        .withColumn("x1", expr("x0 + 1.0 + CAST(q_id % 14 AS DOUBLE) / 4.0"))
+        .withColumn("y1", expr("y0 + 1.0 + CAST(q_id % 11 AS DOUBLE) / 4.0"))
+        .withColumn("ga", call_function("st_geomfromwkt", format_string(
+          "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
+          col("x0"), col("y0"), col("x1"), col("y0"), col("x1"), col("y1"),
+          col("x0"), col("y1"), col("x0"), col("y0"))))
+      val b = s.range(32)
+        .select(col("id").as("rid"))
+        .withColumn("u0", expr("CAST(rid * 32 AS DOUBLE) + 6.125 + CAST(rid % 3 AS DOUBLE)"))
+        .withColumn("v0", expr("6.125 + CAST(rid % 5 AS DOUBLE)"))
+        .withColumn("u1", expr("u0 + 14.0")).withColumn("v1", expr("v0 + 12.0"))
+        .withColumn("gb", call_function("st_geomfromwkt", format_string(
+          "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
+          col("u0"), col("v0"), col("u1"), col("v0"), col("u1"), col("v1"),
+          col("u0"), col("v1"), col("u0"), col("v0"))))
+      val keeps = a.join(broadcast(b.select(col("rid"), col("gb"))), Seq("rid"))
+        .withColumn("g", call_function("st_difference", col("ga"), col("gb")))
+        .where(!call_function("st_isempty", col("g")))
+        .select(col("q_id"), lit("keep").as("kind"), col("g"))
+      val upds = b.select((col("rid") - 1000L).as("q_id"), lit("upd").as("kind"),
+        col("gb").as("g"))
+      keeps.unionByName(upds)
+        .withColumn("env", call_function("st_env_bounds", col("g")))
+        .select(col("q_id"), col("kind"),
+          call_function("st_area", col("g")).as("area"),
+          element_at(col("env"), 1).as("xmin"), element_at(col("env"), 2).as("ymin"),
+          element_at(col("env"), 3).as("xmax"), element_at(col("env"), 4).as("ymax"))
+    }),
     "q111_simplify" -> ((s, dir) => {
       // ogr2ogr -simplify (reference ogr/ogrgeometry.cpp ::
       // OGRGeometry::Simplify → GEOS Douglas–Peucker; JTS
@@ -2866,6 +2907,7 @@ object SparkEntry {
     "q106_lineref" -> OracleHashSql.q106LineRef,
     "q111_simplify" -> OracleHashSql.q111Simplify,
     "q118_layer_identity" -> OracleHashSql.q118LayerIdentity,
+    "q126_layer_update" -> OracleHashSql.q126LayerUpdate,
     "q120_stream_sessionize" -> OracleHashSql.q120StreamSessionize,
     "q112_kml" -> OracleHashSql.q112Kml,
     "q113_band_stats" -> OracleHashSql.q113BandStats,

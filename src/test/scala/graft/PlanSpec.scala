@@ -193,10 +193,12 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges:\n$p")
   }
 
-  test("q118: layer identity is a broadcast equi-join on the region id, never all-pairs") {
-    val p = plan("q118_layer_identity")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  test("q118/q126: layer algebra is a broadcast equi-join on the region id, never all-pairs") {
+    for (q <- Seq("q118_layer_identity", "q126_layer_update")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), s"$q:\n$p")
+    }
   }
 
   test("q123: compare census is per-tile zip_with partials -> equi-join + ONE agg") {
