@@ -611,6 +611,17 @@ object SparkEntry {
           (col("ty") * 8 + (col("i") / 8).cast("long")).as("gy"), col("val"))),
     "q41_contour_segments" -> ((s, dir) =>
       Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = 15L)),
+    "q127_contour_levels" -> ((s, dir) =>
+      // gdal_contour -i 4 -off 0.5 / -fl (apps/gdal_contour.cpp loops the
+      // level list): four half-integer levels 0.5/4.5/8.5/12.5 over the
+      // same grid, each its own q41 marching-squares pass tagged with a
+      // level column — the multi-level surface is a union of per-level
+      // plans (independent map-side passes, one shuffle-free generate
+      // each). Oracle: the parameterized q41 CTE instantiated per level.
+      Seq(1L, 9L, 17L, 25L).map { l =>
+        Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = l)
+          .withColumn("level2x", lit(l))
+      }.reduce(_ unionByName _)),
     "q42_contour_stitch" -> ((s, dir) =>
       // endpoint-graph polyline assembly (oracle-backed: endpoint-equality
       // CCL over the q41 segment CTE, q42StitchSql; partitioning-
@@ -1894,8 +1905,14 @@ object SparkEntry {
     * over the zoom-2 grid with reduced-rational endpoints (exactly
     * core.Contour's arithmetic). q41 selects it directly; q42 packs the
     * engine's seg_id and runs endpoint-equality connected components. */
-  private def contourSegmentsSql: String =
-    """WITH b AS (
+  private def contourSegmentsSql: String = contourSegmentsSqlFor(15L)
+
+  /** The q41 marching-squares oracle parameterized by the half-integer
+    * level (level = lvl/2): corner tests 2*v >= lvl, crossing numerators
+    * (lvl - 2*v), saddle mean test sum >= 2*lvl. The idx bitmask 15 in
+    * NOT IN (0, 15) is the all-corners mask, NOT the level. */
+  private def contourSegmentsSqlFor(lvl: Long): String =
+    s"""WITH b AS (
            SELECT gx.x AS gx, gy.y AS gy
            FROM generate_series(0, 62) gx(x), generate_series(0, 30) gy(y)),
          c AS (
@@ -1907,19 +1924,19 @@ object SparkEntry {
            FROM b),
          i AS (
            SELECT *,
-             (CASE WHEN 2*v00 >= 15 THEN 1 ELSE 0 END) + (CASE WHEN 2*v10 >= 15 THEN 2 ELSE 0 END)
-           + (CASE WHEN 2*v11 >= 15 THEN 4 ELSE 0 END) + (CASE WHEN 2*v01 >= 15 THEN 8 ELSE 0 END) AS idx
-           FROM c WHERE (CASE WHEN 2*v00 >= 15 THEN 1 ELSE 0 END) + (CASE WHEN 2*v10 >= 15 THEN 2 ELSE 0 END)
-           + (CASE WHEN 2*v11 >= 15 THEN 4 ELSE 0 END) + (CASE WHEN 2*v01 >= 15 THEN 8 ELSE 0 END) NOT IN (0, 15)),
+             (CASE WHEN 2*v00 >= $lvl THEN 1 ELSE 0 END) + (CASE WHEN 2*v10 >= $lvl THEN 2 ELSE 0 END)
+           + (CASE WHEN 2*v11 >= $lvl THEN 4 ELSE 0 END) + (CASE WHEN 2*v01 >= $lvl THEN 8 ELSE 0 END) AS idx
+           FROM c WHERE (CASE WHEN 2*v00 >= $lvl THEN 1 ELSE 0 END) + (CASE WHEN 2*v10 >= $lvl THEN 2 ELSE 0 END)
+           + (CASE WHEN 2*v11 >= $lvl THEN 4 ELSE 0 END) + (CASE WHEN 2*v01 >= $lvl THEN 8 ELSE 0 END) NOT IN (0, 15)),
          pts0 AS (
            SELECT gx, gy, e.e AS edge,
-             CASE e.e WHEN 'T' THEN gx*(2*(v10-v00)) + (15 - 2*v00)
-                      WHEN 'B' THEN gx*(2*(v11-v01)) + (15 - 2*v01)
+             CASE e.e WHEN 'T' THEN gx*(2*(v10-v00)) + ($lvl - 2*v00)
+                      WHEN 'B' THEN gx*(2*(v11-v01)) + ($lvl - 2*v01)
                       WHEN 'R' THEN gx + 1 ELSE gx END AS xn,
              CASE e.e WHEN 'T' THEN 2*(v10-v00)
                       WHEN 'B' THEN 2*(v11-v01) ELSE 1 END AS xd,
-             CASE e.e WHEN 'L' THEN gy*(2*(v01-v00)) + (15 - 2*v00)
-                      WHEN 'R' THEN gy*(2*(v11-v10)) + (15 - 2*v10)
+             CASE e.e WHEN 'L' THEN gy*(2*(v01-v00)) + ($lvl - 2*v00)
+                      WHEN 'R' THEN gy*(2*(v11-v10)) + ($lvl - 2*v10)
                       WHEN 'B' THEN gy + 1 ELSE gy END AS yn,
              CASE e.e WHEN 'L' THEN 2*(v01-v00)
                       WHEN 'R' THEN 2*(v11-v10) ELSE 1 END AS yd
@@ -1940,11 +1957,11 @@ object SparkEntry {
              WHEN idx IN (8, 7)  THEN [{'si': 0, 'a': 'B', 'b': 'L'}]
              WHEN idx IN (3, 12) THEN [{'si': 0, 'a': 'L', 'b': 'R'}]
              WHEN idx IN (6, 9)  THEN [{'si': 0, 'a': 'T', 'b': 'B'}]
-             WHEN idx = 5 AND v00+v10+v01+v11 >= 30
+             WHEN idx = 5 AND v00+v10+v01+v11 >= ${2 * lvl}
                THEN [{'si': 0, 'a': 'L', 'b': 'T'}, {'si': 1, 'a': 'R', 'b': 'B'}]
              WHEN idx = 5
                THEN [{'si': 0, 'a': 'T', 'b': 'R'}, {'si': 1, 'a': 'B', 'b': 'L'}]
-             WHEN idx = 10 AND v00+v10+v01+v11 >= 30
+             WHEN idx = 10 AND v00+v10+v01+v11 >= ${2 * lvl}
                THEN [{'si': 0, 'a': 'T', 'b': 'R'}, {'si': 1, 'a': 'B', 'b': 'L'}]
              ELSE [{'si': 0, 'a': 'L', 'b': 'T'}, {'si': 1, 'a': 'R', 'b': 'B'}]
              END) t(sg))
@@ -3229,6 +3246,10 @@ object SparkEntry {
       // marching squares at level 7.5 (level2x = 15) over the zoom-2 grid;
       // endpoints as reduced integer rationals — exactly core.Contour's math
       contourSegmentsSql,
+    "q127_contour_levels" ->
+      Seq(1L, 9L, 17L, 25L).map(l =>
+        s"SELECT q.*, CAST($l AS BIGINT) AS level2x FROM (${contourSegmentsSqlFor(l)}) q")
+        .mkString("\n UNION ALL \n"),
     "q43_cosine_dup" ->
       // brute-force oracle over the same derived corpus (base + perturbed
       // twins): the engine's LSH-bucketed candidates must reproduce the
