@@ -622,6 +622,24 @@ object SparkEntry {
         Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = l)
           .withColumn("level2x", lit(l))
       }.reduce(_ unionByName _)),
+    "q128_tindex" -> ((s, dir) =>
+      // gdaltindex (apps/gdaltindex.cpp): index row per tile — location
+      // string + geodetic bounds; oracle replays the 22.5°/tile zoom-3
+      // geotransform (exact dyadic-scaled doubles)
+      Raster.tindex(Synth.tiles(s, 3), 3)),
+    "q129_retile" -> ((s, dir) => {
+      // gdal_retile.py: re-chunk the 16×8 grid of 64×64 tiles (1024×512
+      // px) into 160×96 tiles — edge tiles clipped (last column 64 wide,
+      // last row 32 tall), interior source tiles straddling output tiles
+      // split into ≤4 strip groups. Oracle recomputes every output pixel
+      // from the synth closed form at its GLOBAL coordinates, so a
+      // misplaced strip (wrong dx0/dy sort, off-by-one slice) breaks the
+      // order-sensitive checksum. ONE exchange (PlanSpec-pinned).
+      F.ensureRegistered(s)
+      Raster.retile(Synth.tiles(s, 3), 16, 8, 160, 96)
+        .select(col("tx"), col("ty"), col("w"), col("h"),
+          F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q42_contour_stitch" -> ((s, dir) =>
       // endpoint-graph polyline assembly (oracle-backed: endpoint-equality
       // CCL over the q41 segment CTE, q42StitchSql; partitioning-
@@ -2868,6 +2886,34 @@ object SparkEntry {
          SELECT CAST(3 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
            CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM px GROUP BY 1, 2, 3""",
+    "q128_tindex" ->
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty
+           FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y))
+         SELECT printf('z3_%d_%d.tif', tx, ty) AS location,
+           tx * 22.5 - 180.0 AS xmin, 90.0 - (ty + 1) * 22.5 AS ymin,
+           (tx + 1) * 22.5 - 180.0 AS xmax, 90.0 - ty * 22.5 AS ymax
+         FROM tiles""",
+    "q129_retile" ->
+      """WITH ot AS (
+           SELECT gx.x AS otx, gy.y AS oty
+           FROM generate_series(0, 6) gx(x), generate_series(0, 5) gy(y)),
+         dims AS (
+           SELECT otx, oty, least(160, 1024 - otx * 160) AS w,
+             least(96, 512 - oty * 96) AS h FROM ot),
+         px AS (
+           SELECT otx, oty, w, h, i.i AS i,
+             otx * 160 + (i.i % w) AS gx, oty * 96 + (i.i // w) AS gy
+           FROM dims, generate_series(0, 15359) i(i) WHERE i.i < w * h),
+         vals AS (
+           SELECT otx, oty, w, h, i,
+             ((gx // 64) * 131 + (gy // 64) * 173 + (gx % 64) * 7
+              + (gy % 64) * 11 + 3) % 256 AS v
+           FROM px)
+         SELECT CAST(otx AS BIGINT) AS tx, CAST(oty AS BIGINT) AS ty,
+           CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+           CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM vals GROUP BY 1, 2, 3, 4""",
     "q21_grid_metrics" ->
       s"""WITH pts AS ($ptsSql)
          SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * 128), 0), 127) AS BIGINT) AS tx,

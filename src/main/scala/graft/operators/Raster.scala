@@ -523,6 +523,60 @@ object Raster {
             (__qy * ${TH / 2} + (i div $TW) div 2) * $TW
               + __qx * ${TW / 2} + (i % $TW) div 2 AS INT) + 1))""").as("pixels"))
 
+  /** gdal_retile analog (reference: swig/python/scripts/gdal_retile.py ::
+    * tileImage/createTiles): re-chunk a raster stored as srcNx×srcNy TW×TH
+    * tiles into outW×outH output tiles on the SAME pixel grid, edge tiles
+    * CLIPPED to the raster bounds (gdal_retile never pads). Plan shape for
+    * 100 TB: each source tile emits one strip row per (local row ×
+    * overlapped output column) — ≤ TH·(⌈TW/outW⌉+1) rows carrying array
+    * SLICES, never per-pixel rows — and ONE hash aggregate per output tile
+    * assembles the row-major pixel array as flatten(array_sort(strips)):
+    * the strips tile the output exactly (every output pixel has exactly
+    * one source), so the (dy, dx0)-sorted concatenation IS the row-major
+    * array. One exchange, carrying each pixel once — the inherent data
+    * motion of re-chunking. */
+  def retile(tiles: DataFrame, srcNx: Long, srcNy: Long,
+             outW: Int, outH: Int): DataFrame = {
+    val gw = srcNx * TW; val gh = srcNy * TH
+    val strips = tiles
+      .withColumn("sy", explode(expr(s"sequence(0, ${TH - 1})")))
+      .withColumn("gy", col("ty") * TH + col("sy"))
+      .withColumn("oty", expr(s"gy div $outH"))
+      .withColumn("dy", col("gy") % outH)
+      .withColumn("otx", explode(expr(
+        s"sequence((tx * $TW) div $outW, (tx * $TW + ${TW - 1}) div $outW)")))
+      .withColumn("lo", greatest(lit(0L), col("otx") * outW - col("tx") * TW))
+      .withColumn("hi", least(lit(TW.toLong), (col("otx") + 1) * outW - col("tx") * TW))
+      .withColumn("dx0", col("tx") * TW + col("lo") - col("otx") * outW)
+      .select(col("otx"), col("oty"), col("dy"), col("dx0"),
+        expr(s"slice(pixels, CAST(sy * $TW + lo + 1 AS INT), CAST(hi - lo AS INT))")
+          .as("vals"))
+    strips.groupBy("otx", "oty")
+      .agg(flatten(expr(
+        "transform(array_sort(collect_list(struct(dy, dx0, vals))), s -> s.vals)"))
+        .as("pixels"))
+      .select(col("otx").as("tx"), col("oty").as("ty"),
+        expr(s"CAST(least($outW, $gw - otx * $outW) AS INT)").as("w"),
+        expr(s"CAST(least($outH, $gh - oty * $outH) AS INT)").as("h"),
+        col("pixels"))
+  }
+
+  /** gdaltindex analog (reference: apps/gdaltindex.cpp :: main): one index
+    * row per raster tile — the location string the utility writes into the
+    * index layer plus the tile's geodetic bounding rectangle from the
+    * zoom-z global geotransform (TileMath.geoTileBounds closed form;
+    * 360/2^(z+1) degrees per tile — exact dyadic-scaled doubles at the
+    * test zooms). Pure scan→project, shuffle-free. */
+  def tindex(tiles: DataFrame, zoom: Int): DataFrame = {
+    val dx = 360.0 / (1L << (zoom + 1)); val dy = 180.0 / (1L << zoom)
+    tiles.select(
+      format_string(s"z${zoom}_%d_%d.tif", col("tx"), col("ty")).as("location"),
+      (col("tx") * dx - 180.0).as("xmin"),
+      (lit(90.0) - (col("ty") + 1) * dy).as("ymin"),
+      ((col("tx") + 1) * dx - 180.0).as("xmax"),
+      (lit(90.0) - col("ty") * dy).as("ymax"))
+  }
+
   /** Pansharpen, weighted-Brovey (reference: alg/gdalpansharpen.cpp ::
     * GDALPansharpenOperation::WeightedBrovey): out_b = ms_b · pan /
     * pseudo_pan with equal weights, pseudo_pan = mean of the ms bands.

@@ -149,6 +149,23 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
   }
 
+  test("q128: tindex is shuffle-free scan -> project") {
+    val p = plan("q128_tindex")
+    assert(!p.contains(") Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q129: retile is strips -> ONE exchange -> per-dst-tile assembly agg") {
+    val p = plan("q129_retile")
+    // one ObjectHashAggregate pair around the single dst-tile-keyed
+    // exchange; strips carry array slices (rows per src tile <= 2*TH),
+    // never per-pixel rows — a second exchange would mean the assembled
+    // arrays are being re-shuffled
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q91: style parse is shuffle-free scan -> project -> generate") {
     val p = plan("q91_style")
     assert(!p.contains(") Exchange"), p)

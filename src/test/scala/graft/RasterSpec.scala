@@ -557,4 +557,39 @@ class RasterSpec extends AnyFunSuite {
     assert(want(2).forall(_ == 255.0))                      // all-collar row wiped
     assert(want(3).toSeq == Seq(255.0, 255.0, 255.0, 7.0, 9.0, 8.0, 6.0, 255.0))
   }
+
+  test("retile: every output pixel == closed form at its global coords; edges clipped") {
+    F.ensureRegistered(spark)
+    val got = Raster.retile(Synth.tiles(spark, 3), 16, 8, 160, 96)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getInt(3), r.getSeq[Double](4).toArray))).toMap
+    assert(got.size == 7 * 6)
+    assert(got((0L, 0L))._1 == 160 && got((0L, 0L))._2 == 96)
+    assert(got((6L, 0L))._1 == 64)   // 1024 - 6*160
+    assert(got((0L, 5L))._2 == 32)   // 512 - 5*96
+    var total = 0L
+    for (((otx, oty), (w, h, px)) <- got) {
+      assert(px.length == w * h, s"tile ($otx,$oty) dims")
+      total += px.length
+      var i = 0
+      while (i < px.length) {
+        val gx = otx * 160 + i % w; val gy = oty * 96 + i / w
+        assert(px(i) == synthPixel(3, gx / 64, gy / 64, (gx % 64).toInt, (gy % 64).toInt),
+          s"tile ($otx,$oty) i=$i")
+        i += 1
+      }
+    }
+    assert(total == 1024L * 512)     // exact partition of the raster
+  }
+
+  test("tindex: location strings + bounds replay the zoom-3 geotransform") {
+    val rows = Raster.tindex(Synth.tiles(spark, 3), 3).collect()
+    assert(rows.length == 128)
+    val m = rows.map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(m("z3_0_0.tif") == ((-180.0, 67.5, -157.5, 90.0)))
+    assert(m("z3_15_7.tif") == ((157.5, -90.0, 180.0, -67.5)))
+    // tiles partition the world: xmax of col k == xmin of col k+1
+    assert(m("z3_7_3.tif")._3 == m("z3_8_3.tif")._1)
+  }
 }
