@@ -640,6 +640,25 @@ object SparkEntry {
         .select(col("tx"), col("ty"), col("w"), col("h"),
           F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q130_rasterize_at" -> ((s, dir) => {
+      // gdal_rasterize -at (ALL_TOUCHED): polygons burn every pixel they
+      // INTERSECT — parity fill ∪ ring DDA — with MAX merge (the mode q17
+      // doesn't exercise). On the axis-aligned box corpus the touched set
+      // is closed-form (the bbox pixel block; edges sit ≥1/720 px from
+      // every pixel boundary by the 2^-12-offset construction), so the
+      // oracle grades fill+DDA union against ground truth, not against a
+      // second DDA.
+      F.ensureRegistered(s)
+      val geoms = Synth.boxes(s, dir)
+        .where(col("box_id") % 7 === 0)
+        .withColumn("geom", F.st_geomfromwkt(format_string(
+          "POLYGON((%.12f %.12f, %.12f %.12f, %.12f %.12f, %.12f %.12f, %.12f %.12f))",
+          col("xmin"), col("ymin"), col("xmax"), col("ymin"),
+          col("xmax"), col("ymax"), col("xmin"), col("ymax"), col("xmin"), col("ymin"))))
+        .withColumn("burn", (col("box_id") % 97 + 1).cast("double"))
+      Raster.rasterize(geoms, "geom", "burn", zoom = 4, mode = "max", allTouched = true)
+        .select(col("zoom"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q42_contour_stitch" -> ((s, dir) =>
       // endpoint-graph polyline assembly (oracle-backed: endpoint-equality
       // CCL over the q41 segment CTE, q42StitchSql; partitioning-
@@ -2814,6 +2833,40 @@ object SparkEntry {
            WHERE x.x >= r.xs AND x.x < r.xe),
          tilepx AS (
            SELECT tx, ty, i, sum(burn) AS v FROM px GROUP BY 1, 2, 3)
+         SELECT CAST(4 AS BIGINT) AS zoom, tx, ty,
+           CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM tilepx GROUP BY 1, 2, 3""",
+    "q130_rasterize_at" ->
+      // ALL_TOUCHED ground truth on axis-aligned boxes: the touched set of
+      // a rectangle is exactly the pixel block whose cells intersect it —
+      // px/py ranges by floor((edge - origin)/pres), never ambiguous (the
+      // 2^-12 edge offset keeps every edge >= 1/720 px from pixel bounds);
+      // MAX merge across overlapping boxes, checksum per tile
+      s"""WITH boxes AS (SELECT * FROM ($boxesSql) WHERE box_id % 7 = 0),
+         res AS (SELECT 11.25 AS res, 11.25/64 AS pres),
+         cover AS (
+           SELECT b.box_id, (b.box_id % 97 + 1) AS burn, t.tx, t.ty,
+             -180.0 + t.tx * r.res AS west, 90.0 - t.ty * r.res AS north, r.pres
+           FROM boxes b, res r,
+             (SELECT gx.x AS tx, gy.y AS ty
+                FROM generate_series(0, 31) gx(x), generate_series(0, 15) gy(y)) t
+           WHERE t.tx BETWEEN CAST(least(greatest(floor((b.xmin+180.0)/360.0*32),0),31) AS BIGINT)
+                          AND CAST(least(greatest(floor((b.xmax+180.0)/360.0*32),0),31) AS BIGINT)
+             AND t.ty BETWEEN CAST(least(greatest(floor((90.0-b.ymax)/180.0*16),0),15) AS BIGINT)
+                          AND CAST(least(greatest(floor((90.0-b.ymin)/180.0*16),0),15) AS BIGINT)),
+         pxr AS (
+           SELECT c.tx, c.ty, c.burn,
+             greatest(CAST(floor((b.xmin - c.west)/c.pres) AS BIGINT), 0) AS px0,
+             least(CAST(floor((b.xmax - c.west)/c.pres) AS BIGINT), 63) AS px1,
+             greatest(CAST(floor((c.north - b.ymax)/c.pres) AS BIGINT), 0) AS py0,
+             least(CAST(floor((c.north - b.ymin)/c.pres) AS BIGINT), 63) AS py1
+           FROM cover c JOIN boxes b ON b.box_id = c.box_id),
+         px AS (
+           SELECT r.tx, r.ty, (y.y*64 + x.x) AS i, r.burn
+           FROM pxr r, generate_series(0, 63) y(y), generate_series(0, 63) x(x)
+           WHERE y.y BETWEEN r.py0 AND r.py1 AND x.x BETWEEN r.px0 AND r.px1),
+         tilepx AS (
+           SELECT tx, ty, i, max(burn) AS v FROM px GROUP BY 1, 2, 3)
          SELECT CAST(4 AS BIGINT) AS zoom, tx, ty,
            CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM tilepx GROUP BY 1, 2, 3""",

@@ -163,45 +163,72 @@ object Scanline {
     }
   }
 
+  /** Set-bit iteration (word-skip, clear-lowest): O(words + touched
+    * pixels), not O(w·h) — a sparse tile scans 64 words, not 4096 bits.
+    * Bits come out in ascending idx = row-major order, so runs coalesce
+    * with one (py, xs, xe) accumulator. */
+  private def bitsToRuns(bits: Array[Long], w: Int,
+                         out: scala.collection.mutable.Builder[(Int, Int, Int), Array[(Int, Int, Int)]]): Unit = {
+    var runPy = -1; var runXs = 0; var runXe = 0
+    var wi = 0
+    while (wi < bits.length) {
+      var word = bits(wi)
+      while (word != 0L) {
+        val idx = (wi << 6) + java.lang.Long.numberOfTrailingZeros(word)
+        word &= word - 1
+        val px = idx % w; val py = idx / w
+        if (py == runPy && px == runXe) runXe += 1
+        else {
+          if (runPy >= 0) out += ((runPy, runXs, runXe))
+          runPy = py; runXs = px; runXe = px + 1
+        }
+      }
+      wi += 1
+    }
+    if (runPy >= 0) out += ((runPy, runXs, runXe))
+  }
+
   /** All burn runs of any geometry: polygons via scanline parity fill,
     * line strings via the all-touched DDA (width-1 runs), points via the
     * containing pixel — the full gdal_rasterize geometry dispatch
     * (reference: alg/gdalrasterize.cpp :: gv_rasterize_one_shape switch
-    * over wkbPolygon / wkbLineString / wkbPoint). */
+    * over wkbPolygon / wkbLineString / wkbPoint). With allTouched,
+    * polygons additionally burn every pixel their RINGS pass through
+    * (the -at option: gv_rasterize_one_shape's ALL_TOUCHED branch runs
+    * GDALdllImageLineAllTouched over the boundary on top of the parity
+    * fill), so the burned set becomes every pixel the polygon intersects,
+    * not just center-inside ones. */
   def burnRuns(g: Geometry, gx0: Double, gy0: Double, pw: Double, ph: Double,
-               w: Int, h: Int): Array[(Int, Int, Int)] = {
+               w: Int, h: Int, allTouched: Boolean = false): Array[(Int, Int, Int)] = {
     val out = Array.newBuilder[(Int, Int, Int)]
     var i = 0
     while (i < g.getNumGeometries) {
       g.getGeometryN(i) match {
-        case p: Polygon => out ++= fillPolygon(p, gx0, gy0, pw, ph, w, h)
+        case p: Polygon =>
+          if (allTouched) {
+            // union (parity fill ∪ ring DDA) in one bitset, then coalesce:
+            // interior pixels come from the fill, boundary-touched ones
+            // from the same DDA walk lines use — one pixel set, no dedup
+            val bits = new Array[Long]((w * h + 63) >> 6)
+            fillPolygon(p, gx0, gy0, pw, ph, w, h).foreach { case (py, xs, xe) =>
+              var x = xs
+              while (x < xe) { val idx = py * w + x; bits(idx >> 6) |= 1L << (idx & 63); x += 1 }
+            }
+            rasterizeLineBits(p.getExteriorRing, gx0, gy0, pw, ph, w, h, bits)
+            var r = 0
+            while (r < p.getNumInteriorRing) {
+              rasterizeLineBits(p.getInteriorRingN(r), gx0, gy0, pw, ph, w, h, bits)
+              r += 1
+            }
+            bitsToRuns(bits, w, out)
+          } else out ++= fillPolygon(p, gx0, gy0, pw, ph, w, h)
         case l: LineString =>
           // bitset walk + one row scan: adjacent touched pixels coalesce
           // into maximal (py, xs, xe) runs (same pixel SET as before,
           // ~run-length fewer rows through the burn aggregator)
           val bits = new Array[Long]((w * h + 63) >> 6)
           rasterizeLineBits(l, gx0, gy0, pw, ph, w, h, bits)
-          // set-bit iteration (word-skip, clear-lowest): O(words + touched
-          // pixels), not O(w·h) — a sparse line tile scans 64 words, not
-          // 4096 bits. Bits come out in ascending idx = row-major order,
-          // so runs coalesce with one (py, xs, xe) accumulator.
-          var runPy = -1; var runXs = 0; var runXe = 0
-          var wi = 0
-          while (wi < bits.length) {
-            var word = bits(wi)
-            while (word != 0L) {
-              val idx = (wi << 6) + java.lang.Long.numberOfTrailingZeros(word)
-              word &= word - 1
-              val px = idx % w; val py = idx / w
-              if (py == runPy && px == runXe) runXe += 1
-              else {
-                if (runPy >= 0) out += ((runPy, runXs, runXe))
-                runPy = py; runXs = px; runXe = px + 1
-              }
-            }
-            wi += 1
-          }
-          if (runPy >= 0) out += ((runPy, runXs, runXe))
+          bitsToRuns(bits, w, out)
         case pt: org.locationtech.jts.geom.Point =>
           val px = math.floor((pt.getX - gx0) / pw).toInt
           val py = math.floor((gy0 - pt.getY) / ph).toInt

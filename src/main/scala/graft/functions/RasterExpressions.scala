@@ -17,7 +17,8 @@ import graft.core.{GeomIO, MedianCut, Resample, Scanline, TileMath, ZCell}
   * alg/gdalrasterize.cpp :: gv_rasterize_one_shape). Array-returning
   * expression + explode ≡ a Generator with less Catalyst surface
   * (SURVEY.md §3.10). */
-case class RasterRuns(left: Expression, right: Expression, tileW: Int, tileH: Int)
+case class RasterRuns(left: Expression, right: Expression, tileW: Int, tileH: Int,
+                      allTouched: Boolean = false)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("py", IntegerType, nullable = false),
@@ -29,13 +30,13 @@ case class RasterRuns(left: Expression, right: Expression, tileW: Int, tileH: In
     val z = ZCell.zoom(cell)
     val (w, s, e, n) = TileMath.geoTileBounds(z, ZCell.tx(cell), ZCell.ty(cell))
     val pw = (e - w) / tileW; val ph = (n - s) / tileH
-    val runs = Scanline.burnRuns(g, w, n, pw, ph, tileW, tileH)
+    val runs = Scanline.burnRuns(g, w, n, pw, ph, tileW, tileH, allTouched)
     new GenericArrayData(runs.map { case (py, xs, xe) =>
       InternalRow(py, xs, xe)
     }.toArray[Any])
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(l, r, tileW, tileH)
+    copy(l, r, tileW, tileH, allTouched)
   override def prettyName: String = "raster_runs"
 }
 

@@ -72,7 +72,8 @@ object Raster {
     * alg/gdalrasterize.cpp :: GDALRasterizeLayers) becomes an
     * embarrassingly-parallel generate + hash aggregate. */
   def rasterize(geoms: DataFrame, geomCol: String, burnCol: String,
-                zoom: Int, mode: String = "max"): DataFrame = {
+                zoom: Int, mode: String = "max",
+                allTouched: Boolean = false): DataFrame = {
     val spark = geoms.sparkSession
     F.ensureRegistered(spark)
     val assembler = udaf(new TileAssemble(TW, TH, mode))
@@ -86,7 +87,8 @@ object Raster {
     // zero-filled tile)
     val runs = withCells
       .select(col("__cell"),
-        expr2col(RasterRuns(asExpr(col(geomCol)), asExpr(col("__cell")), TW, TH)).as("__runs"),
+        expr2col(RasterRuns(asExpr(col(geomCol)), asExpr(col("__cell")), TW, TH,
+          allTouched)).as("__runs"),
         col(burnCol).cast("double").as("burn"))
       .where(size(col("__runs")) > 0)
     runs.groupBy(col("__cell").as("cell"))

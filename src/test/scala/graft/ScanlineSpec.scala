@@ -75,4 +75,37 @@ class ScanlineSpec extends AnyFunSuite {
     assert(got.contains((0, 5)))                         // vertical arm (cy=4.5)
     assert(!got.contains((5, 5)))                        // notch (5.5, 4.5) outside
   }
+
+  private def runSet(runs: Array[(Int, Int, Int)]): Set[(Int, Int)] =
+    runs.flatMap { case (py, xs, xe) => (xs until xe).map(x => (x, py)) }.toSet
+
+  test("allTouched rectangle: burned set == every pixel the box intersects") {
+    // edges strictly between pixel bounds: box (2.25, 1.75)-(5.5, 4.25)
+    // over 10x10 unit pixels -> x block 2..5, y block: gy in (1.75, 4.25)
+    // -> py = 10-1-ceil? brute force below settles it
+    val poly = GeomIO.box(2.25, 1.75, 5.5, 4.25).asInstanceOf[org.locationtech.jts.geom.Polygon]
+    val got = runSet(Scanline.burnRuns(poly, 0.0, 10.0, 1.0, 1.0, 10, 10, allTouched = true))
+    val want = (for {
+      x <- 0 until 10; y <- 0 until 10
+      // pixel (x,y) spans geo [x, x+1) x (10-y-1, 10-y]
+      if x + 1 > 2.25 && x < 5.5 && (10.0 - y) > 1.75 && (10.0 - y - 1) < 4.25
+    } yield (x, y)).toSet
+    assert(got == want)
+    // strictly larger than the parity fill (boundary ring pixels added)
+    val fill = runSet(Scanline.burnRuns(poly, 0.0, 10.0, 1.0, 1.0, 10, 10))
+    assert(fill.subsetOf(got) && fill != got)
+  }
+
+  test("allTouched polygon with hole: hole boundary burned, hole interior not") {
+    val holed = GeomIO.fromWkt(
+      "POLYGON((1.25 1.25, 8.75 1.25, 8.75 8.75, 1.25 8.75, 1.25 1.25)," +
+      "(3.25 3.25, 6.75 3.25, 6.75 6.75, 3.25 6.75, 3.25 3.25))")
+      .asInstanceOf[org.locationtech.jts.geom.Polygon]
+    val got = runSet(Scanline.burnRuns(holed, 0.0, 10.0, 1.0, 1.0, 10, 10, allTouched = true))
+    // shell block minus pixels fully inside the hole: hole (3.25,3.25)-(6.75,6.75);
+    // fully-inside pixels are x in {4,5}, y rows where (10-y-1, 10-y) within -> y in {4,5}
+    val shellBlock = (for (x <- 1 to 8; y <- 1 to 8) yield (x, y)).toSet
+    val holeInner = (for (x <- 4 to 5; y <- 4 to 5) yield (x, y)).toSet
+    assert(got == shellBlock -- holeInner)
+  }
 }
