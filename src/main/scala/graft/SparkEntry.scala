@@ -659,6 +659,25 @@ object SparkEntry {
       Raster.rasterize(geoms, "geom", "burn", zoom = 4, mode = "max", allTouched = true)
         .select(col("zoom"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q131_buildvrt" -> ((s, dir) => {
+      // gdalbuildvrt -resolution highest (apps/gdalbuildvrt.cpp resolution
+      // resolution + frmts/vrt upsampling-on-read): inputs at MIXED
+      // resolutions — zoom-3 tiles over the west half (tx < 8), zoom-2
+      // tiles world-wide — composed on the FINEST grid: the coarse source
+      // is nearest-upsampled 2x to zoom 3 (map-side generate, no shuffle)
+      // and the per-tile priority mosaic picks fine-where-present,
+      // upsampled-coarse elsewhere. Oracle: z3 closed form west, z2
+      // closed form at (gx div 2, gy div 2) east.
+      F.ensureRegistered(s)
+      val cols = Seq("zoom", "tx", "ty", "band", "pixels", "prio").map(col)
+      val fine = Synth.tiles(s, 3).where(col("tx") < 8)
+        .withColumn("prio", lit(2)).select(cols: _*)
+      val coarseUp = Raster.upsample2x(Synth.tiles(s, 2))
+        .withColumn("prio", lit(1)).select(cols: _*)
+      Raster.mosaic(fine.unionByName(coarseUp), "prio")
+        .select(col("zoom").cast("long").as("zoom"), col("tx"), col("ty"),
+          F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q42_contour_stitch" -> ((s, dir) =>
       // endpoint-graph polyline assembly (oracle-backed: endpoint-equality
       // CCL over the q41 segment CTE, q42StitchSql; partitioning-
@@ -2939,6 +2958,31 @@ object SparkEntry {
          SELECT CAST(3 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
            CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM px GROUP BY 1, 2, 3""",
+    "q131_buildvrt" ->
+      // west half: zoom-3 closed form; east half: the zoom-2 closed form
+      // sampled at the parent pixel (gx div 2, gy div 2) — exactly the
+      // nearest-upsample the engine runs
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty
+           FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             t.tx * 64 + (i.i % 64) AS gx, t.ty * 64 + (i.i // 64) AS gy
+           FROM tiles t, generate_series(0, 4095) i(i)),
+         vals AS (
+           SELECT tx, ty, i,
+             CASE WHEN tx < 8 THEN
+               ((gx // 64) * 131 + (gy // 64) * 173 + (gx % 64) * 7
+                + (gy % 64) * 11 + 3) % 256
+             ELSE
+               (((gx // 2) // 64) * 131 + ((gy // 2) // 64) * 173
+                + ((gx // 2) % 64) * 7 + ((gy // 2) % 64) * 11 + 2) % 256
+             END AS v
+           FROM px)
+         SELECT CAST(3 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx,
+           CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM vals GROUP BY 1, 2, 3""",
     "q128_tindex" ->
       """WITH tiles AS (
            SELECT gx.x AS tx, gy.y AS ty

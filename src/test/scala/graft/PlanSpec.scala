@@ -166,6 +166,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q131: mixed-resolution buildvrt is map-side upsample -> ONE mosaic exchange") {
+    val p = plan("q131_buildvrt")
+    // the 2x nearest upsample is a generate (no shuffle); the only
+    // exchange is the per-tile priority mosaic aggregate
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q91: style parse is shuffle-free scan -> project -> generate") {
     val p = plan("q91_style")
     assert(!p.contains(") Exchange"), p)
