@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.F
-import graft.operators.{Ann, Contour, Dedup, Focal, Knn, Media, Osm, Polygonize, Proximity, Raster, SpatialJoin, Streaming}
+import graft.operators.{Ann, Contour, Dedup, Focal, Knn, Media, OgrSql, Osm, Polygonize, Proximity, Raster, SpatialJoin, Streaming}
 import graft.synth.Synth
 
 /** Driver contract (see /root/repo/SURVEY.md §7 + the builder prompt).
@@ -677,6 +677,22 @@ object SparkEntry {
       Raster.mosaic(fine.unionByName(coarseUp), "prio")
         .select(col("zoom").cast("long").as("zoom"), col("tx"), col("ty"),
           F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q132_ogr_special_fields" -> ((s, dir) => {
+      // OGR SQL special fields (ogr_gensql.cpp/swq.cpp): FID /
+      // OGR_GEOMETRY / OGR_GEOM_AREA selected AND filtered through SQL
+      // text over a registered layer. The box corpus keeps st_area exact
+      // (dyadic shoelace products < 2^53), so the oracle recomputes area
+      // as (xmax-xmin)*(ymax-ymin) from the generating arithmetic —
+      // bit-exact, UNQUANTIZED.
+      F.ensureRegistered(s)
+      val layer = Synth.regionWkt(s, dir)
+        .withColumn("geom", F.st_geomfromwkt(col("wkt")))
+      OgrSql.registerLayer(layer, "regions_layer", "geom", "region_id")
+      s.sql("""
+        SELECT FID AS fid, OGR_GEOMETRY AS geom_type, OGR_GEOM_AREA AS area
+        FROM regions_layer
+        WHERE OGR_GEOM_AREA >= 12.0 AND FID % 3 = 0""")
     }),
     "q42_contour_stitch" -> ((s, dir) =>
       // endpoint-graph polyline assembly (oracle-backed: endpoint-equality
@@ -2958,6 +2974,16 @@ object SparkEntry {
          SELECT CAST(3 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
            CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM px GROUP BY 1, 2, 3""",
+    "q132_ogr_special_fields" ->
+      // area from the generating arithmetic: both sides compute the same
+      // exact rational (all dyadic-lattice products < 2^53), so no
+      // quantization — a JTS shoelace deviation or a special-field
+      // plumbing bug breaks the compare outright
+      s"""WITH boxes AS ($boxesSql)
+         SELECT CAST(box_id AS BIGINT) AS fid, 'POLYGON' AS geom_type,
+           (xmax - xmin) * (ymax - ymin) AS area
+         FROM boxes
+         WHERE (xmax - xmin) * (ymax - ymin) >= 12.0 AND box_id % 3 = 0""",
     "q131_buildvrt" ->
       // west half: zoom-3 closed form; east half: the zoom-2 closed form
       // sampled at the parent pixel (gx div 2, gy div 2) — exactly the

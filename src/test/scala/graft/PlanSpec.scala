@@ -175,6 +175,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q132: unreferenced OGR special fields are pruned; layer SQL shuffle-free") {
+    val p = plan("q132_ogr_special_fields")
+    // the query never touches OGR_GEOM_WKT -> Catalyst must prune the
+    // st_astext column away (an eager layer materialization would
+    // serialize every geometry to WKT on every query)
+    assert(!p.contains("st_astext"), p)
+    assert(p.contains("st_area"), p) // the referenced field IS computed
+    assert(!p.contains(") Exchange") && !p.contains("Join"), p)
+  }
+
   test("q91: style parse is shuffle-free scan -> project -> generate") {
     val p = plan("q91_style")
     assert(!p.contains(") Exchange"), p)
