@@ -694,6 +694,19 @@ object SparkEntry {
         FROM regions_layer
         WHERE OGR_GEOM_AREA >= 12.0 AND FID % 3 = 0""")
     }),
+    "q133_color_relief_nearest" -> ((s, dir) => {
+      // gdaldem color-relief -nearest_color_entry: midpoint-threshold
+      // entry pick instead of interpolation. Elevations 0/31/96/159/224
+      // have ODD gaps, so every midpoint is a half-integer and integer
+      // pixels can never tie — the engine decides 2v < e_i + e_{i+1}, the
+      // oracle the hand-derived v <= 15/63/127/191 thresholds
+      // (independent formulations of the same rule).
+      F.ensureRegistered(s)
+      val ramp = Seq((0, 0, 0, 128), (31, 0, 128, 0), (96, 255, 255, 0),
+        (159, 128, 64, 0), (224, 255, 255, 255))
+      Raster.colorRelief(Synth.tiles(s, 3), ramp, mode = "nearest")
+        .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q42_contour_stitch" -> ((s, dir) =>
       // endpoint-graph polyline assembly (oracle-backed: endpoint-equality
       // CCL over the q41 segment CTE, q42StitchSql; partitioning-
@@ -3824,6 +3837,34 @@ object SparkEntry {
              CASE WHEN v < 64 THEN 128 - (2*v*128 + 64) // 128
                   WHEN v < 192 THEN 0
                   WHEN v < 255 THEN (2*(v-192)*255 + 63) // 126
+                  ELSE 255 END FROM px)
+         SELECT band, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM chan GROUP BY 1, 2, 3""",
+    "q133_color_relief_nearest" ->
+      // hand-derived integer thresholds (v <= floor(midpoint)) — NOT the
+      // engine's 2v < e_i+e_{i+1} form — per channel over the closed-form
+      // zoom-3 pixels
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS v
+           FROM tiles t, generate_series(0, 4095) i(i)),
+         chan AS (
+           SELECT tx, ty, i, 1 AS band,
+             CASE WHEN v <= 15 THEN 0 WHEN v <= 63 THEN 0
+                  WHEN v <= 127 THEN 255 WHEN v <= 191 THEN 128
+                  ELSE 255 END AS val FROM px
+           UNION ALL
+           SELECT tx, ty, i, 2,
+             CASE WHEN v <= 15 THEN 0 WHEN v <= 63 THEN 128
+                  WHEN v <= 127 THEN 255 WHEN v <= 191 THEN 64
+                  ELSE 255 END FROM px
+           UNION ALL
+           SELECT tx, ty, i, 3,
+             CASE WHEN v <= 15 THEN 128 WHEN v <= 63 THEN 0
+                  WHEN v <= 127 THEN 0 WHEN v <= 191 THEN 0
                   ELSE 255 END FROM px)
          SELECT band, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
            CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks

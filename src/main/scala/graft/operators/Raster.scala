@@ -1091,19 +1091,36 @@ object Raster {
     *
     * Output: one row per (zoom, tx, ty, band) with band 1/2/3 = R/G/B
     * and pixels kept DOUBLE (integer-valued) like every tile table. */
-  def colorRelief(tiles: DataFrame, ramp: Seq[(Int, Int, Int, Int)]): DataFrame = {
+  def colorRelief(tiles: DataFrame, ramp: Seq[(Int, Int, Int, Int)],
+                  mode: String = "interpolate"): DataFrame = {
     require(ramp.size >= 2, "ramp needs >= 2 entries")
     require(ramp.map(_._1) == ramp.map(_._1).sorted && ramp.map(_._1).distinct.size == ramp.size,
       "ramp elevations must be strictly increasing")
-    def channelCase(get: ((Int, Int, Int, Int)) => Int): String = {
-      val segs = ramp.sliding(2).map { case Seq(lo, hi) =>
-        val de = hi._1 - lo._1
-        val dc = get(hi) - get(lo)
-        val sign = if (dc >= 0) "+" else "-"
-        s"WHEN v < ${hi._1} THEN ${get(lo)}L $sign " +
-          s"(2L * (CAST(v AS BIGINT) - ${lo._1}) * ${math.abs(dc)} + $de) div ${2 * de}"
-      }.mkString(" ")
-      s"CASE WHEN v < ${ramp.head._1} THEN ${get(ramp.head)}L $segs ELSE ${get(ramp.last)}L END"
+    require(Set("interpolate", "nearest", "exact")(mode), s"bad mode $mode")
+    // the three gdaldem color-relief selection modes (apps/gdaldem.cpp ::
+    // GDALColorReliefGetRGBA, ColorSelectionMode): linear interpolation
+    // (default), -nearest_color_entry (midpoint thresholds — with integer
+    // elevations at ODD gaps the midpoints are half-integers, so an
+    // integer pixel can never tie and 2v < e_i+e_{i+1} decides exactly),
+    // -exact_color_entry (match or transparent-black fallback)
+    def channelCase(get: ((Int, Int, Int, Int)) => Int): String = mode match {
+      case "interpolate" =>
+        val segs = ramp.sliding(2).map { case Seq(lo, hi) =>
+          val de = hi._1 - lo._1
+          val dc = get(hi) - get(lo)
+          val sign = if (dc >= 0) "+" else "-"
+          s"WHEN v < ${hi._1} THEN ${get(lo)}L $sign " +
+            s"(2L * (CAST(v AS BIGINT) - ${lo._1}) * ${math.abs(dc)} + $de) div ${2 * de}"
+        }.mkString(" ")
+        s"CASE WHEN v < ${ramp.head._1} THEN ${get(ramp.head)}L $segs ELSE ${get(ramp.last)}L END"
+      case "nearest" =>
+        val segs = ramp.sliding(2).map { case Seq(lo, hi) =>
+          s"WHEN 2 * CAST(v AS BIGINT) < ${lo._1 + hi._1} THEN ${get(lo)}L"
+        }.mkString(" ")
+        s"CASE $segs ELSE ${get(ramp.last)}L END"
+      case "exact" =>
+        val segs = ramp.map(e => s"WHEN v = ${e._1} THEN ${get(e)}L").mkString(" ")
+        s"CASE $segs ELSE 0L END"
     }
     val chans = Seq[(Int, ((Int, Int, Int, Int)) => Int)](1 -> (_._2), 2 -> (_._3), 3 -> (_._4))
     val bands = chans.map { case (b, get) =>

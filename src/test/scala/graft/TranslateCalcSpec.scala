@@ -111,4 +111,28 @@ class TranslateCalcSpec extends AnyFunSuite {
       assert(out((tx, ty, band)).sameElements(want), s"tile ($tx,$ty) band $band")
     }
   }
+
+  test("colorRelief nearest/exact modes == scalar selection rules") {
+    val ramp = Seq((10, 5, 200, 30), (51, 250, 40, 30), (120, 0, 255, 200), (251, 90, 0, 10))
+    val gets = Map(1 -> ((c: (Int, Int, Int, Int)) => c._2),
+      2 -> ((c: (Int, Int, Int, Int)) => c._3), 3 -> ((c: (Int, Int, Int, Int)) => c._4))
+    // nearest: pick the entry minimizing |v - e| (odd gaps -> no ties)
+    def nearestScalar(v: Int, get: ((Int, Int, Int, Int)) => Int): Long =
+      get(ramp.minBy(e => math.abs(v - e._1))).toLong
+    // exact: matching entry's color, else 0
+    def exactScalar(v: Int, get: ((Int, Int, Int, Int)) => Int): Long =
+      ramp.find(_._1 == v).map(get(_).toLong).getOrElse(0L)
+    for ((mode, scalar) <- Seq("nearest" -> nearestScalar _, "exact" -> exactScalar _)) {
+      val out = Raster.colorRelief(Synth.tiles(spark, 1), ramp, mode)
+        .collect()
+        .map(r => ((r.getLong(1), r.getLong(2), r.getInt(3)), r.getSeq[Double](4).toArray))
+        .toMap
+      for (ty <- 0L until 2L; tx <- 0L until 4L; band <- 1 to 3) {
+        val want = Array.tabulate(64 * 64) { i =>
+          scalar(synthPixel(1, tx, ty, i % 64, i / 64).toInt, gets(band)).toDouble
+        }
+        assert(out((tx, ty, band)).sameElements(want), s"$mode tile ($tx,$ty) band $band")
+      }
+    }
+  }
 }
