@@ -595,6 +595,13 @@ object SparkEntry {
           (col("ty") * 8 + (col("i") / 8).cast("long")).as("gy"), col("val"))),
     "q40_proximity" -> ((s, dir) =>
       Proximity.proximity(Synth.maskTiles(s, 2), 8, 8, 8, 4, _ < 1.0, maxDistPx = 10.0)),
+    "q134_proximity_buffer" -> ((s, dir) =>
+      // gdal_proximity -values 3 -fixed-buf-val 7 -nodata 99 -maxdist 1.5:
+      // buffer mask instead of distances, non-default target set, FULL
+      // raster emitted; ~44% buffer / ~56% nodata at this radius (census
+      // checked at authoring — both branches fire everywhere)
+      Proximity.proximityBuffer(Synth.maskTiles(s, 2), 8, 8, 8, 4,
+        v => v == 3.0, maxDistPx = 1.5, bufVal = 7.0, nodata = 99.0)),
     "q53_fillnodata" -> ((s, dir) =>
       Raster.fillNodata(Synth.maskTiles(s, 2), 8, 8, 8, 4, _ < 1.0, radiusPx = 4)
         .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "val")))
@@ -3387,6 +3394,21 @@ object SparkEntry {
          FROM px p CROSS JOIN t
          GROUP BY 1, 2
          HAVING min((p.gx - t.gx)*(p.gx - t.gx) + (p.gy - t.gy)*(p.gy - t.gy)) <= 100""",
+    "q134_proximity_buffer" ->
+      // fixed-buf semantics: 7 where a 3-valued pixel lies within
+      // d2 <= 2.25 (integer d2 <= 2), 99 elsewhere, all 2048 pixels emitted
+      """WITH px AS (
+           SELECT gx.x AS gx, gy.y AS gy,
+             ((gx.x // 8)*131 + (gy.y // 8)*173 + (gx.x % 8)*7 + (gy.y % 8)*11) % 16 AS v
+           FROM generate_series(0, 63) gx(x), generate_series(0, 31) gy(y)),
+         t AS (SELECT gx, gy FROM px WHERE v = 3),
+         near AS (
+           SELECT DISTINCT p.gx, p.gy
+           FROM px p JOIN t
+             ON (p.gx - t.gx)*(p.gx - t.gx) + (p.gy - t.gy)*(p.gy - t.gy) <= 2)
+         SELECT p.gx, p.gy,
+           CASE WHEN n.gx IS NOT NULL THEN 7.0 ELSE 99.0 END AS val
+         FROM px p LEFT JOIN near n ON n.gx = p.gx AND n.gy = p.gy""",
     "q53_fillnodata" ->
       // nodata (v < 1) pixels take the mean of in-grid valid pixels with
       // d² <= 16; integer sums / counts → exact double on both engines

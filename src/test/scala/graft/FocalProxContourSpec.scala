@@ -240,6 +240,25 @@ class FocalProxContourSpec extends AnyFunSuite {
     want.foreach { case (k, d2) => assert(got(k) == d2, s"pixel $k") }
   }
 
+  test("proximityBuffer: full raster emitted, target-free tile all-nodata (LEFT join path)") {
+    // hand corpus: tile (0,0) has ONE target at its top-left corner, tile
+    // (1,0) has none — out of reach at maxDist 2, it must still emit all
+    // 64 pixels, every one nodata
+    val w = 8; val h = 8
+    val t0 = Array.tabulate(w * h)(i => if (i == 0) 0.0 else 5.0)
+    val t1 = Array.fill(w * h)(5.0)
+    val tiles = Seq((0L, 0L, t0.toSeq), (1L, 0L, t1.toSeq)).toDF("tx", "ty", "pixels")
+    val got = Proximity.proximityBuffer(tiles, w, h, 2, 1, _ < 1.0,
+      maxDistPx = 2.0, bufVal = 1.0, nodata = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.size == 2 * w * h) // EVERY pixel of both tiles present
+    for (gy <- 0 until h; gx <- 0 until 2 * w) {
+      val want = if (gx * gx + gy * gy <= 4.0) 1.0 else 0.0
+      assert(got((gx.toLong, gy.toLong)) == want, s"pixel ($gx,$gy)")
+    }
+    assert((8 until 16).forall(gx => got((gx.toLong, 0L)) == 0.0)) // tile 1 all-nodata
+  }
+
   for (weighting <- Seq("mean", "idw"))
   test(s"fillNodata ($weighting) tiled == whole-grid scalar (radius halo correctness)") {
     val zoom = 2; val w = 8; val h = 8
