@@ -616,6 +616,24 @@ object SparkEntry {
         .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "val")))
         .select((col("tx") * 8 + col("i") % 8).as("gx"),
           (col("ty") * 8 + (col("i") / 8).cast("long")).as("gy"), col("val"))),
+    "q135_fillnodata_smooth" -> ((s, dir) => {
+      // gdal_fillnodata -si 2 (alg/rasterfill.cpp GDALMultiFilter): the
+      // q53 mean fill followed by TWO 3x3-mean smoothing iterations over
+      // the interpolated pixels only; valid pixels are anchors. Each
+      // iteration = one O(perimeter) halo exchange; out-of-grid neighbors
+      // excluded (divisor = in-grid count). Oracle replays the row-major
+      // IEEE accumulation with coalesce(+0.0) for absent cells.
+      F.ensureRegistered(s)
+      val orig = Synth.maskTiles(s, 2)
+      val filled = Raster.fillNodata(orig, 8, 8, 8, 4, _ < 1.0, radiusPx = 4)
+      val withMask = filled.join(orig.select(col("tx"), col("ty"), expr(
+        "transform(pixels, v -> CAST(CASE WHEN v < 1.0 THEN 1.0 ELSE 0.0 END AS DOUBLE))")
+        .as("mask")), Seq("tx", "ty"))
+      Focal.smoothFill(withMask, 8, 8, 8, 4, iterations = 2)
+        .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "val")))
+        .select((col("tx") * 8 + col("i") % 8).as("gx"),
+          (col("ty") * 8 + (col("i") / 8).cast("long")).as("gy"), col("val"))
+    }),
     "q41_contour_segments" -> ((s, dir) =>
       Contour.segments(Synth.maskTiles(s, 2), 8, 8, 8, 4, level2x = 15L)),
     "q127_contour_levels" -> ((s, dir) =>
@@ -2756,6 +2774,32 @@ object SparkEntry {
          CASE WHEN cg <= 0.0 THEN 1.0 ELSE floor(1.0 + 254.0 * cg + 0.5) END AS val
        FROM cang"""
 
+  /** One gdal_fillnodata -si smoothing pass as a named CTE over
+    * `src(gx, gy, msk, val)` on the 64×32 grid: msk=1 pixels take the 3×3
+    * mean — neighbors added LEFT-ASSOC in row-major order, absent ones as
+    * coalesce(+0.0) (exact identity, so the sum equals the engine's
+    * skip-accumulation bit-for-bit), divided by the closed-form in-grid
+    * count. msk=0 pixels pass through. */
+  private def smoothPassSql(src: String, dst: String): String =
+    s"""$dst AS (
+       SELECT p.gx, p.gy, p.msk,
+         CASE WHEN p.msk = 1 THEN
+           ((((((((coalesce(nmm.val, 0.0) + coalesce(n0m.val, 0.0)) + coalesce(npm.val, 0.0))
+              + coalesce(nm0.val, 0.0)) + p.val) + coalesce(np0.val, 0.0))
+              + coalesce(nmp.val, 0.0)) + coalesce(n0p.val, 0.0)) + coalesce(npp.val, 0.0))
+           / ((1 + CASE WHEN p.gx > 0 THEN 1 ELSE 0 END + CASE WHEN p.gx < 63 THEN 1 ELSE 0 END)
+            * (1 + CASE WHEN p.gy > 0 THEN 1 ELSE 0 END + CASE WHEN p.gy < 31 THEN 1 ELSE 0 END))
+         ELSE p.val END AS val
+       FROM $src p
+       LEFT JOIN $src nmm ON nmm.gx = p.gx - 1 AND nmm.gy = p.gy - 1
+       LEFT JOIN $src n0m ON n0m.gx = p.gx     AND n0m.gy = p.gy - 1
+       LEFT JOIN $src npm ON npm.gx = p.gx + 1 AND npm.gy = p.gy - 1
+       LEFT JOIN $src nm0 ON nm0.gx = p.gx - 1 AND nm0.gy = p.gy
+       LEFT JOIN $src np0 ON np0.gx = p.gx + 1 AND np0.gy = p.gy
+       LEFT JOIN $src nmp ON nmp.gx = p.gx - 1 AND nmp.gy = p.gy + 1
+       LEFT JOIN $src n0p ON n0p.gx = p.gx     AND n0p.gy = p.gy + 1
+       LEFT JOIN $src npp ON npp.gx = p.gx + 1 AND npp.gy = p.gy + 1)"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg_filter" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3427,6 +3471,29 @@ object SparkEntry {
            CASE WHEN p.v >= 1 THEN CAST(p.v AS DOUBLE)
                 ELSE coalesce(f.fill, CAST(p.v AS DOUBLE)) END AS val
          FROM px p LEFT JOIN filled f ON f.gx = p.gx AND f.gy = p.gy""",
+    "q135_fillnodata_smooth" ->
+      // the q53 filled grid, then two 3x3-mean passes over msk=1 pixels:
+      // left-assoc row-major adds with coalesce(+0.0) (an exact identity,
+      // matching the engine's skip), divisor = closed-form in-grid count
+      s"""WITH px AS (
+           SELECT gx.x AS gx, gy.y AS gy,
+             ((gx.x // 8)*131 + (gy.y // 8)*173 + (gx.x % 8)*7 + (gy.y % 8)*11) % 16 AS v
+           FROM generate_series(0, 63) gx(x), generate_series(0, 31) gy(y)),
+         filled AS (
+           SELECT p.gx, p.gy,
+             (SELECT CAST(sum(q.v) AS DOUBLE) / count(*)
+              FROM px q
+              WHERE q.v >= 1
+                AND (q.gx - p.gx)*(q.gx - p.gx) + (q.gy - p.gy)*(q.gy - p.gy) <= 16) AS fill
+           FROM px p WHERE p.v < 1),
+         f0 AS (
+           SELECT p.gx, p.gy, CASE WHEN p.v < 1 THEN 1 ELSE 0 END AS msk,
+             CASE WHEN p.v >= 1 THEN CAST(p.v AS DOUBLE)
+                  ELSE coalesce(f.fill, CAST(p.v AS DOUBLE)) END AS val
+           FROM px p LEFT JOIN filled f ON f.gx = p.gx AND f.gy = p.gy),
+         ${smoothPassSql("f0", "f1")},
+         ${smoothPassSql("f1", "f2")}
+         SELECT gx, gy, val FROM f2""",
     "q59_fillnodata_idw" ->
       // inverse-distance-squared fill: weight = 2^20 // d2 (integer),
       // fill = sum(v*w)/sum(w) — exact over the integer synth grid

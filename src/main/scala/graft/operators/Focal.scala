@@ -146,4 +146,112 @@ object Focal {
     }
     padded
   }
+
+  /** Strip carrying the value plane plus (kind-0 only) the immutable
+    * fill mask — border strips leave it empty, the mask never crosses a
+    * tile boundary (only the CENTER pixel's mask is ever consulted). */
+  final case class Strip2(ttx: Long, tty: Long, sdx: Int, sdy: Int,
+                          pixels: Array[Double], mask: Array[Double])
+
+  /** gdal_fillnodata -si N (reference: alg/rasterfill.cpp ::
+    * GDALMultiFilter — the smoothing pass GDALFillNodata runs after
+    * interpolation): N iterations of a 3×3 MEAN over each interpolated
+    * (mask = 1) pixel; original valid pixels are anchors and never
+    * change. Out-of-raster neighbors are EXCLUDED (divisor = in-grid
+    * count), not edge-clamped like the DEM kernels. Each iteration is one
+    * O(perimeter) halo exchange exactly like focal(); the window
+    * accumulates in row-major order with absent cells contributing an
+    * exact +0.0, so a SQL oracle replays the IEEE op sequence
+    * bit-for-bit. Input/output: (tx, ty, pixels, mask). */
+  def smoothFill(filled: DataFrame, w: Int, h: Int, nxTiles: Long, nyTiles: Long,
+                 iterations: Int): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    (1 to iterations).foldLeft(filled)((t, _) => smoothOnce(t, w, h, nxTiles, nyTiles))
+  }
+
+  private def smoothOnce(tiles: DataFrame, w: Int, h: Int,
+                         nxTiles: Long, nyTiles: Long): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val strips = tiles.select(col("tx").cast("long"), col("ty").cast("long"),
+        col("pixels"), col("mask"))
+      .as[(Long, Long, Seq[Double], Seq[Double])]
+      .flatMap { case (tx, ty, px, mk) =>
+        val p = px.toArray
+        val out = Array.newBuilder[Strip2]
+        out += Strip2(tx, ty, 0, 0, p, mk.toArray)
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            if (dx != 0 || dy != 0) {
+              val ntx = tx + dx; val nty = ty + dy
+              if (ntx >= 0 && ntx < nxTiles && nty >= 0 && nty < nyTiles)
+                out += Strip2(ntx, nty, -dx, -dy,
+                  extractStrip(p, w, h, -dx, -dy), Array.emptyDoubleArray)
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        out.result()
+      }
+    strips.groupByKey(s => (s.ttx, s.tty))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[Strip2]) =>
+        val buf = it.toArray
+        val self = buf.find(s => s.sdx == 0 && s.sdy == 0)
+        if (self.isEmpty) Iterator.empty
+        else {
+          // place parts into the padded buffer; absent halos STAY NaN
+          // (raster border / sparse gap -> excluded from the mean)
+          val pw = w + 2
+          val padded = Array.fill((w + 2) * (h + 2))(Double.NaN)
+          buf.foreach { s =>
+            (s.sdx, s.sdy) match {
+              case (0, 0) =>
+                var y = 0
+                while (y < h) {
+                  System.arraycopy(s.pixels, y * w, padded, (y + 1) * pw + 1, w); y += 1
+                }
+              case (-1, 0) => var y = 0; while (y < h) { padded((y + 1) * pw) = s.pixels(y); y += 1 }
+              case (1, 0)  => var y = 0; while (y < h) { padded((y + 1) * pw + w + 1) = s.pixels(y); y += 1 }
+              case (0, -1) => var x = 0; while (x < w) { padded(x + 1) = s.pixels(x); x += 1 }
+              case (0, 1)  => var x = 0; while (x < w) { padded((h + 1) * pw + x + 1) = s.pixels(x); x += 1 }
+              case (-1, -1) => padded(0) = s.pixels(0)
+              case (1, -1)  => padded(w + 1) = s.pixels(0)
+              case (-1, 1)  => padded((h + 1) * pw) = s.pixels(0)
+              case (1, 1)   => padded((h + 1) * pw + w + 1) = s.pixels(0)
+            }
+          }
+          val mask = self.get.mask
+          val outPx = new Array[Double](w * h)
+          var py = 0
+          while (py < h) {
+            var px = 0
+            while (px < w) {
+              val i = py * w + px
+              if (mask(i) != 1.0) outPx(i) = padded((py + 1) * pw + px + 1)
+              else {
+                var s = 0.0; var cnt = 0
+                var dy = -1
+                while (dy <= 1) {
+                  var dx = -1
+                  while (dx <= 1) {
+                    val v = padded((py + 1 + dy) * pw + px + 1 + dx)
+                    if (!v.isNaN) { s = s + v; cnt += 1 }
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                outPx(i) = s / cnt
+              }
+              px += 1
+            }
+            py += 1
+          }
+          Iterator((key._1, key._2, outPx.toSeq, mask.toSeq))
+        }
+      }
+      .toDF("tx", "ty", "pixels", "mask")
+  }
 }

@@ -296,6 +296,49 @@ class FocalProxContourSpec extends AnyFunSuite {
     for (i <- flat.indices) assert(flat(i) == want(i), s"px (${i % gw},${i / gw})")
   }
 
+  test("smoothFill tiled == whole-grid scalar; anchors never change; iterations compose") {
+    val zoom = 2; val w = 8; val h = 8
+    val (vals, gw, gh) = synthVals(zoom, w, h)
+    val msk = vals.map(v => if (v < 1.0) 1.0 else 0.0)
+    // whole-grid scalar replica of one pass (row-major left-assoc adds,
+    // in-grid divisor), iterated
+    def pass(cur: Array[Double]): Array[Double] = Array.tabulate(gw * gh) { i =>
+      val gx = i % gw; val gy = i / gw
+      if (msk(i) != 1.0) cur(i)
+      else {
+        var s = 0.0; var cnt = 0
+        for (dy <- -1 to 1; dx <- -1 to 1) {
+          val nx = gx + dx; val ny = gy + dy
+          if (nx >= 0 && nx < gw && ny >= 0 && ny < gh) { s = s + cur(ny * gw + nx); cnt += 1 }
+        }
+        s / cnt
+      }
+    }
+    val filled = graft.operators.Raster.fillNodata(
+      Synth.maskTiles(spark, zoom, w, h), w, h, 1 << (zoom + 1), 1 << zoom, _ < 1.0, radiusPx = 4)
+    // scalar fill replica to seed the expected grid
+    val seed = filled
+      .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "v")))
+      .collect().map(r => ((r.getLong(1) * h + r.getInt(2) / w) * gw
+        + r.getLong(0) * w + r.getInt(2) % w, r.getDouble(3)))
+      .sortBy(_._1).map(_._2)
+    val want = pass(pass(seed))
+    val withMask = filled.join(
+      Synth.maskTiles(spark, zoom, w, h).select(col("tx"), col("ty"), expr(
+        "transform(pixels, v -> CAST(CASE WHEN v < 1.0 THEN 1.0 ELSE 0.0 END AS DOUBLE))").as("mask")),
+      Seq("tx", "ty"))
+    val got = graft.operators.Focal.smoothFill(withMask, w, h, 1 << (zoom + 1), 1 << zoom, 2)
+      .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "v")))
+      .collect().map(r => ((r.getLong(0) * w + r.getInt(2) % w,
+        r.getLong(1) * h + r.getInt(2) / w), r.getDouble(3))).toMap
+    assert(got.size == gw * gh)
+    for (gy <- 0 until gh; gx <- 0 until gw) {
+      val i = gy * gw + gx
+      assert(got((gx.toLong, gy.toLong)) == want(i), s"pixel ($gx,$gy)")
+      if (msk(i) == 0.0) assert(got((gx.toLong, gy.toLong)) == seed(i), s"anchor ($gx,$gy) moved")
+    }
+  }
+
   test("contour segments: tiled == single-giant-tile (seam correctness)") {
     val zoom = 1; val w = 8; val h = 8
     val (vals, gw, gh) = synthVals(zoom, w, h)
