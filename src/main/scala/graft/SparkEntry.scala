@@ -652,6 +652,21 @@ object SparkEntry {
       // string + geodetic bounds; oracle replays the 22.5°/tile zoom-3
       // geotransform (exact dyadic-scaled doubles)
       Raster.tindex(Synth.tiles(s, 3), 3)),
+    "q136_warp_tap" -> ((s, dir) =>
+      // gdalwarp -tap -tr 0.375 0.375 (apps/gdalwarp.cpp bTargetAlignedPixels:
+      // output bounds snapped OUTWARD to multiples of the resolution, size
+      // derived from the snapped bounds): per-dataset closed-form floor/ceil
+      // arithmetic — xmin/0.375 = (8*xmin)/3 sits >= 1/1536 from every
+      // integer on this corpus (2^-12 edge offsets), so floor/ceil are
+      // unambiguous in both engines. Shuffle-free scan->project.
+      Synth.boxes(s, dir).select(
+        col("box_id"),
+        (floor(col("xmin") / 0.375) * 0.375).as("axmin"),
+        (floor(col("ymin") / 0.375) * 0.375).as("aymin"),
+        (ceil(col("xmax") / 0.375) * 0.375).as("axmax"),
+        (ceil(col("ymax") / 0.375) * 0.375).as("aymax"),
+        (ceil(col("xmax") / 0.375) - floor(col("xmin") / 0.375)).cast("long").as("nx"),
+        (ceil(col("ymax") / 0.375) - floor(col("ymin") / 0.375)).cast("long").as("ny"))),
     "q129_retile" -> ((s, dir) => {
       // gdal_retile.py: re-chunk the 16×8 grid of 64×64 tiles (1024×512
       // px) into 160×96 tiles — edge tiles clipped (last column 64 wide,
@@ -1087,6 +1102,20 @@ object SparkEntry {
           .withColumn("pixels", expr(s"transform(pixels, v -> (v * $b + $b * 17) % 256)"))
       }.reduce(_ unionByName _)
       Raster.pansharpen(pan, ms, nBands = 3, scale = 10)
+        .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q137_pansharpen_weights" -> ((s, dir) => {
+      // gdal_pansharpen -w 1 -w 2 -w 1 (non-default band weights): the
+      // q62 corpus with pseudo_pan = (ms1 + 2·ms2 + ms3)/4 — ratio
+      // ms·pan·4·scale div (ms1 + 2·ms2 + ms3) in pure BIGINT. Max pixel
+      // value pan·40 = 10200 keeps the checksum accumulator < 2^32.
+      F.ensureRegistered(s)
+      val pan = Synth.tiles(s, 3)
+      val ms = (1 to 3).map { b =>
+        Synth.tiles(s, 2).withColumn("band", lit(b))
+          .withColumn("pixels", expr(s"transform(pixels, v -> (v * $b + $b * 17) % 256)"))
+      }.reduce(_ unionByName _)
+      Raster.pansharpen(pan, ms, nBands = 3, scale = 10, weights = Seq(1L, 2L, 1L))
         .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
     "q63_mediancut" -> ((s, dir) => {
@@ -3081,6 +3110,18 @@ object SparkEntry {
            tx * 22.5 - 180.0 AS xmin, 90.0 - (ty + 1) * 22.5 AS ymin,
            (tx + 1) * 22.5 - 180.0 AS xmax, 90.0 - ty * 22.5 AS ymax
          FROM tiles""",
+    "q136_warp_tap" ->
+      // snapped-outward bounds and derived size; floor/ceil unambiguous
+      // (quotients >= 1/1536 from integers), snapped products exact
+      s"""WITH boxes AS ($boxesSql)
+         SELECT box_id,
+           floor(xmin / 0.375) * 0.375 AS axmin,
+           floor(ymin / 0.375) * 0.375 AS aymin,
+           ceil(xmax / 0.375) * 0.375 AS axmax,
+           ceil(ymax / 0.375) * 0.375 AS aymax,
+           CAST(ceil(xmax / 0.375) - floor(xmin / 0.375) AS BIGINT) AS nx,
+           CAST(ceil(ymax / 0.375) - floor(ymin / 0.375) AS BIGINT) AS ny
+         FROM boxes""",
     "q129_retile" ->
       """WITH ot AS (
            SELECT gx.x AS otx, gy.y AS oty
@@ -3764,6 +3805,29 @@ object SparkEntry {
          o AS (
            SELECT band, tx, ty, i,
              CASE WHEN den = 0 THEN 0 ELSE (ms * pan * 30) // den END AS val
+           FROM b)
+         SELECT CAST(band AS INT) AS band, tx, ty,
+           CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM o GROUP BY 1, 2, 3""",
+    "q137_pansharpen_weights" ->
+      // q62's chain with den = ms1 + 2*ms2 + ms3 and factor Σw·scale = 40
+      """WITH px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS pan,
+             ((t.tx // 2)*131 + (t.ty // 2)*173
+               + ((t.tx % 2)*32 + (i.i % 64) // 2)*7
+               + ((t.ty % 2)*32 + (i.i // 64) // 2)*11 + 2) % 256 AS v2
+           FROM (SELECT gx.x AS tx, gy.y AS ty
+                 FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)) t,
+                generate_series(0, 4095) i(i)),
+         b AS (
+           SELECT tx, ty, i, pan, bb.b AS band,
+             (v2 * bb.b + bb.b * 17) % 256 AS ms,
+             ((v2*1 + 17) % 256) + 2*((v2*2 + 34) % 256) + ((v2*3 + 51) % 256) AS den
+           FROM px, generate_series(1, 3) bb(b)),
+         o AS (
+           SELECT band, tx, ty, i,
+             CASE WHEN den = 0 THEN 0 ELSE (ms * pan * 40) // den END AS val
            FROM b)
          SELECT CAST(band AS INT) AS band, tx, ty,
            CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks

@@ -589,14 +589,21 @@ object Raster {
     * pan: (zoom, tx, ty, pixels); ms: (zoom, tx, ty, band, pixels) at
     * zoom-1 with bands 1..nBands. Output: one row per (band, tile). */
   def pansharpen(pan: DataFrame, msCoarse: DataFrame, nBands: Int,
-                 scale: Int = 1000): DataFrame = {
+                 scale: Int = 1000, weights: Seq[Long] = Nil): DataFrame = {
+    // -w band weights (alg/gdalpansharpen.cpp psOptions->padfWeights):
+    // pseudo_pan = Σ w_b·ms_b / Σw, so the fixed-point ratio becomes
+    // ms·pan·Σw·scale div Σ(w_b·ms_b) — integer weights keep every step
+    // exact BIGINT; empty = the equal-weight default (w_b = 1)
+    val ws = if (weights.isEmpty) Seq.fill(nBands)(1L) else weights
+    require(ws.size == nBands && ws.forall(_ > 0), s"need $nBands positive weights")
+    val wSum = ws.sum
     val up = upsample2x(msCoarse)
     val wide = up.groupBy("zoom", "tx", "ty")
       .agg(sort_array(collect_list(struct(col("band"), col("pixels")))).as("bands"))
     val joined = pan.select(col("zoom"), col("tx"), col("ty"), col("pixels").as("__pan"))
       .join(wide, Seq("zoom", "tx", "ty"))
     val denExpr = (1 to nBands)
-      .map(b => s"CAST(element_at(bands[${b - 1}].pixels, i + 1) AS BIGINT)")
+      .map(b => s"${ws(b - 1)}L * CAST(element_at(bands[${b - 1}].pixels, i + 1) AS BIGINT)")
       .mkString(" + ")
     val perBand = (1 to nBands).map { b =>
       joined.select(col("zoom"), col("tx"), col("ty"), lit(b).as("band"),
@@ -604,7 +611,7 @@ object Raster {
           CAST(IF(($denExpr) = 0, 0L,
             (CAST(element_at(bands[${b - 1}].pixels, i + 1) AS BIGINT)
              * CAST(element_at(__pan, i + 1) AS BIGINT)
-             * ${nBands.toLong * scale}L) div ($denExpr)) AS DOUBLE))""").as("pixels"))
+             * ${wSum * scale}L) div ($denExpr)) AS DOUBLE))""").as("pixels"))
     }
     perBand.reduce(_ unionByName _)
   }
