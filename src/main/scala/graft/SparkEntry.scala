@@ -1952,7 +1952,18 @@ object SparkEntry {
           expr("(sum(v) * 1000L) div count(1)").as("avg_milli"),
           min("v").as("vmin"), max("v").as("vmax"),
           expr("min_by(v, d2 * 64 + v)").as("nearest_v"))
-    })
+    }),
+    "q138_grid_ellipse" -> ((s, dir) =>
+      // gdal_grid -a average:radius1=8:radius2=4:angle=0 (the anisotropic
+      // search ellipse every gdalgrid metric accepts;
+      // alg/gdalgrid.cpp GDALGridGetPointBounds ellipse membership):
+      // count/average/min/max over candidates passing the exact-integer
+      // ellipse test — same one-hash-agg plan as q67, different gate
+      gridCandidatesEllipse(s, dir)
+        .groupBy("tx", "ty")
+        .agg(count(lit(1)).as("n"),
+          expr("(sum(v) * 1000L) div count(1)").as("avg_milli"),
+          min("v").as("vmin"), max("v").as("vmax")))
   )
 
   /** q35 oracle: full sieve replica in SQL — CCL by min-label
@@ -2400,6 +2411,28 @@ object SparkEntry {
       .withColumn("d2", (col("ix") - col("cx")) * (col("ix") - col("cx")) +
         (col("iy") - col("cy")) * (col("iy") - col("cy")))
       .where(col("d2") <= lit(8192L * 8192L))
+  }
+
+  /** q138: the q67 candidate geometry with gdal_grid's ANISOTROPIC search
+    * ellipse (radius1 8° > radius2 4°, angle 0): membership is
+    * dx²·ry² + dy²·rx² <= rx²·ry² in exact BIGINT (max term ~3.5e15 —
+    * no overflow), so the oracle replays it verbatim. The cell_disk
+    * explode radius is sized by the LARGER half-axis. */
+  private def gridCandidatesEllipse(s: SparkSession, dir: String): DataFrame = {
+    F.ensureRegistered(s)
+    Synth.points(s, dir).select(
+        col("l_quantity").cast("long").as("v"),
+        ((col("lon") + 180.0) * 1024).cast("long").as("ix"),
+        ((lit(90.0) - col("lat")) * 1024).cast("long").as("iy"),
+        F.cell_encode(col("lon"), col("lat"), lit(5)).as("pcell"))
+      .withColumn("cell", explode(F.cell_disk(col("pcell"), lit(2))))
+      .withColumn("tx", F.cell_tx(col("cell")))
+      .withColumn("ty", F.cell_ty(col("cell")))
+      .withColumn("dx", col("ix") - (col("tx") * 5760 + 2880))
+      .withColumn("dy", col("iy") - (col("ty") * 5760 + 2880))
+      .where(col("dx") * col("dx") * lit(4096L * 4096L)
+        + col("dy") * col("dy") * lit(8192L * 8192L)
+        <= lit(8192L * 8192L * 4096L * 4096L))
   }
 
   /** Shared body of the focal queries: apply the 3×3 kernel on the
@@ -4046,6 +4079,30 @@ object SparkEntry {
            min(v) AS vmin, max(v) AS vmax,
            arg_min(v, d2 * 64 + v) AS nearest_v
          FROM wtd WHERE d2 <= 67108864 GROUP BY 1, 2""",
+    "q138_grid_ellipse" ->
+      // q67's candidate chain gated by the exact-integer ellipse
+      // dx^2*4096^2 + dy^2*8192^2 <= 8192^2*4096^2 (rx 8deg, ry 4deg)
+      s"""WITH pts AS ($ptsSql),
+         ip AS (
+           SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST((lon + 180.0) * 1024 AS BIGINT) AS ix,
+             CAST((90.0 - lat) * 1024 AS BIGINT) AS iy
+           FROM pts),
+         cand AS (
+           SELECT (p.ix // 5760 + dx.d) AS tx, (p.iy // 5760 + dy.d) AS ty, p.v, p.ix, p.iy
+           FROM ip p, generate_series(-2, 2) dx(d), generate_series(-2, 2) dy(d)
+           WHERE (p.ix // 5760 + dx.d) BETWEEN 0 AND 63
+             AND (p.iy // 5760 + dy.d) BETWEEN 0 AND 31),
+         wtd AS (
+           SELECT tx, ty, v,
+             (ix - (tx*5760 + 2880)) AS dx, (iy - (ty*5760 + 2880)) AS dy
+           FROM cand)
+         SELECT tx, ty, count(*) AS n,
+           CAST((sum(v) * 1000) // count(*) AS BIGINT) AS avg_milli,
+           min(v) AS vmin, max(v) AS vmax
+         FROM wtd
+         WHERE dx*dx*16777216 + dy*dy*67108864 <= 1125899906842624
+         GROUP BY 1, 2""",
     "q56_grid_idw" ->
       // same fixed-point IDW in pure integers: candidate cells from the
       // point's 5x5 cell neighborhood, exact radius filter, 2^34//d2
