@@ -652,6 +652,19 @@ object SparkEntry {
       // string + geodetic bounds; oracle replays the 22.5°/tile zoom-3
       // geotransform (exact dyadic-scaled doubles)
       Raster.tindex(Synth.tiles(s, 3), 3)),
+    "q139_pyramid_gauss" -> ((s, dir) => {
+      // gdaladdo -r gauss: the remaining overview kernel after q18
+      // average / q49 mode / nearest — 3x3 [1 2 1;2 4 2;1 2 1] centered
+      // on child (2px,2py), truncated at borders (divisor = in-grid
+      // weight sum). Per-pixel rows, UNQUANTIZED: the weighted sums are
+      // exact integer doubles in any add order and the one division is
+      // the same IEEE op in both engines.
+      F.ensureRegistered(s)
+      Raster.pyramidGauss(Synth.tiles(s, 3))
+        .select(col("tx"), col("ty"), posexplode(col("pixels")).as(Seq("i", "val")))
+        .select((col("tx") * 64 + col("i") % 64).as("pgx"),
+          (col("ty") * 64 + (col("i") / 64).cast("long")).as("pgy"), col("val"))
+    }),
     "q136_warp_tap" -> ((s, dir) =>
       // gdalwarp -tap -tr 0.375 0.375 (apps/gdalwarp.cpp bTargetAlignedPixels:
       // output bounds snapped OUTWARD to multiples of the resolution, size
@@ -3143,6 +3156,28 @@ object SparkEntry {
            tx * 22.5 - 180.0 AS xmin, 90.0 - (ty + 1) * 22.5 AS ymin,
            (tx + 1) * 22.5 - 180.0 AS xmax, 90.0 - ty * 22.5 AS ymax
          FROM tiles""",
+    "q139_pyramid_gauss" ->
+      // parent pixel = sum((2-|dx|)(2-|dy|) * child(2pgx+dx, 2pgy+dy))
+      // over in-grid window / in-grid weight sum; child = z3 closed form
+      """WITH pt AS (
+           SELECT gx.x AS ptx, gy.y AS pty
+           FROM generate_series(0, 7) gx(x), generate_series(0, 3) gy(y)),
+         pp AS (
+           SELECT ptx, pty, i.i AS i,
+             ptx*64 + (i.i % 64) AS pgx, pty*64 + (i.i // 64) AS pgy
+           FROM pt, generate_series(0, 4095) i(i)),
+         win AS (
+           SELECT p.ptx, p.pty, p.i, p.pgx, p.pgy,
+             sum((2 - abs(dx.d)) * (2 - abs(dy.d)) *
+               ((((2*p.pgx + dx.d) // 64)*131 + ((2*p.pgy + dy.d) // 64)*173
+                 + ((2*p.pgx + dx.d) % 64)*7 + ((2*p.pgy + dy.d) % 64)*11 + 3) % 256)) AS swv,
+             sum((2 - abs(dx.d)) * (2 - abs(dy.d))) AS sw
+           FROM pp p, generate_series(-1, 1) dx(d), generate_series(-1, 1) dy(d)
+           WHERE 2*p.pgx + dx.d BETWEEN 0 AND 1023
+             AND 2*p.pgy + dy.d BETWEEN 0 AND 511
+           GROUP BY 1, 2, 3, 4, 5)
+         SELECT pgx, pgy, CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) AS val
+         FROM win""",
     "q136_warp_tap" ->
       // snapped-outward bounds and derived size; floor/ceil unambiguous
       // (quotients >= 1/1536 from integers), snapped products exact

@@ -525,6 +525,89 @@ object Raster {
             (__qy * ${TH / 2} + (i div $TW) div 2) * $TW
               + __qx * ${TW / 2} + (i % $TW) div 2 AS INT) + 1))""").as("pixels"))
 
+  /** gdaladdo -r gauss (reference: gcore/overview.cpp ::
+    * GDALResampleChunk32R_Gauss, factor-2 path): parent pixel (px, py) is
+    * the 3×3 Gaussian [1 2 1; 2 4 2; 1 2 1] centered on child pixel
+    * (2px, 2py), divided by the sum of IN-GRID weights (the kernel
+    * truncates at raster borders exactly like the reference). The window
+    * reaches 2px−1 but at most 2px+1 ≤ 2w−1, so the parent needs a
+    * ONE-child-pixel halo on its WEST/NORTH sides only: each odd-tx child
+    * ships one column, each odd-ty child one row, odd-odd corners one
+    * pixel — O(perimeter) on top of the O(area) child→parent regroup
+    * every pyramid build pays (one shuffle total). Weighted sums of
+    * byte-range integers stay exact in doubles regardless of add order;
+    * the single division is IEEE-replayable by a SQL oracle. Missing
+    * child quadrants (sparse tile tables) truncate the kernel like
+    * borders. */
+  def pyramidGauss(tiles: DataFrame): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val w = TW; val h = TH
+    val parts = tiles
+      .select(col("zoom").cast("int"), col("tx").cast("long"),
+        col("ty").cast("long"), col("pixels"))
+      .as[(Int, Long, Long, Seq[Double])]
+      .flatMap { case (z, tx, ty, px) =>
+        val p = px.toArray
+        val nx = 1L << (z + 1); val ny = 1L << z
+        // (zoom-1, ptx, pty, kind 0=quadrant/1=west col/2=north row/3=corner, qx, qy, payload)
+        val out = Array.newBuilder[(Int, Long, Long, Int, Int, Int, Array[Double])]
+        out += ((z - 1, tx / 2, ty / 2, 0, (tx % 2).toInt, (ty % 2).toInt, p))
+        if (tx % 2 == 1 && tx + 1 < nx)
+          out += ((z - 1, (tx + 1) / 2, ty / 2, 1, 0, (ty % 2).toInt,
+            Array.tabulate(h)(y => p(y * w + w - 1))))
+        if (ty % 2 == 1 && ty + 1 < ny)
+          out += ((z - 1, tx / 2, (ty + 1) / 2, 2, (tx % 2).toInt, 0,
+            Array.tabulate(w)(x => p((h - 1) * w + x))))
+        if (tx % 2 == 1 && ty % 2 == 1 && tx + 1 < nx && ty + 1 < ny)
+          out += ((z - 1, (tx + 1) / 2, (ty + 1) / 2, 3, 0, 0, Array(p(h * w - 1))))
+        out.result()
+      }
+    parts.groupByKey(t => (t._1, t._2, t._3))
+      .mapGroups { (key: (Int, Long, Long), it: Iterator[(Int, Long, Long, Int, Int, Int, Array[Double])]) =>
+        val (z1, ptx, pty) = key
+        // buffer covers child pixels [2·ptx·w − 1, 2·ptx·w + 2w − 1] per axis
+        val bw = 2 * w + 1; val bh = 2 * h + 1
+        val buf = Array.fill(bw * bh)(Double.NaN)
+        it.foreach { case (_, _, _, kind, qx, qy, pl) =>
+          kind match {
+            case 0 =>
+              var y = 0
+              while (y < h) {
+                System.arraycopy(pl, y * w, buf, (qy * h + y + 1) * bw + qx * w + 1, w); y += 1
+              }
+            case 1 => var y = 0; while (y < h) { buf((qy * h + y + 1) * bw) = pl(y); y += 1 }
+            case 2 => var x = 0; while (x < w) { buf(qx * w + x + 1) = pl(x); x += 1 }
+            case 3 => buf(0) = pl(0)
+          }
+        }
+        val kw = Array(1.0, 2.0, 1.0)
+        val outPx = new Array[Double](w * h)
+        var py = 0
+        while (py < h) {
+          var px = 0
+          while (px < w) {
+            var s = 0.0; var wsum = 0.0
+            var dy = -1
+            while (dy <= 1) {
+              var dx = -1
+              while (dx <= 1) {
+                val v = buf((2 * py + 1 + dy) * bw + 2 * px + 1 + dx)
+                if (!v.isNaN) { val ww = kw(dx + 1) * kw(dy + 1); s += ww * v; wsum += ww }
+                dx += 1
+              }
+              dy += 1
+            }
+            outPx(py * w + px) = s / wsum
+            px += 1
+          }
+          py += 1
+        }
+        (z1, ptx, pty, outPx.toSeq)
+      }
+      .toDF("zoom", "tx", "ty", "pixels")
+  }
+
   /** gdal_retile analog (reference: swig/python/scripts/gdal_retile.py ::
     * tileImage/createTiles): re-chunk a raster stored as srcNx×srcNy TW×TH
     * tiles into outW×outH output tiles on the SAME pixel grid, edge tiles

@@ -582,6 +582,31 @@ class RasterSpec extends AnyFunSuite {
     assert(total == 1024L * 512)     // exact partition of the raster
   }
 
+  test("pyramidGauss tiled == whole-grid scalar (halo seams, border truncation)") {
+    F.ensureRegistered(spark)
+    val got = Raster.pyramidGauss(Synth.tiles(spark, 2))
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getSeq[Double](3).toArray)).toMap
+    assert(got.size == 4 * 2 && got.keySet.forall { case (tx, ty) => tx < 4 && ty < 2 })
+    val gw = 8 * 64; val gh = 4 * 64 // child grid at zoom 2
+    def child(gx: Long, gy: Long): Double = synthPixel(2, gx / 64, gy / 64, (gx % 64).toInt, (gy % 64).toInt)
+    for (pty <- 0L until 2L; ptx <- 0L until 4L; py <- 0 until 64; px <- 0 until 64) {
+      val cgx = 2 * (ptx * 64 + px); val cgy = 2 * (pty * 64 + py)
+      var s = 0.0; var ws = 0.0
+      for (dy <- -1 to 1; dx <- -1 to 1) {
+        val x = cgx + dx; val y = cgy + dy
+        if (x >= 0 && x < gw && y >= 0 && y < gh) {
+          val w = (2 - math.abs(dx)) * (2 - math.abs(dy))
+          s += w * child(x, y); ws += w
+        }
+      }
+      assert(got((ptx, pty))(py * 64 + px) == s / ws, s"parent ($ptx,$pty) px ($px,$py)")
+    }
+    // border truncation actually fires: corner parent pixel uses 4 cells
+    val corner = got((0L, 0L))(0)
+    val full = (4 * child(0, 0) + 2 * child(1, 0) + 2 * child(0, 1) + 1 * child(1, 1)) / 9.0
+    assert(corner == full)
+  }
+
   test("tindex: location strings + bounds replay the zoom-3 geotransform") {
     val rows = Raster.tindex(Synth.tiles(spark, 3), 3).collect()
     assert(rows.length == 128)
