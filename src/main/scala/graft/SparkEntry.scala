@@ -414,6 +414,42 @@ object SparkEntry {
       Streaming.releaseStaticCovers()
       s.read.parquet(out).select(col("box_id"), col("pt_id"))
     }),
+    "q140_stream_join" -> ((s, dir) => {
+      // First stream-STREAM join, ORACLE-adjudicated (§3.9; the q120/q121
+      // protocol): views (even event_id) and clicks (odd) arrive as TWO
+      // independent file-source streams; the symmetric-hash inner join
+      // pairs same-user clicks within [view_ts, view_ts + 1h]. Inner
+      // joins emit matches eagerly (watermarks bound state, not
+      // emission), so one processAllAvailable after both sources are
+      // fully written drains the complete row set. Millisecond event-time
+      // arithmetic replays in DuckDB via epoch_ms (identical truncation).
+      F.ensureRegistered(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val srcV = java.nio.file.Files.createTempDirectory("q140v").toString
+      val srcC = java.nio.file.Files.createTempDirectory("q140c").toString
+      val out = java.nio.file.Files.createTempDirectory("q140out").toString
+      val ckp = java.nio.file.Files.createTempDirectory("q140ckp").toString
+      ev.where(col("event_id") % 2 === 0).write.mode("overwrite").parquet(srcV)
+      ev.where(col("event_id") % 2 === 1).write.mode("overwrite").parquet(srcC)
+      val views = s.readStream.schema(ev.schema).parquet(srcV)
+        .withWatermark("ts", "40 days")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("vts"))
+      val clicks = s.readStream.schema(ev.schema).parquet(srcC)
+        .withWatermark("ts", "40 days")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("cts"))
+      val joined = Streaming.streamIntervalJoin(views, clicks,
+          "v_user", "c_user", "vts", "cts", windowMs = 3600000L)
+        .select(col("view_id"), col("click_id"),
+          (unix_millis(col("cts")) - unix_millis(col("vts"))).as("delta_ms"))
+      val q = joined.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckp).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(out).select(col("view_id"), col("click_id"), col("delta_ms"))
+    }),
     "q30_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       s.read.parquet(s"$dir/events.parquet")
@@ -1181,6 +1217,21 @@ object SparkEntry {
       val S = 1L << 34
       gridCandidates(s, dir)
         .withColumn("w", expr(s"${S}L div greatest(d2, 1L)"))
+        .groupBy("tx", "ty")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v") * col("w")).as("num"), sum(col("w")).as("den"))
+        .select(col("tx"), col("ty"), col("n"),
+          expr("(num * 1000L) div den").as("idw_milli"))
+    }),
+    "q141_grid_idw_smoothing" -> ((s, dir) => {
+      // gdalgrid invdist:power=2:smoothing=2 (alg/gdalgrid.cpp adds
+      // smoothing^2 to d^2 BEFORE the power): w = 2^34 div (d2 + 2048^2)
+      // — the smoothing floor also removes the d2=0 snap entirely. Same
+      // one-agg plan as q56, different weight law; every weight differs
+      // from q56's wherever d2 != 4194304 - greatest(d2,1).
+      val S = 1L << 34
+      gridCandidates(s, dir)
+        .withColumn("w", expr(s"${S}L div (d2 + 4194304L)"))
         .groupBy("tx", "ty")
         .agg(count(lit(1)).as("n"),
           sum(col("v") * col("w")).as("num"), sum(col("w")).as("den"))
@@ -4160,7 +4211,38 @@ object SparkEntry {
            FROM cand)
          SELECT tx, ty, count(*) AS n,
            CAST((sum(v * (17179869184 // greatest(d2, 1))) * 1000) // sum(17179869184 // greatest(d2, 1)) AS BIGINT) AS idw_milli
-         FROM wtd WHERE d2 <= 67108864 GROUP BY 1, 2"""
+         FROM wtd WHERE d2 <= 67108864 GROUP BY 1, 2""",
+    "q141_grid_idw_smoothing" ->
+      // q56's chain with the smoothing-squared floor in the weight
+      s"""WITH pts AS ($ptsSql),
+         ip AS (
+           SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST((lon + 180.0) * 1024 AS BIGINT) AS ix,
+             CAST((90.0 - lat) * 1024 AS BIGINT) AS iy
+           FROM pts),
+         cand AS (
+           SELECT (p.ix // 5760 + dx.d) AS tx, (p.iy // 5760 + dy.d) AS ty, p.v, p.ix, p.iy
+           FROM ip p, generate_series(-2, 2) dx(d), generate_series(-2, 2) dy(d)
+           WHERE (p.ix // 5760 + dx.d) BETWEEN 0 AND 63
+             AND (p.iy // 5760 + dy.d) BETWEEN 0 AND 31),
+         wtd AS (
+           SELECT tx, ty, v,
+             (ix - (tx*5760 + 2880))*(ix - (tx*5760 + 2880))
+               + (iy - (ty*5760 + 2880))*(iy - (ty*5760 + 2880)) AS d2
+           FROM cand)
+         SELECT tx, ty, count(*) AS n,
+           CAST((sum(v * (17179869184 // (d2 + 4194304))) * 1000) // sum(17179869184 // (d2 + 4194304)) AS BIGINT) AS idw_milli
+         FROM wtd WHERE d2 <= 67108864 GROUP BY 1, 2""",
+    "q140_stream_join" ->
+      // the complete pair set: same-user click within [view_ts, view_ts+1h],
+      // millisecond arithmetic (epoch_ms truncates micros like unix_millis)
+      """SELECT a.event_id AS view_id, b.event_id AS click_id,
+           epoch_ms(b.ts) - epoch_ms(a.ts) AS delta_ms
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+          AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+          AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 3600000"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

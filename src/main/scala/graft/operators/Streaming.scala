@@ -99,6 +99,22 @@ object Streaming {
     * exceeds `gapSec` (emitted immediately) or when the event-time
     * watermark times the open session out. Input needs (user_id, event_id,
     * ts) with a watermark-compatible `ts`. */
+  /** Stream-STREAM interval join (§3.9; Structured Streaming's symmetric
+    * hash join — both sides buffer state, matches emit as rows arrive):
+    * left rows pair with right rows of the same key whose event time
+    * falls in [left.ts, left.ts + windowMs]. INNER joins emit eagerly —
+    * watermarks only bound state retention — so a drain-once caller
+    * (write all input, one processAllAvailable) gets the complete,
+    * deterministic row set. The time comparison runs on unix_millis
+    * (micros truncated), which a DuckDB oracle replays via epoch_ms: the
+    * two truncate identically. Column names must already be disjoint. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         keyL: String, keyR: String,
+                         tsL: String, tsR: String, windowMs: Long): DataFrame =
+    left.join(right, expr(
+      s"""$keyL = $keyR AND unix_millis($tsR) >= unix_millis($tsL)
+          AND unix_millis($tsR) <= unix_millis($tsL) + ${windowMs}L"""))
+
   def sessionizeStream(events: DataFrame, gapSec: Long = 1800,
                        watermark: String = "2 hours"): Dataset[SessionOut] = {
     val spark = events.sparkSession

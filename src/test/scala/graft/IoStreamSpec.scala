@@ -212,4 +212,30 @@ class IoStreamSpec extends AnyFunSuite {
     q.awaitTermination(120000)
     assert(spark.sql("SELECT count(*) FROM dedup_stream").collect()(0).getLong(0) == 500)
   }
+
+  test("stream-stream interval join: window boundaries at millisecond precision") {
+    import spark.implicits._
+    // view at t0; clicks at t0-1ms (before), t0 (equal), t0+3600000ms
+    // (exactly the window edge, INCLUDED), t0+3600001ms (excluded),
+    // plus one other-user click inside the window (excluded by key)
+    val t0 = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val vdir = java.nio.file.Files.createTempDirectory("ssjv").toString
+    val cdir = java.nio.file.Files.createTempDirectory("ssjc").toString
+    val views = Seq((10L, 1L, ts(t0))).toDF("view_id", "v_user", "vts")
+    val clicks = Seq(
+      (20L, 1L, ts(t0 - 1)), (21L, 1L, ts(t0)), (22L, 1L, ts(t0 + 3600000L)),
+      (23L, 1L, ts(t0 + 3600001L)), (24L, 2L, ts(t0 + 5))).toDF("click_id", "c_user", "cts")
+    views.write.mode("overwrite").parquet(vdir)
+    clicks.write.mode("overwrite").parquet(cdir)
+    val sv = spark.readStream.schema(views.schema).parquet(vdir).withWatermark("vts", "40 days")
+    val sc = spark.readStream.schema(clicks.schema).parquet(cdir).withWatermark("cts", "40 days")
+    val q = Streaming.streamIntervalJoin(sv, sc, "v_user", "c_user", "vts", "cts", 3600000L)
+      .select(col("view_id"), col("click_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT view_id, click_id FROM ssj_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 21L), (10L, 22L)))
+  }
 }
