@@ -731,6 +731,53 @@ FROM vr v JOIN ks k ON k.q_id = v.q_id
 """
   }
 
+  /** q142: the OGR CSV driver graded against the generating arithmetic —
+    * the oracle rebuilds the ENTIRE record string (conditional RFC-4180
+    * quoting: the name field quotes + doubles its embedded quotes, the
+    * WKT field quotes iff it contains a comma — POINTs don't) plus the
+    * recovered name and the parsed-back vertex rows. Coordinates print
+    * %.2f on quarters (exact, identical in Java and DuckDB printf), so
+    * everything compares UNQUANTIZED. */
+  def q142CsvDriver: String = {
+    def p2(x: String, y: String) = s"printf('%.2f %.2f', $x, $y)"
+    s"""WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 4.0 AS ax,
+    CAST((s_suppkey * 104729) % 512 AS DOUBLE) AS ay,
+    1.0 + CAST(s_suppkey % 7 AS DOUBLE) / 2.0 AS w,
+    2.0 + CAST(s_suppkey % 5 AS DOUBLE) AS h
+  FROM supplier),
+cc AS (SELECT q_id, ax, ay, ax + w AS x2, ay + h AS y2 FROM sp),
+wk AS (
+  SELECT q_id,
+    CASE WHEN q_id % 3 = 0 THEN 'POINT(' || ${p2("ax", "ay")} || ')'
+    WHEN q_id % 3 = 1 THEN
+      'LINESTRING(' || ${p2("ax", "ay")} || ', ' || ${p2("x2", "y2")} || ')'
+    ELSE 'POLYGON((' || ${p2("ax", "ay")} || ', ' || ${p2("x2", "ay")} || ', ' ||
+      ${p2("x2", "y2")} || ', ' || ${p2("ax", "y2")} || ', ' || ${p2("ax", "ay")} || '))'
+    END AS wkt
+  FROM cc),
+ln AS (
+  SELECT w.q_id,
+    CAST(w.q_id AS VARCHAR) || ',' ||
+    '"n' || CAST(w.q_id AS VARCHAR) || ', ""v' || CAST(w.q_id % 7 AS VARCHAR) || '""' || '"' || ',' ||
+    CASE WHEN w.q_id % 3 = 0 THEN w.wkt ELSE '"' || w.wkt || '"' END AS line,
+    printf('n%d, "v%d"', w.q_id, w.q_id % 7) AS name_back
+  FROM wk w),
+vr AS (
+  SELECT q_id, 0 AS seq, ax AS x, ay AS y FROM cc WHERE q_id % 3 = 0
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 3 = 1
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 3 = 1
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 1, x2, ay FROM cc WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 2, x2, y2 FROM cc WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 3, ax, y2 FROM cc WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 4, ax, ay FROM cc WHERE q_id % 3 = 2)
+SELECT v.q_id, l.line, l.name_back, CAST(v.seq AS BIGINT) AS seq, v.x, v.y
+FROM vr v JOIN ln l ON l.q_id = v.q_id
+"""
+  }
+
   /** q120: the streaming sessionizer replayed in its OWN arithmetic —
     * epoch-millisecond gaps (micros truncate identically on both
     * engines) with the engine's (ms, event_id) sort order, so the

@@ -1561,6 +1561,41 @@ object SparkEntry {
         .select(col("q_id"), col("kml"), col("seq").cast("long").as("seq"),
           col("p.x").as("x"), col("p.y").as("y"))
     }),
+    "q142_csv_driver" -> ((s, dir) => {
+      // OGR CSV driver analog (ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp,
+      // GEOMETRY=AS_WKT): each feature writes ONE RFC-4180 record —
+      // id unquoted, a name field carrying commas AND embedded quotes
+      // (doubled on write), the WKT geometry field quoted for its commas
+      // — then the quote-aware splitter parses the record BACK and the
+      // geometry re-parses from the recovered field to vertex rows.
+      // Coordinates print %.2f (identical in Java and DuckDB printf;
+      // quarters are exact), so the oracle rebuilds the ENTIRE record
+      // string — writer, escaper, splitter, and WKT round-trip are all
+      // graded bit-exact UNQUANTIZED. Shuffle-free scan->project->generate.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 4.0D"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 512 AS DOUBLE)"))
+        .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
+        .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
+        .withColumn("wkt", expr(
+          """CASE WHEN q_id % 3 = 0 THEN format_string('POINT(%.2f %.2f)', ax, ay)
+             WHEN q_id % 3 = 1 THEN format_string('LINESTRING(%.2f %.2f, %.2f %.2f)',
+               ax, ay, ax + w, ay + h)
+             ELSE format_string('POLYGON((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))',
+               ax, ay, ax + w, ay, ax + w, ay + h, ax, ay + h, ax, ay)
+             END"""))
+        .withColumn("name", format_string("n%d, \"v%d\"", col("q_id"), col("q_id") % 7))
+        .withColumn("line", call_function("csv_line",
+          array(col("q_id").cast("string"), col("name"), col("wkt"))))
+        .withColumn("f", call_function("csv_fields", col("line")))
+        .select(col("q_id"), col("line"), expr("f[1]").as("name_back"),
+          posexplode(call_function("st_points",
+            call_function("st_geomfromwkt", expr("f[2]")))).as(Seq("seq", "p")))
+        .select(col("q_id"), col("line"), col("name_back"),
+          col("seq").cast("long").as("seq"), col("p.x").as("x"), col("p.y").as("y"))
+    }),
     "q118_layer_identity" -> ((s, dir) => {
       // ogr_layer_algebra Identity (reference swig/python/samples/
       // ogr_layer_algebra.py :: Identity, built on OGRLayer::Identity):
@@ -3320,6 +3355,7 @@ object SparkEntry {
     "q126_layer_update" -> OracleHashSql.q126LayerUpdate,
     "q120_stream_sessionize" -> OracleHashSql.q120StreamSessionize,
     "q112_kml" -> OracleHashSql.q112Kml,
+    "q142_csv_driver" -> OracleHashSql.q142CsvDriver,
     "q113_band_stats" -> OracleHashSql.q113BandStats,
     "q122_gdal2xyz" -> OracleHashSql.q122Gdal2xyz,
     "q123_gdalcompare" -> OracleHashSql.q123GdalCompare,

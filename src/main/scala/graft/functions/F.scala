@@ -102,6 +102,8 @@ object F {
         "st_covers_point"     -> (e => GeomPredicatePoint(e(0), e(1), e(2), "covers")),
         "st_intersects_point" -> (e => GeomPredicatePoint(e(0), e(1), e(2), "intersects")),
         "checksum_px"    -> (e => ChecksumPx(e.head)),
+        "csv_line"       -> (e => CsvLine(e.head)),
+        "csv_fields"     -> (e => CsvFields(e.head)),
         "dither_fs"      -> (e => DitherFs(e(0), e(1), e(2))))
 
   def ensureRegistered(spark: SparkSession): Unit = {

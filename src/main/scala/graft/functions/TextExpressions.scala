@@ -280,3 +280,68 @@ case class StyleParams(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "style_params"
 }
+
+/** csv_line(array<string>) → string: one CSV record in the OGR CSV
+  * driver's dialect (reference: ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp ::
+  * OGRCSVLayer::ICreateFeature via port/cpl_string CSLT quoting, RFC
+  * 4180): a field is double-quoted iff it contains a comma, a double
+  * quote, or a line break; embedded quotes double. No trailing
+  * newline — the record separator belongs to the file sink. */
+case class CsvLine(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < arr.numElements()) {
+      if (i > 0) sb += ','
+      val f = arr.getUTF8String(i).toString
+      if (f.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r')) {
+        sb += '"'
+        f.foreach { c => if (c == '"') sb ++= "\"\"" else sb += c }
+        sb += '"'
+      } else sb ++= f
+      i += 1
+    }
+    UTF8String.fromString(sb.result())
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "csv_line"
+}
+
+/** csv_fields(string) → array<string>: the matching quote-aware record
+  * splitter (reference: port/cpl_string.cpp :: CSLTokenizeString2 with
+  * CSLT_HONOURSTRINGS, as the CSV layer reader uses it): commas split
+  * only outside quotes; a quoted field drops its delimiting quotes and
+  * collapses doubled quotes. Unterminated quotes run to end-of-record
+  * (reader tolerance). */
+case class CsvFields(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val out = Array.newBuilder[Any]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQ = false
+        } else cur += c
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += UTF8String.fromString(cur.result()); cur.clear()
+        case ch  => cur += ch
+      }
+      i += 1
+    }
+    out += UTF8String.fromString(cur.result())
+    new GenericArrayData(out.result())
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "csv_fields"
+}

@@ -962,4 +962,32 @@ class CoreSpec extends AnyFunSuite {
     // halfway between pixel centers
     assert(Resample.bilinear(src, 4.0, 4.5) == 11.5)
   }
+
+  test("csv_line/csv_fields: RFC-4180 quoting round-trips every edge case") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    graft.functions.F.ensureRegistered(spark)
+    val cases = Seq(
+      Seq("plain", "with,comma", "with\"quote"),
+      Seq("", "", ""),                       // empty fields survive
+      Seq("line\nbreak", "cr\rhere", "ok"),
+      Seq("\"", "\"\"", "a,\"b\",c"),        // lone + doubled + mixed
+      Seq("trailing,", ",leading", "POLYGON((0 0, 1 0, 1 1, 0 0))"))
+    val df = cases.map(Tuple1(_)).toDF("f")
+    val got = df.select(
+        org.apache.spark.sql.functions.call_function("csv_fields",
+          org.apache.spark.sql.functions.call_function("csv_line",
+            org.apache.spark.sql.functions.col("f"))).as("back"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got.toList == cases.map(_.toList))
+    // exact writer form: quoting is CONDITIONAL, embedded quotes double
+    val line = df.limit(1).select(org.apache.spark.sql.functions
+      .call_function("csv_line", org.apache.spark.sql.functions.col("f")))
+      .collect()(0).getString(0)
+    assert(line == "plain,\"with,comma\",\"with\"\"quote\"")
+    // reader tolerance: unterminated quote runs to end of record
+    val tol = df.sparkSession.sql("SELECT csv_fields('a,\"unterminated') AS f")
+      .collect()(0).getSeq[String](0).toList
+    assert(tol == List("a", "unterminated"))
+  }
 }
