@@ -731,6 +731,30 @@ FROM vr v JOIN ks k ON k.q_id = v.q_id
 """
   }
 
+  /** q144: decontamination replayed in the q24 shingle arithmetic — the
+    * benchmark subset's DISTINCT 3-shingle hashes, then any corpus doc
+    * owning one of them. */
+  def q144Decontaminate: String = {
+    ctr = 0
+    val shingleHash = hash64("concat_ws(chr(32), ts[__w], ts[__w+1], ts[__w+2])")
+    val shortHash = hash64("array_to_string(ts, chr(32))")
+    val shExpr =
+      "CASE WHEN len(ts) = 0 THEN CAST([] AS HUGEINT[]) " +
+        s"WHEN len(ts) < 3 THEN [$shortHash] " +
+        s"ELSE list_distinct(list_transform(range(1, len(ts)-1), __w -> $shingleHash)) END"
+    s"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n FROM documents),
+toks AS (
+  SELECT doc_id, CASE WHEN n = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(n, ' ') END AS ts FROM norm),
+sh AS (SELECT doc_id, $shExpr AS sh FROM toks),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+docsh AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+SELECT DISTINCT d.doc_id, TRUE AS contaminated
+FROM docsh d JOIN bench b ON d.s = b.s
+"""
+  }
+
   /** q142: the OGR CSV driver graded against the generating arithmetic —
     * the oracle rebuilds the ENTIRE record string (conditional RFC-4180
     * quoting: the name field quotes + doubles its embedded quotes, the

@@ -388,6 +388,41 @@ object SparkEntry {
       s.read.parquet(out)
         .select(col("user_id"), col("start_ms"), col("n_events"), col("first_event"))
     }),
+    "q143_stream_window_agg" -> ((s, dir) => {
+      // §3.9 watermarked tumbling-window aggregation in APPEND mode,
+      // ORACLE-adjudicated — the third streaming shape after stateful
+      // sessionize (q120) and the stream-static/stream-stream joins
+      // (q121/q140). A window emits only once the watermark passes its
+      // end: real events land in one batch, then two far-future sentinel
+      // batches advance the watermark so every REAL window flushes
+      // deterministically (the sentinels' own windows stay withheld /
+      // are filtered by type). Window starts are epoch-aligned
+      // floor(ms/600000) — the oracle replays that in epoch-ms.
+      import s.implicits._
+      val src = java.nio.file.Files.createTempDirectory("q143src").toString
+      val out = java.nio.file.Files.createTempDirectory("q143out").toString
+      val ckp = java.nio.file.Files.createTempDirectory("q143ckp").toString
+      val batch = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("ts").cast("timestamp").as("ts"))
+      batch.write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(batch.schema).parquet(src)
+      val agg = stream.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("win_ms"), col("event_type"), col("n"))
+      val q = agg.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckp).outputMode("append").start()
+      q.processAllAvailable()
+      val maxMs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+      def sentinel(days: Long): Unit =
+        Seq(("__sentinel", new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)))
+          .toDF("event_type", "ts").write.mode("append").parquet(src)
+      sentinel(30); q.processAllAvailable()
+      sentinel(31); q.processAllAvailable()
+      q.stop()
+      s.read.parquet(out).where(col("event_type") =!= "__sentinel")
+        .select(col("win_ms"), col("event_type"), col("n"))
+    }),
     "q121_stream_pip" -> ((s, dir) => {
       // The streaming twin of q11, ORACLE-adjudicated: arriving points
       // flow through the stream-static point-in-polygon join (cell
@@ -1560,6 +1595,18 @@ object SparkEntry {
             call_function("st_geomfromkml", col("kml")))).as(Seq("seq", "p")))
         .select(col("q_id"), col("kml"), col("seq").cast("long").as("seq"),
           col("p.x").as("x"), col("p.y").as("y"))
+    }),
+    "q144_decontaminate" -> ((s, dir) => {
+      // Training-pipeline benchmark decontamination: every corpus doc
+      // sharing ANY word 3-shingle with the evaluation subset
+      // (doc_id % 97 = 0) is flagged. Shingle hashes are the same
+      // TextCore currency the minhash family uses, so the oracle replays
+      // them in HUGEINT SplitMix arithmetic (q24's machinery); the join
+      // is a LEFT-SEMI on 8-byte keys — text never shuffles.
+      F.ensureRegistered(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.decontaminate(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 97 === 0), "text", k = 3)
     }),
     "q142_csv_driver" -> ((s, dir) => {
       // OGR CSV driver analog (ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp,
@@ -3356,6 +3403,7 @@ object SparkEntry {
     "q120_stream_sessionize" -> OracleHashSql.q120StreamSessionize,
     "q112_kml" -> OracleHashSql.q112Kml,
     "q142_csv_driver" -> OracleHashSql.q142CsvDriver,
+    "q144_decontaminate" -> OracleHashSql.q144Decontaminate,
     "q113_band_stats" -> OracleHashSql.q113BandStats,
     "q122_gdal2xyz" -> OracleHashSql.q122Gdal2xyz,
     "q123_gdalcompare" -> OracleHashSql.q123GdalCompare,
@@ -4269,6 +4317,12 @@ object SparkEntry {
          SELECT tx, ty, count(*) AS n,
            CAST((sum(v * (17179869184 // (d2 + 4194304))) * 1000) // sum(17179869184 // (d2 + 4194304)) AS BIGINT) AS idw_milli
          FROM wtd WHERE d2 <= 67108864 GROUP BY 1, 2""",
+    "q143_stream_window_agg" ->
+      // every real 10-min window's count — the append-mode sink must
+      // contain exactly these rows once the sentinels flush the state
+      """SELECT (epoch_ms(ts) // 600000) * 600000 AS win_ms,
+           event_type, count(*) AS n
+         FROM events GROUP BY 1, 2""",
     "q140_stream_join" ->
       // the complete pair set: same-user click within [view_ts, view_ts+1h],
       // millisecond arithmetic (epoch_ms truncates micros like unix_millis)

@@ -103,6 +103,7 @@ object F {
         "st_intersects_point" -> (e => GeomPredicatePoint(e(0), e(1), e(2), "intersects")),
         "checksum_px"    -> (e => ChecksumPx(e.head)),
         "csv_line"       -> (e => CsvLine(e.head)),
+        "shingles64"     -> (e => Shingles64(e(0), e(1))),
         "csv_fields"     -> (e => CsvFields(e.head)),
         "dither_fs"      -> (e => DitherFs(e(0), e(1), e(2))))
 

@@ -345,3 +345,19 @@ case class CsvFields(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "csv_fields"
 }
+
+/** shingles64(text, k) → array<long>: the DISTINCT word-k-shingle hash
+  * set (TextCore.wordShingles — the same set minhash_sig permutes), as
+  * data. This is the raw currency of the decontamination semi-join:
+  * 8 bytes per shingle, never the text. */
+case class Shingles64(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, k0: Any): Any = {
+    val sh = TextCore.wordShingles(t.asInstanceOf[UTF8String].toString,
+      k0.asInstanceOf[Int])
+    new GenericArrayData(sh)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "shingles64"
+}

@@ -96,6 +96,28 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Benchmark DECONTAMINATION — the training-pipeline gate that removes
+    * corpus documents sharing any word k-shingle with an evaluation set
+    * (the n-gram-overlap rule the GPT-3/C4-style pipelines apply before
+    * training). 100-TB shape: corpus docs explode to (doc_id, shingle
+    * hash) LONG rows — 8 bytes per shingle, never text — and LEFT-SEMI
+    * join the benchmark's DISTINCT shingle set; eval sets are tiny
+    * relative to the corpus, so AQE broadcasts the build side and the
+    * corpus never shuffles. Output: the flagged doc_ids. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    k: Int = 3): DataFrame = {
+    F.ensureRegistered(corpus.sparkSession)
+    val cs = corpus.select(col(idCol).as("doc_id"),
+      explode(call_function("shingles64", col(textCol), lit(k))).as("sh"))
+    val bs = benchmark.select(
+      explode(call_function("shingles64", col(benchTextCol), lit(k))).as("sh"))
+      .distinct()
+    cs.join(bs, Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+  }
+
   /** Exact n-gram (character k-gram) Jaccard similarity join within an
     * optional blocking column, with PREFIX FILTERING (PPJoin/ssjoin):
     * under a global gram order (rarity-first), two sets with

@@ -185,6 +185,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains(") Exchange") && !p.contains("Join"), p)
   }
 
+  test("q144: decontamination is a LEFT-SEMI on 8-byte shingle keys, no cartesian") {
+    val p = plan("q144_decontaminate")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q91: style parse is shuffle-free scan -> project -> generate") {
     val p = plan("q91_style")
     assert(!p.contains(") Exchange"), p)
