@@ -1596,6 +1596,41 @@ object SparkEntry {
         .select(col("q_id"), col("kml"), col("seq").cast("long").as("seq"),
           col("p.x").as("x"), col("p.y").as("y"))
     }),
+    "q145_split" -> ((s, dir) => {
+      // Deterministic content-hash train/val/test split — the
+      // leakage-safe pipeline rule: the split key is fingerprint64(text),
+      // so IDENTICAL texts always land in the same split and an exact
+      // duplicate can never straddle train/test. 0-89 train, 90-94 val,
+      // 95-99 test. Pure expression, shuffle-free.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bucket", expr("fingerprint64(text) % 100"))
+        .select(col("doc_id"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"))
+    }),
+    "q146_redact" -> ((s, dir) => {
+      // PII scrubbing: deterministic synthetic PII spans injected into
+      // doc_id % 5 = 0 docs (a 10-digit phone run + an email), then
+      // structural redaction — [0-9]{7,} -> <NUM>, a simple email shape
+      // -> <EMAIL> — patterns whose semantics are identical in Java
+      // regex and DuckDB RE2 (no backrefs, no anchors, literal '.' in a
+      // class). Output: redacted text + per-doc redaction counts, so a
+      // missed or over-eager match breaks the compare.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("raw", when(col("doc_id") % 5 === 0,
+          concat(col("text"), format_string(" call 555%07d or mail u%d@ex%d.com now",
+            col("doc_id") % 1000000, col("doc_id"), col("doc_id") % 13)))
+          .otherwise(col("text")))
+        .withColumn("red", regexp_replace(
+          regexp_replace(col("raw"), "[0-9]{7,}", "<NUM>"),
+          "[a-z0-9]+@[a-z0-9.]+[a-z]", "<EMAIL>"))
+        .select(col("doc_id"), col("red"),
+          (size(split(col("red"), "<NUM>", -1)) - 1).as("n_num"),
+          (size(split(col("red"), "<EMAIL>", -1)) - 1).as("n_email"))
+    }),
     "q144_decontaminate" -> ((s, dir) => {
       // Training-pipeline benchmark decontamination: every corpus doc
       // sharing ANY word 3-shingle with the evaluation subset
@@ -3901,6 +3936,41 @@ object SparkEntry {
                i -> CAST(unicode(substr(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), CAST(i AS INT), 1)) AS HUGEINT))),
            (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS fp
          FROM documents""",
+    "q145_split" ->
+      // the q31 rolling-hash fingerprint mod 100, bucketed
+      """WITH fp AS (
+           SELECT doc_id,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(range(1, length(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) + 1),
+                   i -> CAST(unicode(substr(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), CAST(i AS INT), 1)) AS HUGEINT))),
+               (acc, x) -> (acc * 257 + x) % 2305843009213693951) % 100 AS BIGINT) AS bucket
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM fp""",
+    "q146_redact" ->
+      // injected spans rebuilt from the same printf arithmetic, then the
+      // same RE2/Java-identical structural patterns
+      """WITH raw AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || printf(' call 555%07d or mail u%d@ex%d.com now',
+                 doc_id % 1000000, doc_id, doc_id % 13)
+             ELSE text END AS raw
+           FROM documents),
+         red AS (
+           SELECT doc_id,
+             regexp_replace(
+               regexp_replace(raw, '[0-9]{7,}', '<NUM>', 'g'),
+               '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g') AS red
+           FROM raw)
+         SELECT doc_id, red,
+           CAST(len(string_split(red, '<NUM>')) - 1 AS INT) AS n_num,
+           CAST(len(string_split(red, '<EMAIL>')) - 1 AS INT) AS n_email
+         FROM red""",
     "q54_rasterize_lines" ->
       // the same closed-form DDA walk in pure integer pixel space: sample
       // s of segment = floor(((steps-s)·p0 + s·p1)/steps), steps =
