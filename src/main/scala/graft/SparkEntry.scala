@@ -1596,6 +1596,48 @@ object SparkEntry {
         .select(col("q_id"), col("kml"), col("seq").cast("long").as("seq"),
           col("p.x").as("x"), col("p.y").as("y"))
     }),
+    "q147_tfidf_topk" -> ((s, dir) => {
+      // TF-IDF top-3 terms per document — the classic two-agg + window
+      // pipeline op: term frequencies, document frequencies, an integer
+      // idf surrogate score = tf * ((N*1000) div df) (exact, no ln), and
+      // a (score desc, term asc) row_number top-k. 100-TB shape: two hash
+      // aggs on (doc,term)/(term) plus one window by doc — no driver
+      // loop except the scalar corpus count.
+      F.ensureRegistered(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val terms = docs
+        .select(col("doc_id"), explode(
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("term"))
+        .where(col("term") =!= "")
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_milli").desc, col("term").asc)
+      tf.join(dfreq, "term")
+        .withColumn("score_milli", expr(s"tf * ((${n}L * 1000L) div df)"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("score_milli"))
+    }),
+    "q148_zonal_majority" -> ((s, dir) => {
+      // Zonal MAJORITY (the raster-stats mode the q15 count/sum family
+      // doesn't exercise): per region, the most frequent quantity class
+      // among contained points, ties to the SMALLEST class via the
+      // packed max_by key cnt*100 - cls (cls < 100). Same PIP plan as
+      // q15 + one extra keyed agg.
+      F.ensureRegistered(s)
+      val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
+      SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat", zoom = 7)
+        .withColumn("cls", (col("l_quantity").cast("long") % 10))
+        .groupBy(col("region_id").cast("long").as("box_id"), col("cls"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("box_id")
+        .agg(expr("max_by(cls, cnt * 100 - cls)").as("major_cls"),
+          max(col("cnt")).as("major_cnt"))
+    }),
     "q145_split" -> ((s, dir) => {
       // Deterministic content-hash train/val/test split — the
       // leakage-safe pipeline rule: the split key is fingerprint64(text),
@@ -3936,6 +3978,37 @@ object SparkEntry {
                i -> CAST(unicode(substr(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), CAST(i AS INT), 1)) AS HUGEINT))),
            (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS fp
          FROM documents""",
+    "q147_tfidf_topk" ->
+      // same integer score law and (score desc, term asc) total order
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents),
+         t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+         dfp AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (
+           SELECT tf.doc_id, tf.term, tf.tf * ((n.n * 1000) // dfp.df) AS score_milli
+           FROM tf JOIN dfp USING (term), n),
+         rk AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score_milli DESC, term ASC) AS rank
+           FROM sc)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+           CAST(score_milli AS BIGINT) AS score_milli
+         FROM rk WHERE rank <= 3""",
+    "q148_zonal_majority" ->
+      // q15's PIP chain + class counts + the same packed-key majority
+      s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql),
+         cc AS (
+           SELECT b.box_id, CAST(p.l_quantity AS BIGINT) % 10 AS cls, count(*) AS cnt
+           FROM pts p JOIN boxes b
+             ON p.lon > b.xmin AND p.lon < b.xmax AND p.lat > b.ymin AND p.lat < b.ymax
+           GROUP BY 1, 2)
+         SELECT box_id, arg_max(cls, cnt * 100 - cls) AS major_cls,
+           max(cnt) AS major_cnt
+         FROM cc GROUP BY 1""",
     "q145_split" ->
       // the q31 rolling-hash fingerprint mod 100, bucketed
       """WITH fp AS (
