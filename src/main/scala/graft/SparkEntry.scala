@@ -1273,6 +1273,23 @@ object SparkEntry {
         .select(col("tx"), col("ty"), col("n"),
           expr("(num * 1000L) div den").as("idw_milli"))
     }),
+    "q150_grid_idw_p1" -> ((s, dir) => {
+      // gdalgrid invdist:power=1 — weight 1/d instead of 1/d2: the
+      // integer route is w = 2^30 div isqrt(d2) with isqrt =
+      // floor(sqrt(d2)) via CAST(floor(sqrt(...))) — EXACT here because
+      // d2 <= 2^26 keeps sqrt(m^2-1) a full 6e-5 below the next integer
+      // (IEEE sqrt is correctly rounded, so floor can never flip).
+      // d2 = 0 snaps to 1 like q56.
+      val S1 = 1L << 30
+      gridCandidates(s, dir)
+        .withColumn("w", expr(
+          s"${S1}L div greatest(CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT), 1L)"))
+        .groupBy("tx", "ty")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v") * col("w")).as("num"), sum(col("w")).as("den"))
+        .select(col("tx"), col("ty"), col("n"),
+          expr("(num * 1000L) div den").as("idw_milli"))
+    }),
     "q66_color_relief" -> ((s, dir) => {
       // gdaldem color-relief (the one gdaldem mode outside the focal
       // family): 5-entry elevation->RGB ramp folded into a codegen'd CASE
@@ -1637,6 +1654,35 @@ object SparkEntry {
         .groupBy("box_id")
         .agg(expr("max_by(cls, cnt * 100 - cls)").as("major_cls"),
           max(col("cnt")).as("major_cnt"))
+    }),
+    "q149_frame_sample" -> ((s, dir) => {
+      // Multimodal VIDEO plumbing (training-pipeline frame sampling):
+      // synthetic containers carry a fixed-layout ASCII header
+      // 'VID:nnn:www:hhh:' in a BINARY column; the engine recovers the
+      // frame count and dims FROM THE BYTES (the only copy — the typed
+      // columns are dropped before parsing), samples every 3rd frame
+      // with a generator, and emits per-frame feature rows through the
+      // deterministic stand-in decode (fingerprint64 of the frame seed —
+      // the documented decodeStub class; no video codec exists in-JVM).
+      // A wrong byte-level parse changes row counts AND features. The
+      // oracle replays header arithmetic + the rolling-hash feature.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("vid"))
+        .withColumn("bin", expr(
+          """CAST(format_string('VID:%03d:%03d:%03d:',
+             4 + vid % 13, 16 + vid % 17, 9 + vid % 7)
+             || repeat('x', CAST(vid % 5 AS INT)) AS BINARY)"""))
+        .select(col("vid"), col("bin")) // dims live ONLY in the bytes now
+        .withColumn("hdr", expr("CAST(bin AS STRING)"))
+        .withColumn("n", expr("CAST(substring(hdr, 5, 3) AS INT)"))
+        .withColumn("w", expr("CAST(substring(hdr, 9, 3) AS INT)"))
+        .withColumn("h", expr("CAST(substring(hdr, 13, 3) AS INT)"))
+        .withColumn("frame", explode(expr("sequence(0, n - 1, 3)")))
+        .select(col("vid"), col("frame").cast("long").as("frame"),
+          expr("CAST(w AS BIGINT) * h").as("npx"),
+          expr("""fingerprint64(concat('f:', CAST(vid AS STRING), ':',
+            CAST(frame AS STRING)))""").as("feat"))
     }),
     "q145_split" -> ((s, dir) => {
       // Deterministic content-hash train/val/test split — the
@@ -4009,6 +4055,48 @@ object SparkEntry {
          SELECT box_id, arg_max(cls, cnt * 100 - cls) AS major_cls,
            max(cnt) AS major_cnt
          FROM cc GROUP BY 1""",
+    "q149_frame_sample" ->
+      // header arithmetic + every-3rd frame sampling + the q31 rolling
+      // hash over the frame seed string
+      """WITH sp AS (
+           SELECT s_suppkey AS vid, 4 + s_suppkey % 13 AS n,
+             16 + s_suppkey % 17 AS w, 9 + s_suppkey % 7 AS h
+           FROM supplier),
+         fr AS (SELECT vid, w, h, unnest(range(0, n, 3)) AS frame FROM sp),
+         seed AS (
+           SELECT vid, frame, w * h AS npx, printf('f:%d:%d', vid, frame) AS sd
+           FROM fr)
+         SELECT vid, CAST(frame AS BIGINT) AS frame, CAST(npx AS BIGINT) AS npx,
+           CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             list_transform(range(1, length(sd) + 1),
+               i -> CAST(unicode(substr(sd, CAST(i AS INT), 1)) AS HUGEINT))),
+             (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS feat
+         FROM seed""",
+    "q150_grid_idw_p1" ->
+      // q56's chain with w = 2^30 // isqrt(d2); floor(sqrt) provably
+      // exact for d2 <= 2^26 (see query comment)
+      s"""WITH pts AS ($ptsSql),
+         ip AS (
+           SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST((lon + 180.0) * 1024 AS BIGINT) AS ix,
+             CAST((90.0 - lat) * 1024 AS BIGINT) AS iy
+           FROM pts),
+         cand AS (
+           SELECT (p.ix // 5760 + dx.d) AS tx, (p.iy // 5760 + dy.d) AS ty, p.v, p.ix, p.iy
+           FROM ip p, generate_series(-2, 2) dx(d), generate_series(-2, 2) dy(d)
+           WHERE (p.ix // 5760 + dx.d) BETWEEN 0 AND 63
+             AND (p.iy // 5760 + dy.d) BETWEEN 0 AND 31),
+         wtd AS (
+           SELECT tx, ty, v,
+             1073741824 // greatest(CAST(floor(sqrt(CAST(
+               (ix - (tx*5760 + 2880))*(ix - (tx*5760 + 2880))
+                 + (iy - (ty*5760 + 2880))*(iy - (ty*5760 + 2880)) AS DOUBLE))) AS BIGINT), 1) AS w,
+             (ix - (tx*5760 + 2880))*(ix - (tx*5760 + 2880))
+               + (iy - (ty*5760 + 2880))*(iy - (ty*5760 + 2880)) AS d2
+           FROM cand)
+         SELECT tx, ty, count(*) AS n,
+           CAST((sum(v * w) * 1000) // sum(w) AS BIGINT) AS idw_milli
+         FROM wtd WHERE d2 <= 67108864 GROUP BY 1, 2""",
     "q145_split" ->
       // the q31 rolling-hash fingerprint mod 100, bucketed
       """WITH fp AS (
