@@ -1684,6 +1684,67 @@ object SparkEntry {
           expr("""fingerprint64(concat('f:', CAST(vid AS STRING), ':',
             CAST(frame AS STRING)))""").as("feat"))
     }),
+    "q151_audio_windows" -> ((s, dir) => {
+      // Multimodal AUDIO plumbing (the third modality beside images and
+      // q149's video): containers carry 'AUD:nnnn:' sample counts in the
+      // BINARY column; samples come from the deterministic stand-in
+      // decode s(i) = ((aid*31 + i*17) % 256) - 128 (decodeStub class —
+      // no in-JVM audio codec), and the engine computes per-16-sample
+      // WINDOW features — energy = Σ s², peak = max|s| — in exact
+      // integers via sequence/aggregate/transform HOFs. Short final
+      // windows are real (n % 16 != 0 for most rows).
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("aid"))
+        .withColumn("bin", expr(
+          "CAST(format_string('AUD:%04d:', 64 + aid % 129) AS BINARY)"))
+        .select(col("aid"), col("bin"))
+        .withColumn("n", expr("CAST(substring(CAST(bin AS STRING), 5, 4) AS INT)"))
+        .withColumn("win", explode(expr("sequence(0, (n - 1) div 16)")))
+        .select(col("aid"), col("win").cast("long").as("win"),
+          expr("""aggregate(sequence(win * 16, least(win * 16 + 15, n - 1)), 0L,
+            (acc, i) -> acc + CAST(((aid * 31 + i * 17) % 256 - 128) AS BIGINT)
+                            * CAST(((aid * 31 + i * 17) % 256 - 128) AS BIGINT))""")
+            .as("energy"),
+          expr("""array_max(transform(sequence(win * 16, least(win * 16 + 15, n - 1)),
+            i -> abs((aid * 31 + i * 17) % 256 - 128)))""").as("peak"))
+    }),
+    "q152_embed_centroid" -> ((s, dir) => {
+      // Embedding-space centroid update (the k-means step of
+      // embedding-based curation): cluster = vec_id % 7; per (cluster,
+      // dim), centroid_milli = Σ floor(x·1000) div n — exact BIGINT
+      // fixed point, one hash agg over (cluster, dim) keys (64·7 groups
+      // — never a per-vector shuffle of anything but the explode).
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select((col("vec_id") % 7).as("cluster"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))").as("sum_milli"))
+        .select(col("cluster"), col("dim").cast("long").as("dim"),
+          expr("sum_milli div n").as("centroid_milli"), col("n"))
+    }),
+    "q153_media_resize" -> ((s, dir) => {
+      // Image RESIZE through the REAL codec path — the last media verb
+      // in the brief after decode/feature-extract/frame-sample: PNG
+      // bytes decode (JDK DEFLATE), a 2x box downsample runs as a
+      // codegen'd transform with ROUND-HALF-UP integer arithmetic
+      // ((sum + 2) div 4 — rint's half-even would diverge from the
+      // oracle), the 32x32 result RE-ENCODES to PNG, decodes again, and
+      // checksums — grading codec -> resample -> codec end-to-end.
+      F.ensureRegistered(s)
+      val dec = Media.decodePng(Media.encodePng(Synth.tiles(s, 3))).drop("png")
+      val down = dec.withColumn("pixels", expr(
+        """transform(sequence(0, 1023), i ->
+           CAST((CAST(element_at(pixels, CAST((i div 32) * 2 * 64 + (i % 32) * 2 + 1 AS INT)) AS BIGINT)
+               + CAST(element_at(pixels, CAST((i div 32) * 2 * 64 + (i % 32) * 2 + 2 AS INT)) AS BIGINT)
+               + CAST(element_at(pixels, CAST(((i div 32) * 2 + 1) * 64 + (i % 32) * 2 + 1 AS INT)) AS BIGINT)
+               + CAST(element_at(pixels, CAST(((i div 32) * 2 + 1) * 64 + (i % 32) * 2 + 2 AS INT)) AS BIGINT)
+               + 2L) div 4 AS DOUBLE))"""))
+        .withColumn("w", lit(32)).withColumn("h", lit(32))
+      Media.decodePng(Media.encodePng(down))
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q145_split" -> ((s, dir) => {
       // Deterministic content-hash train/val/test split — the
       // leakage-safe pipeline rule: the split key is fingerprint64(text),
@@ -4097,6 +4158,51 @@ object SparkEntry {
          SELECT tx, ty, count(*) AS n,
            CAST((sum(v * w) * 1000) // sum(w) AS BIGINT) AS idw_milli
          FROM wtd WHERE d2 <= 67108864 GROUP BY 1, 2""",
+    "q151_audio_windows" ->
+      // header arithmetic + per-16-sample windows in exact integers
+      """WITH sp AS (SELECT s_suppkey AS aid, 64 + s_suppkey % 129 AS n FROM supplier),
+         wins AS (SELECT aid, n, unnest(range(0, (n - 1) // 16 + 1)) AS win FROM sp),
+         f AS (
+           SELECT aid, CAST(win AS BIGINT) AS win,
+             list_sum(list_transform(range(win*16, least(win*16 + 16, n)),
+               i -> CAST(((aid*31 + i*17) % 256 - 128) AS BIGINT)
+                  * CAST(((aid*31 + i*17) % 256 - 128) AS BIGINT))) AS energy,
+             list_max(list_transform(range(win*16, least(win*16 + 16, n)),
+               i -> abs((aid*31 + i*17) % 256 - 128))) AS peak
+           FROM wins)
+         SELECT aid, win, CAST(energy AS BIGINT) AS energy,
+           CAST(peak AS BIGINT) AS peak
+         FROM f""",
+    "q152_embed_centroid" ->
+      // fixed-point per-(cluster, dim) mean; // truncates toward zero
+      // exactly like Spark's div on the (possibly negative) sums
+      """SELECT e.vec_id % 7 AS cluster, CAST(i.i - 1 AS BIGINT) AS dim,
+           CAST(sum(CAST(floor(CAST(e.embedding[i.i] AS DOUBLE) * 1000.0) AS BIGINT))
+             // count(*) AS BIGINT) AS centroid_milli,
+           count(*) AS n
+         FROM embeddings e, generate_series(1, 64) i(i)
+         WHERE i.i <= len(e.embedding)
+         GROUP BY 1, 2""",
+    "q153_media_resize" ->
+      // closed-form 2x2 box means with the engine's round-half-up
+      // ((sum+2) // 4) over the z3 pixels; PNG legs are lossless
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty
+           FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             2*(i.i % 32) AS x2, 2*(i.i // 32) AS y2
+           FROM tiles t, generate_series(0, 1023) i(i)),
+         vals AS (
+           SELECT tx, ty, i,
+             ((tx*131 + ty*173 + x2*7     + y2*11     + 3) % 256
+            + (tx*131 + ty*173 + (x2+1)*7 + y2*11     + 3) % 256
+            + (tx*131 + ty*173 + x2*7     + (y2+1)*11 + 3) % 256
+            + (tx*131 + ty*173 + (x2+1)*7 + (y2+1)*11 + 3) % 256 + 2) // 4 AS v
+           FROM px)
+         SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM vals GROUP BY 1, 2""",
     "q145_split" ->
       // the q31 rolling-hash fingerprint mod 100, bucketed
       """WITH fp AS (
