@@ -388,6 +388,57 @@ object SparkEntry {
       s.read.parquet(out)
         .select(col("user_id"), col("start_ms"), col("n_events"), col("first_event"))
     }),
+    "q154_stream_outer_join" -> ((s, dir) => {
+      // Stream-stream LEFT OUTER interval join — the watermark-MANDATORY
+      // streaming semantic q140's inner join doesn't exercise: an
+      // unmatched view can only emit its null-padded row once the
+      // watermark (the MIN across both sources) passes view_ts + window,
+      // so the sentinel batches go to BOTH streams. The join condition
+      // compares raw event-time (microseconds) — Spark requires the
+      // range bound on the watermarked columns themselves for outer
+      // joins — and the oracle replays it in epoch_us. Null-padded
+      // columns surface as -1 sentinels for hash stability.
+      import s.implicits._
+      F.ensureRegistered(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val srcV = java.nio.file.Files.createTempDirectory("q154v").toString
+      val srcC = java.nio.file.Files.createTempDirectory("q154c").toString
+      val out = java.nio.file.Files.createTempDirectory("q154out").toString
+      val ckp = java.nio.file.Files.createTempDirectory("q154ckp").toString
+      ev.where(col("event_id") % 2 === 0).write.mode("overwrite").parquet(srcV)
+      ev.where(col("event_id") % 2 === 1).write.mode("overwrite").parquet(srcC)
+      val views = s.readStream.schema(ev.schema).parquet(srcV)
+        .withWatermark("ts", "1 minute")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("vts"))
+      val clicks = s.readStream.schema(ev.schema).parquet(srcC)
+        .withWatermark("ts", "1 minute")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("cts"))
+      val joined = views.join(clicks, expr(
+          "v_user = c_user AND cts >= vts AND cts <= vts + interval 1 hour"),
+          "leftOuter")
+        .select(col("view_id"), col("v_user"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(unix_millis(col("cts")) - unix_millis(col("vts")), lit(-1L))
+            .as("delta_ms"))
+      val q = joined.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckp).outputMode("append").start()
+      q.processAllAvailable()
+      val maxMs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+      def sentinel(days: Long): Unit = {
+        val row = Seq((-1L, -1L, new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)))
+          .toDF("event_id", "user_id", "ts")
+        row.write.mode("append").parquet(srcV)
+        row.write.mode("append").parquet(srcC)
+      }
+      sentinel(30); q.processAllAvailable()
+      sentinel(31); q.processAllAvailable()
+      q.stop()
+      s.read.parquet(out).where(col("v_user") >= 0)
+        .select(col("view_id"), col("click_id"), col("delta_ms"))
+    }),
     "q143_stream_window_agg" -> ((s, dir) => {
       // §3.9 watermarked tumbling-window aggregation in APPEND mode,
       // ORACLE-adjudicated — the third streaming shape after stateful
@@ -4654,6 +4705,17 @@ object SparkEntry {
          SELECT tx, ty, count(*) AS n,
            CAST((sum(v * (17179869184 // (d2 + 4194304))) * 1000) // sum(17179869184 // (d2 + 4194304)) AS BIGINT) AS idw_milli
          FROM wtd WHERE d2 <= 67108864 GROUP BY 1, 2""",
+    "q154_stream_outer_join" ->
+      // matched pairs at microsecond window bounds + one -1-padded row
+      // per unmatched view, exactly what the sink holds post-flush
+      """SELECT a.event_id AS view_id,
+           coalesce(b.event_id, -1) AS click_id,
+           coalesce(epoch_ms(b.ts) - epoch_ms(a.ts), -1) AS delta_ms
+         FROM events a LEFT JOIN events b
+           ON a.user_id = b.user_id AND b.event_id % 2 = 1
+          AND epoch_us(b.ts) >= epoch_us(a.ts)
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+         WHERE a.event_id % 2 = 0""",
     "q143_stream_window_agg" ->
       // every real 10-min window's count — the append-mode sink must
       // contain exactly these rows once the sentinels flush the state
