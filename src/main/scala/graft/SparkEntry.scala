@@ -802,6 +802,30 @@ object SparkEntry {
       // string + geodetic bounds; oracle replays the 22.5°/tile zoom-3
       // geotransform (exact dyadic-scaled doubles)
       Raster.tindex(Synth.tiles(s, 3), 3)),
+    "q156_merge_separate" -> ((s, dir) => {
+      // gdal_merge.py -separate / gdalbuildvrt -separate: each input
+      // becomes its own BAND of the stacked output in argument order
+      // (band stacking, vs mosaic's compositing) — a union with band
+      // renumber; per-band checksums must equal each source's own.
+      F.ensureRegistered(s)
+      val a = Synth.tiles(s, 3).withColumn("band", lit(1))
+      val b = Synth.tiles(s, 3)
+        .withColumn("pixels", expr("transform(pixels, p -> (p * 3.0 + 7.0) % 256.0)"))
+        .withColumn("band", lit(2))
+      a.unionByName(b)
+        .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q157_ogrtindex" -> ((s, dir) =>
+      // ogrtindex (apps/ogrtindex.cpp): one index row per vector LAYER —
+      // layer name + feature count + the layer extent envelope (the
+      // OGRLayer::GetExtent the index stores). Layers = a deterministic
+      // partition of the box corpus; envelope agg per layer.
+      Synth.boxes(s, dir)
+        .withColumn("layer", format_string("layer_%d", col("box_id") % 4))
+        .groupBy("layer")
+        .agg(count(lit(1)).as("n_features"),
+          min(col("xmin")).as("xmin"), min(col("ymin")).as("ymin"),
+          max(col("xmax")).as("xmax"), max(col("ymax")).as("ymax"))),
     "q139_pyramid_gauss" -> ((s, dir) => {
       // gdaladdo -r gauss: the remaining overview kernel after q18
       // average / q49 mode / nearest — 3x3 [1 2 1;2 4 2;1 2 1] centered
@@ -1823,6 +1847,25 @@ object SparkEntry {
         .withColumn("w", lit(32)).withColumn("h", lit(32))
       Media.decodePng(Media.encodePng(down))
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q158_doc_reassembly" -> ((s, dir) => {
+      // Interleaved-document RENDER — the input_hint shape end-to-end:
+      // each doc's spans concatenate in offset order, text spans
+      // verbatim, media spans as a <media:tile://…> placeholder (the
+      // detokenized form a training pipeline feeds the tokenizer).
+      // Output: render length + the rolling-hash fingerprint of the
+      // render, so a span out of order, a wrong placeholder, or a
+      // formatting drift breaks the compare. Shuffle = the one docs()
+      // assembly agg; the render itself is a codegen'd transform+join.
+      F.ensureRegistered(s)
+      Synth.docs(s, dir)
+        .withColumn("render", expr(
+          """array_join(transform(spans, sp ->
+             CASE WHEN sp.kind = 'text' THEN sp.text
+             ELSE concat('<media:', sp.media_ref, '>') END), ' ')"""))
+        .select(col("doc_id"),
+          length(col("render")).cast("long").as("render_len"),
+          call_function("fingerprint64", col("render")).as("fp"))
     }),
     "q145_split" -> ((s, dir) => {
       // Deterministic content-hash train/val/test split — the
@@ -3574,6 +3617,29 @@ object SparkEntry {
            GROUP BY 1, 2, 3, 4, 5)
          SELECT pgx, pgy, CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) AS val
          FROM win""",
+    "q156_merge_separate" ->
+      // band 1 = the z3 closed form; band 2 = (v*3+7) % 256
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty
+           FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS v
+           FROM tiles t, generate_series(0, 4095) i(i)),
+         b AS (
+           SELECT tx, ty, i, 1 AS band, v AS val FROM px
+           UNION ALL
+           SELECT tx, ty, i, 2, (v * 3 + 7) % 256 FROM px)
+         SELECT CAST(band AS INT) AS band, CAST(tx AS BIGINT) AS tx,
+           CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM b GROUP BY 1, 2, 3""",
+    "q157_ogrtindex" ->
+      s"""WITH boxes AS ($boxesSql)
+         SELECT printf('layer_%d', box_id % 4) AS layer, count(*) AS n_features,
+           min(xmin) AS xmin, min(ymin) AS ymin,
+           max(xmax) AS xmax, max(ymax) AS ymax
+         FROM boxes GROUP BY 1""",
     "q136_warp_tap" ->
       // snapped-outward bounds and derived size; floor/ceil unambiguous
       // (quotients >= 1/1536 from integers), snapped products exact
@@ -4282,6 +4348,36 @@ object SparkEntry {
          SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
            CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM vals GROUP BY 1, 2""",
+    "q158_doc_reassembly" ->
+      // payloads from the generating arithmetic, string_agg in the docs()
+      // span order (line_no, part_key, supp_key — a proven-unique key),
+      // then the q31 rolling hash over the normalized render
+      s"""WITH pts AS ($ptsSql),
+         sp AS (
+           SELECT doc_key, line_no, part_key, supp_key,
+             CASE WHEN line_no % 4 <> 0 THEN printf('POINT(%.10f %.10f)', lon, lat)
+             ELSE '<media:tile://8/'
+               || CAST(CAST(floor((lon + 180.0) / 360.0 * 512) AS BIGINT) AS VARCHAR)
+               || '/'
+               || CAST(CAST(floor((90.0 - lat) / 180.0 * 256) AS BIGINT) AS VARCHAR)
+               || '/1>' END AS payload
+           FROM pts),
+         r AS (
+           SELECT doc_key,
+             string_agg(payload, ' ' ORDER BY line_no, part_key, supp_key) AS render
+           FROM sp GROUP BY doc_key),
+         n AS (
+           SELECT doc_key, render,
+             trim(regexp_replace(lower(render), '\\s+', ' ', 'g')) AS nm
+           FROM r)
+         SELECT printf('doc-%09d', doc_key) AS doc_id,
+           CAST(length(render) AS BIGINT) AS render_len,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS HUGEINT),
+               list_transform(range(1, length(nm) + 1),
+                 i -> CAST(unicode(substr(nm, CAST(i AS INT), 1)) AS HUGEINT))),
+             (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS fp
+         FROM n""",
     "q145_split" ->
       // the q31 rolling-hash fingerprint mod 100, bucketed
       """WITH fp AS (
