@@ -185,6 +185,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains(") Exchange") && !p.contains("Join"), p)
   }
 
+  test("q152: centroid is ONE hash-agg exchange over (cluster, dim) keys") {
+    val p = plan("q152_embed_centroid")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q158: doc render is the docs() assembly agg + a codegen'd transform, no extra shuffle") {
+    val p = plan("q158_doc_reassembly")
+    // docs() itself pays one window sort + one assembly agg; the render
+    // must NOT add exchanges on top
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q144: decontamination is a LEFT-SEMI on 8-byte shingle keys, no cartesian") {
     val p = plan("q144_decontaminate")
     assert(p.contains("LeftSemi"), p)
