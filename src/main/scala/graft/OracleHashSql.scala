@@ -731,6 +731,66 @@ FROM vr v JOIN ks k ON k.q_id = v.q_id
 """
   }
 
+  /** q159: the GML writer + parser graded like q112 — the oracle rebuilds
+    * the exact GML 2 text (gml: prefixes, coordinates syntax, member
+    * wrappers; tuples under the shared integer-vs-shortest-decimal
+    * contract) and the vertex rows, both UNQUANTIZED. */
+  def q159Gml: String = {
+    def f(e: String): String =
+      s"CASE WHEN ($e) = floor($e) THEN CAST(CAST(($e) AS BIGINT) AS VARCHAR) " +
+        s"ELSE CAST(($e) AS VARCHAR) END"
+    def pt(x: String, y: String): String =
+      s"${f(x)} || ',' || ${f(y)}"
+    def cs(ts: String): String =
+      s"'<gml:coordinates>' || $ts || '</gml:coordinates>'"
+    s"""WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 4.0 AS ax,
+    CAST((s_suppkey * 104729) % 512 AS DOUBLE) AS ay,
+    1.0 + CAST(s_suppkey % 7 AS DOUBLE) / 2.0 AS w,
+    2.0 + CAST(s_suppkey % 5 AS DOUBLE) AS h
+  FROM supplier),
+cc AS (
+  SELECT q_id, ax, ay, ax + w AS x2, ay + h AS y2, ay + 2.0 * h AS y3 FROM sp),
+ks AS (
+  SELECT q_id,
+    CASE WHEN q_id % 4 = 0 THEN
+      '<gml:Point>' || ${cs(pt("ax", "ay"))} || '</gml:Point>'
+    WHEN q_id % 4 = 1 THEN
+      '<gml:LineString>' ||
+        ${cs(s"${pt("ax", "ay")} || ' ' || ${pt("x2", "y2")} || ' ' || ${pt("ax", "y3")}")} ||
+        '</gml:LineString>'
+    WHEN q_id % 4 = 2 THEN
+      '<gml:Polygon><gml:outerBoundaryIs><gml:LinearRing>' ||
+        ${cs(s"${pt("ax", "ay")} || ' ' || ${pt("x2", "ay")} || ' ' || ${pt("x2", "y2")} || ' ' || ${pt("ax", "y2")} || ' ' || ${pt("ax", "ay")}")} ||
+        '</gml:LinearRing></gml:outerBoundaryIs></gml:Polygon>'
+    ELSE
+      '<gml:MultiLineString><gml:lineStringMember><gml:LineString>' ||
+        ${cs(s"${pt("ax", "ay")} || ' ' || ${pt("x2", "y2")}")} ||
+        '</gml:LineString></gml:lineStringMember><gml:lineStringMember><gml:LineString>' ||
+        ${cs(s"${pt("ax", "y2")} || ' ' || ${pt("x2", "ay")}")} ||
+        '</gml:LineString></gml:lineStringMember></gml:MultiLineString>'
+    END AS gml
+  FROM cc),
+vr AS (
+  SELECT q_id, 0 AS seq, ax AS x, ay AS y FROM cc WHERE q_id % 4 = 0
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 2, ax, y3 FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 1, x2, ay FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 2, x2, y2 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 3, ax, y2 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 4, ax, ay FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 2, ax, y2 FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 3, x2, ay FROM cc WHERE q_id % 4 = 3)
+SELECT v.q_id, k.gml, CAST(v.seq AS BIGINT) AS seq, v.x, v.y
+FROM vr v JOIN ks k ON k.q_id = v.q_id
+"""
+  }
+
   /** q144: decontamination replayed in the q24 shingle arithmetic — the
     * benchmark subset's DISTINCT 3-shingle hashes, then any corpus doc
     * owning one of them. */

@@ -1949,6 +1949,40 @@ object SparkEntry {
         .select(col("q_id"), col("line"), col("name_back"),
           col("seq").cast("long").as("seq"), col("p.x").as("x"), col("p.y").as("y"))
     }),
+    "q159_gml" -> ((s, dir) => {
+      // OGR GML driver analog (ogr/ogr2gmlgeometry.cpp writer +
+      // gml2ogrgeometry.cpp reader) — the FOURTH text-format driver and
+      // the OGC flagship: write each geometry as GML 2 (coordinates
+      // syntax, gml: prefixes, Multi* member wrappers), parse it BACK
+      // through the shared tolerant XML reader, and dump vertex rows.
+      // Same grading shape as q112: the oracle rebuilds the GML string
+      // under the GeoJson.fmt number contract AND the vertices from the
+      // generating arithmetic — writer and parser bit-exact UNQUANTIZED.
+      // Shuffle-free scan → project → generate.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 4.0D"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 512 AS DOUBLE)"))
+        .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
+        .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
+        .withColumn("wkt", expr(
+          """CASE WHEN q_id % 4 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+             WHEN q_id % 4 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
+               ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
+             WHEN q_id % 4 = 2 THEN format_string('POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))',
+               ax, ay, ax + w, ay, ax + w, ay + h, ax, ay + h, ax, ay)
+             ELSE format_string('MULTILINESTRING((%s %s, %s %s), (%s %s, %s %s))',
+               ax, ay, ax + w, ay + h, ax, ay + h, ax + w, ay)
+             END"""))
+        .withColumn("gml", call_function("st_asgml",
+          call_function("st_geomfromwkt", col("wkt"))))
+        .select(col("q_id"), col("gml"),
+          posexplode(call_function("st_points",
+            call_function("st_geomfromgml", col("gml")))).as(Seq("seq", "p")))
+        .select(col("q_id"), col("gml"), col("seq").cast("long").as("seq"),
+          col("p.x").as("x"), col("p.y").as("y"))
+    }),
     "q118_layer_identity" -> ((s, dir) => {
       // ogr_layer_algebra Identity (reference swig/python/samples/
       // ogr_layer_algebra.py :: Identity, built on OGRLayer::Identity):
@@ -3732,6 +3766,7 @@ object SparkEntry {
     "q120_stream_sessionize" -> OracleHashSql.q120StreamSessionize,
     "q112_kml" -> OracleHashSql.q112Kml,
     "q142_csv_driver" -> OracleHashSql.q142CsvDriver,
+    "q159_gml" -> OracleHashSql.q159Gml,
     "q144_decontaminate" -> OracleHashSql.q144Decontaminate,
     "q113_band_stats" -> OracleHashSql.q113BandStats,
     "q122_gdal2xyz" -> OracleHashSql.q122Gdal2xyz,

@@ -51,7 +51,7 @@ object Kml {
   }
 
   def parse(s: String): Geometry = {
-    val p = new X(s)
+    val p = new Xml.Reader(s, "KML")
     p.prolog()
     val n = p.element()
     p.wsAndComments()
@@ -59,7 +59,7 @@ object Kml {
     build(n)
   }
 
-  private final case class Node(name: String, children: Vector[Node], text: String)
+  private type Node = Xml.Node
 
   private def parseTuples(text: String): Array[Coordinate] =
     text.trim.split("\\s+").filter(_.nonEmpty).map { t =>
@@ -111,122 +111,4 @@ object Kml {
     }
   }
 
-  /** Minimal XML reader for KML geometry fragments: elements with
-    * attributes (values kept only for error positions, otherwise
-    * ignored), text content, self-closing tags, comments, prologs;
-    * namespace prefixes strip to the local name. Entities: the five XML
-    * predefined ones. */
-  private final class X(s: String) {
-    private var i = 0
-    def pos: Int = i
-    def eof: Boolean = i >= s.length
-
-    private def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(s"KML parse error at $i: $msg")
-
-    private def ws(): Unit =
-      while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
-
-    def wsAndComments(): Unit = {
-      var go = true
-      while (go) {
-        ws()
-        if (s.startsWith("<!--", i)) {
-          val e = s.indexOf("-->", i + 4)
-          if (e < 0) fail("unterminated comment")
-          i = e + 3
-        } else go = false
-      }
-    }
-
-    def prolog(): Unit = {
-      wsAndComments()
-      while (s.startsWith("<?", i)) {
-        val e = s.indexOf("?>", i + 2)
-        if (e < 0) fail("unterminated <? ?>")
-        i = e + 2
-        wsAndComments()
-      }
-    }
-
-    private def name(): String = {
-      val start = i
-      while (i < s.length && { val c = s.charAt(i)
-        Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == ':' || c == '.' }) i += 1
-      if (i == start) fail("expected an element name")
-      val n = s.substring(start, i)
-      val colon = n.lastIndexOf(':')
-      if (colon >= 0) n.substring(colon + 1) else n
-    }
-
-    private def skipAttrs(): Boolean = { // returns true if self-closing
-      var done = false
-      var selfClosing = false
-      while (!done) {
-        ws()
-        if (i >= s.length) fail("unterminated tag")
-        s.charAt(i) match {
-          case '>' => i += 1; done = true
-          case '/' =>
-            if (!s.startsWith("/>", i)) fail("stray '/' in tag")
-            i += 2; done = true; selfClosing = true
-          case _ =>
-            name(); ws()
-            if (i < s.length && s.charAt(i) == '=') {
-              i += 1; ws()
-              if (i >= s.length || (s.charAt(i) != '"' && s.charAt(i) != '\'')) fail("expected quoted attribute")
-              val q = s.charAt(i); i += 1
-              val e = s.indexOf(q, i)
-              if (e < 0) fail("unterminated attribute value")
-              i = e + 1
-            }
-        }
-      }
-      selfClosing
-    }
-
-    private def unescape(t: String): String =
-      if (t.indexOf('&') < 0) t
-      else t.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
-        .replace("&apos;", "'").replace("&amp;", "&")
-
-    def element(): Node = {
-      wsAndComments()
-      if (i >= s.length || s.charAt(i) != '<') fail("expected '<'")
-      elementAtTag()
-    }
-
-    private def elementAtTag(): Node = {
-      // cursor is AT '<'
-      i += 1
-      val n = name()
-      if (skipAttrs()) return Node(n, Vector.empty, "")
-      val kids = Vector.newBuilder[Node]
-      val text = new StringBuilder
-      var closed = false
-      while (!closed) {
-        if (i >= s.length) fail(s"unterminated <$n>")
-        if (s.startsWith("<!--", i)) {
-          val e = s.indexOf("-->", i + 4)
-          if (e < 0) fail("unterminated comment")
-          i = e + 3
-        } else if (s.startsWith("</", i)) {
-          i += 2
-          val en = name()
-          if (en != n) fail(s"mismatched </$en> closing <$n>")
-          ws()
-          if (i >= s.length || s.charAt(i) != '>') fail("malformed close tag")
-          i += 1
-          closed = true
-        } else if (s.charAt(i) == '<') {
-          kids += elementAtTag()
-        } else {
-          val start = i
-          while (i < s.length && s.charAt(i) != '<') i += 1
-          text.append(unescape(s.substring(start, i)))
-        }
-      }
-      Node(n, kids.result(), text.toString)
-    }
-  }
 }

@@ -66,6 +66,8 @@ object F {
         "st_geomfromgeojson" -> (e => StGeomFromGeoJson(e.head)),
         "st_askml"       -> (e => StAsKml(e.head)),
         "st_geomfromkml" -> (e => StGeomFromKml(e.head)),
+        "st_asgml"       -> (e => StAsGml(e.head)),
+        "st_geomfromgml" -> (e => StGeomFromGml(e.head)),
         "st_segmentize"  -> (e => StSegmentize(e(0), e(1))),
         "st_distance_sphere" -> (e => StDistanceSphere(e(0), e(1))),
         "st_line_length"    -> (e => StLineLength(e.head)),

@@ -263,6 +263,34 @@ case class StGeomFromKml(child: Expression)
   override def prettyName: String = "st_geomfromkml"
 }
 
+/** st_asgml(geom) → GML 2 text (ogr/ogr2gmlgeometry.cpp analog). */
+case class StAsGml(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (b.isEmpty) null
+    else UTF8String.fromString(graft.core.Gml.write(GeomOps.fromWkb(b)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_asgml"
+}
+
+/** st_geomfromgml(text) → WKB (ogr/gml2ogrgeometry.cpp analog). */
+case class StGeomFromGml(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty || s.forall(_.isWhitespace)) null
+    else GeomIO.toWkb(graft.core.Gml.parse(s))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_geomfromgml"
+}
+
 case class StGeomFromGeoJson(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

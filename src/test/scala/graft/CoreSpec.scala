@@ -844,6 +844,48 @@ class CoreSpec extends AnyFunSuite {
     intercept[Exception](Kml.parse("<Nope><coordinates>1,2</coordinates></Nope>"))
   }
 
+  test("GML: write/parse round-trips, member wrappers, GML-3 read tolerance") {
+    import graft.core.Gml
+    def rt(wkt: String): Unit = {
+      val g = GeomIO.fromWkt(wkt)
+      val back = Gml.parse(Gml.write(g))
+      assert(back.equalsExact(g), s"$wkt -> ${Gml.write(g)} -> $back")
+    }
+    rt("POINT (3 4.25)")
+    rt("LINESTRING (0 0, 1.5 2, 3 0)")
+    rt("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))")
+    rt("MULTIPOINT ((1 2), (3 4))")
+    rt("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))")
+    rt("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 10, 12 10, 12 12, 10 12, 10 10)))")
+    val mixed = GeomIO.fromWkt("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    val backMixed = Gml.parse(Gml.write(mixed))
+    assert(backMixed.getGeometryType == "GeometryCollection" && backMixed.equalsExact(mixed))
+    // exact writer form: gml: prefixes, member wrappers, number contract
+    assert(Gml.write(GeomIO.point(3.0, 4.25)) ==
+      "<gml:Point><gml:coordinates>3,4.25</gml:coordinates></gml:Point>")
+    assert(Gml.write(GeomIO.fromWkt("MULTIPOINT ((1 2))")) ==
+      "<gml:MultiPoint><gml:pointMember><gml:Point><gml:coordinates>1,2" +
+        "</gml:coordinates></gml:Point></gml:pointMember></gml:MultiPoint>")
+    // reader tolerance: srsName attributes, prefixes, prolog; members
+    // WITHOUT their wrapper; GML 3 posList + exterior synonyms
+    val tolerant = Gml.parse(
+      """<?xml version="1.0"?>
+        |<gml:Point srsName="EPSG:4326"><gml:coordinates>3,4.25</gml:coordinates></gml:Point>""".stripMargin)
+    assert(tolerant.equalsExact(GeomIO.point(3.0, 4.25)))
+    val unwrapped = Gml.parse(
+      "<MultiPoint><Point><coordinates>1,2</coordinates></Point>" +
+        "<Point><coordinates>3,4</coordinates></Point></MultiPoint>")
+    assert(unwrapped.equalsExact(GeomIO.fromWkt("MULTIPOINT ((1 2), (3 4))")))
+    val gml3 = Gml.parse(
+      "<Polygon><exterior><LinearRing><posList>0 0 4 0 4 4 0 4 0 0</posList>" +
+        "</LinearRing></exterior></Polygon>")
+    assert(gml3.equalsExact(GeomIO.fromWkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")))
+    // malformed inputs raise, not corrupt
+    intercept[Exception](Gml.parse("<Point><coordinates></coordinates></Point>"))
+    intercept[Exception](Gml.parse("<Point><coordinates>1,2</coordinates></Point> junk"))
+    intercept[Exception](Gml.parse("<Polygon><LinearRing><posList>0 0 1</posList></LinearRing></Polygon>"))
+  }
+
   test("st_simplify: DP keep/drop against ground truth, survivors bit-exact") {
     val spark = TestSpark.spark
     import spark.implicits._
