@@ -1867,6 +1867,35 @@ object SparkEntry {
           length(col("render")).cast("long").as("render_len"),
           call_function("fingerprint64", col("render")).as("fp"))
     }),
+    "q160_cube" -> ((s, dir) =>
+      // A10 (approx/cube) gets a query: CUBE over (returnflag,
+      // linestatus) — all four grouping sets in one pass (Spark expands
+      // to a union of aggregates under one shuffle). Rolled-up NULLs
+      // surface as 'ALL' on both engines so the hash never sees nulls
+      // (real values are single chars — no collision).
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))),
+    "q161_infer_schema" -> ((s, dir) => {
+      // S9 (inferred-schema sources) gets a query: docs dump to JSON
+      // LINES text, then spark.read.json with NO schema — full
+      // inference (the reference's OGR GeoJSON/CSV field-type-scan
+      // path) — and an aggregate over the inferred columns. A wrong
+      // inferred type breaks the BIGINT-typed compare.
+      val tmp = java.nio.file.Files.createTempDirectory("q161json").toString
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(to_json(struct(col("doc_id"), col("lang"),
+          length(col("text")).as("len"))).as("j"))
+        .write.mode("overwrite").text(tmp)
+      s.read.json(tmp) // schema INFERRED: doc_id/len -> bigint, lang -> string
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("sum_len"),
+          min(col("doc_id")).as("min_doc"))
+    }),
     "q145_split" -> ((s, dir) => {
       // Deterministic content-hash train/val/test split — the
       // leakage-safe pipeline rule: the split key is fingerprint64(text),
@@ -4413,6 +4442,18 @@ object SparkEntry {
                  i -> CAST(unicode(substr(nm, CAST(i AS INT), 1)) AS HUGEINT))),
              (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS fp
          FROM n""",
+    "q160_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q161_infer_schema" ->
+      // length() counts characters in both engines (ASCII corpus)
+      """SELECT lang, count(*) AS n,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           min(doc_id) AS min_doc
+         FROM documents GROUP BY 1""",
     "q145_split" ->
       // the q31 rolling-hash fingerprint mod 100, bucketed
       """WITH fp AS (
