@@ -372,19 +372,26 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"))
       batch.write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(batch.schema).parquet(src)
-      val q = Streaming.sessionizeStream(stream)
-        .filter(so => so.user_id >= 0)
-        .writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckp).outputMode("append").start()
-      q.processAllAvailable()
-      val maxMs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
-      def sentinel(days: Long): Unit =
-        Seq((-1L, -1L, new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)))
-          .toDF("user_id", "event_id", "ts")
-          .write.mode("append").parquet(src)
-      sentinel(30); q.processAllAvailable()
-      sentinel(31); q.processAllAvailable()
-      q.stop()
+      // stateful-streaming state stores = shuffle partitions; 8 beats 32
+      // at this volume (scoped to the query, restored after — results
+      // are partition-count-independent, see the 7-core gate)
+      val prevParts120 = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = Streaming.sessionizeStream(stream)
+          .filter(so => so.user_id >= 0)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckp).outputMode("append").start()
+        q.processAllAvailable()
+        val maxMs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+        def sentinel(days: Long): Unit =
+          Seq((-1L, -1L, new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)))
+            .toDF("user_id", "event_id", "ts")
+            .write.mode("append").parquet(src)
+        sentinel(30); q.processAllAvailable()
+        sentinel(31); q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts120)
       s.read.parquet(out)
         .select(col("user_id"), col("start_ms"), col("n_events"), col("first_event"))
     }),
@@ -451,19 +458,29 @@ object SparkEntry {
           coalesce(col("click_id"), lit(-1L)).as("click_id"),
           coalesce(unix_millis(col("cts")) - unix_millis(col("vts")), lit(-1L))
             .as("delta_ms"))
-      val q = joined.writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckp).outputMode("append").start()
-      q.processAllAvailable()
-      val maxMs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
-      def sentinel(days: Long): Unit = {
-        val row = Seq((-1L, -1L, new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)))
-          .toDF("event_id", "user_id", "ts")
-        row.write.mode("append").parquet(srcV)
-        row.write.mode("append").parquet(srcC)
-      }
-      sentinel(30); q.processAllAvailable()
-      sentinel(31); q.processAllAvailable()
-      q.stop()
+      // outer-join state lives in ONE store PER SHUFFLE PARTITION per
+      // side; at this data volume 8 stores beat 32 (stores are the
+      // per-micro-batch fixed cost, and every batch touches all of
+      // them). The setting binds at query START, so scope it to the
+      // streaming query and restore for whoever runs next; results are
+      // partition-count-independent (the 7-core gate already varies it).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckp).outputMode("append").start()
+        q.processAllAvailable()
+        val maxMs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+        def sentinel(days: Long): Unit = {
+          val row = Seq((-1L, -1L, new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)))
+            .toDF("event_id", "user_id", "ts")
+          row.write.mode("append").parquet(srcV)
+          row.write.mode("append").parquet(srcC)
+        }
+        sentinel(30); q.processAllAvailable()
+        sentinel(31); q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out).where(col("v_user") >= 0)
         .select(col("view_id"), col("click_id"), col("delta_ms"))
     }),
@@ -489,16 +506,22 @@ object SparkEntry {
         .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_millis(col("window.start")).as("win_ms"), col("event_type"), col("n"))
-      val q = agg.writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckp).outputMode("append").start()
-      q.processAllAvailable()
-      val maxMs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
-      def sentinel(days: Long): Unit =
-        Seq(("__sentinel", new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)))
-          .toDF("event_type", "ts").write.mode("append").parquet(src)
-      sentinel(30); q.processAllAvailable()
-      sentinel(31); q.processAllAvailable()
-      q.stop()
+      // windowed-agg state stores = shuffle partitions (same rationale
+      // as q120/q154): scope 8 stores to the streaming query
+      val prevParts143 = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckp).outputMode("append").start()
+        q.processAllAvailable()
+        val maxMs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+        def sentinel(days: Long): Unit =
+          Seq(("__sentinel", new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)))
+            .toDF("event_type", "ts").write.mode("append").parquet(src)
+        sentinel(30); q.processAllAvailable()
+        sentinel(31); q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts143)
       s.read.parquet(out).where(col("event_type") =!= "__sentinel")
         .select(col("win_ms"), col("event_type"), col("n"))
     }),
