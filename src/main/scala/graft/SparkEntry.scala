@@ -23,6 +23,26 @@ import graft.synth.Synth
   */
 object SparkEntry {
 
+  /** Per-JVM scratch root for the streaming/schema-inference queries'
+    * src/out/checkpoint dirs; a shutdown hook deletes the whole tree, so
+    * repeated bench/verify runs stop accumulating corpus copies in /tmp
+    * (ADVICE r4). Results ARE still read back lazily from scratch paths,
+    * so deletion happens only at JVM exit — after the driver has written
+    * its output parquet. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles(); if (kids != null) kids.foreach(rm)
+        p.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+  private def scratch(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   /** Flagship: the SURVEY.md §7.2 minimum slice on sf0.001 — interleaved
     * docs table → explode text spans → parse WKT → point-in-polygon join
     * against region polygons → zoom-12 tile assignment. */
@@ -362,9 +382,9 @@ object SparkEntry {
       // engine's MILLISECOND arithmetic; the oracle replays epoch-ms
       // session logic with the same (ms, event_id) ordering.
       import s.implicits._
-      val src = java.nio.file.Files.createTempDirectory("q120src").toString
-      val out = java.nio.file.Files.createTempDirectory("q120out").toString
-      val ckp = java.nio.file.Files.createTempDirectory("q120ckp").toString
+      val src = scratch("q120src")
+      val out = scratch("q120out")
+      val ckp = scratch("q120ckp")
       // watermarks need TIMESTAMP (with tz); the parquet ts is NTZ — the
       // cast is epoch-preserving under the session's UTC timeZone, so
       // getTime() millis equal the oracle's epoch_ms of the NTZ value
@@ -405,9 +425,9 @@ object SparkEntry {
       // Oracle replays the rolling-hash fingerprint over the distinct
       // texts.
       F.ensureRegistered(s)
-      val src = java.nio.file.Files.createTempDirectory("q155src").toString
-      val out = java.nio.file.Files.createTempDirectory("q155out").toString
-      val ckp = java.nio.file.Files.createTempDirectory("q155ckp").toString
+      val src = scratch("q155src")
+      val out = scratch("q155out")
+      val ckp = scratch("q155ckp")
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"),
           expr("CAST(timestamp_millis(1700000000000 + doc_id * 1000) AS TIMESTAMP)").as("ts"))
@@ -437,10 +457,10 @@ object SparkEntry {
       F.ensureRegistered(s)
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
-      val srcV = java.nio.file.Files.createTempDirectory("q154v").toString
-      val srcC = java.nio.file.Files.createTempDirectory("q154c").toString
-      val out = java.nio.file.Files.createTempDirectory("q154out").toString
-      val ckp = java.nio.file.Files.createTempDirectory("q154ckp").toString
+      val srcV = scratch("q154v")
+      val srcC = scratch("q154c")
+      val out = scratch("q154out")
+      val ckp = scratch("q154ckp")
       ev.where(col("event_id") % 2 === 0).write.mode("overwrite").parquet(srcV)
       ev.where(col("event_id") % 2 === 1).write.mode("overwrite").parquet(srcC)
       val views = s.readStream.schema(ev.schema).parquet(srcV)
@@ -495,9 +515,9 @@ object SparkEntry {
       // are filtered by type). Window starts are epoch-aligned
       // floor(ms/600000) — the oracle replays that in epoch-ms.
       import s.implicits._
-      val src = java.nio.file.Files.createTempDirectory("q143src").toString
-      val out = java.nio.file.Files.createTempDirectory("q143out").toString
-      val ckp = java.nio.file.Files.createTempDirectory("q143ckp").toString
+      val src = scratch("q143src")
+      val out = scratch("q143out")
+      val ckp = scratch("q143ckp")
       val batch = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_type"), col("ts").cast("timestamp").as("ts"))
       batch.write.mode("overwrite").parquet(src)
@@ -535,9 +555,9 @@ object SparkEntry {
       // deterministically — the row set must equal the batch operator's
       // (same oracle SQL as q11).
       F.ensureRegistered(s)
-      val src = java.nio.file.Files.createTempDirectory("q121src").toString
-      val out = java.nio.file.Files.createTempDirectory("q121out").toString
-      val ckp = java.nio.file.Files.createTempDirectory("q121ckp").toString
+      val src = scratch("q121src")
+      val out = scratch("q121out")
+      val ckp = scratch("q121ckp")
       val ptsBatch = Synth.points(s, dir).select(col("pt_id"), col("lon"), col("lat"))
       ptsBatch.write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(ptsBatch.schema).parquet(src)
@@ -558,15 +578,17 @@ object SparkEntry {
       // pairs same-user clicks within [view_ts, view_ts + 1h]. Inner
       // joins emit matches eagerly (watermarks bound state, not
       // emission), so one processAllAvailable after both sources are
-      // fully written drains the complete row set. Millisecond event-time
-      // arithmetic replays in DuckDB via epoch_ms (identical truncation).
+      // fully written drains the complete row set. The range bound sits on
+      // the raw watermarked ts columns (micros; oracle replays epoch_us)
+      // so state-eviction watermarks are derivable; the delta_ms OUTPUT
+      // stays millisecond arithmetic (epoch_ms truncation).
       F.ensureRegistered(s)
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
-      val srcV = java.nio.file.Files.createTempDirectory("q140v").toString
-      val srcC = java.nio.file.Files.createTempDirectory("q140c").toString
-      val out = java.nio.file.Files.createTempDirectory("q140out").toString
-      val ckp = java.nio.file.Files.createTempDirectory("q140ckp").toString
+      val srcV = scratch("q140v")
+      val srcC = scratch("q140c")
+      val out = scratch("q140out")
+      val ckp = scratch("q140ckp")
       ev.where(col("event_id") % 2 === 0).write.mode("overwrite").parquet(srcV)
       ev.where(col("event_id") % 2 === 1).write.mode("overwrite").parquet(srcC)
       val views = s.readStream.schema(ev.schema).parquet(srcV)
@@ -1909,7 +1931,7 @@ object SparkEntry {
       // inference (the reference's OGR GeoJSON/CSV field-type-scan
       // path) — and an aggregate over the inferred columns. A wrong
       // inferred type breaks the BIGINT-typed compare.
-      val tmp = java.nio.file.Files.createTempDirectory("q161json").toString
+      val tmp = scratch("q161json")
       s.read.parquet(s"$dir/documents.parquet")
         .select(to_json(struct(col("doc_id"), col("lang"),
           length(col("text")).as("len"))).as("j"))
@@ -4956,15 +4978,18 @@ object SparkEntry {
            event_type, count(*) AS n
          FROM events GROUP BY 1, 2""",
     "q140_stream_join" ->
-      // the complete pair set: same-user click within [view_ts, view_ts+1h],
-      // millisecond arithmetic (epoch_ms truncates micros like unix_millis)
+      // the complete pair set: same-user click within [view_ts, view_ts+1h].
+      // Range bound replays the engine's raw-timestamp compare at
+      // MICROsecond precision (epoch_us) — required so Spark derives
+      // state-eviction watermarks; delta_ms output stays epoch_ms
+      // (truncates micros exactly like unix_millis).
       """SELECT a.event_id AS view_id, b.event_id AS click_id,
            epoch_ms(b.ts) - epoch_ms(a.ts) AS delta_ms
          FROM events a JOIN events b
            ON a.user_id = b.user_id
           AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
-          AND epoch_ms(b.ts) >= epoch_ms(a.ts)
-          AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 3600000"""
+          AND epoch_us(b.ts) >= epoch_us(a.ts)
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

@@ -104,6 +104,13 @@ private[core] object Xml {
           val e = s.indexOf("-->", i + 4)
           if (e < 0) fail("unterminated comment")
           i = e + 3
+        } else if (s.startsWith("<![CDATA[", i)) {
+          // CDATA section: raw text, no entity unescaping (reference KML/GML
+          // readers tolerate CDATA-wrapped coordinates/descriptions)
+          val e = s.indexOf("]]>", i + 9)
+          if (e < 0) fail("unterminated CDATA section")
+          text.append(s.substring(i + 9, e))
+          i = e + 3
         } else if (s.startsWith("</", i)) {
           i += 2
           val en = name()

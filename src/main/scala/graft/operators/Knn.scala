@@ -84,17 +84,19 @@ object Knn {
           .agg(count(lit(1)).as("__n"), max(sqrt(col("__dist2"))).as("__kthDist"))
           .where(col("__n") === k && col("__kthDist") <= guarantee)
           .select("__qid")
-      // localCheckpoint (eager) both round outputs: truncates the
+      // RELIABLE eager checkpoint of both round outputs: truncates the
       // cross-round lineage chain (pending otherwise re-derives every
       // prior ring join at the final action) and lets cand release NOW —
       // resolved/pending are tiny (≤ k rows per query / unresolved query
-      // keys) next to the candidate set
-      val resolved = cand.join(kth, Seq("__qid"), "left_semi")
-        .select("__qid", "__pid", "__dist2", "__rank")
-        .localCheckpoint(true)
+      // keys) next to the candidate set. Reliable, not localCheckpoint:
+      // blocks survive executor loss on a real cluster (io/Checkpoints).
+      val resolved = graft.io.Checkpoints.reliable(
+        cand.join(kth, Seq("__qid"), "left_semi")
+          .select("__qid", "__pid", "__dist2", "__rank"))
       results = if (results == null) resolved else results.unionByName(resolved)
       if (!covered)
-        pending = pending.join(kth, Seq("__qid"), "left_anti").localCheckpoint(true)
+        pending = graft.io.Checkpoints.reliable(
+          pending.join(kth, Seq("__qid"), "left_anti"))
       cand.unpersist(false)
       r *= 2
       round += 1

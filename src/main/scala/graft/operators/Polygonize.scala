@@ -210,15 +210,18 @@ object Polygonize {
   /** Distributed fallback for graphs too big to collect. */
   private def resolveLabelsDistributed(nodes: DataFrame, edges: DataFrame,
                                        maxIter: Int): DataFrame = {
-    // the iterative rounds below keep eager localCheckpoint ON PURPOSE:
-    // pointer jumping needs its lineage truncated every round (a persist
-    // would stack O(iterations) of plan on plan). At cluster scale this is
-    // the one place a reliable checkpoint dir (or a CatalogIO stage
-    // commit per round) should replace local checkpoints.
-    val sym = edges.select(col("a").as("x"), col("b").as("y"))
-      .union(edges.select(col("b").as("x"), col("a").as("y")))
-      .distinct().localCheckpoint(true)
-    var rep = nodes.select(col("node"), col("node").as("rep")).localCheckpoint(true)
+    // the iterative rounds below eagerly checkpoint ON PURPOSE: pointer
+    // jumping needs its lineage truncated every round (a persist would
+    // stack O(iterations) of plan on plan). RELIABLE checkpoints
+    // (io/Checkpoints — shared checkpoint dir on a cluster), not
+    // localCheckpoint: a local checkpoint dies with its executor and
+    // poisons every later round's lineage.
+    val sym = graft.io.Checkpoints.reliable(
+      edges.select(col("a").as("x"), col("b").as("y"))
+        .union(edges.select(col("b").as("x"), col("a").as("y")))
+        .distinct())
+    var rep = graft.io.Checkpoints.reliable(
+      nodes.select(col("node"), col("node").as("rep")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -232,11 +235,11 @@ object Polygonize {
         .join(stepped.select(col("node").as("rep"), col("rep").as("rep2")).alias("r"),
           Seq("rep"), "left")
         .select(col("node"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
-        .localCheckpoint(true)
-      val diff = jumped.withColumnRenamed("rep", "rep_new")
+      val jumpedCk = graft.io.Checkpoints.reliable(jumped)
+      val diff = jumpedCk.withColumnRenamed("rep", "rep_new")
         .join(rep, Seq("node"))
         .where(col("rep_new") =!= col("rep")).limit(1).count()
-      rep = jumped
+      rep = jumpedCk
       done = diff == 0
       iter += 1
     }

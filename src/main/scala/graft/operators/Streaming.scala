@@ -19,12 +19,32 @@ object Streaming {
   private val staticCovers =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Unpersist every static cover cached by streamPointInPolygon. Call
-    * after the streaming queries built from it have terminated. */
+  /** Unpersist every static cover cached by streamPointInPolygon. Called
+    * automatically by the termination listener below once NO streaming
+    * query is active; public so callers with their own lifecycle can
+    * release early. */
   def releaseStaticCovers(): Unit = {
     var df = staticCovers.poll()
     while (df != null) { df.unpersist(); df = staticCovers.poll() }
   }
+
+  /** Ties cover lifetime to query termination (VERDICT r4 / ADVICE r3):
+    * when any streaming query terminates and no other query is still
+    * active, every cached cover is unpersisted. Conservative under
+    * concurrency — covers live while ANY streaming query runs, since the
+    * queue does not track which query uses which cover — but nothing
+    * outlives the last active query anymore. */
+  private val releaseListenerOn = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def ensureReleaseListener(spark: SparkSession): Unit =
+    if (releaseListenerOn.compareAndSet(false, true)) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      spark.streams.addListener(new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (spark.streams.active.isEmpty) releaseStaticCovers()
+      })
+    }
 
   /** File-source stream of events with event-time watermark + tumbling
     * window counts — the streaming twin of the q09 batch query. */
@@ -63,13 +83,15 @@ object Streaming {
                            polyGeom: String, lonCol: String, latCol: String,
                            zoom: Int, predicate: String = "contains"): DataFrame = {
     F.ensureRegistered(points.sparkSession)
+    ensureReleaseListener(points.sparkSession)
     // persist like the batch operator: coverZooms below is a plan-time
     // action over the cover, and the static side is re-joined by EVERY
     // micro-batch of a long-running stream — without the persist the
     // cells_cover explode recomputes once for the collect plus once per
-    // batch for the lifetime of the query. The CALLER owns the cache's
-    // lifecycle: it must outlive the streaming query, so release it via
-    // Streaming.releaseStaticCovers() after the query terminates.
+    // batch for the lifetime of the query. Lifecycle: the termination
+    // listener (ensureReleaseListener) unpersists covers once the last
+    // active streaming query stops; releaseStaticCovers() remains for
+    // callers that want to free earlier.
     val cov = polys.withColumn("__env", F.st_env_bounds(col(polyGeom)))
       .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -105,15 +127,19 @@ object Streaming {
     * falls in [left.ts, left.ts + windowMs]. INNER joins emit eagerly —
     * watermarks only bound state retention — so a drain-once caller
     * (write all input, one processAllAvailable) gets the complete,
-    * deterministic row set. The time comparison runs on unix_millis
-    * (micros truncated), which a DuckDB oracle replays via epoch_ms: the
-    * two truncate identically. Column names must already be disjoint. */
+    * deterministic row set. The range bound is expressed directly on the
+    * watermarked timestamp columns (NOT through unix_millis): Spark's
+    * StreamingJoinHelper can only derive state-eviction watermarks from
+    * raw event-time comparisons, so the millis form kept symmetric-hash
+    * state forever in a long-running query. Timestamp compares run at
+    * MICROsecond precision — a DuckDB oracle replays them via epoch_us.
+    * Column names must already be disjoint. */
   def streamIntervalJoin(left: DataFrame, right: DataFrame,
                          keyL: String, keyR: String,
                          tsL: String, tsR: String, windowMs: Long): DataFrame =
     left.join(right, expr(
-      s"""$keyL = $keyR AND unix_millis($tsR) >= unix_millis($tsL)
-          AND unix_millis($tsR) <= unix_millis($tsL) + ${windowMs}L"""))
+      s"""$keyL = $keyR AND $tsR >= $tsL
+          AND $tsR <= $tsL + INTERVAL $windowMs MILLISECOND"""))
 
   def sessionizeStream(events: DataFrame, gapSec: Long = 1800,
                        watermark: String = "2 hours"): Dataset[SessionOut] = {

@@ -830,6 +830,15 @@ class CoreSpec extends AnyFunSuite {
     val lineWs = Kml.parse(
       "<LineString><coordinates>0,0\n\t 1,1 \n 2,0</coordinates></LineString>")
     assert(lineWs.equalsExact(GeomIO.fromWkt("LINESTRING (0 0, 1 1, 2 0)")))
+    // CDATA-wrapped coordinates (ADVICE r4): raw text, no entity unescape
+    val cdata = Kml.parse(
+      "<Point><coordinates><![CDATA[3,4.25]]></coordinates></Point>")
+    assert(cdata.equalsExact(GeomIO.point(3.0, 4.25)))
+    val cdataMix = Kml.parse(
+      "<LineString><coordinates>0,0 <![CDATA[1,1]]> 2,0</coordinates></LineString>")
+    assert(cdataMix.equalsExact(GeomIO.fromWkt("LINESTRING (0 0, 1 1, 2 0)")))
+    intercept[Exception](Kml.parse(
+      "<Point><coordinates><![CDATA[1,2</coordinates></Point>")) // unterminated
     // self-closing unknown child + homogeneous promotion to MultiPoint
     val promoted = Kml.parse(
       """<MultiGeometry><extrude/>

@@ -324,4 +324,27 @@ class PolygonizeSpec extends AnyFunSuite {
     assert(after.head.getAs[Double]("dn") == 1.0)
     assert(after.head.getAs[Long]("n_pixels") == 8L)
   }
+
+  test("distributed label loop survives on RELIABLE checkpoints (no localCheckpoint) and matches driver union-find") {
+    // driverThreshold = 0 forces the distributed pointer-jumping path on a
+    // graph the driver path also solves — outputs must be identical, and
+    // the per-round lineage truncation must have gone through the
+    // sparkContext checkpoint dir (reliable storage: survives executor
+    // loss on a real cluster), not executor-local blocks.
+    val nodes = (1L to 64L).toDF("node")
+    val edges = ((1L until 32L).map(i => (i, i + 1)) ++
+      (40L until 50L).map(i => (i, i + 1))).toDF("a", "b")
+    val dist = Polygonize.resolveLabels(nodes, edges, maxIter = 50, driverThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val drv = Polygonize.resolveLabels(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dist == drv)
+    assert(dist.filter(_._1 <= 32L).forall(_._2 == 1L))
+    val ckDir = spark.sparkContext.getCheckpointDir
+    assert(ckDir.isDefined, "reliable checkpoint dir must be set by Checkpoints.reliable")
+    val p = new org.apache.hadoop.fs.Path(ckDir.get)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(p) && fs.listStatus(p).nonEmpty,
+      "checkpoint files must exist under the reliable checkpoint dir")
+  }
 }
