@@ -135,38 +135,54 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
       (blockCol.map(col).getOrElse(lit(1))).as("blk"), norm.as("norm"))
       .where(length(col("norm")) >= k)
+    // Grams are carried as xxhash64 LONGS from the start, never strings:
+    // 8 bytes/row through every shuffle, and a 64-bit collision can only
+    // (a) merge two grams' df counts — df only drives the global ORDER,
+    // any consistent total order keeps the prefix filter complete — or
+    // (b) add a spurious intersection element, probability ~|A|·|B|/2^64
+    // ≈ 1e-15 per pair (the same bound round-1 accepted for the verify).
     // persist (recomputable, spills to disk) rather than eager
     // localCheckpoint: on a real cluster a local checkpoint dies with its
     // executor and poisons the lineage, and the eager materialization of
     // the exploded gram table was the memory cliff behind the driver
     // bench's 554 s q23 (default-heap JVM).
     val grams = base.select(col("id"), col("blk"),
-      explode(array_distinct(expr(
-        s"transform(sequence(1, length(norm) - ${k - 1}), i -> substring(norm, i, $k))"))).as("g"))
+      explode(expr(
+        s"""transform(array_distinct(transform(
+              sequence(1, length(norm) - ${k - 1}), i -> substring(norm, i, $k))),
+            s -> xxhash64(s))""")).as("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = grams.groupBy("id").agg(count(lit(1)).as("n"))
-    // global rarity order (document frequency asc, gram asc — total order)
-    val gdf = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("g"))
-    // persisted: the prefix feeds BOTH sides of the self-join — without
-    // materialization the df-join + window recompute twice
-    val prefix = grams.join(gdf, Seq("g"))
-      .withColumn("rn", row_number().over(wOrd))
-      .join(counts, Seq("id"))
-      .where(col("rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-      .select("blk", "id", "g", "rn", "n")
+    // global rarity order (document frequency asc, gram-hash asc — a
+    // deterministic total order; PPJoin is complete under ANY total order)
+    val gdf = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+    // ONE per-doc aggregation replaces the round-4 row_number window, the
+    // separate per-doc count agg, AND the separate verify-array agg: the
+    // window was a full-gram-table sort shuffle (the bench's #1 cost), the
+    // sorted array is the identical (df, gh) order materialized per doc by
+    // a hash aggregate — prefix membership = the first
+    // n - ceil(t·n) + 1 slots, and the verify array is the same array
+    // with df projected away. One persist, one row per doc.
+    val docs = grams.join(gdf, Seq("gh"))
+      .groupBy("blk", "id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gh")))).as("sarr"))
+      .withColumn("n", size(col("sarr")).cast("long"))
+      .withColumn("plen",
+        (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pa = prefix.select(col("blk"), col("id").as("id_a"), col("g"),
+    val prefix = docs.select(col("blk"), col("id"), col("n"),
+      posexplode(slice(col("sarr"), lit(1), col("plen"))).as(Seq("pos", "e")))
+      .select(col("blk"), col("id"), col("n"),
+        (col("pos") + 1).as("rn"), col("e.gh").as("gh"))
+    val pa = prefix.select(col("blk"), col("id").as("id_a"), col("gh"),
       col("rn").as("rn_a"), col("n").as("n_a"))
-    val pb = prefix.select(col("blk"), col("id").as("id_b"), col("g"),
+    val pb = prefix.select(col("blk"), col("id").as("id_b"), col("gh"),
       col("rn").as("rn_b"), col("n").as("n_b"))
     // PPJoin filters applied BEFORE the pair dedup (at sf0.1 they cut raw
     // candidates 4× and distinct pairs 2×):
     //  - length: J >= t forces t·|A| <= |B| <= |A|/t
     //  - positional: 1 + min(|A|-pos_A, |B|-pos_B) bounds the overlap from
     //    above; it must reach α = ceil(t/(1+t)·(|A|+|B|))
-    val cand = pa.join(pb, Seq("blk", "g"))
+    val cand = pa.join(pb, Seq("blk", "gh"))
       .where(col("id_a") < col("id_b"))
       .where(col("n_b") >= lit(minJaccard) * col("n_a") &&
              col("n_a") >= lit(minJaccard) * col("n_b"))
@@ -174,18 +190,16 @@ object Dedup {
         ceil(lit(minJaccard / (1.0 + minJaccard)) * (col("n_a") + col("n_b"))))
       .select("id_a", "id_b").distinct()
     // exact verify per candidate pair via array_intersect on the per-doc
-    // gram arrays (codegen'd hash intersection) — O(|A|+|B|) per pair with
-    // NO pair×gram shuffle. Grams are carried as xxhash64 LONGS, not
-    // strings (3-4× smaller verify shuffle; a same-doc-pair 64-bit
-    // collision changing the count has probability ~|A|·|B|/2^64 ≈ 1e-15
-    // per pair). The gram-array lookups are ordinary shuffle joins keyed
-    // by doc id: the per-doc gram table is O(corpus) and must NEVER be
-    // unconditionally broadcast (round 1 did, and the full-corpus
-    // broadcast × 2 was both a 100-TB impossibility and the proximate OOM
-    // pressure in the driver bench). AQE still auto-broadcasts when the
-    // table is genuinely under the threshold.
-    val docGrams = grams.groupBy("id")
-      .agg(collect_list(xxhash64(col("g"))).as("garr"), count(lit(1)).as("n"))
+    // gram-hash arrays (codegen'd hash intersection) — O(|A|+|B|) per pair
+    // with NO pair×gram shuffle. The arrays come from the SAME persisted
+    // per-doc aggregate that fed the prefix (df field projected away;
+    // array_intersect ignores order). The per-doc gram table is O(corpus)
+    // and must NEVER be unconditionally broadcast (round 1 did, and the
+    // full-corpus broadcast × 2 was both a 100-TB impossibility and the
+    // proximate OOM pressure in the driver bench). AQE still
+    // auto-broadcasts when the table is genuinely under the threshold.
+    val docGrams = docs.select(col("id"),
+      expr("transform(sarr, x -> x.gh)").as("garr"), col("n"))
     cand
       .join(docGrams.select(col("id").as("id_a"), col("garr").as("ga"), col("n").as("n_a")), Seq("id_a"))
       .join(docGrams.select(col("id").as("id_b"), col("garr").as("gb"), col("n").as("n_b")), Seq("id_b"))
