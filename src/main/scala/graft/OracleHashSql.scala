@@ -791,6 +791,60 @@ FROM vr v JOIN ks k ON k.q_id = v.q_id
 """
   }
 
+  /** q162: shapefile record round-trip replayed closed-form — record byte
+    * lengths from the wire layout (8-byte header + type-specific content
+    * sizing), dbf N/C values from their generators, and the vertex
+    * sequences in CANONICAL ring order (shell rewound CCW→CW, hole
+    * CW→CCW, so the polygon sequences are the REVERSED WKT rings). */
+  def q162Shapefile: String =
+    """WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 4.0 AS ax,
+    CAST((s_suppkey * 104729) % 512 AS DOUBLE) AS ay,
+    1.0 + CAST(s_suppkey % 7 AS DOUBLE) / 2.0 AS w,
+    2.0 + CAST(s_suppkey % 5 AS DOUBLE) AS h
+  FROM supplier),
+cc AS (
+  SELECT q_id, ax, ay, ax + w AS x2, ay + h AS y2, ay + 2.0 * h AS y3,
+    ax + w / 4.0 AS hx0, ay + h / 4.0 AS hy0,
+    ax + w / 2.0 AS hx1, ay + h / 2.0 AS hy1
+  FROM sp),
+meta AS (
+  SELECT q_id,
+    CASE q_id % 4
+      WHEN 0 THEN 28   -- 8 + type(4) + point(16)
+      WHEN 1 THEN 104  -- 8 + 4 + bbox(32) + counts(8) + parts(4) + 3 pts(48)
+      WHEN 2 THEN 220  -- 8 + 4 + 32 + 8 + 2 parts(8) + 10 pts(160)
+      ELSE 112         -- 8 + 4 + 32 + count(4) + 4 pts(64)
+    END AS rec_len,
+    CAST(q_id AS VARCHAR) AS id_back,
+    'sup_' || CAST(q_id % 97 AS VARCHAR) AS name_back
+  FROM cc),
+vr AS (
+  SELECT q_id, 0 AS seq, ax AS x, ay AS y FROM cc WHERE q_id % 4 = 0
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 2, ax, y3 FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 1, ax, y2 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 2, x2, y2 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 3, x2, ay FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 4, ax, ay FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 5, hx0, hy0 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 6, hx1, hy0 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 7, hx1, hy1 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 8, hx0, hy1 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 9, hx0, hy0 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 2, x2, ay FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 3, ax, y2 FROM cc WHERE q_id % 4 = 3)
+SELECT v.q_id, CAST(m.rec_len AS BIGINT) AS rec_len,
+  CAST(v.q_id AS BIGINT) AS rn, m.id_back, m.name_back,
+  CAST(v.seq AS BIGINT) AS seq, v.x, v.y
+FROM vr v JOIN meta m ON m.q_id = v.q_id
+"""
+
   /** q144: decontamination replayed in the q24 shingle arithmetic — the
     * benchmark subset's DISTINCT 3-shingle hashes, then any corpus doc
     * owning one of them. */

@@ -2057,6 +2057,59 @@ object SparkEntry {
         .select(col("q_id"), col("gml"), col("seq").cast("long").as("seq"),
           col("p.x").as("x"), col("p.y").as("y"))
     }),
+    "q162_shapefile" -> ((s, dir) => {
+      // OGR Shapefile driver analog — the FIRST binary-format driver
+      // (ogr/ogrsf_frmts/shape :: shapelib SHPWriteObject/SHPReadObject +
+      // DBFWriteAttribute/DBFReadAttribute). Each feature writes ONE .shp
+      // record image (8-byte BE header + LE content; type 1/3/5/8) and
+      // ONE fixed-width .dbf record, parses BOTH back, and dumps the
+      // recovered record number, the record's byte length (grading the
+      // binary layout — part/point array sizing — closed-form), the
+      // round-tripped N/C attributes, and the parsed geometry's vertices
+      // IN CANONICAL RING ORDER: the polygon branch writes its shell CCW
+      // and its hole CW in the WKT, the writer rewinds to shells-CW/
+      // holes-CCW (SHPRewindObject), so the oracle replays the REVERSED
+      // coordinate sequences — writer rewind, parser ring regrouping, and
+      // dbf padding are all graded bit-exact UNQUANTIZED. Shuffle-free
+      // scan → project → generate; whole-file images (.shp/.shx/.dbf
+      // headers) are composed in Shp.writeFile and graded in ShpSpec.
+      F.ensureRegistered(s)
+      val dbfSpec = "id:N8,name:C16"
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 4.0D"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 512 AS DOUBLE)"))
+        .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
+        .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
+        .withColumn("wkt", expr(
+          """CASE WHEN q_id % 4 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+             WHEN q_id % 4 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
+               ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
+             WHEN q_id % 4 = 2 THEN format_string(
+               'POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s), (%s %s, %s %s, %s %s, %s %s, %s %s))',
+               ax, ay, ax + w, ay, ax + w, ay + h, ax, ay + h, ax, ay,
+               ax + w / 4.0D, ay + h / 4.0D, ax + w / 4.0D, ay + h / 2.0D,
+               ax + w / 2.0D, ay + h / 2.0D, ax + w / 2.0D, ay + h / 4.0D,
+               ax + w / 4.0D, ay + h / 4.0D)
+             ELSE format_string('MULTIPOINT(%s %s, %s %s, %s %s, %s %s)',
+               ax, ay, ax + w, ay + h, ax + w, ay, ax, ay + h)
+             END"""))
+        .withColumn("rec", call_function("shp_record", col("q_id").cast("int"),
+          call_function("st_geomfromwkt", col("wkt"))))
+        .withColumn("dbf", call_function("dbf_record",
+          array(col("q_id").cast("string"), format_string("sup_%d", col("q_id") % 97)),
+          lit(dbfSpec)))
+        .withColumn("f", call_function("dbf_fields", col("dbf"), lit(dbfSpec)))
+        .select(col("q_id"),
+          length(col("rec")).cast("long").as("rec_len"),
+          call_function("shp_recnum", col("rec")).cast("long").as("rn"),
+          expr("f[0]").as("id_back"), expr("f[1]").as("name_back"),
+          posexplode(call_function("st_points",
+            call_function("shp_geom", col("rec")))).as(Seq("seq", "p")))
+        .select(col("q_id"), col("rec_len"), col("rn"), col("id_back"),
+          col("name_back"), col("seq").cast("long").as("seq"),
+          col("p.x").as("x"), col("p.y").as("y"))
+    }),
     "q118_layer_identity" -> ((s, dir) => {
       // ogr_layer_algebra Identity (reference swig/python/samples/
       // ogr_layer_algebra.py :: Identity, built on OGRLayer::Identity):
@@ -3841,6 +3894,7 @@ object SparkEntry {
     "q112_kml" -> OracleHashSql.q112Kml,
     "q142_csv_driver" -> OracleHashSql.q142CsvDriver,
     "q159_gml" -> OracleHashSql.q159Gml,
+    "q162_shapefile" -> OracleHashSql.q162Shapefile,
     "q144_decontaminate" -> OracleHashSql.q144Decontaminate,
     "q113_band_stats" -> OracleHashSql.q113BandStats,
     "q122_gdal2xyz" -> OracleHashSql.q122Gdal2xyz,

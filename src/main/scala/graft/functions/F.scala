@@ -107,6 +107,13 @@ object F {
         "csv_line"       -> (e => CsvLine(e.head)),
         "shingles64"     -> (e => Shingles64(e(0), e(1))),
         "csv_fields"     -> (e => CsvFields(e.head)),
+        "shp_record"     -> (e => ShpRecord(e(0), e(1))),
+        "shp_recnum"     -> (e => ShpRecNum(e.head)),
+        "shp_geom"       -> (e => ShpGeom(e.head)),
+        // dbf field spec is part of the table schema, not row data: fixed
+        // at plan time from the literal argument (like a DDL string)
+        "dbf_record"     -> (e => DbfRecord(e(0), e(1).eval(null).toString)),
+        "dbf_fields"     -> (e => DbfFields(e(0), e(1).eval(null).toString)),
         "dither_fs"      -> (e => DitherFs(e(0), e(1), e(2))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
