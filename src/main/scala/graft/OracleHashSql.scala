@@ -1437,6 +1437,171 @@ FROM r
     * swapped for the spline (same evalSql strings as q83). Unquantized
     * floor sampling: a flip needs samp/line within ~1e-13 (1 ln ulp) of
     * an integer, absent by construction on this deterministic grid. */
+  /** q163: the order-2 least-squares GCP warp replayed with the SAME
+    * printed polynomial op sequence the engine evaluates (coefficients
+    * are the normal-equations solution embedded as exact runtime
+    * doubles) — pure +,· so DuckDB's IEEE doubles match the JVM
+    * bit-for-bit, then the q79/q84 floor-sample + checksum tail. */
+  def q163GcpOrder2: String = {
+    val p = graft.core.Gcp.demo2
+    s"""
+WITH px AS (
+  SELECT dx.i AS gdx, dy.i AS gdy
+  FROM generate_series(0, 1023) dx(i), generate_series(0, 511) dy(i)),
+g AS (
+  SELECT gdx, gdy, CAST(gdx AS DOUBLE) AS x, CAST(gdy AS DOUBLE) AS y
+  FROM px),
+r AS (
+  SELECT gdx, gdy,
+    (${graft.core.Gcp.polySql(p, "x", "y", 'x')}) AS samp,
+    (${graft.core.Gcp.polySql(p, "x", "y", 'y')}) AS line
+  FROM g),
+sm AS (
+  SELECT gdx, gdy,
+    CAST(floor(samp) AS BIGINT) AS sgx, CAST(floor(line) AS BIGINT) AS sgy
+  FROM r),
+v AS (
+  SELECT gdx, gdy,
+    CASE WHEN sgx >= 0 AND sgx < 1024 AND sgy >= 0 AND sgy < 512
+      THEN ((sgx // 64)*131 + (sgy // 64)*173 + (sgx % 64)*7 + (sgy % 64)*11 + 3) % 256
+      ELSE NULL END AS val
+  FROM sm),
+t AS (
+  SELECT gdx // 64 AS tx, gdy // 64 AS ty,
+    (gdy % 64) * 64 + gdx % 64 AS i, val
+  FROM v)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+  CAST(sum(CAST(coalesce(val, 0) AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+FROM t GROUP BY 1, 2 HAVING count(val) > 0
+"""
+  }
+
+  /** q164: geolocation backmap warp replayed in pure integer arithmetic —
+    * the geoloc grid regenerates from the same dgx/dgy templates, the
+    * bilinear forward positions are step²-scaled Longs, the 9-cell offer
+    * + nearest snap is a row_number pick over (d2, idx), and holes
+    * simply contribute nothing to the tile checksum (engine writes 0). */
+  def q164Geoloc: String =
+    """WITH px AS (
+  SELECT dx.i AS p, dy.i AS q
+  FROM generate_series(0, 1023) dx(i), generate_series(0, 511) dy(i)),
+sv AS (
+  SELECT p, q,
+    ((p // 64)*131 + (q // 64)*173 + (p % 64)*7 + (q % 64)*11 + 3) % 256 AS val,
+    p // 32 AS i0, p % 32 AS a, q // 32 AS j0, q % 32 AS b
+  FROM px),
+gs AS (
+  SELECT p, q, val,
+    (128*i0 + ((5*i0 + 11*j0) % 7) - 3) * (32-a)*(32-b)
+      + (128*(i0+1) + ((5*(i0+1) + 11*j0) % 7) - 3) * a*(32-b)
+      + (128*i0 + ((5*i0 + 11*(j0+1)) % 7) - 3) * (32-a)*b
+      + (128*(i0+1) + ((5*(i0+1) + 11*(j0+1)) % 7) - 3) * a*b AS gxs,
+    (128*j0 + ((3*i0 + 13*j0) % 7) - 3) * (32-a)*(32-b)
+      + (128*j0 + ((3*(i0+1) + 13*j0) % 7) - 3) * a*(32-b)
+      + (128*(j0+1) + ((3*i0 + 13*(j0+1)) % 7) - 3) * (32-a)*b
+      + (128*(j0+1) + ((3*(i0+1) + 13*(j0+1)) % 7) - 3) * a*b AS gys
+  FROM sv),
+sc AS (
+  SELECT p, q, val, gxs, gys,
+    gxs // 4096 + ddx.d AS cx, gys // 4096 + ddy.d AS cy
+  FROM gs, generate_series(-1, 1) ddx(d), generate_series(-1, 1) ddy(d)
+  WHERE gxs >= 0 AND gxs < 4194304 AND gys >= 0 AND gys < 2097152
+    AND gxs // 4096 + ddx.d BETWEEN 0 AND 1023
+    AND gys // 4096 + ddy.d BETWEEN 0 AND 511),
+rk AS (
+  SELECT cx, cy, val,
+    row_number() OVER (PARTITION BY cx, cy ORDER BY
+      (gxs - (cx*4096 + 2048))*(gxs - (cx*4096 + 2048))
+        + (gys - (cy*4096 + 2048))*(gys - (cy*4096 + 2048)),
+      q * 1024 + p) AS rn
+  FROM sc),
+bm AS (SELECT cx, cy, val FROM rk WHERE rn = 1),
+t AS (
+  SELECT cx // 64 AS tx, cy // 64 AS ty,
+    (cy % 64) * 64 + cx % 64 AS i, val
+  FROM bm)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+  CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+FROM t GROUP BY 1, 2
+"""
+
+  /** q165: the approx transformer replayed structurally — the SAME
+    * segment recursion (exact TPS evals only at span ends/midpoints, the
+    * split decision |interp(mid) − exact(mid)| ≤ ε with the engine's
+    * pinned interp op order) runs as a recursive CTE, leaves emit
+    * [x0,x1) interpolated pixels plus the exact row-end pixel, then the
+    * q84 floor-sample + checksum tail. ε = 0.25 with authored margin
+    * (ApproxSpec pins |err−ε| and floor distances ≫ ln-ULP noise). */
+  def q165ApproxWarp: String = {
+    val m = graft.core.Tps.demo
+    def ex(xe: String) = graft.core.Tps.evalSql(m, xe, "CAST(gdy AS DOUBLE)", 'x')
+    def ey(xe: String) = graft.core.Tps.evalSql(m, xe, "CAST(gdy AS DOUBLE)", 'y')
+    val atX0 = "CAST(x0 AS DOUBLE)"; val atX1 = "CAST(x1 AS DOUBLE)"
+    val atXm = "CAST(xm AS DOUBLE)"
+    val interpMx = "(e0x + ((e1x - e0x) / (x1 - x0)) * (xm - x0))"
+    val interpMy = "(e0y + ((e1y - e0y) / (x1 - x0)) * (xm - x0))"
+    s"""WITH RECURSIVE spans AS (
+  SELECT dy.i AS gdy, tx.i * 64 AS x0, tx.i * 64 + 63 AS x1
+  FROM generate_series(0, 511) dy(i), generate_series(0, 15) tx(i)),
+base AS (
+  SELECT gdy, x0, x1,
+    (${ex(atX0)}) AS e0x, (${ey(atX0)}) AS e0y,
+    (${ex(atX1)}) AS e1x, (${ey(atX1)}) AS e1y
+  FROM spans),
+sg AS (
+  SELECT gdy, x0, x1, e0x, e0y, e1x, e1y FROM base
+  UNION ALL
+  SELECT gdy,
+    CASE sd.s WHEN 0 THEN x0 ELSE xm END AS x0,
+    CASE sd.s WHEN 0 THEN xm ELSE x1 END AS x1,
+    CASE sd.s WHEN 0 THEN e0x ELSE emx END AS e0x,
+    CASE sd.s WHEN 0 THEN e0y ELSE emy END AS e0y,
+    CASE sd.s WHEN 0 THEN emx ELSE e1x END AS e1x,
+    CASE sd.s WHEN 0 THEN emy ELSE e1y END AS e1y
+  FROM (
+    SELECT gdy, x0, x1, e0x, e0y, e1x, e1y, xm,
+      (${ex(atXm)}) AS emx, (${ey(atXm)}) AS emy
+    FROM (SELECT *, (x0 + x1) // 2 AS xm FROM sg WHERE x1 - x0 > 1) p0) p
+  CROSS JOIN (SELECT 0 AS s UNION ALL SELECT 1) sd
+  WHERE NOT (abs($interpMx - emx) <= 0.25 AND abs($interpMy - emy) <= 0.25)),
+lv AS (
+  SELECT gdy, x0, x1, e0x, e0y, e1x, e1y
+  FROM (
+    SELECT gdy, x0, x1, e0x, e0y, e1x, e1y, xm,
+      (${ex(atXm)}) AS emx, (${ey(atXm)}) AS emy
+    FROM (SELECT *, (x0 + x1) // 2 AS xm FROM sg) s0) s1
+  WHERE x1 - x0 = 1
+     OR (abs($interpMx - emx) <= 0.25 AND abs($interpMy - emy) <= 0.25)),
+pxs AS (
+  SELECT gdy, x0 + gs.k AS gdx,
+    CASE WHEN x1 - x0 = 1 THEN e0x
+         ELSE e0x + ((e1x - e0x) / (x1 - x0)) * ((x0 + gs.k) - x0) END AS samp,
+    CASE WHEN x1 - x0 = 1 THEN e0y
+         ELSE e0y + ((e1y - e0y) / (x1 - x0)) * ((x0 + gs.k) - x0) END AS line
+  FROM lv, generate_series(0, 62) gs(k)
+  WHERE gs.k < x1 - x0
+  UNION ALL
+  SELECT gdy, x1 AS gdx, e1x AS samp, e1y AS line FROM base),
+sm AS (
+  SELECT gdx, gdy,
+    CAST(floor(samp) AS BIGINT) AS sgx, CAST(floor(line) AS BIGINT) AS sgy
+  FROM pxs),
+v AS (
+  SELECT gdx, gdy,
+    CASE WHEN sgx >= 0 AND sgx < 1024 AND sgy >= 0 AND sgy < 512
+      THEN ((sgx // 64)*131 + (sgy // 64)*173 + (sgx % 64)*7 + (sgy % 64)*11 + 3) % 256
+      ELSE NULL END AS val
+  FROM sm),
+t AS (
+  SELECT gdx // 64 AS tx, gdy // 64 AS ty,
+    (gdy % 64) * 64 + gdx % 64 AS i, val
+  FROM v)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+  CAST(sum(CAST(coalesce(val, 0) AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+FROM t GROUP BY 1, 2 HAVING count(val) > 0
+"""
+  }
+
   def q84Tps: String = {
     val m = graft.core.Tps.demo
     s"""

@@ -1551,6 +1551,54 @@ object SparkEntry {
         srcW = 1024, srcH = 512, dstW = 1024, dstH = 512)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q163_gcp_order2" -> ((s, dir) => {
+      // GCP warp, ORDER-2 LEAST-SQUARES fit from 12 GCPs (reference
+      // alg/gdal_crs.c :: GDALCreateGCPTransformer with nOrder=2 and an
+      // over-determined control set — the path every real gdalwarp user
+      // with a survey's worth of GCPs takes; q79 covers the exact 3-GCP
+      // order-1 Cramer case). The normal-equations solve runs once on
+      // the driver (deterministic IEEE op order), the solved polynomial
+      // broadcasts into warpPointNear's dst-driven routing, and the
+      // oracle replays the SAME printed op sequence (pure +,· — bit
+      // exact, no quantization needed) + floor sampling.
+      F.ensureRegistered(s)
+      Raster.warpPolyNear(Synth.tiles(s, 3), graft.core.Gcp.demo2,
+        srcW = 1024, srcH = 512, dstW = 1024, dstH = 512)
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q165_approx_warp" -> ((s, dir) => {
+      // Approx transformer over the TPS warp (reference alg/
+      // gdaltransformer.cpp :: GDALApproxTransform, gdalwarp's default
+      // wrapper: -et 0.25 here) — q84's model and routing, but exact
+      // spline evals only at row-segment endpoints/midpoints (~3 per
+      // accepted 64-px row instead of 64), linear interp between; the
+      // oracle replays the SAME deterministic segment recursion in a
+      // recursive CTE. q84 keeps the exact path — the pair is the
+      // reference's own exact-vs-approx contract, and the bench delta
+      // is the approx win measured on identical inputs.
+      F.ensureRegistered(s)
+      Raster.warpTpsApproxNear(Synth.tiles(s, 3), graft.core.Tps.demo, 0.25,
+        srcW = 1024, srcH = 512, dstW = 1024, dstH = 512)
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q164_geoloc_warp" -> ((s, dir) => {
+      // Geolocation-array warp (reference alg/gdalgeoloc.cpp ::
+      // GDALCreateGeoLocTransformer + gdalwarp -geoloc): the zoom-3
+      // source carries a 33×17 geoloc grid (every 32 px) = near-identity
+      // ×4 scaling plus ±3-geo-unit integer distortion; the inverse is
+      // the reference's backmap — scatter every src pixel's bilinear
+      // forward position into the dst grid, nearest-point snap per dst
+      // pixel with the 8-neighbor hole-fill offer folded into one
+      // aggregate. All integer math (positions scaled by 32²) — the
+      // oracle regenerates the grid from the same templates and replays
+      // scatter, snap and checksum bit-for-bit.
+      F.ensureRegistered(s)
+      Raster.geolocBackmapWarp(Synth.tiles(s, 3),
+        dgxSql = "((5 * GI + 11 * GJ) % 7) - 3",
+        dgySql = "((3 * GI + 13 * GJ) % 7) - 3",
+        srcW = 1024, srcH = 512, step = 32, scale = 4)
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q82_rpc_warp" -> ((s, dir) => {
       // RPC-georeferenced warp (reference alg/gdal_rpc.cpp + gdalwarp):
       // each dst pixel's geodetic coordinate (exact dyadic grid — step
@@ -3907,6 +3955,9 @@ object SparkEntry {
     "q88_bng_inverse" -> OracleHashSql.q88BngInv,
     "q86_ps_inverse" -> OracleHashSql.q86PsInv,
     "q84_tps_warp" -> OracleHashSql.q84Tps,
+    "q163_gcp_order2" -> OracleHashSql.q163GcpOrder2,
+    "q164_geoloc_warp" -> OracleHashSql.q164Geoloc,
+    "q165_approx_warp" -> OracleHashSql.q165ApproxWarp,
     "q79_gcp_warp" ->
       // independent Cramer solve of the SAME 3-GCP system (generic det3
       // formulas over the literals, sign-normalized so den > 0), then the

@@ -344,6 +344,110 @@ object Raster {
                   srcW: Long, srcH: Long, dstW: Long, dstH: Long): DataFrame =
     warpPointNear(tiles, (gx, gy) => graft.core.Tps.eval(m, gx, gy), srcW, srcH, dstW, dstH)
 
+  /** Approximating TPS warp (reference: alg/gdaltransformer.cpp ::
+    * GDALApproxTransform wrapped around the TPS transformer — the
+    * reference's answer to per-pixel transcendental cost): per dst-tile
+    * ROW, evaluate the exact spline only at segment endpoints + midpoint;
+    * if the midpoint's linear interpolation is within `eps` source px in
+    * both dimensions the whole segment interpolates linearly, else the
+    * segment splits and recurses — ~3 exact evals per accepted 64-px row
+    * instead of 64. eps = 0 degenerates to the exact per-pixel path
+    * (ApproxSpec pins bit-equality). The subdivision is deterministic,
+    * so the oracle replays the SAME recursion (segment tree + pinned
+    * interp op order e0 + ((e1-e0)/(x1-x0))·(x-x0)) in a recursive CTE. */
+  def warpTpsApproxNear(tiles: DataFrame, m: graft.core.Tps.Model, eps: Double,
+                        srcW: Long, srcH: Long, dstW: Long, dstH: Long): DataFrame =
+    warpPointNear(tiles, (gx, gy) => graft.core.Tps.eval(m, gx, gy), srcW, srcH, dstW, dstH,
+      approxEps = eps)
+
+  /** Polynomial-GCP warp, nearest kernel (reference: alg/gdal_crs.c ::
+    * GDALCreateGCPTransformer orders 1-3 with least-squares fit +
+    * gdalwarp): the dst→src map is the normal-equations polynomial
+    * [[graft.core.Gcp.fitPoly]]; same dst-driven routing as RPC/TPS. The
+    * 4 px pad holds because the quadratic/cubic curvature across one
+    * 64-px tile is far below a pixel for survey-scale models; the
+    * kernel's require() fails loud otherwise. */
+  def warpPolyNear(tiles: DataFrame, p: graft.core.Gcp.Poly,
+                   srcW: Long, srcH: Long, dstW: Long, dstH: Long): DataFrame =
+    warpPointNear(tiles, (gx, gy) => graft.core.Gcp.evalPoly(p, gx, gy), srcW, srcH, dstW, dstH)
+
+  /** Geolocation-array warp, nearest kernel (reference: alg/gdalgeoloc.cpp
+    * :: GDALCreateGeoLocTransformer — the remaining georeferencing mode
+    * after GCP-affine/poly, TPS and RPC): the SOURCE raster carries a
+    * geolocation grid (geo coordinates sampled every `step` px; here
+    * generated from the integer templates dgxSql/dgySql over placeholders
+    * GI/GJ so the oracle regenerates the identical grid), the forward map
+    * per src pixel is bilinear interpolation in that grid, and the
+    * INVERSE the warp needs is the reference's backmap: scatter every
+    * src pixel's forward geo position into the dst grid and keep, per
+    * dst pixel, the NEAREST scattered point (inverse-distance snap, ties
+    * by linear index). Each point also offers itself to its 8 neighbor
+    * cells — the reference's backmap hole-filling pass folded into the
+    * same aggregate; cells no point reaches stay nodata (0 in an emitted
+    * tile, absent tile if the whole tile is unreached).
+    *
+    * EXACTNESS: geoloc values are integers and bilinear weights are
+    * k/step², so positions scaled by step² are pure Longs — every
+    * compare, cell assignment and d2 is integer math a SQL oracle
+    * replays bit-for-bit (all quantities non-negative after the extent
+    * filter, so truncating div == floor on both engines).
+    *
+    * SCALE: the whole pipeline is projections + two hash aggregates —
+    * one keyed by dst cell over the 9× scattered pixel rows (linear in
+    * raster size, the backmap build itself), one keyed by dst tile to
+    * assemble pixel arrays. No window, no join, no driver state; the
+    * geoloc grid never materializes (it is inlined arithmetic). */
+  def geolocBackmapWarp(tiles: DataFrame, dgxSql: String, dgySql: String,
+                        srcW: Int, srcH: Int, step: Int, scale: Int): DataFrame = {
+    val spark = tiles.sparkSession
+    F.ensureRegistered(spark)
+    val w = TW; val h = TH
+    val cellGeo = scale * step          // geo units per geoloc-grid cell
+    val cellS = scale * step * step     // dst-pixel width in step²-scaled geo units
+    def corner(iE: String, jE: String, which: Char): String = {
+      val tmpl = if (which == 'x') dgxSql else dgySql
+      val d = tmpl.replace("GI", s"($iE)").replace("GJ", s"($jE)")
+      val base = if (which == 'x') s"$cellGeo * CAST(($iE) AS BIGINT)"
+                 else s"$cellGeo * CAST(($jE) AS BIGINT)"
+      s"(($base) + CAST(($d) AS BIGINT))"
+    }
+    def bilinear(which: Char): String =
+      s"${corner("i0", "j0", which)} * ($step - a) * ($step - b) + " +
+      s"${corner("i0 + 1", "j0", which)} * a * ($step - b) + " +
+      s"${corner("i0", "j0 + 1", which)} * ($step - a) * b + " +
+      s"${corner("i0 + 1", "j0 + 1", which)} * a * b"
+    val dense = udaf(new SparseToDense(w * h))
+    tiles.select(col("tx").cast("long").as("ttx"), col("ty").cast("long").as("tty"),
+        posexplode(col("pixels")).as(Seq("pi", "val")))
+      .select(expr(s"ttx * $w + pi % $w").as("p"),
+        expr(s"tty * $h + pi div $w").as("q"), col("val"))
+      .withColumn("i0", expr(s"p div $step")).withColumn("a", expr(s"p % $step"))
+      .withColumn("j0", expr(s"q div $step")).withColumn("b", expr(s"q % $step"))
+      .withColumn("gxs", expr(bilinear('x')))
+      .withColumn("gys", expr(bilinear('y')))
+      // out-of-extent forward positions never scatter (backmap ignores
+      // them); everything downstream is non-negative → div == floor
+      .filter(s"gxs >= 0 AND gxs < ${srcW.toLong * cellS} AND gys >= 0 AND gys < ${srcH.toLong * cellS}")
+      .withColumn("ddx", explode(expr("array(-1L, 0L, 1L)")))
+      .withColumn("ddy", explode(expr("array(-1L, 0L, 1L)")))
+      .withColumn("cx", expr(s"gxs div $cellS + ddx"))
+      .withColumn("cy", expr(s"gys div $cellS + ddy"))
+      .filter(s"cx >= 0 AND cx < $srcW AND cy >= 0 AND cy < $srcH")
+      .withColumn("d2", expr(
+        s"(gxs - (cx * $cellS + ${cellS / 2})) * (gxs - (cx * $cellS + ${cellS / 2})) + " +
+        s"(gys - (cy * $cellS + ${cellS / 2})) * (gys - (cy * $cellS + ${cellS / 2}))"))
+      .withColumn("idx", expr(s"q * $srcW + p"))
+      .groupBy("cx", "cy")
+      .agg(min(struct(col("d2"), col("idx"), col("val"))).as("m"))
+      .select(col("cx"), col("cy"), col("m.val").as("val"))
+      .withColumn("tx", expr(s"cx div $w")).withColumn("ty", expr(s"cy div $h"))
+      .withColumn("i", expr(s"CAST((cy % $h) * $w + cx % $w AS INT)"))
+      .groupBy("tx", "ty")
+      .agg(dense(col("i"), col("val")).as("raw"))
+      .select(col("tx"), col("ty"),
+        expr("transform(raw, v -> IF(v < 0.0D, 0.0D, v))").as("pixels"))
+  }
+
   /** Shared dst-driven router for warps whose dst→src map is an arbitrary
     * smooth point transform (RPC, TPS): each dst tile's 4 corners map
     * through `toSrc`, the src bbox + 4 px pad picks the src tiles to ship
@@ -353,7 +457,8 @@ object Raster {
     * zero in-grid samples drop; uncovered pixels inside an emitted tile
     * are 0. */
   private def warpPointNear(tiles: DataFrame, toSrc: (Double, Double) => (Double, Double),
-                            srcW: Long, srcH: Long, dstW: Long, dstH: Long): DataFrame = {
+                            srcW: Long, srcH: Long, dstW: Long, dstH: Long,
+                            approxEps: Double = 0.0): DataFrame = {
     require(dstW % TW == 0 && dstH % TH == 0, "dst grid must be whole tiles")
     val spark = tiles.sparkSession
     import spark.implicits._
@@ -388,10 +493,11 @@ object Raster {
         it.foreach(c => srcs.put(c.sty * 1048576L + c.stx, c.pixels))
         val out = new Array[Double](w * h)
         var any = false
-        var i = 0
-        while (i < w * h) {
-          val gdx = dtx * w + i % w; val gdy = dty * h + i / w
-          val (samp, line) = toSrc(gdx.toDouble, gdy.toDouble)
+        // sample (samp,line) into out(i); shared by the exact and approx
+        // paths. A VAL lambda, not a nested def — a local def lifts to a
+        // method on the (non-serializable) Raster$ module and poisons
+        // the closure.
+        val put: (Int, Double, Double) => Unit = (i, samp, line) => {
           val sgx = math.floor(samp).toLong; val sgy = math.floor(line).toLong
           if (sgx >= 0 && sgx < srcW && sgy >= 0 && sgy < srcH) {
             val arr = srcs.get((sgy / h) * 1048576L + sgx / w)
@@ -399,7 +505,64 @@ object Raster {
             out(i) = arr((sgy % h).toInt * w + (sgx % w).toInt)
             any = true
           }
-          i += 1
+        }
+        if (approxEps <= 0.0) {
+          var i = 0
+          while (i < w * h) {
+            val gdx = dtx * w + i % w; val gdy = dty * h + i / w
+            val (samp, line) = toSrc(gdx.toDouble, gdy.toDouble)
+            put(i, samp, line)
+            i += 1
+          }
+        } else {
+          // GDALApproxTransform along each tile row (reference:
+          // alg/gdaltransformer.cpp :: GDALApproxTransform): exact evals
+          // at the span ends; a span whose midpoint linear interp is
+          // within eps (both dims) fills [x0,x1) by e0 + step·(x-x0)
+          // with step = (e1-e0)/(x1-x0) computed ONCE (the printed-SQL
+          // op order the oracle replays); otherwise split at (x0+x1)/2
+          // reusing the exact midpoint as the shared child endpoint. The
+          // row-end pixel always takes the row's exact right-end eval.
+          var row = 0
+          while (row < h) {
+            val gdy = (dty * h + row).toDouble
+            val rowBase = row * w
+            // explicit segment stack (a recursive local def would lift
+            // onto Raster$ and break closure serialization); segments
+            // write disjoint [x0,x1) ranges so processing order is free
+            val stack = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Double, Double, Double, Double)]
+            val rx0 = dtx * w; val rx1 = dtx * w + (w - 1)
+            val (r0x, r0y) = toSrc(rx0.toDouble, gdy)
+            val (r1x, r1y) = toSrc(rx1.toDouble, gdy)
+            stack += ((rx0, rx1, r0x, r0y, r1x, r1y))
+            while (stack.nonEmpty) {
+              val (x0, x1, e0x, e0y, e1x, e1y) = stack.remove(stack.length - 1)
+              if (x1 - x0 == 1) {
+                put(rowBase + (x0 - dtx * w).toInt, e0x, e0y)
+              } else {
+                val xm = (x0 + x1) / 2
+                val (emx, emy) = toSrc(xm.toDouble, gdy)
+                val dsx = (e1x - e0x) / (x1 - x0)
+                val dsy = (e1y - e0y) / (x1 - x0)
+                val ix = e0x + dsx * (xm - x0)
+                val iy = e0y + dsy * (xm - x0)
+                if (math.abs(ix - emx) <= approxEps && math.abs(iy - emy) <= approxEps) {
+                  var x = x0
+                  while (x < x1) {
+                    put(rowBase + (x - dtx * w).toInt,
+                      e0x + dsx * (x - x0), e0y + dsy * (x - x0))
+                    x += 1
+                  }
+                } else {
+                  stack += ((x0, xm, e0x, e0y, emx, emy))
+                  stack += ((xm, x1, emx, emy, e1x, e1y))
+                }
+              }
+            }
+            put(rowBase + (w - 1), r1x, r1y)
+            row += 1
+          }
         }
         (dtx, dty, if (any) out.toSeq else Seq.empty[Double])
       }

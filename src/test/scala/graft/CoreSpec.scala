@@ -1014,6 +1014,62 @@ class CoreSpec extends AnyFunSuite {
     assert(Resample.bilinear(src, 4.0, 4.5) == 11.5)
   }
 
+  test("Gcp.fitPoly: least-squares orders 1-3 + the printed-SQL op-order contract") {
+    // (a) data from a TRUE order-2 integer polynomial on a grid where all
+    // terms are integer → the LS fit must reproduce it (residual ~ 0)
+    val grid = for (x <- Seq(0L, 100L, 200L, 300L); y <- Seq(0L, 150L, 350L)) yield (x, y)
+    val quad = grid.map { case (x, y) =>
+      (x, y, 7 + 2 * x + 3 * y + x * x / 100 - x * y / 200 + y * y / 50,
+             -4 + 5 * x - y + x * x / 200 + x * y / 100 - y * y / 25)
+    }
+    val p2 = Gcp.fitPoly(2, quad)
+    quad.foreach { case (x, y, u, v) =>
+      val (sx, sy) = Gcp.evalPoly(p2, x.toDouble, y.toDouble)
+      assert(math.abs(sx - u) < 1e-6 && math.abs(sy - v) < 1e-6, s"($x,$y)")
+    }
+    // off-grid evaluation matches the generating polynomial analytically
+    val (ox, oy) = Gcp.evalPoly(p2, 150.0, 250.0)
+    assert(math.abs(ox - (7 + 2 * 150 + 3 * 250 + 150.0 * 150 / 100 - 150.0 * 250 / 200 + 250.0 * 250 / 50)) < 1e-5)
+    assert(math.abs(oy - (-4 + 5 * 150 - 250 + 150.0 * 150 / 200 + 150.0 * 250 / 100 - 250.0 * 250 / 25)) < 1e-5)
+    // (b) order 3 reproduces a cubic; under-determined sets are rejected.
+    // 4 distinct values PER AXIS — on a 3-level y axis the y³ column is a
+    // linear combination of 1,y,y² and the normal system goes singular.
+    val grid3 = for (x <- Seq(0L, 100L, 200L, 300L); y <- Seq(0L, 100L, 200L, 400L)) yield (x, y)
+    val cubic = grid3.map { case (x, y) =>
+      (x, y, x + x * x * x / 10000 - y * y * y / 50000 + y,
+             y + x * x * y / 100000 + x / 2) // all terms integer on grid3
+    }
+    val p3 = Gcp.fitPoly(3, cubic)
+    cubic.foreach { case (x, y, u, v) =>
+      val (sx, sy) = Gcp.evalPoly(p3, x.toDouble, y.toDouble)
+      assert(math.abs(sx - u) < 1e-5 && math.abs(sy - v) < 1e-5, s"($x,$y)")
+    }
+    intercept[IllegalArgumentException] { Gcp.fitPoly(3, cubic.take(9)) }
+    intercept[IllegalArgumentException] { Gcp.fitPoly(2, quad.take(5)) }
+    intercept[IllegalArgumentException] { Gcp.fitPoly(4, quad) }
+    // (c) demo2 is genuinely over-determined: residuals nonzero (the ±2
+    // noise) but bounded by it — an interpolating fit would be suspect
+    val res = Gcp.demoGcps.map { case (x, y, u, v) =>
+      val (sx, sy) = Gcp.evalPoly(Gcp.demo2, x.toDouble, y.toDouble)
+      math.max(math.abs(sx - u), math.abs(sy - v))
+    }
+    assert(res.max <= 4.0, s"demo2 residual ${res.max} exceeds the noise scale")
+    assert(res.max > 0.05, "demo2 fit interpolates exactly — noise not exercised")
+    // (d) THE ORACLE CONTRACT: Spark-evaluated polySql == Scala evalPoly
+    // BIT-FOR-BIT (pure +,* in the same printed order)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pts = Seq((0.0, 0.0), (17.0, 403.0), (1023.0, 511.0), (512.0, 256.0), (999.0, 3.0))
+    val got = pts.toDF("x", "y").selectExpr(
+        s"(${Gcp.polySql(Gcp.demo2, "x", "y", 'x')}) AS sx",
+        s"(${Gcp.polySql(Gcp.demo2, "x", "y", 'y')}) AS sy")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    pts.zip(got).foreach { case ((x, y), (gx, gy)) =>
+      val (ex, ey) = Gcp.evalPoly(Gcp.demo2, x, y)
+      assert(ex == gx && ey == gy, s"op-order divergence at ($x,$y)")
+    }
+  }
+
   test("csv_line/csv_fields: RFC-4180 quoting round-trips every edge case") {
     val spark = TestSpark.spark
     import spark.implicits._
