@@ -1566,6 +1566,31 @@ object SparkEntry {
         srcW = 1024, srcH = 512, dstW = 1024, dstH = 512)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q166_complex_bands" -> ((s, dir) => {
+      // Complex pixel types (reference gcore/gdal.h :: GDT_CInt16 family
+      // + frmts/derived/deriveddataset.cpp's REAL/IMAG/CONJ/MAGNITUDE/
+      // PHASE derived bands, and the complex arithmetic gdal_calc runs
+      // on CInt16 data): a CInt16 raster synthesized per pixel (re =
+      // v-128, im = (7v+31)%256-128 — all four quadrants + axes), the
+      // five derived bands plus a complex multiply by (3-4i), reduced
+      // per tile. Pure built-ins (transform/zip_with/aggregate — one
+      // codegen'd projection, shuffle-free). MAGNITUDE is bit-exact
+      // (integer re²+im², correctly-rounded IEEE sqrt, same double on
+      // both engines); PHASE is mrad-quantized with the boundary census
+      // pinned in CoreSpec (only 256 distinct complex values occur).
+      F.ensureRegistered(s)
+      Synth.tiles(s, 3)
+        .withColumn("re", expr("transform(pixels, v -> CAST(v AS BIGINT) - 128L)"))
+        .withColumn("im", expr("transform(pixels, v -> (CAST(v AS BIGINT) * 7L + 31L) % 256L - 128L)"))
+        .select(col("tx").cast("long").as("tx"), col("ty").cast("long").as("ty"),
+          expr("aggregate(re, 0L, (a, x) -> a + x)").as("re_sum"),
+          expr("aggregate(im, 0L, (a, x) -> a + x)").as("im_sum"),
+          expr("aggregate(im, 0L, (a, x) -> a - x)").as("conj_im_sum"),
+          expr("aggregate(zip_with(re, im, (a, b) -> CAST(floor(sqrt(CAST(a*a + b*b AS DOUBLE)) * 100.0D + 0.5D) AS BIGINT)), 0L, (a, x) -> a + x)").as("mag_cm"),
+          expr("aggregate(zip_with(re, im, (a, b) -> CAST(floor(atan2(CAST(b AS DOUBLE), CAST(a AS DOUBLE)) * 1000.0D + 0.5D) AS BIGINT)), 0L, (a, x) -> a + x)").as("phase_mrad"),
+          expr("aggregate(zip_with(re, im, (a, b) -> 3L*a + 4L*b), 0L, (a, x) -> a + x)").as("mul_re_sum"),
+          expr("aggregate(zip_with(re, im, (a, b) -> 3L*b - 4L*a), 0L, (a, x) -> a + x)").as("mul_im_sum"))
+    }),
     "q165_approx_warp" -> ((s, dir) => {
       // Approx transformer over the TPS warp (reference alg/
       // gdaltransformer.cpp :: GDALApproxTransform, gdalwarp's default
@@ -3958,6 +3983,29 @@ object SparkEntry {
     "q163_gcp_order2" -> OracleHashSql.q163GcpOrder2,
     "q164_geoloc_warp" -> OracleHashSql.q164Geoloc,
     "q165_approx_warp" -> OracleHashSql.q165ApproxWarp,
+    "q166_complex_bands" ->
+      // complex derived bands + (3-4i) multiply replayed from the synth
+      // pixel formula; sqrt path is bit-exact (integer radicand), atan2
+      // is mrad-quantized with authored margin (CoreSpec census)
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty
+           FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS v
+           FROM tiles t, generate_series(0, 4095) i(i)),
+         c AS (
+           SELECT tx, ty, v - 128 AS a, (v * 7 + 31) % 256 - 128 AS b
+           FROM px)
+         SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(a) AS BIGINT) AS re_sum,
+           CAST(sum(b) AS BIGINT) AS im_sum,
+           CAST(-sum(b) AS BIGINT) AS conj_im_sum,
+           CAST(sum(CAST(floor(sqrt(CAST(a*a + b*b AS DOUBLE)) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS mag_cm,
+           CAST(sum(CAST(floor(atan2(CAST(b AS DOUBLE), CAST(a AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS phase_mrad,
+           CAST(sum(3*a + 4*b) AS BIGINT) AS mul_re_sum,
+           CAST(sum(3*b - 4*a) AS BIGINT) AS mul_im_sum
+         FROM c GROUP BY 1, 2""",
     "q79_gcp_warp" ->
       // independent Cramer solve of the SAME 3-GCP system (generic det3
       // formulas over the literals, sign-normalized so den > 0), then the

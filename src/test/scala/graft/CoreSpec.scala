@@ -1070,6 +1070,24 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("q166 phase quantization carries authored margin over libm ULP noise") {
+    // the CInt16 corpus has exactly 256 distinct complex values; the
+    // engine (java.lang.Math.atan2 via Spark codegen) and the oracle
+    // (libm atan2) differ by ~1 ulp (~7e-13 after the ×1000 scale), so
+    // every quantized phase must sit ≫ that from a floor boundary
+    var minGap = Double.MaxValue
+    var quadrants = Set.empty[Int]
+    (0 until 256).foreach { v =>
+      val a = v - 128; val b = (7 * v + 31) % 256 - 128
+      quadrants += (if (a >= 0) 0 else 2) + (if (b >= 0) 0 else 1)
+      val s = math.atan2(b.toDouble, a.toDouble) * 1000.0 + 0.5
+      val g = math.min(s - math.floor(s), math.floor(s) + 1.0 - s)
+      minGap = math.min(minGap, g)
+    }
+    assert(minGap > 1e-9, s"quantized phase within $minGap of a floor boundary")
+    assert(quadrants.size == 4, "corpus must exercise all four quadrants")
+  }
+
   test("csv_line/csv_fields: RFC-4180 quoting round-trips every edge case") {
     val spark = TestSpark.spark
     import spark.implicits._
