@@ -71,7 +71,35 @@ object OracleHashSql {
 
   /** q24: MinHash(64 perms, 16 bands × 4 rows, word 3-shingles) LSH
     * candidates + exact-Jaccard >= 0.3, j_micro = floor(j*1e6). */
-  def q24MinhashLsh: String = {
+  def q24MinhashLsh: String =
+    s"""
+WITH $minhashCtes
+SELECT id_a, id_b, CAST(floor(j * 1000000) AS BIGINT) AS j_micro
+FROM jac WHERE j >= 0.3
+"""
+
+  /** q169: connected components over the q24 near-dup pair graph —
+    * cluster_id = min doc id reachable, is_keeper = (self = min). The
+    * recursive walk CTE is the exact fixpoint the engine's min-label
+    * propagation converges to. */
+  def q169Clusters: String =
+    s"""
+WITH RECURSIVE $minhashCtes,
+pairs AS (SELECT id_a, id_b FROM jac WHERE j >= 0.3),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+walk(src, node) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT w.src, e.b FROM walk w JOIN edges e ON w.node = e.a)
+SELECT src AS doc_id, min(node) AS cluster_id,
+  CAST(CASE WHEN min(node) = src THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+FROM walk GROUP BY src
+"""
+
+  /** The norm → toks → sh → sig → bandk → cand → jac CTE chain shared by
+    * the q24 pair oracle and the q169 cluster oracle (same MinHash law). */
+  private def minhashCtes: String = {
     ctr = 0
     val shingleHash = hash64("concat_ws(chr(32), ts[__w], ts[__w+1], ts[__w+2])")
     val shortHash = hash64("array_to_string(ts, chr(32))")
@@ -89,8 +117,7 @@ object OracleHashSql {
     var h = "(__b + 1374496513)::HUGEINT"
     for (r <- 0 until 4) h = mix64(s"xor($h, sig[__b*4 + ${r + 1}])")
     val bandsExpr = s"list_transform(range(0,16), __b -> $h)"
-    s"""
-WITH norm AS (
+    s"""norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n FROM documents),
 toks AS (
   SELECT doc_id, CASE WHEN n = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(n, ' ') END AS ts FROM norm),
@@ -105,10 +132,7 @@ jac AS (
     CASE WHEN len(sa.sh) = 0 AND len(sb.sh) = 0 THEN 1.0
          ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE END AS j
-  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
-SELECT id_a, id_b, CAST(floor(j * 1000000) AS BIGINT) AS j_micro
-FROM jac WHERE j >= 0.3
-"""
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)"""
   }
 
   /** q25: SimHash64 (word-unigram, unweighted) + pigeonhole bucketing into

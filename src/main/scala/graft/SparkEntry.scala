@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.F
-import graft.operators.{Ann, Contour, Dedup, Focal, Knn, Media, OgrSql, Osm, Polygonize, Proximity, Raster, SpatialJoin, Streaming}
+import graft.operators.{Ann, Contour, Dedup, Focal, Knn, Media, OgrSql, Osm, Polygonize, Proximity, Quality, Raster, SpatialJoin, Streaming, Viewshed}
 import graft.synth.Synth
 
 /** Driver contract (see /root/repo/SURVEY.md §7 + the builder prompt).
@@ -1565,6 +1565,37 @@ object SparkEntry {
       Raster.warpPolyNear(Synth.tiles(s, 3), graft.core.Gcp.demo2,
         srcW = 1024, srcH = 512, dstW = 1024, dstH = 512)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q168_repetition_quality" -> ((s, dir) =>
+      // within-document repetition signals (the Gopher/MassiveText rule
+      // family): duplicate-word and top-bigram fractions as truncating
+      // milli integers — explode + key-bounded hash aggs, no per-row
+      // quadratic HOFs (operators/Quality)
+      Quality.repetitionSignals(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "q169_dedup_clusters" -> ((s, dir) =>
+      // near-dup CLUSTERS: q24's MinHash-LSH pairs -> connected components
+      // by min-label propagation with pointer jumping + reliable
+      // checkpoints; keeper = component min id — the verdict a dedup
+      // pipeline actually applies (operators/Dedup.clusters)
+      Dedup.clusters(Dedup.minhashLsh(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", numPerm = 64, bands = 16, shingleK = 3,
+        minJaccard = 0.3))),
+    "q167_viewshed" -> ((s, dir) => {
+      // gdal_viewshed (reference alg/viewshed.cpp :: GDALViewshedGenerate)
+      // re-expressed as the exact R3 line-of-sight: DDA ray samples
+      // generated per target cell, ONE equi-join on the sample cell key
+      // fetches terrain, one min-aggregate of the integer cross-multiplied
+      // clearance decides visibility (see operators/Viewshed). DEM is a
+      // 128x128 integer terrain (16x16 blocks, the tile synth law);
+      // observer at (64,64)+30, max distance 60. All arithmetic is BIGINT
+      // — the oracle replays the identical DDA and margin test.
+      val dem = s.range(128L * 128L).select(
+        (col("id") % 128L).as("x"), expr("id div 128").as("y"))
+        .withColumn("elev", expr(
+          "((x div 16) * 131 + (y div 16) * 173 + (x % 16) * 7 + (y % 16) * 11) % 256"))
+      Viewshed.viewshed(dem, ox = 64L, oy = 64L, obsH = 30L, maxDist = 60)
     }),
     "q166_complex_bands" -> ((s, dir) => {
       // Complex pixel types (reference gcore/gdal.h :: GDT_CInt16 family
@@ -3983,6 +4014,70 @@ object SparkEntry {
     "q163_gcp_order2" -> OracleHashSql.q163GcpOrder2,
     "q164_geoloc_warp" -> OracleHashSql.q164Geoloc,
     "q165_approx_warp" -> OracleHashSql.q165ApproxWarp,
+    "q168_repetition_quality" ->
+      // same normalization as the q24/q29 token law; all-BIGINT counts
+      // and truncating-div milli fractions (DuckDB // == Spark div on
+      // non-negative operands)
+      """WITH norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+           FROM documents),
+         toks AS (
+           SELECT doc_id, CASE WHEN n = '' THEN CAST([] AS VARCHAR[])
+                               ELSE string_split(n, ' ') END AS ts FROM norm),
+         words AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+         wagg AS (SELECT doc_id, count(*) AS n_words,
+                         count(DISTINCT w) AS n_distinct FROM words GROUP BY 1),
+         bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts)),
+                    __i -> ts[__i] || ' ' || ts[__i + 1])) AS g
+                FROM toks WHERE len(ts) >= 2),
+         bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         bt AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY 1)
+         SELECT t.doc_id,
+           coalesce(w.n_words, 0) AS n_words,
+           coalesce(w.n_distinct, 0) AS n_distinct,
+           (coalesce(w.n_words, 0) - coalesce(w.n_distinct, 0)) * 1000
+             // greatest(coalesce(w.n_words, 0), 1) AS dup_word_milli,
+           coalesce(b.top_bigram_n, 0) AS top_bigram_n,
+           coalesce(b.top_bigram_n, 0) * 1000
+             // greatest(coalesce(w.n_words, 0) - 1, 1) AS top_bigram_milli
+         FROM toks t
+         LEFT JOIN wagg w ON w.doc_id = t.doc_id
+         LEFT JOIN bt b ON b.doc_id = t.doc_id""",
+    "q169_dedup_clusters" -> OracleHashSql.q169Clusters,
+    "q167_viewshed" ->
+      // exact R3 line-of-sight replay: same DDA rounding (non-negative
+      // numerator, so DuckDB // == Spark div) and the same BIGINT
+      // cross-multiplied clearance margin — no floats anywhere
+      """WITH dem AS (
+           SELECT gx.x AS x, gy.y AS y,
+             ((gx.x // 16) * 131 + (gy.y // 16) * 173
+              + (gx.x % 16) * 7 + (gy.y % 16) * 11) % 256 AS elev
+           FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)),
+         obs AS (SELECT elev + 30 AS e_obs FROM dem WHERE x = 64 AND y = 64),
+         tgt AS (
+           SELECT d.x, d.y, greatest(abs(d.x - 64), abs(d.y - 64)) AS n,
+                  d.elev AS e_t, o.e_obs
+           FROM dem d, obs o
+           WHERE greatest(abs(d.x - 64), abs(d.y - 64)) BETWEEN 1 AND 60),
+         smp0 AS (
+           SELECT t.x, t.y, t.n, t.e_t, t.e_obs, unnest(range(1, t.n)) AS k
+           FROM tgt t WHERE t.n >= 2),
+         smp AS (
+           SELECT x, y, n, e_t, e_obs, k,
+             64 + (CASE WHEN x > 64 THEN 1 WHEN x < 64 THEN -1 ELSE 0 END)
+               * ((2 * k * abs(x - 64) + n) // (2 * n)) AS xs,
+             64 + (CASE WHEN y > 64 THEN 1 WHEN y < 64 THEN -1 ELSE 0 END)
+               * ((2 * k * abs(y - 64) + n) // (2 * n)) AS ys
+           FROM smp0),
+         mar AS (
+           SELECT s.x, s.y,
+             min((s.e_t - s.e_obs) * s.k - (d.elev - s.e_obs) * s.n) AS mm
+           FROM smp s JOIN dem d ON d.x = s.xs AND d.y = s.ys
+           GROUP BY 1, 2)
+         SELECT t.x, t.y,
+           CAST(CASE WHEN coalesce(m.mm, 0) >= 0 THEN 255 ELSE 0 END AS INTEGER) AS vis
+         FROM tgt t LEFT JOIN mar m ON m.x = t.x AND m.y = t.y""",
     "q166_complex_bands" ->
       // complex derived bands + (3-4i) multiply replayed from the synth
       // pixel formula; sqrt path is bit-exact (integer radicand), atan2

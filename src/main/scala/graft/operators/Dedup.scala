@@ -208,4 +208,60 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Near-duplicate CLUSTERS from a pair list: connected components with
+    * cluster_id = min doc id in the component, plus the keep/drop verdict
+    * a dedup pipeline actually consumes (keeper = the component's min id).
+    * This is the step between pair generation (minhashLsh / simhashPairs /
+    * ngramJaccard) and corpus filtering: near-duplication is transitive in
+    * intent (A~B, B~C → one retained document), so pairs alone
+    * under-delete.
+    *
+    * Algorithm: distributed min-label propagation with pointer jumping —
+    * each round every node takes min(own label, min neighbor label,
+    * label(label)); the shortcut step gives O(log n) rounds on chain
+    * components (plain neighbor propagation needs O(diameter)). Each round
+    * is two key-bounded equi-joins + one hash agg; lineage is truncated
+    * every round with a RELIABLE checkpoint (io/Checkpoints), so the loop
+    * survives executor loss and resumes idempotently — the same contract
+    * as kNN's ring loop. Only ids shuffle, never text.
+    *
+    * Returns (doc_id, cluster_id, is_keeper) for every doc in some pair;
+    * docs with no near-dup pair are their own keepers by definition and
+    * are left to the caller (anti-join), keeping the loop's working set
+    * proportional to the duplicate subgraph, not the corpus. */
+  def clusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      require(rounds < maxRounds, s"label propagation did not converge in $maxRounds rounds")
+      // min label among direct neighbors
+      val nbrMin = edges
+        .join(labels.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+        .groupBy(col("b").as("id")).agg(min(col("la")).as("nl"))
+      // pointer jump: the label of my label (label(l) <= l always holds,
+      // so least() below can only improve)
+      val hop = labels.select(col("id").as("label"), col("label").as("ll"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(hop, Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label")),
+            coalesce(col("ll"), col("label"))).as("label"),
+          (least(col("label"), coalesce(col("nl"), col("label")),
+            coalesce(col("ll"), col("label"))) < col("label")).cast("long").as("chg"))
+      val ck = graft.io.Checkpoints.reliable(next)
+      changed = ck.agg(coalesce(sum(col("chg")), lit(0L))).collect()(0).getLong(0)
+      labels = ck.select("id", "label")
+      rounds += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      when(col("label") === col("id"), 1).otherwise(0).cast("int").as("is_keeper"))
+  }
 }

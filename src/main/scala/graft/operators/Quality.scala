@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Repetition-based document quality signals for training-data curation —
+  * the within-document half of the classic web-corpus quality rules
+  * (duplicate-word fraction and most-frequent-n-gram fraction; the
+  * cross-document half is operators/Dedup). Published heuristics of this
+  * family (e.g. the Gopher/MassiveText rules) filter documents whose
+  * duplicate-line or top-n-gram character share exceeds a threshold; this
+  * operator computes the word-level signals for the engine's corpus, whose
+  * documents are single-line word streams.
+  *
+  * Scale notes (100-TB design): signals are computed by explode → partial
+  * (map-side) aggregate on (doc_id) and (doc_id, gram) keys, NOT by per-row
+  * array HOFs — a within-array distinct-frequency scan is O(words ×
+  * distinct) per document and melts on megabyte documents, while the
+  * explode path is linear and combines map-side. All outputs are BIGINT
+  * (counts and truncating-div milli fractions) — bit-exact on any engine.
+  */
+object Quality {
+
+  /** Per-document repetition signals over whitespace tokens:
+    * (doc_id, n_words, n_distinct, dup_word_milli, top_bigram_n,
+    * top_bigram_milli). Empty documents report all zeros. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = df.select(col(idCol).as("doc_id"),
+      trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("n"))
+    val toks = norm.select(col("doc_id"),
+      when(col("n") === "", expr("CAST(array() AS array<string>)"))
+        .otherwise(split(col("n"), " ")).as("ts"))
+
+    // words: one partial+final agg per doc (count + exact distinct)
+    val words = toks.select(col("doc_id"), explode(col("ts")).as("w"))
+    val wagg = words.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("w")).as("n_distinct"))
+
+    // bigram mode count: two hash aggs, both key-bounded (doc_id, gram)
+    val bigrams = toks.where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))")).as("g"))
+    val btop = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"))
+
+    toks.join(wagg, Seq("doc_id"), "left").join(btop, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        expr("(coalesce(n_words, 0L) - coalesce(n_distinct, 0L)) * 1000L" +
+          " div greatest(coalesce(n_words, 0L), 1L)").as("dup_word_milli"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        expr("coalesce(top_bigram_n, 0L) * 1000L" +
+          " div greatest(coalesce(n_words, 0L) - 1L, 1L)").as("top_bigram_milli"))
+  }
+}

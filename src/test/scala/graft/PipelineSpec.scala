@@ -322,4 +322,31 @@ class PipelineSpec extends AnyFunSuite {
       assert(maxErr <= 2.0, s"tile ($tx,$ty) maxErr=$maxErr exceeds DCT bound")
     }
   }
+
+  test("repetition signals: hand-checked docs incl. empty and single-word") {
+    val docs = Seq(
+      (1L, "a b a b c"), // 5 words, 3 distinct, top bigram "a b" x2 of 4
+      (2L, ""),          // empty -> all zeros
+      (3L, "x"),         // single word: no bigrams, no dups
+      (4L, "w w w w")    // 4 words 1 distinct; "w w" x3 of 3
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Quality.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((5L, 3L, 400L, 2L, 500L)))
+    assert(out(2L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(out(3L) == ((1L, 1L, 0L, 0L, 0L)))
+    assert(out(4L) == ((4L, 1L, 750L, 3L, 1000L)))
+  }
+
+  test("dedup clusters: chain components converge, keeper = min id") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 10L, 11L))
+    for (id <- Seq(1L, 2L, 3L, 4L, 5L)) assert(out(id)._1 == 1L, s"doc $id")
+    for (id <- Seq(10L, 11L)) assert(out(id)._1 == 10L, s"doc $id")
+    assert(out.collect { case (id, (_, 1)) => id }.toSet == Set(1L, 10L))
+  }
 }
