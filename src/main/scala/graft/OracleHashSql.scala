@@ -97,6 +97,86 @@ SELECT src AS doc_id, min(node) AS cluster_id,
 FROM walk GROUP BY src
 """
 
+  /** Shared k-means CTE chain (q170/q171): quantize floor((x+2)·2^20) →
+    * init = 8 smallest vec_ids → 2 Lloyd iterations (assign by exact
+    * BIGINT squared-L2, ties → smaller centroid; update = sum // count,
+    * emptied cluster keeps its previous centroid) → final assignment.
+    * Replays operators/Ann.kmeans step for step. */
+  private def kmeansAssign(name: String, cents: String): String =
+    s"""d_$name AS (
+  SELECT q.vec_id, q.qv, c.c,
+    list_sum(list_transform(range(1, 65), __i ->
+      (q.qv[__i] - c.cv[__i]) * (q.qv[__i] - c.cv[__i]))) AS d2
+  FROM q, $cents c),
+$name AS (
+  SELECT vec_id, qv, c, d2,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+  FROM d_$name)"""
+
+  private def kmeansUpdate(prev: String, asg: String, out: String): String =
+    s"""u_$out AS (
+  SELECT a.c, i.i, CAST(sum(a.qv[i.i]) // count(*) AS BIGINT) AS v
+  FROM $asg a, (SELECT unnest(range(1, 65)) AS i) i
+  WHERE a.rn = 1 GROUP BY a.c, i.i),
+$out AS (
+  SELECT p.c, coalesce(n.cv, p.cv) AS cv
+  FROM $prev p LEFT JOIN
+    (SELECT c, list(v ORDER BY i) AS cv FROM u_$out GROUP BY c) n
+    ON n.c = p.c)"""
+
+  private def kmeansCtes: String =
+    s"""q AS (
+  SELECT vec_id, list_transform(embedding, __x ->
+    CAST(floor((CAST(__x AS DOUBLE) + 2.0) * 1048576.0) AS BIGINT)) AS qv
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8) s),
+${kmeansAssign("a1", "c0")},
+${kmeansUpdate("c0", "a1", "c1")},
+${kmeansAssign("a2", "c1")},
+${kmeansUpdate("c1", "a2", "c2")},
+${kmeansAssign("af", "c2")}"""
+
+  /** q170: final k-means assignment (vec_id, cluster, d2). */
+  def q170Kmeans: String =
+    s"""
+WITH $kmeansCtes
+SELECT vec_id, c AS cluster, CAST(d2 AS BIGINT) AS d2 FROM af WHERE rn = 1
+"""
+
+  /** q171: IVF top-5 — probe the 4 nearest coarse cells per query
+    * (vec_id % 50 = 0), exact re-rank inside probed cells only. */
+  def q171Ivf: String =
+    s"""
+WITH $kmeansCtes,
+lists AS (SELECT vec_id AS neighbor_id, c AS cluster, qv FROM af WHERE rn = 1),
+qry AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id % 50 = 0),
+pc0 AS (
+  SELECT y.query_id, y.qv, c.c,
+    list_sum(list_transform(range(1, 65), __i ->
+      (y.qv[__i] - c.cv[__i]) * (y.qv[__i] - c.cv[__i]))) AS cd2
+  FROM qry y, c2 c),
+pc AS (
+  SELECT query_id, qv, c,
+    row_number() OVER (PARTITION BY query_id ORDER BY cd2, c) AS prn
+  FROM pc0),
+cd AS (
+  SELECT p.query_id, l.neighbor_id,
+    list_sum(list_transform(range(1, 65), __i ->
+      (p.qv[__i] - l.qv[__i]) * (p.qv[__i] - l.qv[__i]))) AS d2
+  FROM (SELECT query_id, qv, c AS cluster FROM pc WHERE prn <= 4) p
+  JOIN lists l ON l.cluster = p.cluster
+  WHERE l.neighbor_id <> p.query_id),
+rk AS (
+  SELECT query_id, neighbor_id, d2,
+    row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+  FROM cd)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+  CAST(d2 AS BIGINT) AS d2
+FROM rk WHERE rank <= 5
+"""
+
   /** The norm → toks → sh → sig → bandk → cand → jac CTE chain shared by
     * the q24 pair oracle and the q169 cluster oracle (same MinHash law). */
   private def minhashCtes: String = {

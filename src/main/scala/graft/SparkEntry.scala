@@ -1566,6 +1566,20 @@ object SparkEntry {
         srcW = 1024, srcH = 512, dstW = 1024, dstH = 512)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q170_kmeans" -> ((s, dir) =>
+      // integer-exact Lloyd k-means (the IVF coarse quantizer): shuffle-
+      // free literal-centroid assignment + one (cluster, dim)-key hash agg
+      // per iteration with a bounded k*dim collect (operators/Ann.kmeans)
+      Ann.kmeans(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+        ._1.select(col("id").as("vec_id"), col("cluster"), col("d2"))),
+    "q171_ivf_topk" -> ((s, dir) =>
+      // IVF ANN: probe 2 nearest coarse cells per query, exact BIGINT
+      // re-rank inside probed cells only — the partition-pruned scale
+      // path beside q26's brute oracle and q45's LSH (operators/Ann)
+      Ann.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", queryPred = col("vec_id") % 50 === 0,
+        k = 5, nprobe = 4, kCells = 8, iters = 2, dim = 64)),
     "q168_repetition_quality" -> ((s, dir) =>
       // within-document repetition signals (the Gopher/MassiveText rule
       // family): duplicate-word and top-bigram fractions as truncating
@@ -4045,6 +4059,8 @@ object SparkEntry {
          LEFT JOIN wagg w ON w.doc_id = t.doc_id
          LEFT JOIN bt b ON b.doc_id = t.doc_id""",
     "q169_dedup_clusters" -> OracleHashSql.q169Clusters,
+    "q170_kmeans" -> OracleHashSql.q170Kmeans,
+    "q171_ivf_topk" -> OracleHashSql.q171Ivf,
     "q167_viewshed" ->
       // exact R3 line-of-sight replay: same DDA rounding (non-negative
       // numerator, so DuckDB // == Spark div) and the same BIGINT

@@ -142,4 +142,106 @@ object Ann {
           (col("na2") * lit(minCosNum)) * (col("nb2") * lit(minCosNum)))
       .select("id_a", "id_b", "dot_fp")
   }
+
+  /** Integer-exact Lloyd k-means over an embedding column — the coarse
+    * quantizer an IVF index needs (ivfTopK below is the probe side).
+    *
+    * Determinism contract: embeddings quantize to BIGINT (floor((x+2)·2^20)
+    * — the +2 shift keeps every value, hence every centroid mean,
+    * non-negative so truncating integer division == floor on any engine);
+    * distances are exact BIGINT squared-L2; argmin ties break to the
+    * smaller centroid index; centroid update is sum div count; an emptied
+    * cluster keeps its previous centroid. Every step is therefore
+    * bit-reproducible by a SQL oracle, partition-order-independent, and
+    * safe to resume.
+    *
+    * Scale notes (100-TB design, the Spark MLlib shape): per iteration the
+    * assignment is a SHUFFLE-FREE codegen'd projection (the k×dim centroid
+    * matrix is baked into the plan as a literal — k·dim ≤ a few thousand
+    * BIGINTs by construction of a coarse quantizer), and the update is one
+    * partial+final hash aggregate on (cluster, dim) — k·dim keys — followed
+    * by a BOUNDED k·dim-row collect to refresh the literal. No per-row
+    * UDFs, no iteration state on executors.
+    *
+    * Returns (assignments (id, cluster, d2), final centroids). */
+  def kmeans(data: DataFrame, idCol: String, vecCol: String,
+             k: Int = 8, iters: Int = 2, dim: Int = 64)
+      : (DataFrame, Array[Array[Long]]) = {
+    val q = data.select(col(idCol).as("id"), expr(
+      s"transform($vecCol, __x -> CAST(floor((CAST(__x AS DOUBLE) + 2.0D) * 1048576.0D) AS BIGINT))")
+      .as("qv"))
+    // init: the k smallest ids, centroid index = rank by id (k rows)
+    var cents: Array[Array[Long]] = q.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(cents.length == k, s"kmeans: need >= $k rows, got ${cents.length}")
+
+    def centsLit: String =
+      cents.map(c => s"array(${c.mkString("L,")}L)").mkString("array(", ",", ")")
+    // d2 per centroid, argmin index (1-based array_position, ties -> first
+    // = smallest centroid index), exact BIGINT arithmetic throughout
+    def assigned: DataFrame = q
+      .withColumn("d2s", expr(
+        s"transform($centsLit, __cv -> aggregate(zip_with(qv, __cv, " +
+          "(__a, __b) -> (__a - __b) * (__a - __b)), 0L, (__s, __x) -> __s + __x))"))
+      .select(col("id"), col("qv"),
+        (expr("array_position(d2s, array_min(d2s))") - 1L).as("cluster"),
+        expr("array_min(d2s)").as("d2"))
+
+    for (_ <- 1 to iters) {
+      // ONE hash agg on (cluster, dim): k*dim output rows, bounded collect
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("i", "v")))
+        .groupBy("cluster", "i")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next // clusters with no members kept their previous centroid
+    }
+    (assigned.select(col("id"), col("cluster"), col("d2")), cents)
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest coarse cells per query, exact
+    * BIGINT re-rank inside the probed cells only. The inverted lists are
+    * the kmeans assignment — at scale the corpus is written bucketed by
+    * `cluster`, so a probe is a partition-pruned scan + equi-join on the
+    * cell id (never a corpus broadcast or cross join); recall < 1 by
+    * design, measured against bruteTopK in PipelineSpec. Ties break to the
+    * smaller neighbor id; self-matches are excluded like bruteTopK. */
+  def ivfTopK(data: DataFrame, idCol: String, vecCol: String,
+              queryPred: org.apache.spark.sql.Column, k: Int = 5,
+              nprobe: Int = 4, kCells: Int = 8, iters: Int = 2,
+              dim: Int = 64): DataFrame = {
+    val (assign, cents) = kmeans(data, idCol, vecCol, kCells, iters, dim)
+    val lists = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dv"))
+      .join(assign.select(col("id").as("neighbor_id"), col("cluster")), Seq("neighbor_id"))
+    val centsLit = cents.map(c => s"array(${c.mkString("L,")}L)")
+      .mkString("array(", ",", ")")
+    // query side: nprobe nearest centroids by the same exact d2 law
+    val probes = data.where(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvf"))
+      .withColumn("qq", expr(
+        "transform(qvf, __x -> CAST(floor((CAST(__x AS DOUBLE) + 2.0D) * 1048576.0D) AS BIGINT))"))
+      .withColumn("cd2s", expr(
+        s"transform($centsLit, __cv -> aggregate(zip_with(qq, __cv, " +
+          "(__a, __b) -> (__a - __b) * (__a - __b)), 0L, (__s, __x) -> __s + __x))"))
+      .withColumn("cluster", explode(expr(
+        s"transform(slice(array_sort(transform(cd2s, (__d, __i) -> " +
+          s"named_struct('d', __d, 'c', CAST(__i AS BIGINT)))), 1, $nprobe), __s -> __s.c)")))
+      .select(col("query_id"), col("qvf"), col("cluster"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    probes.join(lists, Seq("cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(" +
+          "transform(qvf, __x -> CAST(floor((CAST(__x AS DOUBLE) + 2.0D) * 1048576.0D) AS BIGINT)), " +
+          "transform(dv,  __x -> CAST(floor((CAST(__x AS DOUBLE) + 2.0D) * 1048576.0D) AS BIGINT)), " +
+          "(__a, __b) -> (__a - __b) * (__a - __b)), 0L, (__s, __x) -> __s + __x)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("d2"))
+  }
 }
