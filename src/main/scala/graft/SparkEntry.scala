@@ -1566,6 +1566,27 @@ object SparkEntry {
         srcW = 1024, srcH = 512, dstW = 1024, dstH = 512)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q172_stratified_sample" -> ((s, dir) => {
+      // Deterministic stratified sampling with EXACT per-stratum
+      // allocation (ceil 20% of every (lang, source) stratum): selection
+      // order is (fingerprint64(text), doc_id) — content-hash order, so
+      // the sample is reproducible, unbiased by ingest order, and
+      // identical texts sample identically (the q145 leakage rule). One
+      // shuffle on the stratum key; rank + count in a single window pass.
+      // At 100-TB scale a pathological mega-stratum would sort wide —
+      // exact allocation requires it; the approximate alternative
+      // (per-row Bernoulli on the hash) is q145's bucket split.
+      F.ensureRegistered(s)
+      val w = Window.partitionBy("lang", "source").orderBy(col("fp"), col("doc_id"))
+      val wc = Window.partitionBy("lang", "source")
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("fp", expr("fingerprint64(text)"))
+        .withColumn("srank", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .where(col("srank") <= expr("(n + 4) div 5"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("srank").cast("long").as("srank"))
+    }),
     "q170_kmeans" -> ((s, dir) =>
       // integer-exact Lloyd k-means (the IVF coarse quantizer): shuffle-
       // free literal-centroid assignment + one (cluster, dim)-key hash agg
@@ -4060,6 +4081,24 @@ object SparkEntry {
          LEFT JOIN bt b ON b.doc_id = t.doc_id""",
     "q169_dedup_clusters" -> OracleHashSql.q169Clusters,
     "q170_kmeans" -> OracleHashSql.q170Kmeans,
+    "q172_stratified_sample" ->
+      // q145's rolling-hash law (mod 2^61-1, always non-negative, so
+      // BIGINT order matches Spark's) ranked within (lang, source)
+      """WITH fp AS (
+           SELECT doc_id, lang, source,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(range(1, length(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) + 1),
+                   i -> CAST(unicode(substr(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), CAST(i AS INT), 1)) AS HUGEINT))),
+               (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS fp
+           FROM documents),
+         rk AS (
+           SELECT doc_id, lang, source, fp,
+             row_number() OVER (PARTITION BY lang, source ORDER BY fp, doc_id) AS srank,
+             count(*) OVER (PARTITION BY lang, source) AS n
+           FROM fp)
+         SELECT doc_id, lang, source, CAST(srank AS BIGINT) AS srank
+         FROM rk WHERE srank <= (n + 4) // 5""",
     "q171_ivf_topk" -> OracleHashSql.q171Ivf,
     "q167_viewshed" ->
       // exact R3 line-of-sight replay: same DDA rounding (non-negative
