@@ -96,6 +96,13 @@ class PipelineSpec extends AnyFunSuite {
     val got = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, minJaccard = 0.5,
       blockCol = Some("lang"))
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both regimes must agree bit-for-bit (this corpus's vocab <= 4096, so
+    // the default ran the dense bitmap path; denseVocabMax = 0 forces the
+    // sparse PPJoin path)
+    val sparse = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, minJaccard = 0.5,
+      blockCol = Some("lang"), denseVocabMax = 0L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == sparse, "dense and sparse regimes disagree")
     val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val grams = rows.map { case (id, t, _) => id -> TextCore.charNgrams(t, 3) }.toMap
     val brute = (for {
