@@ -1566,6 +1566,22 @@ object SparkEntry {
         srcW = 1024, srcH = 512, dstW = 1024, dstH = 512)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q173_contour_polygons" -> ((s, dir) =>
+      // gdal_contour -p (polygon mode): the raster classified into fixed
+      // elevation BANDS [0,4) [4,8) [8,12) [12,16), then each band
+      // polygonized into connected components — one CCL pass per band on
+      // the shared tile machinery (alg/contour.cpp polygon writer re-
+      // expressed through alg/polygonize.cpp's component labeling). Band
+      // count is the -fl list length: a fixed, small plan multiplier.
+      Seq((0L, (v: Double) => v < 4.0),
+          (1L, (v: Double) => v >= 4.0 && v < 8.0),
+          (2L, (v: Double) => v >= 8.0 && v < 12.0),
+          (3L, (v: Double) => v >= 12.0))
+        .map { case (lvl, pred) =>
+          Polygonize.components(Synth.maskTiles(s, 2), 8, 8, 64, 32, pred, _ => 1.0)
+            .select(lit(lvl).as("lvl"), col("label"), col("n_pixels"),
+              col("min_gx"), col("max_gx"), col("min_gy"), col("max_gy"))
+        }.reduce(_ unionByName _)),
     "q172_stratified_sample" -> ((s, dir) => {
       // Deterministic stratified sampling with EXACT per-stratum
       // allocation (ceil 20% of every (lang, source) stratum): selection
@@ -4081,6 +4097,39 @@ object SparkEntry {
          LEFT JOIN bt b ON b.doc_id = t.doc_id""",
     "q169_dedup_clusters" -> OracleHashSql.q169Clusters,
     "q170_kmeans" -> OracleHashSql.q170Kmeans,
+    "q173_contour_polygons" ->
+      // q33's transitive closure with a band (lvl) column: edges connect
+      // only same-band neighbors, components keyed (lvl, label)
+      """WITH px AS (
+           SELECT (t.tx * 8 + i.i % 8) AS gx, (t.ty * 8 + i.i // 8) AS gy,
+                  (t.tx*131 + t.ty*173 + (i.i % 8)*7 + (i.i // 8)*11) % 16 AS v
+           FROM (SELECT gx.x AS tx, gy.y AS ty
+                 FROM generate_series(0, 7) gx(x), generate_series(0, 3) gy(y)) t,
+                generate_series(0, 63) i(i)),
+         nodes AS (
+           SELECT gx, gy, gy * 64 + gx AS id,
+             CAST(CASE WHEN v < 4 THEN 0 WHEN v < 8 THEN 1
+                       WHEN v < 12 THEN 2 ELSE 3 END AS BIGINT) AS lvl
+           FROM px),
+         edges AS (
+           SELECT a.id AS a, b.id AS b FROM nodes a JOIN nodes b
+             ON a.lvl = b.lvl AND
+                ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))
+           UNION ALL
+           SELECT b.id AS a, a.id AS b FROM nodes a JOIN nodes b
+             ON a.lvl = b.lvl AND
+                ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))),
+         reach AS (
+           WITH RECURSIVE r(id, root) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.a, r.root FROM r JOIN edges e ON e.b = r.id WHERE r.root < e.a
+           ) SELECT * FROM r),
+         lbl AS (SELECT id, min(root) AS label FROM reach GROUP BY id)
+         SELECT n.lvl, l.label, count(*) AS n_pixels,
+           min(n.gx) AS min_gx, max(n.gx) AS max_gx,
+           min(n.gy) AS min_gy, max(n.gy) AS max_gy
+         FROM lbl l JOIN nodes n ON n.id = l.id GROUP BY 1, 2""",
     "q172_stratified_sample" ->
       // q145's rolling-hash law (mod 2^61-1, always non-negative, so
       // BIGINT order matches Spark's) ranked within (lang, source)

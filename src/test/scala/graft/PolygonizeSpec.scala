@@ -113,6 +113,24 @@ class PolygonizeSpec extends AnyFunSuite {
     assert(comps.head.getAs[Long]("label") == 2L * gw + 0) // min pixel id: (gy=2,gx=0)
   }
 
+  test("contour polygons (q173 bands): per-band components match the scalar oracle and tile the grid") {
+    val (vals, gw, gh) = synthVals(2, 8, 8)
+    val bands = Seq[(Long, Double => Boolean)](
+      (0L, _ < 4.0), (1L, v => v >= 4.0 && v < 8.0),
+      (2L, v => v >= 8.0 && v < 12.0), (3L, _ >= 12.0))
+    var covered = 0L
+    bands.foreach { case (lvl, mask) =>
+      val got = Polygonize.components(Synth.maskTiles(spark, 2, 8, 8), 8, 8, gw, gh, mask, _ => 1.0)
+        .select("label", "n_pixels").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val m = vals.map(mask)
+      val labels = Ccl.labelLocal(vals.map(_ => 1.0), m, gw, gh)
+      val want = labels.filter(_ >= 0).groupBy(_.toLong).map { case (l, a) => l -> a.length.toLong }
+      assert(got == want, s"band $lvl")
+      covered += got.values.sum
+    }
+    assert(covered == gw.toLong * gh, "bands must partition the grid exactly")
+  }
+
   test("8-connectivity: diagonal merges locally, across seams, and on every tile-corner diagonal") {
     val w = 4; val h = 4
     // distributed == whole-grid scalar with conn8, on the synthetic mask
