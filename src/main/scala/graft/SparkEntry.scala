@@ -1566,6 +1566,26 @@ object SparkEntry {
         srcW = 1024, srcH = 512, dstW = 1024, dstH = 512)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q174_approx_stats" -> ((s, dir) =>
+      // gdalinfo -approx_stats / GDALRasterBand::ComputeStatistics with
+      // bApproxOK (gcore/gdalrasterband.cpp): statistics over a decimated
+      // sample grid — every 4th pixel on both axes — instead of the full
+      // band. Per-tile HOF partials (the tile grid is axis-aligned with
+      // the decimation, so each tile contributes its own lattice points)
+      // + one global agg; integer min/max/sum, mean as milli (div).
+      Synth.tiles(s, 3)
+        .select(expr(
+          """aggregate(
+               filter(transform(pixels, (v, i) -> named_struct(
+                 'v', CAST(v AS BIGINT), 'keep', i % 64 % 4 = 0 AND i div 64 % 4 = 0)),
+                 __s -> __s.keep),
+               named_struct('n', 0L, 'mn', 9223372036854775807L, 'mx', -9223372036854775808L, 'sm', 0L),
+               (a, x) -> named_struct('n', a.n + 1L, 'mn', least(a.mn, x.v),
+                 'mx', greatest(a.mx, x.v), 'sm', a.sm + x.v))""").as("p"))
+        .agg(sum(expr("p.n")).as("n"), min(expr("p.mn")).as("vmin"),
+          max(expr("p.mx")).as("vmax"), sum(expr("p.sm")).as("vsum"))
+        .select(col("n"), col("vmin"), col("vmax"), col("vsum"),
+          expr("(vsum * 1000L) div n").as("mean_milli"))),
     "q173_contour_polygons" -> ((s, dir) =>
       // gdal_contour -p (polygon mode): the raster classified into fixed
       // elevation BANDS [0,4) [4,8) [8,12) [12,16), then each band
@@ -4097,6 +4117,20 @@ object SparkEntry {
          LEFT JOIN bt b ON b.doc_id = t.doc_id""",
     "q169_dedup_clusters" -> OracleHashSql.q169Clusters,
     "q170_kmeans" -> OracleHashSql.q170Kmeans,
+    "q174_approx_stats" ->
+      // decimated lattice replayed from the zoom-3 synth law; the lattice
+      // in GLOBAL pixel coords == per-tile (px % 4 = 0, py % 4 = 0)
+      // because 64 % 4 = 0
+      """WITH px AS (
+           SELECT CAST((t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS BIGINT) AS v
+           FROM (SELECT gx.x AS tx, gy.y AS ty
+                 FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)) t,
+                generate_series(0, 4095) i(i)
+           WHERE i.i % 64 % 4 = 0 AND i.i // 64 % 4 = 0)
+         SELECT count(*) AS n, min(v) AS vmin, max(v) AS vmax,
+           CAST(sum(v) AS BIGINT) AS vsum,
+           CAST((sum(v) * 1000) // count(*) AS BIGINT) AS mean_milli
+         FROM px""",
     "q173_contour_polygons" ->
       // q33's transitive closure with a band (lvl) column: edges connect
       // only same-band neighbors, components keyed (lvl, label)
