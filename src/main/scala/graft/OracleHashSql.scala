@@ -895,6 +895,57 @@ FROM vr v JOIN ks k ON k.q_id = v.q_id
 """
   }
 
+  /** q175: the GPX writer + parser graded like q112/q159 — the oracle
+    * rebuilds the exact GPX text (positions as lat="y" lon="x" ATTRIBUTE
+    * pairs under the shared integer-vs-shortest-decimal contract; tracks
+    * as trkseg/trkpt, the MultiPoint branch as a gpx waypoint layer) and
+    * the vertex rows, both UNQUANTIZED. */
+  def q175Gpx: String = {
+    def f(e: String): String =
+      s"CASE WHEN ($e) = floor($e) THEN CAST(CAST(($e) AS BIGINT) AS VARCHAR) " +
+        s"ELSE CAST(($e) AS VARCHAR) END"
+    def pt(tag: String, x: String, y: String): String =
+      s"'<$tag lat=\"' || ${f(y)} || '\" lon=\"' || ${f(x)} || '\"/>'"
+    s"""WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 4.0 AS ax,
+    CAST((s_suppkey * 104729) % 512 AS DOUBLE) AS ay,
+    1.0 + CAST(s_suppkey % 7 AS DOUBLE) / 2.0 AS w,
+    2.0 + CAST(s_suppkey % 5 AS DOUBLE) AS h
+  FROM supplier),
+cc AS (
+  SELECT q_id, ax, ay, ax + w AS x2, ay + h AS y2, ay + 2.0 * h AS y3 FROM sp),
+ks AS (
+  SELECT q_id,
+    CASE WHEN q_id % 4 = 0 THEN
+      ${pt("wpt", "ax", "ay")}
+    WHEN q_id % 4 = 1 THEN
+      '<trk><trkseg>' || ${pt("trkpt", "ax", "ay")} || ${pt("trkpt", "x2", "y2")} ||
+        ${pt("trkpt", "ax", "y3")} || '</trkseg></trk>'
+    WHEN q_id % 4 = 2 THEN
+      '<trk><trkseg>' || ${pt("trkpt", "ax", "ay")} || ${pt("trkpt", "x2", "y2")} ||
+        '</trkseg><trkseg>' || ${pt("trkpt", "ax", "y2")} || ${pt("trkpt", "x2", "ay")} ||
+        '</trkseg></trk>'
+    ELSE
+      '<gpx>' || ${pt("wpt", "ax", "ay")} || ${pt("wpt", "x2", "y2")} || '</gpx>'
+    END AS gpx
+  FROM cc),
+vr AS (
+  SELECT q_id, 0 AS seq, ax AS x, ay AS y FROM cc WHERE q_id % 4 = 0
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 2, ax, y3 FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 2, ax, y2 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 3, x2, ay FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 4 = 3)
+SELECT v.q_id, k.gpx, CAST(v.seq AS BIGINT) AS seq, v.x, v.y
+FROM vr v JOIN ks k ON k.q_id = v.q_id
+"""
+  }
+
   /** q162: shapefile record round-trip replayed closed-form — record byte
     * lengths from the wire layout (8-byte header + type-specific content
     * sizing), dbf N/C values from their generators, and the vertex

@@ -1936,6 +1936,42 @@ object SparkEntry {
         .select(col("q_id"), col("kml"), col("seq").cast("long").as("seq"),
           col("p.x").as("x"), col("p.y").as("y"))
     }),
+    "q175_gpx" -> ((s, dir) => {
+      // OGR GPX driver analog (ogr/ogrsf_frmts/gpx/ogrgpxlayer.cpp):
+      // fifth text-format driver, and the first where positions are XML
+      // ATTRIBUTES (lat/lon on wpt/trkpt) rather than element text —
+      // exercising the shared Xml reader's attribute capture. Write each
+      // geometry as GPX, parse it BACK, dump vertex rows from the
+      // round-tripped geometry; the oracle rebuilds the GPX string
+      // (lat="y" lon="x" under the GeoJson.fmt contract) AND the
+      // vertices from the generating arithmetic — writer and parser both
+      // bit-exact UNQUANTIZED. Branches: waypoint, single-segment track,
+      // TWO-segment track (MultiLineString ↔ multiple <trkseg>), and
+      // MultiPoint ↔ a <gpx> waypoint layer. Shuffle-free.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 4.0D"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 512 AS DOUBLE)"))
+        .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
+        .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
+        .withColumn("wkt", expr(
+          """CASE WHEN q_id % 4 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+             WHEN q_id % 4 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
+               ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
+             WHEN q_id % 4 = 2 THEN format_string('MULTILINESTRING((%s %s, %s %s), (%s %s, %s %s))',
+               ax, ay, ax + w, ay + h, ax, ay + h, ax + w, ay)
+             ELSE format_string('MULTIPOINT(%s %s, %s %s)',
+               ax, ay, ax + w, ay + h)
+             END"""))
+        .withColumn("gpx", call_function("st_asgpx",
+          call_function("st_geomfromwkt", col("wkt"))))
+        .select(col("q_id"), col("gpx"),
+          posexplode(call_function("st_points",
+            call_function("st_geomfromgpx", col("gpx")))).as(Seq("seq", "p")))
+        .select(col("q_id"), col("gpx"), col("seq").cast("long").as("seq"),
+          col("p.x").as("x"), col("p.y").as("y"))
+    }),
     "q147_tfidf_topk" -> ((s, dir) => {
       // TF-IDF top-3 terms per document — the classic two-agg + window
       // pipeline op: term frequencies, document frequencies, an integer
@@ -4067,6 +4103,7 @@ object SparkEntry {
     "q126_layer_update" -> OracleHashSql.q126LayerUpdate,
     "q120_stream_sessionize" -> OracleHashSql.q120StreamSessionize,
     "q112_kml" -> OracleHashSql.q112Kml,
+    "q175_gpx" -> OracleHashSql.q175Gpx,
     "q142_csv_driver" -> OracleHashSql.q142CsvDriver,
     "q159_gml" -> OracleHashSql.q159Gml,
     "q162_shapefile" -> OracleHashSql.q162Shapefile,

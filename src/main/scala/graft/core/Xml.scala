@@ -1,14 +1,15 @@
 package graft.core
 
-/** Minimal XML reader shared by the KML and GML drivers: elements with
-  * attributes (values skipped — only error positions need them), text
+/** Minimal XML reader shared by the KML, GML and GPX drivers: elements
+  * with attributes (captured — GPX carries lat/lon as attributes), text
   * content, self-closing tags, comments, prologs; namespace prefixes
   * strip to the local name; entities: the five XML predefined ones.
-  * Extracted verbatim from the KML driver so both format parsers share
+  * Extracted verbatim from the KML driver so all format parsers share
   * one tolerance contract. */
 private[core] object Xml {
 
-  final case class Node(name: String, children: Vector[Node], text: String)
+  final case class Node(name: String, children: Vector[Node], text: String,
+      attrs: Map[String, String] = Map.empty)
 
   final class Reader(s: String, label: String) {
     private var i = 0
@@ -53,9 +54,12 @@ private[core] object Xml {
       if (colon >= 0) n.substring(colon + 1) else n
     }
 
-    private def skipAttrs(): Boolean = { // returns true if self-closing
+    // returns (attrs, selfClosing); attribute names strip their namespace
+    // prefix like element names, values unescape the predefined entities
+    private def readAttrs(): (Map[String, String], Boolean) = {
       var done = false
       var selfClosing = false
+      var attrs = Map.empty[String, String]
       while (!done) {
         ws()
         if (i >= s.length) fail("unterminated tag")
@@ -65,18 +69,19 @@ private[core] object Xml {
             if (!s.startsWith("/>", i)) fail("stray '/' in tag")
             i += 2; done = true; selfClosing = true
           case _ =>
-            name(); ws()
+            val an = name(); ws()
             if (i < s.length && s.charAt(i) == '=') {
               i += 1; ws()
               if (i >= s.length || (s.charAt(i) != '"' && s.charAt(i) != '\'')) fail("expected quoted attribute")
               val q = s.charAt(i); i += 1
               val e = s.indexOf(q, i)
               if (e < 0) fail("unterminated attribute value")
+              attrs += (an -> unescape(s.substring(i, e)))
               i = e + 1
             }
         }
       }
-      selfClosing
+      (attrs, selfClosing)
     }
 
     private def unescape(t: String): String =
@@ -94,7 +99,8 @@ private[core] object Xml {
       // cursor is AT '<'
       i += 1
       val n = name()
-      if (skipAttrs()) return Node(n, Vector.empty, "")
+      val (attrs, selfClosing) = readAttrs()
+      if (selfClosing) return Node(n, Vector.empty, "", attrs)
       val kids = Vector.newBuilder[Node]
       val text = new StringBuilder
       var closed = false
@@ -127,7 +133,7 @@ private[core] object Xml {
           text.append(unescape(s.substring(start, i)))
         }
       }
-      Node(n, kids.result(), text.toString)
+      Node(n, kids.result(), text.toString, attrs)
     }
   }
 }

@@ -68,6 +68,8 @@ object F {
         "st_geomfromkml" -> (e => StGeomFromKml(e.head)),
         "st_asgml"       -> (e => StAsGml(e.head)),
         "st_geomfromgml" -> (e => StGeomFromGml(e.head)),
+        "st_asgpx"       -> (e => StAsGpx(e.head)),
+        "st_geomfromgpx" -> (e => StGeomFromGpx(e.head)),
         "st_segmentize"  -> (e => StSegmentize(e(0), e(1))),
         "st_distance_sphere" -> (e => StDistanceSphere(e(0), e(1))),
         "st_line_length"    -> (e => StLineLength(e.head)),

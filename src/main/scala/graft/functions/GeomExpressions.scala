@@ -291,6 +291,37 @@ case class StGeomFromGml(child: Expression)
   override def prettyName: String = "st_geomfromgml"
 }
 
+/** st_asgpx(geom) → GPX 1.1 fragment (reference:
+  * ogr/ogrsf_frmts/gpx/ogrgpxlayer.cpp writer; core/Gpx contract —
+  * positions as lat/lon ATTRIBUTES, unlike the KML/GML text tuples). */
+case class StAsGpx(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (b.isEmpty) null
+    else UTF8String.fromString(graft.core.Gpx.write(GeomOps.fromWkb(b)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_asgpx"
+}
+
+/** st_geomfromgpx(text) → WKB (ogr/ogrsf_frmts/gpx reader analog:
+  * wpt/trk/trkseg/rte/gpx elements, lat/lon attribute coordinates). */
+case class StGeomFromGpx(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty || s.forall(_.isWhitespace)) null
+    else GeomIO.toWkb(graft.core.Gpx.parse(s))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_geomfromgpx"
+}
+
 case class StGeomFromGeoJson(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

@@ -895,6 +895,54 @@ class CoreSpec extends AnyFunSuite {
     intercept[Exception](Gml.parse("<Polygon><LinearRing><posList>0 0 1</posList></LinearRing></Polygon>"))
   }
 
+  test("GPX: write/parse round-trips, attribute coordinates, route read") {
+    import graft.core.Gpx
+    def rt(wkt: String): Unit = {
+      val g = GeomIO.fromWkt(wkt)
+      val back = Gpx.parse(Gpx.write(g))
+      assert(back.equalsExact(g), s"$wkt -> ${Gpx.write(g)} -> $back")
+    }
+    rt("POINT (3 4.25)")
+    rt("LINESTRING (0 0, 1.5 2, 3 0)")
+    rt("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))")
+    rt("MULTIPOINT ((1 2), (3 4))")
+    // exact writer form: lat/lon ATTRIBUTES (lat = y first), fmt contract
+    assert(Gpx.write(GeomIO.point(3.0, 4.25)) == """<wpt lat="4.25" lon="3"/>""")
+    assert(Gpx.write(GeomIO.fromWkt("LINESTRING (0 0, 1 1)")) ==
+      """<trk><trkseg><trkpt lat="0" lon="0"/><trkpt lat="1" lon="1"/></trkseg></trk>""")
+    // documented divergence: a single waypoint inside <gpx> reads as
+    // MultiPoint (the waypoint LAYER), so MULTIPOINT((1 2)) round-trips
+    val single = Gpx.parse(Gpx.write(GeomIO.fromWkt("MULTIPOINT ((1 2))")))
+    assert(single.getGeometryType == "MultiPoint")
+    // reader tolerance: prolog, namespace attrs, name/ele/time children,
+    // expanded (non-self-closing) trkpt, entity-escaped attribute values
+    val tolerant = Gpx.parse(
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<gpx version="1.1" creator="test" xmlns="http://www.topografix.com/GPX/1/1">
+        |  <wpt lat="4.25" lon="3"><name>A &amp; B</name><ele>12.5</ele></wpt>
+        |</gpx>""".stripMargin)
+    assert(tolerant.equalsExact(GeomIO.fromWkt("MULTIPOINT ((3 4.25))")))
+    val track = Gpx.parse(
+      """<trk><name>t</name><trkseg>
+        |<trkpt lat="0" lon="0"><ele>1</ele><time>2020-01-01T00:00:00Z</time></trkpt>
+        |<trkpt lat="1" lon="2"/>
+        |</trkseg></trk>""".stripMargin)
+    assert(track.equalsExact(GeomIO.fromWkt("LINESTRING (0 0, 2 1)")))
+    // routes read as LineStrings (OGR's rte mapping)
+    val route = Gpx.parse("""<rte><rtept lat="0" lon="0"/><rtept lat="3" lon="4"/></rte>""")
+    assert(route.equalsExact(GeomIO.fromWkt("LINESTRING (0 0, 4 3)")))
+    // mixed gpx content falls back to GeometryCollection
+    val mixed = Gpx.parse(
+      """<gpx><wpt lat="1" lon="1"/><trk><trkseg><trkpt lat="0" lon="0"/>
+        |<trkpt lat="1" lon="1"/></trkseg></trk></gpx>""".stripMargin)
+    assert(mixed.getGeometryType == "GeometryCollection" && mixed.getNumGeometries == 2)
+    // malformed inputs raise, not corrupt
+    intercept[Exception](Gpx.parse("""<wpt lon="3"/>"""))
+    intercept[Exception](Gpx.parse("<trk></trk>"))
+    intercept[Exception](Gpx.parse("""<wpt lat="1" lon="2"/> junk"""))
+    intercept[Exception](Gpx.parse("""<nope lat="1" lon="2"/>"""))
+  }
+
   test("st_simplify: DP keep/drop against ground truth, survivors bit-exact") {
     val spark = TestSpark.spark
     import spark.implicits._
