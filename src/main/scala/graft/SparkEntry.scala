@@ -1449,6 +1449,23 @@ object SparkEntry {
       Raster.colorRelief(Synth.tiles(s, 3), ramp)
         .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q176_hsv_merge" -> ((s, dir) => {
+      // hsv_merge.py (swig/python/scripts): greyscale "hillshade" merged
+      // into a color-relief RGB via HSV value replacement — here the q66
+      // ramp RGB and a distinct-law grey band over the same zoom-3 grid.
+      // The HSV round-trip collapses to out = c·shade div max(r,g,b)
+      // (hue/saturation = channel ratios, preserved under uniform scale;
+      // see Raster.hsvMerge). ONE band-regroup agg + ONE tile equi-join,
+      // per-band checksums graded.
+      F.ensureRegistered(s)
+      val ramp = Seq((0, 0, 0, 128), (64, 0, 128, 0), (128, 255, 255, 0),
+        (192, 128, 64, 0), (255, 255, 255, 255))
+      val rgb = Raster.colorRelief(Synth.tiles(s, 3), ramp)
+      val shade = Synth.tiles(s, 3).withColumn("pixels",
+        expr("transform(pixels, v -> CAST((CAST(v AS BIGINT) * 5 + 97) % 256 AS DOUBLE))"))
+      Raster.hsvMerge(rgb, shade)
+        .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q70_pct2rgb" -> ((s, dir) => {
       // pct2rgb o rgb2pct round-trip on the q63 corpus (256 distinct
       // colors at quantBits=8/paletteSize=256 -> exact inverse): per-band
@@ -5253,6 +5270,44 @@ object SparkEntry {
          SELECT band, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
            CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM chan GROUP BY 1, 2, 3""",
+    "q176_hsv_merge" ->
+      // q66's hand-derived ramp chains as COLUMNS (all three channels per
+      // pixel jointly), shade from its own law, then the HSV value-replace
+      // collapse out = c*shade // max(r,g,b) (max>0 over this ramp, the
+      // vmax=0 guard is structurally dead here)
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS v
+           FROM tiles t, generate_series(0, 4095) i(i)),
+         chan AS (
+           SELECT tx, ty, i,
+             CASE WHEN v < 64 THEN 0
+                  WHEN v < 128 THEN (2*(v-64)*255 + 64) // 128
+                  WHEN v < 192 THEN 255 - (2*(v-128)*127 + 64) // 128
+                  WHEN v < 255 THEN 128 + (2*(v-192)*127 + 63) // 126
+                  ELSE 255 END AS r,
+             CASE WHEN v < 64 THEN (2*v*128 + 64) // 128
+                  WHEN v < 128 THEN 128 + (2*(v-64)*127 + 64) // 128
+                  WHEN v < 192 THEN 255 - (2*(v-128)*191 + 64) // 128
+                  WHEN v < 255 THEN 64 + (2*(v-192)*191 + 63) // 126
+                  ELSE 255 END AS g,
+             CASE WHEN v < 64 THEN 128 - (2*v*128 + 64) // 128
+                  WHEN v < 192 THEN 0
+                  WHEN v < 255 THEN (2*(v-192)*255 + 63) // 126
+                  ELSE 255 END AS b,
+             (v * 5 + 97) % 256 AS sh
+           FROM px),
+         o AS (
+           SELECT tx, ty, i, bb.b AS band,
+             CASE WHEN greatest(r, g, chan.b) = 0 THEN sh
+                  ELSE ((CASE bb.b WHEN 1 THEN r WHEN 2 THEN g ELSE chan.b END) * sh)
+                       // greatest(r, g, chan.b) END AS val
+           FROM chan, generate_series(1, 3) bb(b))
+         SELECT CAST(band AS INT) AS band, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM o GROUP BY 1, 2, 3""",
     "q133_color_relief_nearest" ->
       // hand-derived integer thresholds (v <= floor(midpoint)) — NOT the
       // engine's 2v < e_i+e_{i+1} form — per channel over the closed-form

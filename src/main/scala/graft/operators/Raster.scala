@@ -1385,6 +1385,45 @@ object Raster {
         col("o.pixels").as("pixels"))
   }
 
+  /** hsv_merge (reference: swig/python/scripts/hsv_merge.py — the classic
+    * "hillshade under color-relief" composite): convert an RGB raster to
+    * HSV, replace the VALUE channel with a greyscale band, convert back.
+    * Because hue and saturation are untouched, the HSV round-trip
+    * collapses to a uniform per-pixel rescale out_c = c·shade / max(r,g,b)
+    * — s = (max−min)/max and h depend only on channel RATIOS, which a
+    * uniform scale preserves — implemented in pure BIGINT with truncating
+    * div (the reference works in float and rounds on the Byte write;
+    * documented divergence like the dither error reset). max = 0 (black)
+    * has s = 0 and undefined h, and colorsys hsv_to_rgb(h, 0, v) =
+    * (v, v, v), so out = shade there. Dataflow: the three bands regroup
+    * per tile in ONE hash agg, then ONE (tx, ty) equi-join against the
+    * grey band — co-partitionable at scale — and the per-pixel math is a
+    * codegen'd HOF; no driver loop, no collect. */
+  def hsvMerge(rgb: DataFrame, gray: DataFrame): DataFrame = {
+    val wide = rgb.groupBy("tx", "ty").agg(
+      first(when(col("band") === 1, col("pixels")), ignoreNulls = true).as("r"),
+      first(when(col("band") === 2, col("pixels")), ignoreNulls = true).as("g"),
+      first(when(col("band") === 3, col("pixels")), ignoreNulls = true).as("b"))
+    val vmax = "greatest(CAST(element_at(r, i+1) AS BIGINT), " +
+      "CAST(element_at(g, i+1) AS BIGINT), CAST(element_at(b, i+1) AS BIGINT))"
+    def out(c: String) = expr(
+      s"""transform(shade, (sv, i) -> CAST(CASE
+            WHEN $vmax = 0L THEN CAST(sv AS BIGINT)
+            ELSE (CAST(element_at($c, i+1) AS BIGINT) * CAST(sv AS BIGINT)) div $vmax
+          END AS DOUBLE))""")
+    // fresh aliases on the grey side: rgb and gray may share a lineage
+    // (both synthesized from one generator), and a bare (tx, ty) join of
+    // two projections of the SAME plan trips self-join attribute dedup
+    val g2 = gray.select(col("tx").as("_stx"), col("ty").as("_sty"),
+      col("pixels").as("shade"))
+    wide.join(g2, col("tx") === col("_stx") && col("ty") === col("_sty"))
+      .select(col("tx"), col("ty"), explode(array(
+        struct(lit(1).as("band"), out("r").as("pixels")),
+        struct(lit(2).as("band"), out("g").as("pixels")),
+        struct(lit(3).as("band"), out("b").as("pixels")))).as("o"))
+      .select(col("o.band").as("band"), col("tx"), col("ty"), col("o.pixels").as("pixels"))
+  }
+
   /** nearblack (reference: apps/nearblack.cpp) — strips the near-`collar`
     * scanline collar: on every ROW of the raster, each pixel left of the
     * first and right of the last pixel with |v − collar| > nb becomes

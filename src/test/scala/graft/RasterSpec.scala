@@ -607,6 +607,39 @@ class RasterSpec extends AnyFunSuite {
     assert(corner == full)
   }
 
+  test("hsvMerge: value replacement == c*shade div max; black pixels take the shade") {
+    import org.apache.spark.sql.functions._
+    // one 4096-px tile, three bands; r/g/b laws chosen so pixel 0 is BLACK
+    // (all three channels 0 — exercising the vmax=0 → shade branch that
+    // the q176 ramp corpus can never reach) and the rest are mixed colors
+    val base = Synth.tiles(spark, 0).where(col("tx") === 0 && col("ty") === 0)
+    val rgb = Seq(1 -> "CAST((CAST(v AS BIGINT) * 3) % 256 AS DOUBLE)",
+      2 -> "CAST((CAST(v AS BIGINT) * 5) % 256 AS DOUBLE)",
+      3 -> "CAST((CAST(v AS BIGINT) * 7) % 256 AS DOUBLE)").map { case (b, law) =>
+      base.withColumn("band", lit(b))
+        .withColumn("pixels", expr(s"transform(pixels, v -> $law)"))
+    }.reduce(_ unionByName _)
+    val shade = base.withColumn("pixels",
+      expr("transform(pixels, v -> CAST((CAST(v AS BIGINT) * 11 + 100) % 256 AS DOUBLE))"))
+    val got = Raster.hsvMerge(rgb, shade).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](3)).toMap
+    def law(i: Int): Long = // zoom-0 synth pixel law
+      ((i % 64) * 7L + (i / 64) * 11L) % 256
+    for (i <- 0 until 4096; b <- 1 to 3) {
+      val v = law(i)
+      val c = (v * Seq(3, 5, 7)(b - 1)) % 256
+      val sh = (v * 11 + 100) % 256
+      val vmax = Seq((v * 3) % 256, (v * 5) % 256, (v * 7) % 256).max
+      val want = if (vmax == 0) sh else c * sh / vmax
+      assert(got(b)(i) == want.toDouble, s"band $b pixel $i")
+    }
+    // the black-pixel branch actually fired: law(0) == 0 → all channels 0
+    assert(law(0) == 0 && got(1)(0) == 100.0 && got(2)(0) == 100.0 && got(3)(0) == 100.0)
+    // channel-ratio preservation: max channel equals the shade exactly
+    val i1 = 1 // law(1) = 7 → channels 21/35/49, vmax = 49
+    assert(got(3)(i1) == ((law(i1) * 11 + 100) % 256).toDouble)
+  }
+
   test("tindex: location strings + bounds replay the zoom-3 geotransform") {
     val rows = Raster.tindex(Synth.tiles(spark, 3), 3).collect()
     assert(rows.length == 128)
