@@ -1661,6 +1661,27 @@ object SparkEntry {
       // quadratic HOFs (operators/Quality)
       Quality.repetitionSignals(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "q177_c4_clean" -> ((s, dir) =>
+      // C4-style cleaning (Raffel et al. 2020 §2.2) over a deterministic
+      // line corpus: each document re-chunks into 5-word lines, line i
+      // gains terminal punctuation iff (doc_id + i) % 3 != 0, and docs
+      // with doc_id % 17 == 0 get 'lorem ipsum' injected into line 1 —
+      // so the punctuation rule, the short-line rule (trailing chunks),
+      // the min-kept-lines rule AND the blocklist rule all fire. The
+      // operator (Quality.c4LineFilter) grades line keep/drop, doc
+      // verdict, and the cleaned byte count; the oracle replays the
+      // same law + rules in SQL. Map-only at 100 TB.
+      Quality.c4LineFilter(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("words",
+            split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+          .withColumn("n_lines", expr("(size(words) + 4) div 5"))
+          .withColumn("lines", expr(
+            """transform(sequence(0, CAST(n_lines AS INT) - 1), i ->
+                 concat(array_join(slice(words, i*5 + 1, 5), ' '),
+                   CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
+                   CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
+        "doc_id", "lines")),
     "q169_dedup_clusters" -> ((s, dir) =>
       // near-dup CLUSTERS: q24's MinHash-LSH pairs -> connected components
       // by min-label propagation with pointer jumping + reliable
@@ -4171,6 +4192,38 @@ object SparkEntry {
          LEFT JOIN bt b ON b.doc_id = t.doc_id""",
     "q169_dedup_clusters" -> OracleHashSql.q169Clusters,
     "q170_kmeans" -> OracleHashSql.q170Kmeans,
+    "q177_c4_clean" ->
+      // replays the deterministic line law (5-word chunks, %17 blocklist
+      // injection, (doc_id+i)%3 punctuation) AND the C4 keep/drop rules;
+      // DuckDB list_slice(a, lo, hi) is inclusive-bounded where Spark
+      // slice(a, lo, n) is length-bounded — lo..lo+4 == length 5.
+      // cleaned_len = sum(kept line lengths) + (kept-1) newline joiners.
+      """WITH d2 AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words,
+             (len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) + 4) // 5 AS n_lines
+           FROM documents),
+         lns AS (
+           SELECT d.doc_id, d.n_lines,
+             concat(
+               array_to_string(list_slice(d.words, i.i*5 + 1, i.i*5 + 5), ' '),
+               CASE WHEN d.doc_id % 17 = 0 AND i.i = 1 THEN ' lorem ipsum' ELSE '' END,
+               CASE WHEN (d.doc_id + i.i) % 3 != 0 THEN '.' ELSE '' END) AS line
+           FROM d2 d, generate_series(0, 39) i(i)
+           WHERE i.i < d.n_lines),
+         graded AS (
+           SELECT doc_id, n_lines, line,
+             ((line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?')
+               AND len(string_split(line, ' ')) >= 3) AS keep,
+             (line LIKE '%lorem ipsum%' OR line LIKE '%{%') AS bad
+           FROM lns)
+         SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (keep) AS BIGINT) AS kept_lines,
+           CASE WHEN bool_or(bad) OR count(*) FILTER (keep) < 3
+                THEN 'drop' ELSE 'keep' END AS verdict,
+           CAST(coalesce(sum(length(line)) FILTER (keep), 0)
+             + greatest(count(*) FILTER (keep) - 1, 0) AS BIGINT) AS cleaned_len
+         FROM graded GROUP BY doc_id, n_lines""",
     "q174_approx_stats" ->
       // decimated lattice replayed from the zoom-3 synth law; the lattice
       // in GLOBAL pixel coords == per-tile (px % 4 = 0, py % 4 = 0)

@@ -53,4 +53,32 @@ object Quality {
         expr("coalesce(top_bigram_n, 0L) * 1000L" +
           " div greatest(coalesce(n_words, 0L) - 1L, 1L)").as("top_bigram_milli"))
   }
+
+  /** C4-style line + document cleaning (the public "Colossal Clean
+    * Crawled Corpus" heuristics, Raffel et al. 2020 §2.2): a LINE
+    * survives iff it ends in terminal punctuation (. ! ?) and has at
+    * least `minLineWords` words; a DOCUMENT survives iff no line carries
+    * a blocklist marker ('lorem ipsum' — placeholder text — or '{' — the
+    * code/boilerplate tell) and at least `minKeptLines` lines survive.
+    * Input: (idCol, linesCol: array<string>). Output per document:
+    * n_lines, kept_lines, verdict keep/drop, and cleaned_len — the
+    * character count of the kept lines newline-joined in order, i.e. the
+    * bytes a cleaning writer would emit. Pure per-document codegen'd
+    * HOFs: shuffle-free, linear in corpus size, no key explosion —
+    * at 100 TB this is a map-only pass. */
+  def c4LineFilter(df: DataFrame, idCol: String, linesCol: String,
+      minLineWords: Int = 3, minKeptLines: Int = 3): DataFrame = {
+    val keep = "l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?')" +
+      s" AND size(split(l, ' ')) >= $minLineWords"
+    df.select(col(idCol).as("doc_id"), col(linesCol).as("lines"))
+      .withColumn("kept", expr(s"filter(lines, $keep)"))
+      .withColumn("bad",
+        expr("exists(lines, l -> l LIKE '%lorem ipsum%' OR l LIKE '%{%')"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("kept_lines"),
+        expr(s"CASE WHEN bad OR size(kept) < $minKeptLines THEN 'drop' ELSE 'keep' END")
+          .as("verdict"),
+        expr("CAST(length(array_join(kept, chr(10))) AS BIGINT)").as("cleaned_len"))
+  }
 }

@@ -346,6 +346,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 1L, 750L, 3L, 1000L)))
   }
 
+  test("c4 line filter: every rule fires on hand-built docs") {
+    val docs = Seq(
+      // 4 lines, 3 keepable -> keep; cleaned = "one two three." x3 + 2 joiners
+      (1L, Seq("one two three.", "no punct here", "four five six!", "is it seven?")),
+      // only 2 lines survive -> drop (min kept lines)
+      (2L, Seq("one two three.", "four five six.", "too short.")),
+      // blocklist marker anywhere -> drop even with 3 kept lines
+      (3L, Seq("one two three.", "four five six.", "is it seven?", "x lorem ipsum y")),
+      (4L, Seq("a brace { here.", "four five six.", "is it seven?", "eight nine ten.")),
+      (5L, Seq.empty[String])
+    ).toDF("doc_id", "lines")
+    val out = graft.operators.Quality.c4LineFilter(docs, "doc_id", "lines")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((4L, 3L, "keep", 14L * 2 + 12L + 2)))
+    assert(out(2L) == ((3L, 2L, "drop", 14L * 2 + 1)))
+    assert(out(3L) == ((4L, 3L, "drop", 14L * 2 + 12L + 2)))
+    // the '{' line itself ends in '.' and has >= 3 words, so it is KEPT
+    // as a line (15 chars) while dooming the document
+    assert(out(4L) == ((4L, 4L, "drop", 15L + 14L + 12L + 15L + 3)))
+    assert(out(5L) == ((0L, 0L, "drop", 0L)))
+  }
+
   test("kmeans assignment is self-consistent with its final centroids") {
     val emb = spark.read.parquet(s"${TestSpark.SfSmall}/embeddings.parquet")
     val (assign, cents) = Ann.kmeans(emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64)
