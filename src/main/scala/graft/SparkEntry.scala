@@ -1682,6 +1682,33 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q178_span_dedup" -> ((s, dir) => {
+      // C4 corpus-global three-line-span dedup over a corpus with
+      // STRUCTURAL duplicates: originals plus word-shifted copies (docs
+      // %3=0 minus the first line's 5 words -> every copy span equals an
+      // original span shifted one line; %5=0 minus 10 words -> shift
+      // two). The synthetic corpus also repeats text across doc_ids, so
+      // natural cross-doc dups fire beside the structural ones. Lines
+      // are plain 5-word chunks (no decoration), spans are hashed
+      // map-side; keeper = lexicographic min (doc_id, start).
+      F.ensureRegistered(s)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          split(trim(regexp_replace(col("text"), "\\s+", " ")), " ").as("w"))
+      val corpus = base
+        .unionByName(base.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("slice(w, 6, greatest(size(w) - 5, 0))").as("w")))
+        .unionByName(base.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            expr("slice(w, 11, greatest(size(w) - 10, 0))").as("w")))
+        .withColumn("n_lines", expr("(size(w) + 4) div 5"))
+        .withColumn("lines", expr(
+          """CASE WHEN n_lines <= 0 THEN CAST(array() AS ARRAY<STRING>)
+                  ELSE transform(sequence(0, CAST(n_lines AS INT) - 1), i ->
+                         array_join(slice(w, i*5 + 1, 5), ' ')) END"""))
+      Dedup.spanDedup(corpus, "doc_id", "lines")
+    }),
     "q169_dedup_clusters" -> ((s, dir) =>
       // near-dup CLUSTERS: q24's MinHash-LSH pairs -> connected components
       // by min-label propagation with pointer jumping + reliable
@@ -4192,6 +4219,44 @@ object SparkEntry {
          LEFT JOIN bt b ON b.doc_id = t.doc_id""",
     "q169_dedup_clusters" -> OracleHashSql.q169Clusters,
     "q170_kmeans" -> OracleHashSql.q170Kmeans,
+    "q178_span_dedup" ->
+      // replays the shifted-copy corpus law and the span-dedup rule with
+      // the span KEY as lower(15-word window) — a 3-line join by ' ' over
+      // 5-word lines IS the (clamped) 15-word word-slice, and lower()
+      // matches fingerprint64's normalization (the corpus words are
+      // already single-space separated, so ws-collapse is a no-op).
+      // Keeper = row_number 1 ordered by (doc_id, start) == min struct.
+      """WITH base AS (
+           SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         corpus AS (
+           SELECT doc_id, w FROM base
+           UNION ALL
+           SELECT doc_id + 1000000, list_slice(w, 6, len(w)) FROM base WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, list_slice(w, 11, len(w)) FROM base WHERE doc_id % 5 = 0),
+         d2 AS (SELECT doc_id, w, (len(w) + 4) // 5 AS n_lines FROM corpus),
+         spans AS (
+           SELECT doc_id, CAST(i.i AS BIGINT) AS start,
+             lower(array_to_string(list_slice(w, i.i*5 + 1, i.i*5 + 15), ' ')) AS spankey
+           FROM d2, generate_series(0, 39) i(i) WHERE i.i <= n_lines - 3),
+         marked AS (
+           SELECT doc_id, start,
+             count(*) OVER (PARTITION BY spankey) AS cnt,
+             row_number() OVER (PARTITION BY spankey ORDER BY doc_id, start) AS rn
+           FROM spans),
+         removed AS (SELECT doc_id, start FROM marked WHERE cnt > 1 AND rn > 1),
+         covered AS (
+           SELECT DISTINCT r.doc_id, r.start + o.o AS li
+           FROM removed r, generate_series(0, 2) o(o)),
+         cov_agg AS (SELECT doc_id, count(*) AS n_cov FROM covered GROUP BY 1),
+         rem_agg AS (SELECT doc_id, count(*) AS n_rem FROM removed GROUP BY 1)
+         SELECT d.doc_id, CAST(d.n_lines AS BIGINT) AS n_lines,
+           CAST(greatest(d.n_lines - 2, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(r.n_rem, 0) AS BIGINT) AS removed_spans,
+           CAST(d.n_lines - coalesce(c.n_cov, 0) AS BIGINT) AS kept_lines
+         FROM d2 d LEFT JOIN rem_agg r ON r.doc_id = d.doc_id
+         LEFT JOIN cov_agg c ON c.doc_id = d.doc_id""",
     "q177_c4_clean" ->
       // replays the deterministic line law (5-word chunks, %17 blocklist
       // injection, (doc_id+i)%3 punctuation) AND the C4 keep/drop rules;

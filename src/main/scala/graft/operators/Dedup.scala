@@ -352,4 +352,57 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       when(col("label") === col("id"), 1).otherwise(0).cast("int").as("is_keeper"))
   }
+
+  /** C4's corpus-GLOBAL span dedup (Raffel et al. 2020 §2.2: "we
+    * discarded all but one of any three-sentence span occurring more than
+    * once in the data set"): every `spanLines`-line sliding window is
+    * fingerprinted; a span occurrence is REMOVED iff its fingerprint
+    * occurs more than once corpus-wide and it is not the keeper — the
+    * lexicographically smallest (doc_id, start) occurrence. Output per
+    * document: n_lines, n_spans, removed_spans, and kept_lines (lines
+    * not covered by any removed span).
+    *
+    * 100-TB shape: span text is hashed MAP-SIDE inside one HOF — only
+    * (doc_id, start, fp) 24-byte rows ever shuffle, never text. One hash
+    * agg keyed by the 8-byte fp picks count + keeper (min struct), one
+    * equi-join on fp marks occurrences, two per-doc aggs close it. The
+    * boilerplate-span hot key (a span duplicated millions of times) costs
+    * O(occurrences) join rows — linear, no pair explosion, saltable like
+    * any hot cell. */
+  def spanDedup(df: DataFrame, idCol: String, linesCol: String,
+      spanLines: Int = 3): DataFrame = {
+    F.ensureRegistered(df.sparkSession)
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(linesCol).as("lines"),
+      size(col(linesCol)).cast("long").as("n_lines"))
+    val spans = docs
+      .where(col("n_lines") >= spanLines)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST(n_lines AS INT) - $spanLines), i ->
+              struct(CAST(i AS BIGINT) AS start,
+                fingerprint64(array_join(slice(lines, i + 1, $spanLines), ' ')) AS fp))"""))
+        .as("s"))
+      .select(col("doc_id"), col("s.start").as("start"), col("s.fp").as("fp"))
+    val keepers = spans.groupBy("fp").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("start"))).as("keeper"))
+    val removed = spans.join(keepers, "fp")
+      .where(col("cnt") > 1 &&
+        !(col("doc_id") === col("keeper.doc_id") &&
+          col("start") === col("keeper.start")))
+      .select("doc_id", "start")
+    val remAgg = removed.groupBy("doc_id")
+      .agg(count(lit(1)).as("removed_spans"))
+    val covAgg = removed
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (spanLines - 1))).as("li"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+    docs.join(remAgg, Seq("doc_id"), "left")
+      .join(covAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        greatest(col("n_lines") - (spanLines - 1), lit(0L)).as("n_spans"),
+        coalesce(col("removed_spans"), lit(0L)).as("removed_spans"),
+        (col("n_lines") - coalesce(col("n_cov"), lit(0L))).as("kept_lines"))
+  }
 }

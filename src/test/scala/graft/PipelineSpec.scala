@@ -369,6 +369,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L) == ((0L, 0L, "drop", 0L)))
   }
 
+  test("span dedup: keeper, overlap union, case-fold, short docs") {
+    val docs = Seq(
+      (1L, Seq("aa bb", "cc dd", "ee ff", "gg hh")), // keeper of span BCD
+      (2L, Seq("cc dd", "ee ff", "gg hh")),          // its only span dup of doc1@1
+      (3L, Seq("zz", "zz", "zz", "zz", "zz")),       // self-dup: 3 identical spans
+      (4L, Seq("uu", "vv")),                          // too short for any span
+      (5L, Seq("pp", "qq", "rr")),
+      (6L, Seq("PP", "QQ", "RR"))                     // dup of doc5 modulo case
+    ).toDF("doc_id", "lines")
+    val out = graft.operators.Dedup.spanDedup(docs, "doc_id", "lines")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((4L, 2L, 0L, 4L)))
+    assert(out(2L) == ((3L, 1L, 1L, 0L)))
+    // spans at 1 and 2 removed; covered lines {1,2,3} U {2,3,4} = 4 lines
+    assert(out(3L) == ((5L, 3L, 2L, 1L)))
+    assert(out(4L) == ((2L, 0L, 0L, 2L)))
+    assert(out(5L) == ((3L, 1L, 0L, 3L)))
+    assert(out(6L) == ((3L, 1L, 1L, 0L)))
+  }
+
   test("kmeans assignment is self-consistent with its final centroids") {
     val emb = spark.read.parquet(s"${TestSpark.SfSmall}/embeddings.parquet")
     val (assign, cents) = Ann.kmeans(emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64)
