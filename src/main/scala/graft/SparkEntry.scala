@@ -1682,6 +1682,29 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q180_sq8_quantize" -> ((s, dir) =>
+      // int8 scalar quantization of the embedding corpus — the ANN
+      // memory-compression path beside brute (q26) / LSH (q45) / IVF
+      // (q171): per-dim affine codes + exact-integer reconstruction
+      // error, graded per vector.
+      Ann.sq8(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")),
+    "q179_gopher_rules" -> ((s, dir) =>
+      // Gopher Table-A1 rule filter over the corpus with two injected
+      // branches the tech-word corpus lacks: doc_id%7=0 gains three
+      // symbol words (fires the '#'/'...' rule), doc_id%13=0 gains 30
+      // two-char numeric words (drags alpha-fraction below 0.8 and mean
+      // word length toward the floor), and doc_id%3!=0 gains two canon
+      // stop words (the tech-word corpus carries only 'the', so the
+      // >=2-stop-word rule needs a passing branch). The word-count rule
+      // fires naturally (10-100-word docs).
+      Quality.gopherFilter(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("text", concat(col("text"),
+            when(col("doc_id") % 3 =!= 0, lit(" of that")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" ### a#b c...d")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0,
+              lit(" 42 7" * 15)).otherwise(lit("")))),
+        "doc_id", "text")),
     "q178_span_dedup" -> ((s, dir) => {
       // C4 corpus-global three-line-span dedup over a corpus with
       // STRUCTURAL duplicates: originals plus word-shifted copies (docs
@@ -4219,6 +4242,58 @@ object SparkEntry {
          LEFT JOIN bt b ON b.doc_id = t.doc_id""",
     "q169_dedup_clusters" -> OracleHashSql.q169Clusters,
     "q170_kmeans" -> OracleHashSql.q170Kmeans,
+    "q180_sq8_quantize" ->
+      // replays lattice quantization, per-dim bounds, affine code, and
+      // integer reconstruction; generate_subscripts is 1-based == the
+      // Spark weight sequence(1, dim); all div operands non-negative so
+      // '//' == 'div'.
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor((CAST(x AS DOUBLE) + 2.0) * 1048576.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         px AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS i FROM q),
+         dims AS (SELECT i, min(v) AS lo, max(v) AS hi FROM px GROUP BY 1),
+         c AS (
+           SELECT p.vec_id, p.i, p.v, d.lo, d.hi,
+             ((p.v - d.lo) * 255) // greatest(d.hi - d.lo, 1) AS code
+           FROM px p JOIN dims d ON d.i = p.i),
+         r AS (SELECT vec_id, i, v, code,
+                 lo + (code * (hi - lo)) // 255 AS recon FROM c)
+         SELECT vec_id,
+           CAST(sum(code * i) AS BIGINT) AS code_cks,
+           CAST(sum((v - recon) * (v - recon)) AS BIGINT) AS err
+         FROM r GROUP BY 1""",
+    "q179_gopher_rules" ->
+      // replays the injection law and all five Gopher rules; DuckDB's
+      // list_reduce has no init value, so the word-length sum prepends a
+      // 0 (matching Spark's aggregate(w, 0L, ...)); integer-div milli
+      // fractions on both engines, '//' == 'div' on non-negative BIGINTs.
+      """WITH d AS (
+           SELECT doc_id,
+             text || CASE WHEN doc_id % 3 != 0 THEN ' of that' ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0 THEN ' ### a#b c...d' ELSE '' END
+                  || CASE WHEN doc_id % 13 = 0 THEN repeat(' 42 7', 15) ELSE '' END AS t
+           FROM documents),
+         wds AS (SELECT doc_id, string_split(trim(regexp_replace(t, '\s+', ' ', 'g')), ' ') AS w FROM d),
+         sig AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(w, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b)
+               * 1000 // greatest(len(w), 1) AS BIGINT) AS mean_wlen_milli,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+               * 1000 // greatest(len(w), 1) AS BIGINT) AS alpha_frac_milli,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                 sw -> list_contains(w, sw))) AS BIGINT) AS n_stop,
+             CAST(len(list_filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))
+               * 1000 // greatest(len(w), 1) AS BIGINT) AS sym_frac_milli
+           FROM wds)
+         SELECT doc_id, n_words, mean_wlen_milli, alpha_frac_milli, n_stop, sym_frac_milli,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mean_wlen_milli BETWEEN 3000 AND 10000
+                 AND alpha_frac_milli >= 800 AND n_stop >= 2 AND sym_frac_milli <= 100
+            THEN 'keep' ELSE 'drop' END AS verdict
+         FROM sig""",
     "q178_span_dedup" ->
       // replays the shifted-copy corpus law and the span-dedup rule with
       // the span KEY as lower(15-word window) — a 3-line join by ' ' over

@@ -244,4 +244,48 @@ object Ann {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("d2"))
   }
+
+  /** int8 SCALAR QUANTIZATION (SQ8) of the embedding column — the
+    * memory-compression component of an ANN index (the public FAISS
+    * ScalarQuantizer QT_8bit / "uniform per-dimension affine" law): each
+    * dimension maps [min_d, max_d] affinely to 0..255 codes; the decoder
+    * inverts with the same integer law. Exact-integer throughout: floats
+    * pre-quantized once onto the house lattice (floor((x+2)·2^20), as
+    * kmeans/ivf), per-dim bounds from ONE (dim)-keyed hash agg (dim rows
+    * out — a bounded collect like kmeans' k·dim), then codes, the
+    * reconstruction, and the error are all computed MAP-SIDE against
+    * literal bounds arrays — no second shuffle, nothing per-vector ever
+    * leaves its partition. Output per vector: a position-weighted code
+    * checksum and the squared reconstruction error in lattice units —
+    * both exactly replayable. */
+  def sq8(data: DataFrame, idCol: String, vecCol: String, dim: Int = 64): DataFrame = {
+    val q = data.select(col(idCol).as("vec_id"), expr(
+      s"transform($vecCol, __x -> CAST(floor((CAST(__x AS DOUBLE) + 2.0D) * 1048576.0D) AS BIGINT))")
+      .as("qv"))
+    val bounds = q.select(posexplode(col("qv")).as(Seq("i", "v")))
+      .groupBy("i").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(bounds.length == dim, s"sq8: expected $dim dims, got ${bounds.length}")
+    val loLit = bounds.map(b => s"${b._2}L").mkString("array(", ",", ")")
+    val hiLit = bounds.map(b => s"${b._3}L").mkString("array(", ",", ")")
+    // (v − lo) and (hi − lo) are non-negative by construction (lo is the
+    // global per-dim min), so truncating div == floor div — the oracle's
+    // `//` replays it exactly
+    q.withColumn("codes", expr(
+        s"""transform(qv, (__v, __i) ->
+              ((__v - element_at($loLit, __i + 1)) * 255L)
+                div greatest(element_at($hiLit, __i + 1) - element_at($loLit, __i + 1), 1L))"""))
+      .withColumn("recon", expr(
+        s"""transform(codes, (__c, __i) ->
+              element_at($loLit, __i + 1) +
+                (__c * (element_at($hiLit, __i + 1) - element_at($loLit, __i + 1))) div 255L"""
+          + ")"))
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(codes, sequence(1, size(codes)), " +
+          "(__c, __w) -> __c * CAST(__w AS BIGINT)), 0L, (__s, __x) -> __s + __x)")
+          .as("code_cks"),
+        expr("aggregate(zip_with(qv, recon, (__a, __b) -> (__a - __b) * (__a - __b)), " +
+          "0L, (__s, __x) -> __s + __x)").as("err"))
+  }
 }

@@ -54,6 +54,44 @@ object Quality {
           " div greatest(coalesce(n_words, 0L) - 1L, 1L)").as("top_bigram_milli"))
   }
 
+  /** Gopher/MassiveText document-quality RULE FILTER (the public rule
+    * set of Rae et al. 2021, Table A1 — the thresholded complement of
+    * [[repetitionSignals]]'s fraction signals): a document is kept iff
+    *   50 <= word count <= 100000,
+    *   3 <= mean word length <= 10,
+    *   >= 80% of words contain an alphabetic character,
+    *   >= 2 of the 8 canonical stop words appear, and
+    *   <= 10% of words carry a symbol marker ('#' or '...').
+    * All five signals are emitted as exact integers (milli-fractions via
+    * `div`, never floats) beside the verdict, so downstream re-threshold
+    * without recompute. Pure per-document codegen'd HOFs over the split
+    * word array — shuffle-free, map-only at 100 TB. */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stops = "array('the','be','to','of','and','that','have','with')"
+    df.select(col(idCol).as("doc_id"),
+        split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ").as("w"))
+      .withColumn("n_words", expr("CAST(size(w) AS BIGINT)"))
+      .withColumn("mean_wlen_milli", expr(
+        "aggregate(w, 0L, (a, x) -> a + CAST(length(x) AS BIGINT)) * 1000L" +
+        " div greatest(n_words, 1L)"))
+      .withColumn("alpha_frac_milli", expr(
+        "CAST(size(filter(w, x -> x rlike '[a-zA-Z]')) AS BIGINT) * 1000L" +
+        " div greatest(n_words, 1L)"))
+      .withColumn("n_stop", expr(
+        s"CAST(size(filter($stops, sw -> array_contains(w, sw))) AS BIGINT)"))
+      .withColumn("sym_frac_milli", expr(
+        "CAST(size(filter(w, x -> x LIKE '%#%' OR x LIKE '%...%')) AS BIGINT)" +
+        " * 1000L div greatest(n_words, 1L)"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen_milli"),
+        col("alpha_frac_milli"), col("n_stop"), col("sym_frac_milli"),
+        expr("""CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND mean_wlen_milli BETWEEN 3000 AND 10000
+                      AND alpha_frac_milli >= 800
+                      AND n_stop >= 2
+                      AND sym_frac_milli <= 100
+                 THEN 'keep' ELSE 'drop' END""").as("verdict"))
+  }
+
   /** C4-style line + document cleaning (the public "Colossal Clean
     * Crawled Corpus" heuristics, Raffel et al. 2020 §2.2): a LINE
     * survives iff it ends in terminal punctuation (. ! ?) and has at

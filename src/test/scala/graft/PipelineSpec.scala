@@ -390,6 +390,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(6L) == ((3L, 1L, 1L, 0L)))
   }
 
+  test("gopher rules: each rule flips the verdict independently") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base the of"),                                            // keep
+      (2L, "the of tiny doc"),                                          // word count
+      (3L, (1 to 60).map(_ => "extraordinarily").mkString(" ") + " the of"), // mean len
+      (4L, (1 to 60).map(_ => "42").mkString(" ") + " the of"),         // alpha frac
+      (5L, base),                                                       // stop words
+      (6L, s"$base the of " + (1 to 10).map(_ => "##").mkString(" "))   // symbols
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Quality.gopherFilter(docs, "doc_id", "text")
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "keep", 2L -> "drop", 3L -> "drop",
+      4L -> "drop", 5L -> "drop", 6L -> "drop"))
+  }
+
+  test("sq8: endpoint codes 0/255 round-trip exactly; midpoint error is the affine law's") {
+    val vecs = Seq(
+      (1L, Array.fill(4)(0.0f)),
+      (2L, Array.fill(4)(1.0f)),
+      (3L, Array.fill(4)(0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Ann.sq8(vecs, "vec_id", "embedding", dim = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // lo = (0+2)*2^20 = 2097152, hi = (1+2)*2^20 = 3145728 on every dim
+    assert(out(1L) == ((0L, 0L)))                       // code 0, exact recon
+    assert(out(2L) == ((255L * (1 + 2 + 3 + 4), 0L)))   // code 255, exact recon
+    // q = 2621440; code = (524288*255) div 2^20 = 127;
+    // recon = lo + (127*2^20) div 255 = 2619383; err = 4*2057^2
+    assert(out(3L) == ((127L * (1 + 2 + 3 + 4), 4L * 2057L * 2057L)))
+  }
+
   test("kmeans assignment is self-consistent with its final centroids") {
     val emb = spark.read.parquet(s"${TestSpark.SfSmall}/embeddings.parquet")
     val (assign, cents) = Ann.kmeans(emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64)
