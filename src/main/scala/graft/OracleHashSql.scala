@@ -138,6 +138,65 @@ ${kmeansAssign("a2", "c1")},
 ${kmeansUpdate("c1", "a2", "c2")},
 ${kmeansAssign("af", "c2")}"""
 
+  /** kmeansAssign/kmeansUpdate generalized over the source table and
+    * dimension (the q170 pair hardcodes `q`/range(1,65)) — one chain per
+    * PQ subspace. */
+  private def pqAssign(name: String, cents: String, qtab: String, dimP1: Int): String =
+    s"""d_$name AS (
+  SELECT q.vec_id, q.qv, c.c,
+    list_sum(list_transform(range(1, $dimP1), __i ->
+      (q.qv[__i] - c.cv[__i]) * (q.qv[__i] - c.cv[__i]))) AS d2
+  FROM $qtab q, $cents c),
+$name AS (
+  SELECT vec_id, qv, c, d2,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+  FROM d_$name)"""
+
+  private def pqUpdate(prev: String, asg: String, out: String, dimP1: Int): String =
+    s"""u_$out AS (
+  SELECT a.c, i.i, CAST(sum(a.qv[i.i]) // count(*) AS BIGINT) AS v
+  FROM $asg a, (SELECT unnest(range(1, $dimP1)) AS i) i
+  WHERE a.rn = 1 GROUP BY a.c, i.i),
+$out AS (
+  SELECT p.c, coalesce(n.cv, p.cv) AS cv
+  FROM $prev p LEFT JOIN
+    (SELECT c, list(v ORDER BY i) AS cv FROM u_$out GROUP BY c) n
+    ON n.c = p.c)"""
+
+  /** q181: product quantization — 4 subspaces × 16 dims, k = 8 per
+    * codebook, 2 Lloyd iterations each (the q170 law per subspace);
+    * pq_code = base-8 digit pack of the 4 sub-assignments. */
+  def q181Pq: String = {
+    val chains = (0 until 4).map { s =>
+      val off = s * 16
+      s"""qs$s AS (SELECT vec_id, list_slice(qv, ${off + 1}, ${off + 16}) AS qv FROM q),
+cs${s}_0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, qv AS cv
+  FROM (SELECT vec_id, qv FROM qs$s ORDER BY vec_id LIMIT 8) t),
+${pqAssign(s"as${s}_1", s"cs${s}_0", s"qs$s", 17)},
+${pqUpdate(s"cs${s}_0", s"as${s}_1", s"cs${s}_1", 17)},
+${pqAssign(s"as${s}_2", s"cs${s}_1", s"qs$s", 17)},
+${pqUpdate(s"cs${s}_1", s"as${s}_2", s"cs${s}_2", 17)},
+${pqAssign(s"as${s}_f", s"cs${s}_2", s"qs$s", 17)}"""
+    }.mkString(",\n")
+    val union = (0 until 4)
+      .map(s => s"SELECT vec_id, ${Iterator.fill(s)(8L).product} AS w, c, d2 FROM as${s}_f WHERE rn = 1")
+      .mkString("\n  UNION ALL ")
+    s"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, __x ->
+    CAST(floor((CAST(__x AS DOUBLE) + 2.0) * 1048576.0) AS BIGINT)) AS qv
+  FROM embeddings),
+$chains,
+allsub AS (
+  $union)
+SELECT vec_id,
+  CAST(sum(c * w) AS BIGINT) AS pq_code,
+  CAST(sum(d2) AS BIGINT) AS total_d2
+FROM allsub GROUP BY 1
+"""
+  }
+
   /** q170: final k-means assignment (vec_id, cluster, d2). */
   def q170Kmeans: String =
     s"""

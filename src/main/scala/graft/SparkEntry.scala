@@ -1682,6 +1682,11 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q181_pq_quantize" -> ((s, dir) =>
+      // product quantization: 4 sub-codebooks of 8 codewords trained by
+      // the q170 exact-integer kmeans on each 16-dim slice; the graded
+      // surface is the packed code + total distortion per vector.
+      Ann.pq(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")),
     "q180_sq8_quantize" -> ((s, dir) =>
       // int8 scalar quantization of the embedding corpus — the ANN
       // memory-compression path beside brute (q26) / LSH (q45) / IVF
@@ -4242,6 +4247,7 @@ object SparkEntry {
          LEFT JOIN bt b ON b.doc_id = t.doc_id""",
     "q169_dedup_clusters" -> OracleHashSql.q169Clusters,
     "q170_kmeans" -> OracleHashSql.q170Kmeans,
+    "q181_pq_quantize" -> OracleHashSql.q181Pq,
     "q180_sq8_quantize" ->
       // replays lattice quantization, per-dim bounds, affine code, and
       // integer reconstruction; generate_subscripts is 1-based == the

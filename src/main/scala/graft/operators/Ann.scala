@@ -245,6 +245,35 @@ object Ann {
         col("neighbor_id"), col("d2"))
   }
 
+  /** PRODUCT QUANTIZATION (PQ) — the other public FAISS-family
+    * compression law beside [[sq8]]: the vector splits into `m`
+    * contiguous subvectors, each quantized by its OWN k-codeword
+    * codebook trained with the exact-integer [[kmeans]] (same lattice,
+    * same init = k smallest ids, same argmin tie rule), so the whole
+    * construction replays in SQL. A vector's code is the base-k digit
+    * pack of its m sub-assignments; distortion = the summed exact d2
+    * against the chosen codewords. Scale shape: m independent kmeans
+    * runs (each one hash-agg per iteration + a bounded k·subDim
+    * collect), then ONE vec_id-keyed agg folds the m sub-codes — no
+    * per-dimension shuffle, no all-pairs anything. */
+  def pq(data: DataFrame, idCol: String, vecCol: String,
+         m: Int = 4, k: Int = 8, iters: Int = 2, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"pq: m=$m must divide dim=$dim")
+    val parts = (0 until m).map { s =>
+      val (a, _) = kmeans(data, idCol,
+        s"slice($vecCol, ${s * subDim + 1}, $subDim)", k, iters, subDim)
+      // weight = k^s packs the m sub-codes into one base-k integer
+      val w = Iterator.fill(s)(k.toLong).product
+      a.select(col("id").as("vec_id"), col("cluster"), col("d2"),
+        lit(w).as("w"))
+    }
+    parts.reduce(_ unionByName _)
+      .groupBy("vec_id")
+      .agg(sum(col("cluster") * col("w")).as("pq_code"),
+        sum(col("d2")).as("total_d2"))
+  }
+
   /** int8 SCALAR QUANTIZATION (SQ8) of the embedding column — the
     * memory-compression component of an ANN index (the public FAISS
     * ScalarQuantizer QT_8bit / "uniform per-dimension affine" law): each
