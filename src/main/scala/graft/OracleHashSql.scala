@@ -197,6 +197,50 @@ FROM allsub GROUP BY 1
 """
   }
 
+  /** q182: SemDedup — the q170 kmeans chain over q43's derived twin corpus,
+    * then within-cluster pair mining with the q43 exact rational cosine law
+    * (25·dot² >= 16·na2·nb2 == den²·dot² >= num²·na2·nb2 at 4/5) and the
+    * smaller-id keeper verdict. */
+  def q182SemDedup: String =
+    s"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+pert AS (
+  SELECT vec_id + 10000000 AS pid,
+    list_transform(range(1, 65), i ->
+      (floor(CAST(embedding[i] AS DOUBLE) * 1000.0) + ((vec_id * 31 + i) % 13) - 6) / 1000.0) AS v
+  FROM embeddings),
+u AS (SELECT vec_id, v FROM base UNION ALL SELECT pid AS vec_id, v FROM pert),
+q AS (
+  SELECT vec_id, list_transform(v, __x ->
+    CAST(floor((__x + 2.0) * 1048576.0) AS BIGINT)) AS qv
+  FROM u),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8) s),
+${kmeansAssign("a1", "c0")},
+${kmeansUpdate("c0", "a1", "c1")},
+${kmeansAssign("a2", "c1")},
+${kmeansUpdate("c1", "a2", "c2")},
+${kmeansAssign("af", "c2")},
+m AS (
+  SELECT u.vec_id, asg.c AS cluster, u.v
+  FROM u JOIN (SELECT vec_id, c FROM af WHERE rn = 1) asg ON asg.vec_id = u.vec_id),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(range(1, 65), i ->
+      CAST(floor(a.v[i]*1000.0) AS BIGINT) * CAST(floor(b.v[i]*1000.0) AS BIGINT))) AS dot_fp,
+    list_sum(list_transform(range(1, 65), i ->
+      CAST(floor(a.v[i]*1000.0) AS BIGINT) * CAST(floor(a.v[i]*1000.0) AS BIGINT))) AS na2,
+    list_sum(list_transform(range(1, 65), i ->
+      CAST(floor(b.v[i]*1000.0) AS BIGINT) * CAST(floor(b.v[i]*1000.0) AS BIGINT))) AS nb2
+  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+dd AS (SELECT DISTINCT id_b FROM p WHERE dot_fp > 0 AND 25*dot_fp*dot_fp >= 16*na2*nb2)
+SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+  CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM m LEFT JOIN dd d ON d.id_b = m.vec_id
+"""
+
   /** q170: final k-means assignment (vec_id, cluster, d2). */
   def q170Kmeans: String =
     s"""

@@ -1682,6 +1682,23 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q182_semdedup" -> ((s, dir) => {
+      // SemDedup (Abbas et al. 2023): k-means clusters bound the pair
+      // search; near-dup verdicts only within a cluster. Runs on q43's
+      // near-dup-RICH derived corpus (each vector + a perturbed twin at
+      // cos ≈ 0.9999) so the drop branch genuinely fires; the graded
+      // surface is the per-vector (cluster, kept) verdict.
+      F.ensureRegistered(s)
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val pert = e.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "(floor(CAST(element_at(embedding, i) AS DOUBLE) * 1000.0) " +
+          "+ ((vec_id * 31 + i) % 13) - 6) / 1000.0)").as("v"))
+      Ann.semDedup(base.unionByName(pert), "vec_id", "v",
+        kCells = 8, iters = 2, minCosNum = 4L, minCosDen = 5L)
+    }),
     "q181_pq_quantize" -> ((s, dir) =>
       // product quantization: 4 sub-codebooks of 8 codewords trained by
       // the q170 exact-integer kmeans on each 16-dim slice; the graded
@@ -4248,6 +4265,7 @@ object SparkEntry {
     "q169_dedup_clusters" -> OracleHashSql.q169Clusters,
     "q170_kmeans" -> OracleHashSql.q170Kmeans,
     "q181_pq_quantize" -> OracleHashSql.q181Pq,
+    "q182_semdedup" -> OracleHashSql.q182SemDedup,
     "q180_sq8_quantize" ->
       // replays lattice quantization, per-dim bounds, affine code, and
       // integer reconstruction; generate_subscripts is 1-based == the
