@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.F
-import graft.operators.{Ann, Contour, Dedup, Focal, Knn, Media, OgrSql, Osm, Polygonize, Proximity, Quality, Raster, SpatialJoin, Streaming, Viewshed}
+import graft.operators.{Ann, Contour, Dedup, Focal, Knn, Media, OgrSql, Osm, Pack, Polygonize, Proximity, Quality, Raster, SpatialJoin, Streaming, Viewshed}
 import graft.synth.Synth
 
 /** Driver contract (see /root/repo/SURVEY.md §7 + the builder prompt).
@@ -1682,6 +1682,13 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q183_seq_pack" -> ((s, dir) =>
+      // fixed-length sequence packing (concat-then-chunk at 512 tokens)
+      // in the content-derived (fingerprint, doc_id) shuffle order; the
+      // global offsets come from a two-phase distributed scan, never a
+      // single-partition window (see operators/Pack.scala)
+      Pack.pack(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", seqLen = 512L)),
     "q182_semdedup" -> ((s, dir) => {
       // SemDedup (Abbas et al. 2023): k-means clusters bound the pair
       // search; near-dup verdicts only within a cluster. Runs on q43's
@@ -4266,6 +4273,29 @@ object SparkEntry {
     "q170_kmeans" -> OracleHashSql.q170Kmeans,
     "q181_pq_quantize" -> OracleHashSql.q181Pq,
     "q182_semdedup" -> OracleHashSql.q182SemDedup,
+    "q183_seq_pack" ->
+      // the same fp/ws-token laws as q31/q29, then concat-then-chunk:
+      // global offset = running token sum in (fp, doc_id) order (a plain
+      // window here — the ENGINE does the same scan as a two-phase
+      // distributed prefix sum), seq ids = floor-divided slice positions
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(range(1, length(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) + 1),
+                   i -> CAST(unicode(substr(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), CAST(i AS INT), 1)) AS HUGEINT))),
+               (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS fp,
+             CAST(len(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY fp, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+           FROM t)
+         SELECT doc_id, n_tokens, "offset",
+           "offset" // 512 AS seq_id,
+           ("offset" + n_tokens - 1) // 512 - "offset" // 512 + 1 AS n_seqs
+         FROM o""",
     "q180_sq8_quantize" ->
       // replays lattice quantization, per-dim bounds, affine code, and
       // integer reconstruction; generate_subscripts is 1-based == the
