@@ -1682,6 +1682,28 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q184_lm_surprisal" -> ((s, dir) =>
+      // LM-quality filtering analog (CCNet perplexity law, exact-integer
+      // unigram surrogate — see Quality.unigramSurprisal)
+      Quality.unigramSurprisal(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "q185_mixture_resample" -> ((s, dir) =>
+      // domain mixture resampling (the Pile/LLaMA-style per-source epoch
+      // weights, public recipe): integer upweights per source, plus a
+      // deterministic FRACTIONAL weight for src5 (2.5 epochs = 2 + doc_id
+      // parity). Pure flat-map: explode(sequence(1, w)) — shuffle-free,
+      // map-only at 100 TB; sample_id stays unique across copies.
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("w", expr(
+          """CASE WHEN source IN ('src0','src3') THEN 3
+                  WHEN source = 'src5' THEN 2 + CAST(doc_id % 2 AS INT)
+                  WHEN source IN ('src1','src7') THEN 2
+                  ELSE 1 END"""))
+        .select(col("doc_id"), col("source"),
+          explode(expr("sequence(1, w)")).as("epoch"))
+        .select(col("doc_id"), col("source"),
+          col("epoch").cast("long").as("epoch"),
+          (col("doc_id") * 10 + col("epoch") - 1).as("sample_id"))),
     "q183_seq_pack" -> ((s, dir) =>
       // fixed-length sequence packing (concat-then-chunk at 512 tokens)
       // in the content-derived (fingerprint, doc_id) shuffle order; the
@@ -4273,6 +4295,37 @@ object SparkEntry {
     "q170_kmeans" -> OracleHashSql.q170Kmeans,
     "q181_pq_quantize" -> OracleHashSql.q181Pq,
     "q182_semdedup" -> OracleHashSql.q182SemDedup,
+    "q184_lm_surprisal" ->
+      // the q147 token/idf integer laws re-aimed at per-doc scoring:
+      // surprisal surrogate = (total·1000) // cnt, doc score = floor mean
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents),
+         t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         model AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM model),
+         sc AS (
+           SELECT t2.doc_id, count(*) AS n_tokens,
+             sum((tot.total * 1000) // model.cnt) AS surp_sum
+           FROM t2 JOIN model USING (term), tot
+           GROUP BY 1)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(surp_sum // n_tokens AS BIGINT) AS score_milli
+         FROM sc""",
+    "q185_mixture_resample" ->
+      // same weight CASE, lateral range expansion = explode(sequence)
+      """WITH w AS (
+           SELECT doc_id, source,
+             CASE WHEN source IN ('src0','src3') THEN 3
+                  WHEN source = 'src5' THEN 2 + doc_id % 2
+                  WHEN source IN ('src1','src7') THEN 2
+                  ELSE 1 END AS w
+           FROM documents),
+         e AS (SELECT doc_id, source, unnest(range(1, w + 1)) AS epoch FROM w)
+         SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+           doc_id * 10 + epoch - 1 AS sample_id
+         FROM e""",
     "q183_seq_pack" ->
       // the same fp/ws-token laws as q31/q29, then concat-then-chunk:
       // global offset = running token sum in (fp, doc_id) order (a plain

@@ -119,4 +119,37 @@ object Quality {
           .as("verdict"),
         expr("CAST(length(array_join(kept, chr(10))) AS BIGINT)").as("cleaned_len"))
   }
+
+  /** Unigram SURPRISAL quality score — the exact-integer analog of the
+    * public LM-perplexity filtering recipe (CCNet / Wenzek et al. 2020
+    * score documents with a KenLM model and keep the low-perplexity head;
+    * GPT-3/the Pile use similar LM-quality gates). The "language model"
+    * here is the corpus's own unigram distribution, and the per-token
+    * surprisal surrogate is the integer milli-scaled inverse probability
+    * (total_tokens·1000) div count(term) — exactly the q147 idf law, so
+    * there is no float log anywhere and the oracle replays bit-for-bit.
+    * A document's score is the floor-mean surrogate over its token
+    * OCCURRENCES: low = head-of-distribution prose, high = rare-token
+    * noise (the gibberish tail a perplexity filter drops).
+    *
+    * 100-TB shape: one hash agg for the model (vocabulary-bounded), one
+    * term-keyed equi-join back (model side broadcast when small, plain
+    * shuffle otherwise), one doc-keyed agg. The only driver value is the
+    * scalar total. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(
+        split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")).as("term"))
+      .where(col("term") =!= "")
+    val model = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = model.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    require(total < Long.MaxValue / 1000L,
+      s"unigramSurprisal: total token count $total would overflow the milli scale")
+    toks.join(model, "term")
+      .withColumn("surp", expr(s"(${total}L * 1000L) div cnt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("surp_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("surp_sum div n_tokens").as("score_milli"))
+  }
 }
