@@ -197,6 +197,47 @@ FROM allsub GROUP BY 1
 """
   }
 
+  /** q186: image dHash near-dup — replay the 56-bit difference hash from
+    * the z3 synth pixel law ((tx·131+ty·173+x·7+y·11+3) mod 256), then the
+    * 5-chunk pigeonhole candidate join and exact popcount verify at
+    * hamming <= 4 (the q25 machinery at 56 bits). */
+  def q186Dhash: String = {
+    val nChunks = 5
+    val widths = Array.tabulate(nChunks)(i => 56 / nChunks + (if (i < 56 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkRows = (0 until nChunks).map { i =>
+      s"($i, ${1L << offsets(i)}::BIGINT, ${1L << widths(i)}::BIGINT)"
+    }.mkString(", ")
+    val pows = (0 until 56).map(b => (1L << b).toString + "::BIGINT")
+      .mkString("[", ",", "]")
+    s"""
+WITH imgs AS (
+  SELECT gx.x AS tx, gy.y AS ty, gy.y * 16 + gx.x AS img_id
+  FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+blk AS (
+  SELECT img_id,
+    list_transform(range(0, 64), b -> CAST(list_sum(list_transform(range(0, 64), j ->
+      (tx*131 + ty*173 + ((b % 8)*8 + (j % 8))*7 + ((b // 8)*8 + (j // 8))*11 + 3) % 256
+    )) // 64 AS BIGINT)) AS blocks
+  FROM imgs),
+hs AS (
+  SELECT img_id, CAST(list_sum(list_transform(range(0, 56), k ->
+    CASE WHEN blocks[CAST((k // 7)*8 + (k % 7) + 2 AS INT)]
+              > blocks[CAST((k // 7)*8 + (k % 7) + 1 AS INT)]
+         THEN ($pows)[k + 1] ELSE 0::BIGINT END)) AS BIGINT) AS dhash
+  FROM blk),
+chunked AS (
+  SELECT img_id, dhash, c.ci AS chunk_i, (dhash // c.dv) % c.md AS chunk
+  FROM hs, (VALUES $chunkRows) AS c(ci, dv, md)),
+cand AS (
+  SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b, a.dhash AS h_a, b.dhash AS h_b
+  FROM chunked a JOIN chunked b
+    ON a.chunk_i = b.chunk_i AND a.chunk = b.chunk AND a.img_id < b.img_id)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)::UBIGINT) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)::UBIGINT) <= 4
+"""
+  }
+
   /** q182: SemDedup — the q170 kmeans chain over q43's derived twin corpus,
     * then within-cluster pair mining with the q43 exact rational cosine law
     * (25·dot² >= 16·na2·nb2 == den²·dot² >= num²·na2·nb2 at 4/5) and the

@@ -1682,6 +1682,15 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q186_image_dhash_dedup" -> ((s, dir) => {
+      // image perceptual-hash near-dup — the multimodal dedup verb: PNG
+      // encode → REAL codec decode → 56-bit dHash (exact integer block
+      // means) → pigeonhole-banded hamming pairs. The codec legs are
+      // lossless, so the oracle replays the hash from the pixel law.
+      F.ensureRegistered(s)
+      val dec = Media.decodePng(Media.encodePng(Synth.tiles(s, 3))).drop("png")
+      Media.dhashPairs(dec, maxHamming = 4)
+    }),
     "q184_lm_surprisal" -> ((s, dir) =>
       // LM-quality filtering analog (CCNet perplexity law, exact-integer
       // unigram surrogate — see Quality.unigramSurprisal)
@@ -4295,6 +4304,7 @@ object SparkEntry {
     "q170_kmeans" -> OracleHashSql.q170Kmeans,
     "q181_pq_quantize" -> OracleHashSql.q181Pq,
     "q182_semdedup" -> OracleHashSql.q182SemDedup,
+    "q186_image_dhash_dedup" -> OracleHashSql.q186Dhash,
     "q184_lm_surprisal" ->
       // the q147 token/idf integer laws re-aimed at per-doc scoring:
       // surprisal surrogate = (total·1000) // cnt, doc score = floor mean

@@ -119,4 +119,64 @@ object Media {
 
   def identify(media: DataFrame, binCol: String): DataFrame =
     media.withColumn("fmt", identifyUdf(col(binCol)))
+
+  // ---- image PERCEPTUAL-HASH near-dup (the multimodal counterpart of
+  // text SimHash; public dHash/difference-hash recipe): a 64x64 grayscale
+  // image reduces to an 8x8 grid of exact block means (floor of the 64-px
+  // sum), and each of the 56 hash bits compares two horizontally adjacent
+  // grid cells. Every step is exact integer arithmetic over the decoded
+  // pixels, so the hash — and therefore the whole pair set — is replayable
+  // by a SQL oracle from the pixel law alone.
+
+  /** (tx, ty, pixels 64x64) → (img_id, dhash): 56-bit difference hash.
+    * Codegen'd HOFs over the pixel array; map-only at any scale. */
+  def dhash(decoded: DataFrame, gridW: Int = 16): DataFrame =
+    decoded
+      .withColumn("img_id", (col("ty") * gridW + col("tx")).cast("long"))
+      // block b (row-major by*8+bx) = floor mean of its 8x8 pixel block
+      .withColumn("blocks", expr(
+        """transform(sequence(0, 63), b ->
+             aggregate(sequence(0, 63), 0L, (acc, j) ->
+               acc + CAST(element_at(pixels, CAST(
+                 (b div 8)*512 + (j div 8)*64 + (b % 8)*8 + (j % 8) + 1
+               AS INT)) AS BIGINT)) div 64)"""))
+      // bit k (k = by*7+bx) set iff block(bx+1,by) > block(bx,by)
+      .withColumn("dhash", expr(
+        """aggregate(sequence(0, 55), 0L, (acc, k) ->
+             acc + CASE WHEN element_at(blocks, CAST((k div 7)*8 + (k % 7) + 2 AS INT))
+                             > element_at(blocks, CAST((k div 7)*8 + (k % 7) + 1 AS INT))
+                   THEN shiftleft(1L, CAST(k AS INT)) ELSE 0L END)"""))
+      .select("img_id", "dhash")
+
+  /** Near-duplicate image pairs at hamming(dhash) <= maxHamming via the
+    * EXACT k+1 pigeonhole (the q25 SimHash law re-aimed at 56 bits): two
+    * hashes within hamming m must agree on at least one of m+1 disjoint
+    * bit ranges, so the candidate join is an equi-join on (chunk_i, chunk)
+    * — never all-pairs — and the verify is a codegen'd popcount. */
+  def dhashPairs(decoded: DataFrame, maxHamming: Int = 4,
+                 gridW: Int = 16): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 6,
+      s"dhashPairs: maxHamming must be in [0,6] (chunks of >=8 bits); got $maxHamming")
+    F.ensureRegistered(decoded.sparkSession)
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(i => 56 / nChunks + (if (i < 56 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkExpr = (0 until nChunks).map { i =>
+      val mask = (1L << widths(i)) - 1
+      s"shiftright(dhash, ${offsets(i)}) & $mask"
+    }.mkString("array(", ", ", ")")
+    val h = dhash(decoded, gridW)
+    val chunked = h.select(col("img_id"), col("dhash"),
+      posexplode(expr(chunkExpr)).as(Seq("chunk_i", "chunk")))
+    val a = chunked.select(col("img_id").as("id_a"), col("dhash").as("h_a"),
+      col("chunk_i"), col("chunk"))
+    val b = chunked.select(col("img_id").as("id_b"), col("dhash").as("h_b"),
+      col("chunk_i"), col("chunk"))
+    a.join(b, Seq("chunk_i", "chunk"), "inner")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", F.hamming64(col("h_a"), col("h_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }
