@@ -1682,6 +1682,40 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q187_aaigrid" -> ((s, dir) => {
+      // Arc/Info ASCII Grid driver (frmts/aaigrid/aaigriddataset.cpp) —
+      // the first TEXT raster format beside the five vector text drivers:
+      // each z2 tile writes the 6-line header + 64 space-joined rows
+      // (north first, GDAL's row order), then the text parses BACK
+      // (header fields by position, values re-typed) and the parsed
+      // raster checksums. Writer and parser are pure codegen'd HOFs —
+      // map-only, shuffle-free; the oracle rebuilds the ENTIRE file text
+      // so a single wrong byte breaks the length compare.
+      F.ensureRegistered(s)
+      Synth.tiles(s, 2)
+        .withColumn("aai", expr(
+          """concat('ncols 64', chr(10), 'nrows 64', chr(10),
+             'xllcorner ', CAST(tx * 64 AS STRING), chr(10),
+             'yllcorner ', CAST(ty * 64 AS STRING), chr(10),
+             'cellsize 1', chr(10), 'NODATA_value -9999', chr(10),
+             array_join(transform(sequence(0, 63), r ->
+               array_join(transform(sequence(0, 63), c ->
+                 CAST(CAST(element_at(pixels, CAST(r*64 + c + 1 AS INT)) AS BIGINT) AS STRING)), ' ')), chr(10)))"""))
+        .drop("pixels")
+        .withColumn("ls", split(col("aai"), "\n"))
+        .withColumn("xll_back",
+          expr("CAST(element_at(split(element_at(ls, 3), ' '), 2) AS BIGINT)"))
+        .withColumn("yll_back",
+          expr("CAST(element_at(split(element_at(ls, 4), ' '), 2) AS BIGINT)"))
+        .withColumn("nodata_back",
+          expr("CAST(element_at(split(element_at(ls, 6), ' '), 2) AS BIGINT)"))
+        .withColumn("vals", expr(
+          "flatten(transform(slice(ls, 7, 64), ln -> transform(split(ln, ' '), v -> CAST(v AS DOUBLE))))"))
+        .select(col("tx"), col("ty"),
+          length(col("aai")).cast("long").as("aai_len"),
+          col("xll_back"), col("yll_back"), col("nodata_back"),
+          F.checksum_px(col("vals")).as("cks"))
+    }),
     "q186_image_dhash_dedup" -> ((s, dir) => {
       // image perceptual-hash near-dup — the multimodal dedup verb: PNG
       // encode → REAL codec decode → 56-bit dHash (exact integer block
@@ -4305,6 +4339,37 @@ object SparkEntry {
     "q181_pq_quantize" -> OracleHashSql.q181Pq,
     "q182_semdedup" -> OracleHashSql.q182SemDedup,
     "q186_image_dhash_dedup" -> OracleHashSql.q186Dhash,
+    "q187_aaigrid" ->
+      // the ENTIRE AAIGrid file text rebuilt from the z2 pixel law —
+      // header by concatenation, body by two ordered string_aggs — plus
+      // the q48 checksum over the (identically-parsed) values
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty
+           FROM generate_series(0, 7) gx(x), generate_series(0, 3) gy(y)),
+         px AS (
+           SELECT tx, ty, r.r AS r, c.c AS c,
+             (tx*131 + ty*173 + c.c*7 + r.r*11 + 2) % 256 AS v
+           FROM tiles, generate_series(0, 63) r(r), generate_series(0, 63) c(c)),
+         rows_ AS (
+           SELECT tx, ty, r, string_agg(CAST(v AS VARCHAR), ' ' ORDER BY c) AS rowstr
+           FROM px GROUP BY 1, 2, 3),
+         body AS (
+           SELECT tx, ty, string_agg(rowstr, chr(10) ORDER BY r) AS b
+           FROM rows_ GROUP BY 1, 2),
+         cks AS (
+           SELECT tx, ty,
+             CAST(sum(CAST(v AS BIGINT) * ((r*64 + c) % 49 + 1)) % 65535 AS INT) AS cks
+           FROM px GROUP BY 1, 2)
+         SELECT CAST(b.tx AS BIGINT) AS tx, CAST(b.ty AS BIGINT) AS ty,
+           CAST(length(
+             'ncols 64' || chr(10) || 'nrows 64' || chr(10) ||
+             'xllcorner ' || CAST(b.tx*64 AS VARCHAR) || chr(10) ||
+             'yllcorner ' || CAST(b.ty*64 AS VARCHAR) || chr(10) ||
+             'cellsize 1' || chr(10) || 'NODATA_value -9999' || chr(10) || b.b
+           ) AS BIGINT) AS aai_len,
+           CAST(b.tx*64 AS BIGINT) AS xll_back, CAST(b.ty*64 AS BIGINT) AS yll_back,
+           CAST(-9999 AS BIGINT) AS nodata_back, c.cks AS cks
+         FROM body b JOIN cks c ON c.tx = b.tx AND c.ty = b.ty""",
     "q184_lm_surprisal" ->
       // the q147 token/idf integer laws re-aimed at per-doc scoring:
       // surprisal surrogate = (total·1000) // cnt, doc score = floor mean
