@@ -197,6 +197,25 @@ FROM allsub GROUP BY 1
 """
   }
 
+  /** q188: hashing-trick featurization — the engine's signed-tf law with
+    * the unsigned hash64 replay: dim = u mod 32, sign = bit 5 of u (both
+    * invariant under the signed/unsigned 2^64 congruence). */
+  def q188FeatureHash: String = {
+    ctr = 0
+    s"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, ${hash64("term")} AS u FROM tf)
+SELECT doc_id, CAST(u % 32 AS BIGINT) AS dim,
+  CAST(sum(CASE WHEN (u // 32) % 2 = 0 THEN tf ELSE -tf END) AS BIGINT) AS val
+FROM h GROUP BY 1, 2
+"""
+  }
+
   /** q186: image dHash near-dup — replay the 56-bit difference hash from
     * the z3 synth pixel law ((tx·131+ty·173+x·7+y·11+3) mod 256), then the
     * 5-chunk pigeonhole candidate join and exact popcount verify at

@@ -1682,6 +1682,25 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q188_feature_hashing" -> ((s, dir) => {
+      // hashing-trick featurization (public recipe: Weinberger et al.
+      // 2009, the fastText/Vowpal-Wabbit input layer): term → dimension
+      // by hash64 mod 32, sign from hash bit 5, doc vector = signed tf
+      // sums. 100-TB shape: one (doc,term) tf agg + one (doc,dim) agg —
+      // the vocabulary NEVER materializes and there is no model state.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("h", call_function("hash64", col("term")))
+        .withColumn("dim", expr("((h % 32) + 32) % 32"))
+        .withColumn("sv",
+          expr("CASE WHEN (shiftright(h, 5) & 1) = 0 THEN tf ELSE -tf END"))
+        .groupBy("doc_id", "dim")
+        .agg(sum(col("sv")).as("val"))
+    }),
     "q187_aaigrid" -> ((s, dir) => {
       // Arc/Info ASCII Grid driver (frmts/aaigrid/aaigriddataset.cpp) —
       // the first TEXT raster format beside the five vector text drivers:
@@ -4339,6 +4358,7 @@ object SparkEntry {
     "q181_pq_quantize" -> OracleHashSql.q181Pq,
     "q182_semdedup" -> OracleHashSql.q182SemDedup,
     "q186_image_dhash_dedup" -> OracleHashSql.q186Dhash,
+    "q188_feature_hashing" -> OracleHashSql.q188FeatureHash,
     "q187_aaigrid" ->
       // the ENTIRE AAIGrid file text rebuilt from the z2 pixel law —
       // header by concatenation, body by two ordered string_aggs — plus

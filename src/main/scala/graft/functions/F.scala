@@ -108,6 +108,7 @@ object F {
         "checksum_px"    -> (e => ChecksumPx(e.head)),
         "csv_line"       -> (e => CsvLine(e.head)),
         "shingles64"     -> (e => Shingles64(e(0), e(1))),
+        "hash64"         -> (e => Hash64(e.head)),
         "csv_fields"     -> (e => CsvFields(e.head)),
         "shp_record"     -> (e => ShpRecord(e(0), e(1))),
         "shp_recnum"     -> (e => ShpRecNum(e.head)),

@@ -346,6 +346,19 @@ case class CsvFields(child: Expression)
   override def prettyName: String = "csv_fields"
 }
 
+/** hash64(text) → long: TextCore's base-31 polynomial + mix64 word hash
+  * as a standalone scalar — the primitive the hashing-trick featurizer
+  * (q188) keys dimensions and signs from. Same hash the shingle/minhash
+  * family uses internally, so the oracle replay already exists. */
+case class Hash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextCore.hash64(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "hash64"
+}
+
 /** shingles64(text, k) → array<long>: the DISTINCT word-k-shingle hash
   * set (TextCore.wordShingles — the same set minhash_sig permutes), as
   * data. This is the raw currency of the decontamination semi-join:
