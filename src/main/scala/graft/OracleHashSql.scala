@@ -197,6 +197,68 @@ FROM allsub GROUP BY 1
 """
   }
 
+  /** q189: MIF driver — rebuild the ENTIRE geometry block text (keyword +
+    * bare `x y` lines under the GeoJson.fmt contract) and the round-trip
+    * vertex rows from the generating arithmetic. */
+  def q189Mif: String = {
+    def f(e: String): String =
+      s"CASE WHEN ($e) = floor($e) THEN CAST(CAST(($e) AS BIGINT) AS VARCHAR) " +
+        s"ELSE CAST(($e) AS VARCHAR) END"
+    def pt(x: String, y: String): String = s"${f(x)} || ' ' || ${f(y)}"
+    val nl = "chr(10)"
+    s"""WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 4.0 AS ax,
+    CAST((s_suppkey * 104729) % 512 AS DOUBLE) AS ay,
+    1.0 + CAST(s_suppkey % 7 AS DOUBLE) / 2.0 AS w,
+    2.0 + CAST(s_suppkey % 5 AS DOUBLE) AS h
+  FROM supplier),
+cc AS (
+  SELECT q_id, ax, ay, ax + w AS x2, ay + h AS y2, ay + 2.0 * h AS y3,
+    ax + 4.0*w AS sx2, ay + 4.0*h AS sy2,
+    ax + w AS hx1, ay + h AS hy1, ax + 2.0*w AS hx2, ay + 2.0*h AS hy2
+  FROM sp),
+ks AS (
+  SELECT q_id,
+    CASE WHEN q_id % 4 = 0 THEN
+      'POINT ' || ${pt("ax", "ay")}
+    WHEN q_id % 4 = 1 THEN
+      'PLINE 3' || $nl || ${pt("ax", "ay")} || $nl || ${pt("x2", "y2")} || $nl || ${pt("ax", "y3")}
+    WHEN q_id % 4 = 2 THEN
+      'PLINE MULTIPLE 2' || $nl || '2' || $nl || ${pt("ax", "ay")} || $nl || ${pt("x2", "y2")} ||
+        $nl || '2' || $nl || ${pt("ax", "y2")} || $nl || ${pt("x2", "ay")}
+    ELSE
+      'REGION 2' || $nl || '5' || $nl ||
+        ${pt("ax", "ay")} || $nl || ${pt("sx2", "ay")} || $nl || ${pt("sx2", "sy2")} || $nl ||
+        ${pt("ax", "sy2")} || $nl || ${pt("ax", "ay")} || $nl || '5' || $nl ||
+        ${pt("hx1", "hy1")} || $nl || ${pt("hx2", "hy1")} || $nl || ${pt("hx2", "hy2")} || $nl ||
+        ${pt("hx1", "hy2")} || $nl || ${pt("hx1", "hy1")}
+    END AS mif
+  FROM cc),
+vr AS (
+  SELECT q_id, 0 AS seq, ax AS x, ay AS y FROM cc WHERE q_id % 4 = 0
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 2, ax, y3 FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 2, ax, y2 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 3, x2, ay FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 1, sx2, ay FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 2, sx2, sy2 FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 3, ax, sy2 FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 4, ax, ay FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 5, hx1, hy1 FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 6, hx2, hy1 FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 7, hx2, hy2 FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 8, hx1, hy2 FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 9, hx1, hy1 FROM cc WHERE q_id % 4 = 3)
+SELECT v.q_id, k.mif, CAST(v.seq AS BIGINT) AS seq, v.x, v.y
+FROM vr v JOIN ks k ON k.q_id = v.q_id
+"""
+  }
+
   /** q188: hashing-trick featurization — the engine's signed-tf law with
     * the unsigned hash64 replay: dim = u mod 32, sign = bit 5 of u (both
     * invariant under the signed/unsigned 2^64 congruence). */

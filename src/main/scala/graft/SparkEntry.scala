@@ -1682,6 +1682,41 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q189_mif_driver" -> ((s, dir) => {
+      // OGR MapInfo MIF driver analog (ogr/ogrsf_frmts/mitab/
+      // mitab_miffile.cpp): seventh text-format driver and the first
+      // LINE/token-oriented one (keyword + bare `x y` lines — no XML).
+      // Write each geometry as a MIF block, parse it BACK, dump vertex
+      // rows; the oracle rebuilds the ENTIRE block text and the
+      // vertices. Branches: POINT, PLINE, PLINE MULTIPLE (two
+      // sections), REGION with a HOLE (two rings). Shuffle-free.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 4.0D"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 512 AS DOUBLE)"))
+        .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
+        .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
+        .withColumn("wkt", expr(
+          """CASE WHEN q_id % 4 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+             WHEN q_id % 4 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
+               ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
+             WHEN q_id % 4 = 2 THEN format_string('MULTILINESTRING((%s %s, %s %s), (%s %s, %s %s))',
+               ax, ay, ax + w, ay + h, ax, ay + h, ax + w, ay)
+             ELSE format_string(
+               'POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s), (%s %s, %s %s, %s %s, %s %s, %s %s))',
+               ax, ay, ax + 4.0D*w, ay, ax + 4.0D*w, ay + 4.0D*h, ax, ay + 4.0D*h, ax, ay,
+               ax + w, ay + h, ax + 2.0D*w, ay + h, ax + 2.0D*w, ay + 2.0D*h,
+               ax + w, ay + 2.0D*h, ax + w, ay + h)
+             END"""))
+        .withColumn("mif", call_function("st_asmif",
+          call_function("st_geomfromwkt", col("wkt"))))
+        .select(col("q_id"), col("mif"),
+          posexplode(call_function("st_points",
+            call_function("st_geomfrommif", col("mif")))).as(Seq("seq", "p")))
+        .select(col("q_id"), col("mif"), col("seq").cast("long").as("seq"),
+          col("p.x").as("x"), col("p.y").as("y"))
+    }),
     "q188_feature_hashing" -> ((s, dir) => {
       // hashing-trick featurization (public recipe: Weinberger et al.
       // 2009, the fastText/Vowpal-Wabbit input layer): term → dimension
@@ -4359,6 +4394,7 @@ object SparkEntry {
     "q182_semdedup" -> OracleHashSql.q182SemDedup,
     "q186_image_dhash_dedup" -> OracleHashSql.q186Dhash,
     "q188_feature_hashing" -> OracleHashSql.q188FeatureHash,
+    "q189_mif_driver" -> OracleHashSql.q189Mif,
     "q187_aaigrid" ->
       // the ENTIRE AAIGrid file text rebuilt from the z2 pixel law —
       // header by concatenation, body by two ordered string_aggs — plus

@@ -70,6 +70,8 @@ object F {
         "st_geomfromgml" -> (e => StGeomFromGml(e.head)),
         "st_asgpx"       -> (e => StAsGpx(e.head)),
         "st_geomfromgpx" -> (e => StGeomFromGpx(e.head)),
+        "st_asmif"       -> (e => StAsMif(e.head)),
+        "st_geomfrommif" -> (e => StGeomFromMif(e.head)),
         "st_segmentize"  -> (e => StSegmentize(e(0), e(1))),
         "st_distance_sphere" -> (e => StDistanceSphere(e(0), e(1))),
         "st_line_length"    -> (e => StLineLength(e.head)),

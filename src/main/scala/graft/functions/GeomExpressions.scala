@@ -322,6 +322,38 @@ case class StGeomFromGpx(child: Expression)
   override def prettyName: String = "st_geomfromgpx"
 }
 
+/** st_asmif(geom) → MIF geometry block (reference:
+  * ogr/ogrsf_frmts/mitab/mitab_miffile.cpp writer; core/Mif contract —
+  * keyword + bare `x y` coordinate lines, the only LINE-oriented text
+  * driver beside the XML/JSON family). */
+case class StAsMif(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (b.isEmpty) null
+    else UTF8String.fromString(graft.core.Mif.write(GeomOps.fromWkb(b)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_asmif"
+}
+
+/** st_geomfrommif(text) → WKB (mitab MIF reader analog: POINT/LINE/
+  * PLINE [MULTIPLE]/REGION keywords, tolerated style clauses). */
+case class StGeomFromMif(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty || s.forall(_.isWhitespace)) null
+    else GeomIO.toWkb(graft.core.Mif.parse(s))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_geomfrommif"
+}
+
 case class StGeomFromGeoJson(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
