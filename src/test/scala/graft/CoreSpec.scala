@@ -943,6 +943,35 @@ class CoreSpec extends AnyFunSuite {
     intercept[Exception](Gpx.parse("""<nope lat="1" lon="2"/>"""))
   }
 
+  test("MIF: write/parse round-trips, LINE form, style tolerance") {
+    import graft.core.Mif
+    def rt(wkt: String): Unit = {
+      val g = GeomIO.fromWkt(wkt)
+      val back = Mif.parse(Mif.write(g))
+      assert(back.equalsExact(g), s"$wkt -> ${Mif.write(g)} -> $back")
+    }
+    rt("POINT (3 4.25)")
+    rt("LINESTRING (0 0, 1.5 2, 3 0)")
+    rt("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))")
+    rt("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    // exact writer form (keyword + bare x y lines, fmt contract)
+    assert(Mif.write(GeomIO.point(3.0, 4.25)) == "POINT 3 4.25")
+    assert(Mif.write(GeomIO.fromWkt("LINESTRING (0 0, 1 1)")) ==
+      "PLINE 2\n0 0\n1 1")
+    // reader tolerance: the two-point LINE special form; style clauses
+    val seg = Mif.parse("LINE 0 0 4 3")
+    assert(seg.equalsExact(GeomIO.fromWkt("LINESTRING (0 0, 4 3)")))
+    val styled = Mif.parse("PLINE 2\n0 0\n1 1\nPEN (1,2,0) SMOOTH")
+    assert(styled.equalsExact(GeomIO.fromWkt("LINESTRING (0 0, 1 1)")))
+    // unclosed REGION rings close on read (MIF permits the omission)
+    val open = Mif.parse("REGION 1\n4\n0 0\n4 0\n4 4\n0 4")
+    assert(open.equalsExact(GeomIO.fromWkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")))
+    // malformed inputs raise, not corrupt
+    intercept[Exception](Mif.parse("PLINE 3\n0 0\n1 1"))
+    intercept[Exception](Mif.parse("CIRCLE 0 0 5"))
+    intercept[Exception](Mif.parse("POINT 1 2 junk"))
+  }
+
   test("st_simplify: DP keep/drop against ground truth, survivors bit-exact") {
     val spark = TestSpark.spark
     import spark.implicits._
