@@ -197,6 +197,41 @@ FROM allsub GROUP BY 1
 """
   }
 
+  /** q190: ExactSubstr repetition census — strided char-32-gram hashes
+    * (the hash64 replay over substrings), >= 2-doc grams, per-doc counts;
+    * zero-gram docs kept via LEFT joins. */
+  def q190SubstrRep: String = {
+    ctr = 0
+    s"""
+WITH d AS (
+  SELECT doc_id,
+    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ||
+      CASE WHEN doc_id % 10 = 0
+      THEN ' call me ishmael some years ago never mind how long precisely'
+      ELSE '' END AS norm
+  FROM documents),
+g0 AS (
+  SELECT doc_id, norm,
+    unnest(range(0, (length(norm) - 32) // 16 + 1)) AS kk
+  FROM d WHERE length(norm) >= 32),
+g AS (
+  SELECT doc_id, ${hash64("substr(norm, CAST(kk*16 + 1 AS INT), 32)")} AS h
+  FROM g0),
+rep AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) s
+  WHERE nd >= 2),
+fl AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+    sum(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS n_repeated
+  FROM g LEFT JOIN rep r ON r.h = g.h
+  GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(fl.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(fl.n_repeated, 0) AS BIGINT) AS n_repeated
+FROM d LEFT JOIN fl ON fl.doc_id = d.doc_id
+"""
+  }
+
   /** q189: MIF driver — rebuild the ENTIRE geometry block text (keyword +
     * bare `x y` lines under the GeoJson.fmt contract) and the round-trip
     * vertex rows from the generating arithmetic. */

@@ -1682,6 +1682,20 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q190_substr_repetition" -> ((s, dir) => {
+      // ExactSubstr dedup signal (Lee et al. 2021): strided char-32-gram
+      // census of verbatim cross-doc substrings. A deterministic slogan
+      // is planted on doc_id % 10 = 0 docs so the repeated branch
+      // genuinely fires beyond natural corpus repeats.
+      F.ensureRegistered(s)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("norm", expr(
+          """concat(trim(lower(regexp_replace(text, '\\s+', ' '))),
+             CASE WHEN doc_id % 10 = 0
+             THEN ' call me ishmael some years ago never mind how long precisely'
+             ELSE '' END)"""))
+      Dedup.substrRepetition(d, "doc_id", "norm", k = 32, stride = 16)
+    }),
     "q189_mif_driver" -> ((s, dir) => {
       // OGR MapInfo MIF driver analog (ogr/ogrsf_frmts/mitab/
       // mitab_miffile.cpp): seventh text-format driver and the first
@@ -4395,6 +4409,7 @@ object SparkEntry {
     "q186_image_dhash_dedup" -> OracleHashSql.q186Dhash,
     "q188_feature_hashing" -> OracleHashSql.q188FeatureHash,
     "q189_mif_driver" -> OracleHashSql.q189Mif,
+    "q190_substr_repetition" -> OracleHashSql.q190SubstrRep,
     "q187_aaigrid" ->
       // the ENTIRE AAIGrid file text rebuilt from the z2 pixel law —
       // header by concatenation, body by two ordered string_aggs — plus

@@ -405,4 +405,41 @@ object Dedup {
         coalesce(col("removed_spans"), lit(0L)).as("removed_spans"),
         (col("n_lines") - coalesce(col("n_cov"), lit(0L))).as("kept_lines"))
   }
+
+  /** Cross-document EXACT-SUBSTRING repetition — the detection half of the
+    * ExactSubstr dedup recipe (public: Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", which removes verbatim
+    * substrings >= 50 chars occurring in more than one document; their
+    * tool is a suffix array, ours is the distributed analog: strided char
+    * k-grams, corpus-global document frequency, per-doc repetition
+    * census). A k-gram starting every `stride` chars guarantees any
+    * verbatim run of length >= k + stride - 1 contributes at least one
+    * shared gram, so long copies can never hide between sample points.
+    *
+    * 100-TB shape: the gram table is (doc_id, hash64) LONG pairs — 16 B
+    * per row, the text never shuffles; one distinct + one hash agg find
+    * the >= 2-doc grams; one equi-join back (the repeated-gram side is a
+    * tiny fraction of the vocabulary — AQE broadcasts it) and one doc agg
+    * produce the census. Output: (doc_id, n_grams, n_repeated), docs too
+    * short for a single gram included with zeros. */
+  def substrRepetition(docs: DataFrame, idCol: String, normCol: String,
+                       k: Int = 32, stride: Int = 16): DataFrame = {
+    F.ensureRegistered(docs.sparkSession)
+    val d = docs.select(col(idCol).as("doc_id"), col(normCol).as("norm"))
+    val g = d.select(col("doc_id"), explode(expr(
+      s"""CASE WHEN length(norm) < $k THEN CAST(array() AS ARRAY<BIGINT>)
+          ELSE transform(sequence(0, CAST((length(norm) - $k) div $stride AS INT)),
+            __k -> hash64(substring(norm, __k * $stride + 1, $k))) END""")).as("h"))
+    val rep = g.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= 2).select(col("h"), lit(1L).as("is_rep"))
+    val flags = g.join(rep, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_rep"), lit(0L))).as("n_repeated"))
+    d.select("doc_id").join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+  }
 }
