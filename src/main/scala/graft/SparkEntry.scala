@@ -1682,6 +1682,26 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q191_incremental_resume" -> ((s, dir) => {
+      // Checkpointed INCREMENTAL RESUME at the oracle gate — the
+      // north-rule's "resumes idempotently without reprocessing committed
+      // tiles", driver-graded: run 1 commits sources src0-src4 through
+      // CatalogIO.commitPartitioned (hive-partitioned data + PARTS
+      // manifest + lineage rows); run 2 receives the FULL corpus and the
+      // committed sources are broadcast-ANTI-JOINED out before any work —
+      // only the remainder commits. The graded surface is the read-back
+      // committed table's per-source aggregate, which must equal a plain
+      // full-corpus recompute (and is parallelism-invariant).
+      val root = scratch("q191ckpt")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val firstHalf = docs.where(expr(
+        "CAST(substring(source, 4) AS INT) < 5"))
+      graft.io.CatalogIO.commitPartitioned(s, firstHalf, root, "job191", "s1", "source")
+      graft.io.CatalogIO.commitPartitioned(s, docs, root, "job191", "s1", "source")
+      graft.io.CatalogIO.readCommittedPartitions(s, root, "job191", "s1", "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
     "q190_substr_repetition" -> ((s, dir) => {
       // ExactSubstr dedup signal (Lee et al. 2021): strided char-32-gram
       // census of verbatim cross-doc substrings. A deterministic slogan
@@ -4410,6 +4430,10 @@ object SparkEntry {
     "q188_feature_hashing" -> OracleHashSql.q188FeatureHash,
     "q189_mif_driver" -> OracleHashSql.q189Mif,
     "q190_substr_repetition" -> OracleHashSql.q190SubstrRep,
+    "q191_incremental_resume" ->
+      // the committed table after resume must equal a plain full recompute
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1""",
     "q187_aaigrid" ->
       // the ENTIRE AAIGrid file text rebuilt from the z2 pixel law —
       // header by concatenation, body by two ordered string_aggs — plus
