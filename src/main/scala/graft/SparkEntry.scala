@@ -1682,6 +1682,84 @@ object SparkEntry {
                    CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
                    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""")),
         "doc_id", "lines")),
+    "q192_scene_cuts" -> ((s, dir) => {
+      // Multimodal VIDEO scene-cut detection (frame-diff energy) — the
+      // shot-boundary pass of a video training pipeline, extending q149's
+      // byte-level container plumbing. Frame count is recovered FROM THE
+      // BYTES ('VID:nnn:' header, the typed column is dropped first);
+      // per-frame mean luma comes from the deterministic stand-in decode
+      // (decodeStub class — no in-JVM video codec): luma is piecewise-
+      // constant over synthetic scenes of length 4 + vid % 5 (base jumps
+      // +97/-132 mod 229 across scenes) plus an in-scene wiggle < 9, so
+      // threshold 32 separates jump classes with a 3x margin on each
+      // side. The diff itself is a lag window PARTITIONED BY vid (frames
+      // of one video are one group — no global sort; at 100 TB each
+      // video's frames hash to one task and the window is per-group
+      // sort-free beyond its own frames). Output: per-video cut census.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("vid"))
+        .withColumn("bin", expr(
+          "CAST(format_string('VID:%03d:', 24 + vid % 40) AS BINARY)"))
+        .select(col("vid"), col("bin")) // frame count lives ONLY in bytes
+        .withColumn("n", expr("CAST(substring(CAST(bin AS STRING), 5, 3) AS INT)"))
+        .withColumn("frame", explode(expr("sequence(0, n - 1)")))
+        .withColumn("luma", expr(
+          """(vid * 31 + (frame div (4 + vid % 5)) * 97) % 229
+             + (vid * 7 + frame * 13) % 9"""))
+        .withColumn("pl", expr(
+          "lag(luma) OVER (PARTITION BY vid ORDER BY frame)"))
+        .where(col("pl").isNotNull)
+        .withColumn("jump", abs(col("luma") - col("pl")))
+        .groupBy("vid")
+        .agg(
+          sum(when(col("jump") > 32, 1L).otherwise(0L)).as("n_cuts"),
+          min(when(col("jump") > 32, col("frame"))).cast("long").as("first_cut"),
+          sum(col("jump")).cast("long").as("diff_energy"))
+    }),
+    "q193_audio_trim" -> ((s, dir) => {
+      // Multimodal AUDIO silence trim + peak normalization — the
+      // loudness-normalize verb of an audio training pipeline, extending
+      // q151's byte-level plumbing. The container header 'AUD:nnnn:l:t:'
+      // carries sample count and the synthetic lead/tail silence widths;
+      // ALL THREE are recovered from the bytes. Samples come from the
+      // deterministic stand-in decode (decodeStub class) gated to 0 in
+      // the silent margins; the engine finds the first/last NON-silent
+      // index by scanning the decoded array (|s| >= 8 — in-body quiet
+      // samples do NOT end the trim), slices the keep range, and
+      // computes the peak-normalized energy in exact integers
+      // (amp -> abs(amp)*127 div peak). Pure per-row HOFs: map-only at
+      // 100 TB, no shuffle until the driver's own output sort.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("aid"))
+        .withColumn("bin", expr(
+          """CAST(format_string('AUD:%04d:%01d:%01d:',
+             64 + aid % 129, aid % 7, aid % 5) AS BINARY)"""))
+        .select(col("aid"), col("bin")) // widths live ONLY in the bytes
+        .withColumn("hdr", expr("CAST(bin AS STRING)"))
+        .withColumn("n", expr("CAST(substring(hdr, 5, 4) AS INT)"))
+        .withColumn("ld", expr("CAST(substring(hdr, 10, 1) AS INT)"))
+        .withColumn("tl", expr("CAST(substring(hdr, 12, 1) AS INT)"))
+        .withColumn("smp", expr(
+          """transform(sequence(0, n - 1), i ->
+               CASE WHEN i < ld OR i >= n - tl THEN 0
+                    ELSE (aid*31 + i*17) % 256 - 128 END)"""))
+        .withColumn("first_ns", expr(
+          "array_min(filter(sequence(0, n - 1), i -> abs(smp[i]) >= 8))"))
+        .withColumn("last_ns", expr(
+          "array_max(filter(sequence(0, n - 1), i -> abs(smp[i]) >= 8))"))
+        .withColumn("trimmed", expr(
+          "slice(smp, first_ns + 1, last_ns - first_ns + 1)"))
+        .withColumn("peak", expr("array_max(transform(trimmed, x -> abs(x)))"))
+        .select(col("aid"), col("n").cast("long").as("n"),
+          col("first_ns").cast("long").as("first_ns"),
+          col("last_ns").cast("long").as("last_ns"),
+          col("peak").cast("long").as("peak"),
+          expr("""aggregate(trimmed, 0L, (acc, x) ->
+            acc + CAST(abs(x)*127 div peak AS BIGINT)
+                * CAST(abs(x)*127 div peak AS BIGINT))""").as("norm_energy"))
+    }),
     "q191_incremental_resume" -> ((s, dir) => {
       // Checkpointed INCREMENTAL RESUME at the oracle gate — the
       // north-rule's "resumes idempotently without reprocessing committed
@@ -4434,6 +4512,49 @@ object SparkEntry {
       // the committed table after resume must equal a plain full recompute
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1""",
+    "q193_audio_trim" ->
+      // independent replay of the header widths, the gated sample law,
+      // the trim scan, and the integer peak-normalization
+      """WITH a AS (SELECT s_suppkey AS aid, 64 + s_suppkey % 129 AS n,
+                      s_suppkey % 7 AS ld, s_suppkey % 5 AS tl FROM supplier),
+         s AS (SELECT aid, n, g.i AS i,
+                 CASE WHEN g.i < ld OR g.i >= n - tl THEN 0
+                      ELSE (aid*31 + g.i*17) % 256 - 128 END AS smp
+               FROM a, generate_series(0, 192) g(i) WHERE g.i < n),
+         ns AS (SELECT aid, n,
+                  min(i) FILTER (WHERE abs(smp) >= 8) AS first_ns,
+                  max(i) FILTER (WHERE abs(smp) >= 8) AS last_ns
+                FROM s GROUP BY 1, 2),
+         t AS (SELECT s.aid, ns.n, ns.first_ns, ns.last_ns, s.smp
+               FROM s JOIN ns ON s.aid = ns.aid
+               WHERE s.i BETWEEN ns.first_ns AND ns.last_ns),
+         p AS (SELECT aid, max(abs(smp)) AS peak FROM t GROUP BY 1)
+         SELECT t.aid, CAST(t.n AS BIGINT) AS n,
+           CAST(t.first_ns AS BIGINT) AS first_ns,
+           CAST(t.last_ns AS BIGINT) AS last_ns,
+           CAST(p.peak AS BIGINT) AS peak,
+           CAST(sum((abs(t.smp)*127 // p.peak) * (abs(t.smp)*127 // p.peak))
+                AS BIGINT) AS norm_energy
+         FROM t JOIN p ON t.aid = p.aid
+         GROUP BY 1, 2, 3, 4, 5""",
+    "q192_scene_cuts" ->
+      // independent replay of the container-header arithmetic, the
+      // stand-in luma law, and the lag-diff cut rule
+      """WITH v AS (SELECT s_suppkey AS vid, 24 + s_suppkey % 40 AS n FROM supplier),
+         f AS (SELECT vid, g.f AS frame FROM v, generate_series(0, 62) g(f)
+               WHERE g.f < n),
+         l AS (SELECT vid, frame,
+                 (vid*31 + (frame // (4 + vid % 5)) * 97) % 229
+                   + (vid*7 + frame*13) % 9 AS luma FROM f),
+         d AS (SELECT vid, frame, luma,
+                 lag(luma) OVER (PARTITION BY vid ORDER BY frame) AS pl FROM l),
+         c AS (SELECT vid, frame, abs(luma - pl) AS jump FROM d
+               WHERE pl IS NOT NULL)
+         SELECT vid,
+           CAST(count(*) FILTER (WHERE jump > 32) AS BIGINT) AS n_cuts,
+           CAST(min(frame) FILTER (WHERE jump > 32) AS BIGINT) AS first_cut,
+           CAST(sum(jump) AS BIGINT) AS diff_energy
+         FROM c GROUP BY 1""",
     "q187_aaigrid" ->
       // the ENTIRE AAIGrid file text rebuilt from the z2 pixel law —
       // header by concatenation, body by two ordered string_aggs — plus
