@@ -297,6 +297,37 @@ FROM vr v JOIN ks k ON k.q_id = v.q_id
   /** q188: hashing-trick featurization — the engine's signed-tf law with
     * the unsigned hash64 replay: dim = u mod 32, sign = bit 5 of u (both
     * invariant under the signed/unsigned 2^64 congruence). */
+  /** q195: DSIR importance resampling — replay the hashed-unigram
+    * bucket models (target = lang 'en', raw = all), the exact-integer
+    * div-1000 likelihood-ratio score, and the per-source top-quarter
+    * keep rank. */
+  def q195Dsir: String = {
+    ctr = 0
+    s"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+t2 AS (SELECT doc_id, source, lang, term FROM toks WHERE term <> ''),
+h AS (SELECT doc_id, source, lang,
+        ((${hash64("term")} % 4096) + 4096) % 4096 AS b FROM t2),
+model AS (SELECT b, count(*) AS raw_cnt,
+            count(*) FILTER (WHERE lang = 'en') AS tgt_cnt
+          FROM h GROUP BY 1),
+dtf AS (SELECT doc_id, source, b, count(*) AS tf FROM h GROUP BY 1, 2, 3),
+sc AS (SELECT doc_id, source,
+         sum(tf * ((1000 * (m.tgt_cnt + 1)) // (m.raw_cnt + 1))) AS score
+       FROM dtf JOIN model m USING (b) GROUP BY 1, 2),
+rk AS (SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS nsrc
+       FROM sc)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+  CAST(CASE WHEN rn <= (nsrc + 3) // 4 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM rk
+"""
+  }
+
   def q188FeatureHash: String = {
     ctr = 0
     s"""

@@ -1760,6 +1760,72 @@ object SparkEntry {
             acc + CAST(abs(x)*127 div peak AS BIGINT)
                 * CAST(abs(x)*127 div peak AS BIGINT))""").as("norm_energy"))
     }),
+    "q194_gdalcompare" -> ((s, dir) => {
+      // gdalcompare.py analog (swig/python/scripts/gdalcompare.py — the
+      // reference's golden-raster comparator): per-tile diff census of a
+      // golden raster vs a sparsely-corrupted copy — n_diff, max pixel
+      // delta, and BOTH band checksums (core.Checksum, the same law the
+      // reference's autotest gates on). The compare is one equi-join of
+      // two tile tables on their natural (zoom,tx,ty,band) key followed
+      // by a codegen'd zip_with — at 100 TB the two rasters are
+      // co-partitioned by tile key and pixels never shuffle except
+      // inside their own tile row.
+      F.ensureRegistered(s)
+      val golden = graft.synth.Synth.tiles(s, 2)
+      val perturbed = graft.synth.Synth.tiles(s, 2).withColumn("pixels",
+        expr("""transform(pixels, (x, i) ->
+           CASE WHEN (tx*1000 + ty*100 + i) % 997 = 0
+                THEN (x + 5D) % 256D ELSE x END)"""))
+      golden.select(col("zoom"), col("tx"), col("ty"), col("band"),
+          col("pixels").as("px_g"))
+        .join(perturbed.select(col("zoom"), col("tx"), col("ty"),
+          col("band"), col("pixels").as("px_p")),
+          Seq("zoom", "tx", "ty", "band"))
+        .select(col("tx"), col("ty"),
+          expr("CAST(checksum_px(px_g) AS BIGINT)").as("cks_golden"),
+          expr("CAST(checksum_px(px_p) AS BIGINT)").as("cks_new"),
+          expr("""aggregate(zip_with(px_g, px_p, (a, b) ->
+            CASE WHEN a <> b THEN 1L ELSE 0L END), 0L,
+            (acc, d) -> acc + d)""").as("n_diff"),
+          expr("CAST(array_max(zip_with(px_g, px_p, (a, b) -> abs(a - b))) AS BIGINT)")
+            .as("max_diff"))
+    }),
+    "q195_dsir_resample" -> ((s, dir) => {
+      // DSIR-style importance resampling (Xie et al. 2023, public
+      // recipe): score each doc by how much likelier its hashed-unigram
+      // profile is under the TARGET domain model (lang='en') than under
+      // the RAW corpus model — the paper's log-ratio becomes an exact
+      // integer div-1000 ratio so the oracle can replay it bit-for-bit —
+      // then keep the top quarter PER SOURCE by (score desc, doc_id),
+      // q172's stratified ingest-order-free rank. 100-TB shape: BOTH
+      // bucket models come from ONE bucket-keyed agg with a conditional
+      // sum (4096-row result, broadcast into the per-doc join by AQE);
+      // the only full-width shuffle carries (doc_id, bucket, tf) longs —
+      // text never shuffles, the vocabulary never materializes.
+      F.ensureRegistered(s)
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("lang"), explode(
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("term"))
+        .where(col("term") =!= "")
+        .withColumn("b", expr(
+          "((hash64(term) % 4096) + 4096) % 4096"))
+      val model = toks.groupBy("b").agg(
+        count(lit(1)).as("raw_cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_cnt"))
+      val dtf = toks.groupBy("doc_id", "source", "b")
+        .agg(count(lit(1)).as("tf"))
+      val scored = dtf.join(model, Seq("b"))
+        .groupBy("doc_id", "source")
+        .agg(sum(expr("tf * ((1000 * (tgt_cnt + 1)) div (raw_cnt + 1))"))
+          .as("score"))
+      scored
+        .withColumn("rn", expr(
+          "row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id)"))
+        .withColumn("nsrc", expr("count(*) OVER (PARTITION BY source)"))
+        .select(col("doc_id"), col("score").cast("long").as("score"),
+          expr("CAST(CASE WHEN rn <= (nsrc + 3) div 4 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("kept"))
+    }),
     "q191_incremental_resume" -> ((s, dir) => {
       // Checkpointed INCREMENTAL RESUME at the oracle gate — the
       // north-rule's "resumes idempotently without reprocessing committed
@@ -4512,6 +4578,26 @@ object SparkEntry {
       // the committed table after resume must equal a plain full recompute
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1""",
+    "q195_dsir_resample" -> OracleHashSql.q195Dsir,
+    "q194_gdalcompare" ->
+      // independent replay of the z2 tile pixel law, the corruption law,
+      // and the GDAL checksum over both surfaces
+      """WITH t AS (SELECT tx.x AS tx, ty.y AS ty
+                    FROM generate_series(0, 7) tx(x), generate_series(0, 3) ty(y)),
+         px AS (SELECT tx, ty, g.i AS i,
+                  CAST((tx*131 + ty*173 + (g.i % 64)*7 + (g.i // 64)*11 + 2) % 256
+                       AS BIGINT) AS v
+                FROM t, generate_series(0, 4095) g(i)),
+         pp AS (SELECT tx, ty, i, v,
+                  CASE WHEN (tx*1000 + ty*100 + i) % 997 = 0
+                       THEN (v + 5) % 256 ELSE v END AS vp
+                FROM px)
+         SELECT tx, ty,
+           CAST(sum(v * (i % 49 + 1)) % 65535 AS BIGINT) AS cks_golden,
+           CAST(sum(vp * (i % 49 + 1)) % 65535 AS BIGINT) AS cks_new,
+           CAST(count(*) FILTER (WHERE v <> vp) AS BIGINT) AS n_diff,
+           CAST(max(abs(v - vp)) AS BIGINT) AS max_diff
+         FROM pp GROUP BY 1, 2""",
     "q193_audio_trim" ->
       // independent replay of the header widths, the gated sample law,
       // the trim scan, and the integer peak-normalization
