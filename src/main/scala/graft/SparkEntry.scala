@@ -1920,33 +1920,38 @@ object SparkEntry {
       // each z2 tile writes the 6-line header + 64 space-joined rows
       // (north first, GDAL's row order), then the text parses BACK
       // (header fields by position, values re-typed) and the parsed
-      // raster checksums. Writer and parser are pure codegen'd HOFs —
-      // map-only, shuffle-free; the oracle rebuilds the ENTIRE file text
-      // so a single wrong byte breaks the length compare.
+      // raster checksums. Writer and parser are pure map-only HOFs,
+      // shuffle-free; the oracle rebuilds the ENTIRE file text so a
+      // single wrong byte breaks the length compare. Evaluate-once
+      // discipline (see Media.dhash): the synth pixel array and the split
+      // line array are bound via transform(array(e), v -> …)[1] so they
+      // evaluate once per row instead of once per lambda call after
+      // CollapseProject inlines them into HOF bodies.
       F.ensureRegistered(s)
       Synth.tiles(s, 2)
         .withColumn("aai", expr(
-          """concat('ncols 64', chr(10), 'nrows 64', chr(10),
+          """element_at(transform(array(pixels), px ->
+             concat('ncols 64', chr(10), 'nrows 64', chr(10),
              'xllcorner ', CAST(tx * 64 AS STRING), chr(10),
              'yllcorner ', CAST(ty * 64 AS STRING), chr(10),
              'cellsize 1', chr(10), 'NODATA_value -9999', chr(10),
              array_join(transform(sequence(0, 63), r ->
                array_join(transform(sequence(0, 63), c ->
-                 CAST(CAST(element_at(pixels, CAST(r*64 + c + 1 AS INT)) AS BIGINT) AS STRING)), ' ')), chr(10)))"""))
+                 CAST(CAST(element_at(px, CAST(r*64 + c + 1 AS INT)) AS BIGINT) AS STRING)), ' ')), chr(10)))), 1)"""))
         .drop("pixels")
-        .withColumn("ls", split(col("aai"), "\n"))
-        .withColumn("xll_back",
-          expr("CAST(element_at(split(element_at(ls, 3), ' '), 2) AS BIGINT)"))
-        .withColumn("yll_back",
-          expr("CAST(element_at(split(element_at(ls, 4), ' '), 2) AS BIGINT)"))
-        .withColumn("nodata_back",
-          expr("CAST(element_at(split(element_at(ls, 6), ' '), 2) AS BIGINT)"))
-        .withColumn("vals", expr(
-          "flatten(transform(slice(ls, 7, 64), ln -> transform(split(ln, ' '), v -> CAST(v AS DOUBLE))))"))
+        .withColumn("parsed", expr(
+          """element_at(transform(array(split(aai, chr(10))), ls -> named_struct(
+               'xll_back', CAST(element_at(split(element_at(ls, 3), ' '), 2) AS BIGINT),
+               'yll_back', CAST(element_at(split(element_at(ls, 4), ' '), 2) AS BIGINT),
+               'nodata_back', CAST(element_at(split(element_at(ls, 6), ' '), 2) AS BIGINT),
+               'vals', flatten(transform(slice(ls, 7, 64), ln ->
+                 transform(split(ln, ' '), v -> CAST(v AS DOUBLE)))))), 1)"""))
         .select(col("tx"), col("ty"),
           length(col("aai")).cast("long").as("aai_len"),
-          col("xll_back"), col("yll_back"), col("nodata_back"),
-          F.checksum_px(col("vals")).as("cks"))
+          col("parsed.xll_back").as("xll_back"),
+          col("parsed.yll_back").as("yll_back"),
+          col("parsed.nodata_back").as("nodata_back"),
+          F.checksum_px(col("parsed.vals")).as("cks"))
     }),
     "q186_image_dhash_dedup" -> ((s, dir) => {
       // image perceptual-hash near-dup — the multimodal dedup verb: PNG

@@ -129,23 +129,33 @@ object Media {
   // by a SQL oracle from the pixel law alone.
 
   /** (tx, ty, pixels 64x64) → (img_id, dhash): 56-bit difference hash.
-    * Codegen'd HOFs over the pixel array; map-only at any scale. */
+    * Map-only at any scale — ONE expression, no intermediate columns.
+    *
+    * Evaluate-once discipline: when `pixels` is itself a computed
+    * expression (a decode UDF, a synth transform), CollapseProject will
+    * inline it into any lambda body that references it — and an attribute
+    * inlined INSIDE a HOF lambda re-evaluates on every lambda call (4096
+    * element_at's per row ⇒ 4096 full decodes per row). The single-element
+    * `transform(array(e), px -> …)[1]` binding evaluates `e` exactly once
+    * per row (it is the HOF's *argument*, not its body) and exposes it as
+    * a cheap lambda variable; the block-mean array is bound the same way
+    * before the 56-bit fold references it 112 times. */
   def dhash(decoded: DataFrame, gridW: Int = 16): DataFrame =
     decoded
       .withColumn("img_id", (col("ty") * gridW + col("tx")).cast("long"))
-      // block b (row-major by*8+bx) = floor mean of its 8x8 pixel block
-      .withColumn("blocks", expr(
-        """transform(sequence(0, 63), b ->
-             aggregate(sequence(0, 63), 0L, (acc, j) ->
-               acc + CAST(element_at(pixels, CAST(
-                 (b div 8)*512 + (j div 8)*64 + (b % 8)*8 + (j % 8) + 1
-               AS INT)) AS BIGINT)) div 64)"""))
+      // block b (row-major by*8+bx) = floor mean of its 8x8 pixel block;
       // bit k (k = by*7+bx) set iff block(bx+1,by) > block(bx,by)
       .withColumn("dhash", expr(
-        """aggregate(sequence(0, 55), 0L, (acc, k) ->
-             acc + CASE WHEN element_at(blocks, CAST((k div 7)*8 + (k % 7) + 2 AS INT))
-                             > element_at(blocks, CAST((k div 7)*8 + (k % 7) + 1 AS INT))
-                   THEN shiftleft(1L, CAST(k AS INT)) ELSE 0L END)"""))
+        """element_at(transform(array(pixels), px ->
+             element_at(transform(array(transform(sequence(0, 63), b ->
+                 aggregate(sequence(0, 63), 0L, (acc, j) ->
+                   acc + CAST(element_at(px, CAST(
+                     (b div 8)*512 + (j div 8)*64 + (b % 8)*8 + (j % 8) + 1
+                   AS INT)) AS BIGINT)) div 64)), bs ->
+               aggregate(sequence(0, 55), 0L, (acc, k) ->
+                 acc + CASE WHEN element_at(bs, CAST((k div 7)*8 + (k % 7) + 2 AS INT))
+                                 > element_at(bs, CAST((k div 7)*8 + (k % 7) + 1 AS INT))
+                       THEN shiftleft(1L, CAST(k AS INT)) ELSE 0L END)), 1)), 1)"""))
       .select("img_id", "dhash")
 
   /** Near-duplicate image pairs at hamming(dhash) <= maxHamming via the
@@ -166,8 +176,12 @@ object Media {
       s"shiftright(dhash, ${offsets(i)}) & $mask"
     }.mkString("array(", ", ", ")")
     val h = dhash(decoded, gridW)
+    // both self-join legs read the chunked hash table; persisting it keeps
+    // the codec (encode/decode UDF) lineage from executing once per leg —
+    // (img_id, dhash, chunk) is ~25 B/row × (maxHamming+1), tiny vs pixels
     val chunked = h.select(col("img_id"), col("dhash"),
       posexplode(expr(chunkExpr)).as(Seq("chunk_i", "chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunked.select(col("img_id").as("id_a"), col("dhash").as("h_a"),
       col("chunk_i"), col("chunk"))
     val b = chunked.select(col("img_id").as("id_b"), col("dhash").as("h_b"),
