@@ -788,6 +788,89 @@ FROM fin
 """
   }
 
+  /** q196: gdaltransform chained coordinate pipeline — UTM inverse
+    * (q76's Krüger beta/delta replay) hubbed through WGS84 into the LCC
+    * 2SP forward (q80's Snyder replay), with NO intermediate quantization,
+    * exactly the reference's chained-CT semantics (apps/gdaltransform.cpp
+    * hubs src→geographic→dst when neither side is geographic). Both legs
+    * reuse the established op-for-op discipline, so only transcendental
+    * ULPs remain — absorbed by the cm output quantum. */
+  def q196Pipeline: String = {
+    val kA = java.lang.Double.toString(graft.core.Utm.oracleKA)
+    val b = graft.core.Utm.oracleBeta.map(java.lang.Double.toString)
+    val dl = graft.core.Utm.oracleDelta.map(java.lang.Double.toString)
+    def cosh(x: String): String = s"((exp($x) + exp(-($x))) / 2.0)"
+    def sinh(x: String): String = s"((exp($x) - exp(-($x))) / 2.0)"
+    val xipSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"- (${b(j)} * sin($k * xi)) * ${cosh(s"$k * eta")}"
+    }.mkString(" ")
+    val etapSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"- (${b(j)} * cos($k * xi)) * ${sinh(s"$k * eta")}"
+    }.mkString(" ")
+    val phiSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"+ ${dl(j)} * sin($k * chi)"
+    }.mkString(" ")
+    val c1 = graft.core.Lcc.crs2154; val c2 = graft.core.Lcc.crs3978
+    def d(x: Double): String = java.lang.Double.toString(x)
+    val e = d(c1.e); val he = d(c1.halfE)
+    s"""
+WITH sp AS (SELECT s_suppkey AS q_id FROM supplier),
+base AS (
+  SELECT q_id, q_id % 60 + 1 AS zone, (q_id % 2 = 0) AS north,
+    CAST(100000 + (q_id * 48271) % 800001 AS DOUBLE) AS e_m,
+    (q_id * 16807) % 9000001 AS nr
+  FROM sp),
+x0 AS (
+  SELECT q_id, zone, north,
+    CASE WHEN north THEN 32600 + zone ELSE 32700 + zone END AS src_epsg,
+    ((CASE WHEN north THEN CAST(nr AS DOUBLE) ELSE CAST(10000000 - nr AS DOUBLE) END)
+      - CASE WHEN north THEN 0.0 ELSE 10000000.0 END) / $kA AS xi,
+    (e_m - 500000.0) / $kA AS eta
+  FROM base),
+u1 AS (SELECT *, xi $xipSer AS xip, eta $etapSer AS etap FROM x0),
+u2 AS (SELECT *, asin(sin(xip) / ${cosh("etap")}) AS chi FROM u1),
+u3 AS (SELECT *, chi $phiSer AS gphi, atan2(${sinh("etap")}, cos(xip)) AS glam FROM u2),
+geo AS (
+  SELECT q_id, src_epsg,
+    (zone * 6.0 - 183.0) + ((glam * 180.0) / pi()) AS lon,
+    (gphi * 180.0) / pi() AS lat
+  FROM u3),
+c AS (
+  SELECT q_id, src_epsg, lon, lat,
+    CASE WHEN q_id % 2 = 0 THEN 2154 ELSE 3978 END AS dst_epsg,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.n)} ELSE ${d(c2.n)} END AS cn,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.aF)} ELSE ${d(c2.aF)} END AS af,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.rho0)} ELSE ${d(c2.rho0)} END AS rho0,
+    CASE WHEN q_id % 2 = 0 THEN 3.0 ELSE -95.0 END AS lon0,
+    CASE WHEN q_id % 2 = 0 THEN 700000.0 ELSE 0.0 END AS fe,
+    CASE WHEN q_id % 2 = 0 THEN 6600000.0 ELSE 0.0 END AS fn
+  FROM geo),
+w AS (
+  SELECT *, CASE WHEN lon - lon0 > 180.0 THEN lon - lon0 - 360.0
+                 WHEN lon - lon0 < -180.0 THEN lon - lon0 + 360.0
+                 ELSE lon - lon0 END AS lamd FROM c),
+l1 AS (SELECT *, (lat / 180.0) * pi() AS phi, (lamd / 180.0) * pi() AS lam FROM w),
+l2 AS (SELECT *, sin(phi) AS sphi FROM l1),
+l3 AS (SELECT *,
+    tan(pi() / 4.0 - phi / 2.0)
+      * exp($he * ln((1.0 + $e * sphi) / (1.0 - $e * sphi))) AS tt
+  FROM l2),
+l4 AS (SELECT *, af * exp(cn * ln(tt)) AS rho, cn * lam AS th FROM l3),
+fin AS (
+  SELECT q_id, src_epsg, dst_epsg,
+    fe + rho * sin(th) AS oe,
+    fn + rho0 - rho * cos(th) AS onn
+  FROM l4)
+SELECT q_id, CAST(src_epsg AS INT) AS src_epsg, CAST(dst_epsg AS INT) AS dst_epsg,
+  CAST(floor(oe * 100.0 + 0.5) AS BIGINT) AS e_cm,
+  CAST(floor(onn * 100.0 + 0.5) AS BIGINT) AS n_cm
+FROM fin
+"""
+  }
+
   /** q82: RPC warp replica. The ground→image transform is pure +,·,/ on
     * doubles with a fixed evaluation order (basis-order sums, left-assoc
     * monomials), so the SQL below is BIT-EXACT — the only nondeterminism

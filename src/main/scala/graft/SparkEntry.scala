@@ -1203,6 +1203,38 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q196_transform_pipeline" -> ((s, dir) => {
+      // gdaltransform chained coordinate pipeline (apps/gdaltransform.cpp
+      // :: main + ogr/ogrct.cpp :: OGRCreateCoordinateTransformation):
+      // when neither SRS is geographic the transform hubs through WGS84 —
+      // UTM inverse (Krüger series, the q76 leg) composed with the LCC
+      // 2SP forward (Snyder chain, the q80 leg) as two st_transform calls
+      // with NO intermediate quantization, exactly the reference's
+      // chained-CT semantics. Deterministic integer-meter UTM inputs
+      // (exact doubles, the q76 law); cm-quantized output; the oracle
+      // replays both legs op-for-op. Plan: scan → project, shuffle-free —
+      // at 100 TB this is a map-only projection like every SRS query.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("zone", col("q_id") % 60 + 1)
+        .withColumn("north", col("q_id") % 2 === 0)
+        .withColumn("src_epsg", when(col("north"), col("zone") + 32600)
+          .otherwise(col("zone") + 32700).cast("int"))
+        .withColumn("dst_epsg", when(col("q_id") % 2 === 0, lit(2154))
+          .otherwise(lit(3978)).cast("int"))
+        .withColumn("e_m", (lit(100000L) + (col("q_id") * 48271) % 800001).cast("double"))
+        .withColumn("__nr", (col("q_id") * 16807) % 9000001)
+        .withColumn("n_m", when(col("north"), col("__nr"))
+          .otherwise(lit(10000000L) - col("__nr")).cast("double"))
+        .withColumn("u", F.st_transform(
+          F.st_transform(F.st_point(col("e_m"), col("n_m")),
+            col("src_epsg"), lit(4326)),
+          lit(4326), col("dst_epsg")))
+        .select(col("q_id"), col("src_epsg"), col("dst_epsg"),
+          expr("CAST(floor(st_x(u) * 100.0 + 0.5) AS BIGINT)").as("e_cm"),
+          expr("CAST(floor(st_y(u) * 100.0 + 0.5) AS BIGINT)").as("n_cm"))
+    }),
 
     // ------------- multimodal resolver ------------------------------------
     "q44_media_mean" -> ((s, dir) => {
@@ -4509,6 +4541,7 @@ object SparkEntry {
     "q76_utm_inverse" -> OracleHashSql.q76UtmInv,
     "q80_lcc_forward" -> OracleHashSql.q80Lcc(qptsSql),
     "q81_lcc_inverse" -> OracleHashSql.q81LccInv,
+    "q196_transform_pipeline" -> OracleHashSql.q196Pipeline,
     "q82_rpc_warp" -> OracleHashSql.q82Rpc,
     "q83_tps_forward" -> OracleHashSql.q83Tps,
     "q85_ps_forward" -> OracleHashSql.q85Ps(qptsSql),
