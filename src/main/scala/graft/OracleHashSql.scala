@@ -877,7 +877,17 @@ FROM fin
     * classes (transcendental libm gaps, reassociation) don't exist here.
     * Coefficients embed as the engine's exact runtime doubles; the floor
     * sampling and tile checksum mirror q79's. */
-  def q82Rpc: String = {
+  def q82Rpc: String = rpcOracle("0.0")
+
+  /** q198: the q82 replica with the DEM height leg — h is the
+    * nearest-cell elevation of a synthetic 2.8125°-cell DEM, replayed
+    * with the engine's exact op order (floor((lon+180)/2.8125) etc.; the
+    * dyadic grid makes every floor argument exact). */
+  def q198RpcDem: String = rpcOracle(
+    "CAST((CAST(floor((lon + 180.0) / 2.8125) AS BIGINT) * 37 " +
+      "+ CAST(floor((90.0 - lat) / 2.8125) AS BIGINT) * 91) % 400 AS DOUBLE)")
+
+  private def rpcOracle(hSql: String): String = {
     val m = graft.core.Rpc.demo
     def d(x: Double): String = java.lang.Double.toString(x)
     def polySql(cs: Array[Double]): String =
@@ -899,7 +909,7 @@ nrm AS (
   SELECT gdx, gdy,
     (lon - ${d(m.lonOff)}) / ${d(m.lonScale)} AS l,
     (lat - ${d(m.latOff)}) / ${d(m.latScale)} AS p,
-    (0.0 - ${d(m.hOff)}) / ${d(m.hScale)} AS hh
+    (($hSql) - ${d(m.hOff)}) / ${d(m.hScale)} AS hh
   FROM g),
 r AS (
   SELECT gdx, gdy,

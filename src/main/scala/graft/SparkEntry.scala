@@ -1235,6 +1235,26 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 100.0 + 0.5) AS BIGINT)").as("e_cm"),
           expr("CAST(floor(st_y(u) * 100.0 + 0.5) AS BIGINT)").as("n_cm"))
     }),
+    "q197_warp_minmaxsum" -> ((s, dir) => {
+      // gdalwarp -r min / -r max / -r sum (reference:
+      // alg/gdalwarpkernel.cpp :: GWKAverageOrModeThread nAlgo 2/3/5;
+      // apps/gdalwarp_lib.cpp accepts them since GDAL 3.1): the q55 box
+      // resample (8/5 non-dyadic scale, integer center-inclusion tests)
+      // with extreme / running-total reducers instead of the mean. All
+      // three kernels share ONE source scan contract: the per-dst-tile
+      // regroup ships each src tile once per kernel, pixels never leave
+      // their dst-tile row — at 100 TB this is the same
+      // shuffle-once-then-map shape as every other warp. Integer sources
+      // keep min/max/sum exact; checksum per dst tile, kernel column
+      // disambiguates.
+      F.ensureRegistered(s)
+      val t = Synth.tiles(s, 3)
+      Seq("min", "max", "sum").map(k =>
+        Raster.regrid(t, 1024, 512, 640, 320, k)
+          .select(lit(k).as("kernel"), col("tx"), col("ty"),
+            F.checksum_px(col("pixels")).as("cks")))
+        .reduce(_ unionByName _)
+    }),
 
     // ------------- multimodal resolver ------------------------------------
     "q44_media_mean" -> ((s, dir) => {
@@ -2187,6 +2207,29 @@ object SparkEntry {
       // replays it bit-for-bit — no quantization margin needed.
       F.ensureRegistered(s)
       Raster.warpRpcNear(Synth.tiles(s, 3), graft.core.Rpc.demo,
+        srcW = 1024, srcH = 512, dstW = 1024, dstH = 512,
+        lon0 = -180.0, lonStep = 0.3515625, lat0 = 90.0, latStep = -0.3515625)
+        .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
+    }),
+    "q198_rpc_dem_warp" -> ((s, dir) => {
+      // gdalwarp -rpc with RPC_DEM (reference alg/gdal_rpc.cpp ::
+      // GDALRPCTransform + the RPC_DEM / RPC_DEMINTERPOLATION=near
+      // options): q82's model, but each ground point reads its elevation
+      // from a DEM before the rational polynomial runs — the distinct
+      // reference behavior is the per-point height leg (q82 pins the
+      // fixed-RPC_HEIGHT path). DEM = synthetic 2.8125°-cell grid
+      // (dyadic: exactly 8 dst px per DEM cell, so the nearest-cell
+      // floor arguments are exact doubles), h = ((cx*37 + cy*91) % 400)
+      // — integer heights the oracle replays op-for-op. The height jumps
+      // at DEM cell edges move samp/line well under 1 px for the demo
+      // H-coefficients, so the router's 4 px pad holds (require() loud).
+      F.ensureRegistered(s)
+      val dem: (Double, Double) => Double = (lon, lat) => {
+        val cx = math.floor((lon + 180.0) / 2.8125).toLong
+        val cy = math.floor((90.0 - lat) / 2.8125).toLong
+        ((cx * 37 + cy * 91) % 400).toDouble
+      }
+      Raster.warpRpcDemNear(Synth.tiles(s, 3), graft.core.Rpc.demo, dem,
         srcW = 1024, srcH = 512, dstW = 1024, dstH = 512,
         lon0 = -180.0, lonStep = 0.3515625, lat0 = 90.0, latStep = -0.3515625)
         .select(col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
@@ -4543,6 +4586,7 @@ object SparkEntry {
     "q81_lcc_inverse" -> OracleHashSql.q81LccInv,
     "q196_transform_pipeline" -> OracleHashSql.q196Pipeline,
     "q82_rpc_warp" -> OracleHashSql.q82Rpc,
+    "q198_rpc_dem_warp" -> OracleHashSql.q198RpcDem,
     "q83_tps_forward" -> OracleHashSql.q83Tps,
     "q85_ps_forward" -> OracleHashSql.q85Ps(qptsSql),
     "q87_bng_forward" -> OracleHashSql.q87Bng,
@@ -5749,6 +5793,20 @@ object SparkEntry {
          tilepx AS (SELECT dgx//64 AS tx, dgy//64 AS ty, (dgy%64)*64 + dgx%64 AS i, v FROM moded)
          SELECT tx, ty, CAST(sum(CAST(floor(v) AS BIGINT) * (i%49+1)) % 65535 AS INT) AS cks
          FROM tilepx GROUP BY 1, 2""",
+    "q197_warp_minmaxsum" ->
+      // q55's box windows with extreme / running-total reducers; every
+      // dst pixel holds >= 1 src center at the 8/5 scale so no fallback
+      // branch exists to replay
+      s"""WITH $regridValsSql,
+         m AS (
+           SELECT 'min' AS kernel, dgx, dgy, CAST(min(v) AS DOUBLE) AS v FROM vals GROUP BY 2, 3
+           UNION ALL
+           SELECT 'max' AS kernel, dgx, dgy, CAST(max(v) AS DOUBLE) AS v FROM vals GROUP BY 2, 3
+           UNION ALL
+           SELECT 'sum' AS kernel, dgx, dgy, CAST(sum(v) AS DOUBLE) AS v FROM vals GROUP BY 2, 3),
+         tilepx AS (SELECT kernel, dgx//64 AS tx, dgy//64 AS ty, (dgy%64)*64 + dgx%64 AS i, v FROM m)
+         SELECT kernel, tx, ty, CAST(sum(CAST(floor(v) AS BIGINT) * (i%49+1)) % 65535 AS INT) AS cks
+         FROM tilepx GROUP BY 1, 2, 3""",
     "q61_cutline" ->
       // integer-pixel cutline boxes: mask = [x0,x1)×[y0,y1) per the
       // scanline center rule; masked checksum per tile, untouched tiles

@@ -333,6 +333,28 @@ object Raster {
       (gx, gy) => graft.core.Rpc.sampLine(m, lon0 + gx * lonStep, lat0 + gy * latStep, 0.0),
       srcW, srcH, dstW, dstH)
 
+  /** RPC warp with a per-point DEM height (reference: alg/gdal_rpc.cpp ::
+    * GDALRPCTransform with the RPC_DEM option, RPC_DEMINTERPOLATION=near):
+    * instead of the fixed RPC_HEIGHT the ground point's elevation is read
+    * from a DEM before the rational polynomial runs — `dem(lon, lat)`
+    * supplies the nearest-cell elevation. The DEM jump between adjacent
+    * cells perturbs samp/line by well under a pixel for survey-scale
+    * H-coefficients, so the 4 px routing pad of the shared dst-driven
+    * router still holds (its require() fails loud otherwise). Same
+    * shuffle shape as every point warp: tile-corner routing join + one
+    * regroup per dst tile. */
+  def warpRpcDemNear(tiles: DataFrame, m: graft.core.Rpc.Model,
+                     dem: (Double, Double) => Double,
+                     srcW: Long, srcH: Long, dstW: Long, dstH: Long,
+                     lon0: Double, lonStep: Double, lat0: Double, latStep: Double): DataFrame =
+    warpPointNear(tiles,
+      (gx, gy) => {
+        val lon = lon0 + gx * lonStep
+        val lat = lat0 + gy * latStep
+        graft.core.Rpc.sampLine(m, lon, lat, dem(lon, lat))
+      },
+      srcW, srcH, dstW, dstH)
+
   /** TPS-georeferenced warp, nearest kernel (reference:
     * alg/thinplatespline.cpp via GDALCreateTPSTransformer + gdalwarp):
     * the dst→src pixel mapping is the fitted spline [[graft.core.Tps]];
@@ -588,7 +610,8 @@ object Raster {
   def regrid(tiles: DataFrame, srcW: Long, srcH: Long, dstW: Long, dstH: Long,
              method: String = "average", nodata: Option[Double] = None): DataFrame = {
     require(dstW % TW == 0 && dstH % TH == 0, "dst grid must be whole tiles")
-    require(method == "average" || method == "mode", s"regrid: near/bilinear/cubic go through warp; got $method")
+    require(Set("average", "mode", "min", "max", "sum")(method),
+      s"regrid: near/bilinear/cubic go through warp; got $method")
     // -srcnodata (reference: alg/gdalwarpkernel.cpp GWKAverageOrModeThread
     // honoring the nodata masks): declared-nodata sources are excluded
     // from the kernel exactly like off-grid pixels; an all-excluded
@@ -633,6 +656,7 @@ object Raster {
             val dgx = dtx * w + px
             // src centers in the dst pixel: 2·dgx·srcW <= (2·gx+1)·dstW < 2·(dgx+1)·srcW
             var sum = 0.0; var n = 0L
+            var mn = Double.MaxValue; var mx = -Double.MaxValue
             val counts = if (method == "mode") new java.util.TreeMap[Double, Int]() else null
             var gy = 2 * dgy * srcH / (2 * dstH) // first candidate row
             while ((2 * gy + 1) * dstH < 2 * dgy * srcH) gy += 1
@@ -643,7 +667,11 @@ object Raster {
                 val v = src(gx, gy)
                 if (!v.isNaN && v != nd) {
                   if (counts != null) counts.merge(v, 1, (a, b) => a + b)
-                  else { sum += v; n += 1 }
+                  else {
+                    sum += v; n += 1
+                    if (v < mn) mn = v
+                    if (v > mx) mx = v
+                  }
                 }
                 gx += 1
               }
@@ -661,7 +689,18 @@ object Raster {
                   }
                   best
                 }
-              } else if (n == 0) fallback else sum / n
+              } else if (n == 0) fallback
+              else method match {
+                // GRA_Min / GRA_Max / GRA_Sum (reference:
+                // alg/gdalwarpkernel.cpp :: GWKAverageOrModeThread,
+                // nAlgo 2/3/5): extreme / running total of the valid
+                // contributing sources; sums of integer-valued pixels
+                // stay exact in a double far below 2^53
+                case "min" => mn
+                case "max" => mx
+                case "sum" => sum
+                case _     => sum / n
+              }
             px += 1
           }
           py += 1

@@ -463,6 +463,43 @@ class RasterSpec extends AnyFunSuite {
     val plainMode = px0("mode", None)
     assert(ndMode(0) == 9.0 && ndMode(1) == 2.0 && ndMode(2) == 7.0)
     assert(plainMode(2) == 2.0, "tie resolves to smallest value without the gate")
+    // gdalwarp -r min / max / sum reducers over the same windows
+    val mnv = px0("min", None); val mxv = px0("max", None); val smv = px0("sum", None)
+    assert(mnv(0) == 2.0 && mxv(0) == 9.0 && smv(0) == 11.0)
+    assert(mnv(2) == 2.0 && mxv(2) == 7.0 && smv(2) == 9.0)
+    assert(smv(10) == 10.0, "uniform window sums its two 5.0 centers")
+    // nodata gate applies to the reducers exactly like average/mode
+    val ndMin = px0("min", Some(2.0)); val ndSum = px0("sum", Some(2.0))
+    assert(ndMin(0) == 9.0 && ndSum(0) == 9.0, "valid-only extreme/total")
+    assert(ndMin(1) == 2.0 && ndSum(1) == 2.0, "all-nodata window falls back")
+  }
+
+  test("warpRpcDemNear: per-point DEM height shifts the sampled source vs fixed h=0") {
+    val spark = TestSpark.spark
+    val tiles = graft.synth.Synth.tiles(spark, 3)
+    val dem: (Double, Double) => Double = (lon, lat) => {
+      val cx = math.floor((lon + 180.0) / 2.8125).toLong
+      val cy = math.floor((90.0 - lat) / 2.8125).toLong
+      ((cx * 37 + cy * 91) % 400).toDouble
+    }
+    val fixed = Raster.warpRpcNear(tiles, graft.core.Rpc.demo, 1024, 512, 1024, 512,
+      -180.0, 0.3515625, 90.0, -0.3515625)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    val demd = Raster.warpRpcDemNear(tiles, graft.core.Rpc.demo, dem, 1024, 512, 1024, 512,
+      -180.0, 0.3515625, 90.0, -0.3515625)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    assert(demd.keySet == fixed.keySet && demd.nonEmpty)
+    assert(demd.exists { case (k, px) => px != fixed(k) }, "DEM leg must perturb the warp")
+    // spot-replay one pixel end-to-end: dst (100, 100)
+    val gdx = 100L; val gdy = 100L
+    val lon = -180.0 + gdx * 0.3515625; val lat = 90.0 - gdy * 0.3515625
+    val (samp, line) = graft.core.Rpc.sampLine(graft.core.Rpc.demo, lon, lat, dem(lon, lat))
+    val sgx = math.floor(samp).toLong; val sgy = math.floor(line).toLong
+    val expected =
+      if (sgx < 0 || sgx >= 1024 || sgy < 0 || sgy >= 512) 0.0
+      else (((sgx / 64) * 131 + (sgy / 64) * 173 + (sgx % 64) * 7 + (sgy % 64) * 11 + 3) % 256).toDouble
+    val got = demd((gdx / 64, gdy / 64))((gdy % 64).toInt * 64 + (gdx % 64).toInt)
+    assert(got == expected, s"pixel replay: got $got expected $expected")
   }
 
   test("bandStats: exact global stats == per-pixel brute force; hand anchors") {
