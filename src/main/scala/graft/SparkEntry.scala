@@ -310,6 +310,25 @@ object SparkEntry {
         .select(F.cell_tx(col("cell")).as("tx"), F.cell_ty(col("cell")).as("ty"),
           col("n"), col("sum_qty"))
     }),
+    "q199_grid_data_minmax" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      // gdal_grid data-metrics algorithms minimum / maximum / range
+      // (reference alg/gdalgrid.cpp :: GDALGridDataMetricMinimum /
+      // ...Maximum / ...Range): per grid node, the extreme / spread of
+      // the point values in its window — the q21 cell framing (node
+      // window = its zoom-6 cell, the degenerate search ellipse) with
+      // the three metric reducers q21 doesn't pin. ONE hash aggregate
+      // computes all three (range derives from min/max post-agg);
+      // map-side partial aggregation makes this a single
+      // shuffle-by-cell at any corpus size.
+      Synth.points(s, dir)
+        .withColumn("cell", F.cell_encode(col("lon"), col("lat"), lit(6)))
+        .groupBy(col("cell"))
+        .agg(min(col("l_quantity").cast("long")).as("v_min"),
+          max(col("l_quantity").cast("long")).as("v_max"))
+        .select(F.cell_tx(col("cell")).as("tx"), F.cell_ty(col("cell")).as("ty"),
+          col("v_min"), col("v_max"), (col("v_max") - col("v_min")).as("v_range"))
+    }),
     "q32_extent_agg" -> ((s, dir) =>
       // GetExtent / envelope aggregate per group (reference OGRLayer::GetExtent)
       Synth.points(s, dir)
@@ -630,6 +649,17 @@ object SparkEntry {
       Polygonize.components(Synth.maskTiles(s, 2), 8, 8, 64, 32, _ < 7.0, _ => 1.0)
         .select(col("label"), col("n_pixels"),
           col("min_gx"), col("max_gx"), col("min_gy"), col("max_gy"))),
+    "q200_footprint" -> ((s, dir) =>
+      // gdal_footprint (apps/gdal_footprint.cpp): valid-data footprint
+      // per SCENE — one scene per zoom-2 tile, the catalog framing an
+      // archive actually has. nodata set = v < 8 (half the synthetic
+      // scene); components are 4-connected valid runs, bbox reported in
+      // georeferenced degrees (zoom-2 px = 5.625°, dyadic → exact).
+      // Scenes are independent, so unlike q33/q114's corpus-wide CCL
+      // (seam join + label resolution) this is MAP-ONLY — the plan a
+      // 100-TB scene catalog wants: no shuffle at any scale.
+      Polygonize.footprint(Synth.maskTiles(s, 2), 8, 8, 64, _ >= 8.0,
+        degPerPx = 5.625)),
     "q114_polygonize8" -> ((s, dir) =>
       // gdal_polygonize -8 (reference alg/polygonize.cpp, the CONNECTED8
       // enumerator option): same mask and output as q33 but components
@@ -4544,6 +4574,14 @@ object SparkEntry {
            CAST(least(greatest(floor((90.0 - lat) / 180.0 * 64), 0), 63) AS BIGINT) AS ty,
            count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM pts GROUP BY 1, 2""",
+    "q199_grid_data_minmax" ->
+      s"""WITH pts AS ($ptsSql)
+         SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * 128), 0), 127) AS BIGINT) AS tx,
+           CAST(least(greatest(floor((90.0 - lat) / 180.0 * 64), 0), 63) AS BIGINT) AS ty,
+           CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v_min,
+           CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v_max,
+           CAST(max(CAST(l_quantity AS BIGINT)) - min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v_range
+         FROM pts GROUP BY 1, 2""",
     "q32_extent_agg" ->
       s"""WITH pts AS ($ptsSql)
          SELECT doc_key % 10 AS grp, min(lon) AS min_x, max(lon) AS max_x,
@@ -5243,6 +5281,40 @@ object SparkEntry {
            min(n.gx) AS min_gx, max(n.gx) AS max_gx,
            min(n.gy) AS min_gy, max(n.gy) AS max_gy
          FROM lbl l JOIN nodes n ON n.id = l.id GROUP BY 1""",
+    "q200_footprint" ->
+      // the q33 closure restricted to SAME-TILE edges (scenes are
+      // independent), valid mask v >= 8, bbox georeferenced at 5.625°/px
+      """WITH px AS (
+           SELECT t.tx AS tx, t.ty AS ty,
+                  (t.tx * 8 + i.i % 8) AS gx, (t.ty * 8 + i.i // 8) AS gy,
+                  (t.tx*131 + t.ty*173 + (i.i % 8)*7 + (i.i // 8)*11) % 16 AS v
+           FROM (SELECT gx.x AS tx, gy.y AS ty
+                 FROM generate_series(0, 7) gx(x), generate_series(0, 3) gy(y)) t,
+                generate_series(0, 63) i(i)),
+         nodes AS (SELECT tx, ty, gx, gy, gy * 64 + gx AS id FROM px WHERE v >= 8),
+         edges AS (
+           SELECT a.id AS a, b.id AS b FROM nodes a JOIN nodes b
+             ON a.tx = b.tx AND a.ty = b.ty
+            AND ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))
+           UNION ALL
+           SELECT b.id AS a, a.id AS b FROM nodes a JOIN nodes b
+             ON a.tx = b.tx AND a.ty = b.ty
+            AND ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))),
+         reach AS (
+           WITH RECURSIVE r(id, root) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.a, r.root FROM r JOIN edges e ON e.b = r.id WHERE r.root < e.a
+           ) SELECT * FROM r),
+         lbl AS (SELECT id, min(root) AS label FROM reach GROUP BY id)
+         SELECT CAST(n.tx AS BIGINT) AS tx, CAST(n.ty AS BIGINT) AS ty,
+           CAST(l.label AS BIGINT) AS label, count(*) AS n_pixels,
+           -180.0 + min(n.gx) * 5.625 AS lon_min,
+           -180.0 + (max(n.gx) + 1) * 5.625 AS lon_max,
+           90.0 - (max(n.gy) + 1) * 5.625 AS lat_min,
+           90.0 - min(n.gy) * 5.625 AS lat_max
+         FROM lbl l JOIN nodes n ON n.id = l.id
+         GROUP BY 1, 2, 3""",
     "q114_polygonize8" ->
       // the q33 closure with the two diagonal adjacency offsets added —
       // 8-connected components (the reverse UNION ALL covers the other

@@ -266,6 +266,58 @@ object Polygonize {
         min(col("minGy")).as("min_gy"), max(col("maxGy")).as("max_gy"))
   }
 
+  /** gdal_footprint (apps/gdal_footprint.cpp, GDAL 3.8): valid-data
+    * footprint of each SCENE — here one scene per source tile, the
+    * catalog framing a 100-TB archive actually has (footprint per
+    * ingested image, not one corpus-wide polygon). Because scenes are
+    * independent the whole operator is MAP-ONLY: each tile labels its
+    * own valid mask (Ccl union-find, the polygonize enumerator) and
+    * emits one row per component with pixel count + georeferenced bbox —
+    * no seam join, no label-resolution iteration, nothing shuffles.
+    * label = min global pixel id of the component (the polygonize
+    * convention, oracle-replayable). `degPerPx` georeferences the bbox;
+    * the dyadic grids keep those doubles exact. */
+  def footprint(tiles: DataFrame, w: Int, h: Int, gridW: Long,
+                mask: Double => Boolean, degPerPx: Double,
+                conn8: Boolean = false): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.select(col("tx").cast("long"), col("ty").cast("long"), col("pixels"))
+      .as[(Long, Long, Seq[Double])]
+      .flatMap { case (tx, ty, px) =>
+        val vals = px.toArray
+        val m = vals.map(mask)
+        val dn = Array.fill(vals.length)(1.0)
+        val labels = Ccl.labelLocal(dn, m, w, h, conn8)
+        val x0 = tx * w; val y0 = ty * h
+        // per local root: count + local bbox
+        val acc = new java.util.HashMap[Int, Array[Long]]()
+        var i = 0
+        while (i < labels.length) {
+          val r = labels(i)
+          if (r >= 0) {
+            val lx = i % w; val ly = i / w
+            val a = acc.computeIfAbsent(r, _ => Array(0L, Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue))
+            a(0) += 1
+            if (lx < a(1)) a(1) = lx
+            if (lx > a(2)) a(2) = lx
+            if (ly < a(3)) a(3) = ly
+            if (ly > a(4)) a(4) = ly
+          }
+          i += 1
+        }
+        val out = Array.newBuilder[(Long, Long, Long, Long, Double, Double, Double, Double)]
+        acc.forEach { (r, a) =>
+          val lbl = (y0 + r / w) * gridW + (x0 + r % w)
+          out += ((tx, ty, lbl, a(0),
+            -180.0 + (x0 + a(1)) * degPerPx, -180.0 + (x0 + a(2) + 1) * degPerPx,
+            90.0 - (y0 + a(4) + 1) * degPerPx, 90.0 - (y0 + a(3)) * degPerPx))
+        }
+        out.result()
+      }
+      .toDF("tx", "ty", "label", "n_pixels", "lon_min", "lon_max", "lat_min", "lat_max")
+  }
+
   /** Cross-tile same-DN equivalence edges from the seam emissions. */
   private def seams(emits: DataFrame): DataFrame = {
     val outE = emits.where(col("kind") === 1)

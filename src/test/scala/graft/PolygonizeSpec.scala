@@ -365,4 +365,35 @@ class PolygonizeSpec extends AnyFunSuite {
     assert(fs.exists(p) && fs.listStatus(p).nonEmpty,
       "checkpoint files must exist under the reliable checkpoint dir")
   }
+
+  test("footprint: per-scene components match a driver union-find; bbox georeferenced exactly") {
+    // scene (0,0): two valid runs split by a nodata column; scene (1,0):
+    // fully valid -> one full-tile component
+    val w = 4; val h = 4
+    val t00 = Array(
+      1.0, 1.0, 0.0, 1.0,
+      1.0, 0.0, 0.0, 1.0,
+      0.0, 0.0, 0.0, 1.0,
+      0.0, 0.0, 0.0, 1.0)
+    val t10 = Array.fill(16)(1.0)
+    val tiles = Seq((0L, 0L, t00.toSeq), (1L, 0L, t10.toSeq)).toDF("tx", "ty", "pixels")
+    val rows = Polygonize.footprint(tiles, w, h, 64, _ != 0.0, degPerPx = 5.625)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .sortBy(t => (t._1, t._3))
+    assert(rows.length == 3, s"expected 3 components, got ${rows.toSeq}")
+    // scene (0,0), comp at label 0 (min global id 0): the 3-px L at the left
+    assert(rows(0) == ((0L, 0L, 0L, 3L,
+      -180.0, -180.0 + 2 * 5.625, 90.0 - 2 * 5.625, 90.0)))
+    // scene (0,0), right column: label = global id of (gx=3, gy=0) = 3
+    assert(rows(1) == ((0L, 0L, 3L, 4L,
+      -180.0 + 3 * 5.625, -180.0 + 4 * 5.625, 90.0 - 4 * 5.625, 90.0)))
+    // scene (1,0): whole tile, label = global id of (gx=4, gy=0) = 4
+    assert(rows(2) == ((1L, 0L, 4L, 16L,
+      -180.0 + 4 * 5.625, -180.0 + 8 * 5.625, 90.0 - 4 * 5.625, 90.0)))
+    // components NEVER span scenes: same mask through the corpus-wide CCL
+    // on one seam-sharing grid would merge (3,0)-(4,0); footprint must not
+    assert(rows.map(_._3).distinct.length == 3)
+  }
 }
