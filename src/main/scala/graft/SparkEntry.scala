@@ -1087,6 +1087,19 @@ object SparkEntry {
         .select(col("zoom").cast("long").as("zoom"), col("tx"), col("ty"),
           F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q201_pyramid_rms" -> ((s, dir) => {
+      // gdaladdo -r rms (reference gcore/overview.cpp, GDAL 3.3's RMS
+      // overview kernel): parent = sqrt of the 2x2 mean of squares. The
+      // integer-valued children make the sum of squares exact, /4.0 is
+      // dyadic, and IEEE sqrt is correctly rounded — the only
+      // transcendental-free root there is — so the DuckDB oracle's
+      // identical expression lands on the identical double. Same one
+      // hash-agg regroup per parent cell as every pyramid level.
+      F.ensureRegistered(s)
+      Raster.pyramidUp(Synth.tiles(s, 3), method = "rms")
+        .select(col("zoom").cast("long").as("zoom"), col("tx"), col("ty"),
+          F.checksum_px(col("pixels")).as("cks"))
+    }),
 
     "q51_geom_selfjoin" -> ((s, dir) => {
       // geometry×geometry spatial join + intersection overlay (the
@@ -2049,6 +2062,16 @@ object SparkEntry {
       // unigram surrogate — see Quality.unigramSurprisal)
       Quality.unigramSurprisal(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "q202_bigram_backoff" -> ((s, dir) =>
+      // Stupid Backoff bigram LM scoring (Brants et al. 2007 §4):
+      // held-out model (doc_id % 16 == 0 — a 1/16 split so the backoff
+      // AND unseen-unigram legs genuinely fire on this corpus: measured
+      // 4.5k backoff + 26 unseen-unigram tokens at sf0.01; an even split
+      // left backoff at 7 firings) scores ALL docs, exact-integer milli
+      // law — see Quality.bigramBackoff for the pinned legs
+      Quality.bigramBackoff(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        col("doc_id") % 16 === 0)),
     "q185_mixture_resample" -> ((s, dir) =>
       // domain mixture resampling (the Pile/LLaMA-style per-source epoch
       // weights, public recipe): integer upweights per source, plus a
@@ -4810,6 +4833,36 @@ object SparkEntry {
          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(surp_sum // n_tokens AS BIGINT) AS score_milli
          FROM sc""",
+    "q202_bigram_backoff" ->
+      // Stupid Backoff replica: bigram leg (cnt2·1000)//c(prev), backoff
+      // (cnt1·400)//N, first token (cnt1·1000)//N, unseen unigram -> 0
+      """WITH toks0 AS (
+           SELECT doc_id, doc_id % 16 = 0 AS in_model,
+             generate_subscripts(arr, 1) AS pos, unnest(arr) AS term
+           FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS arr
+                 FROM documents)),
+         toks AS (SELECT * FROM toks0 WHERE term <> ''),
+         seq AS (
+           SELECT doc_id, in_model, pos, term,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM toks),
+         uni AS (SELECT term, count(*) AS cnt1 FROM seq WHERE in_model GROUP BY 1),
+         tot AS (SELECT sum(cnt1) AS n FROM uni),
+         bi AS (SELECT prev, term, count(*) AS cnt2 FROM seq
+                WHERE in_model AND prev IS NOT NULL GROUP BY 1, 2),
+         sc AS (
+           SELECT s.doc_id,
+             CASE WHEN s.prev IS NULL THEN coalesce(u.cnt1, 0) * 1000 // tot.n
+                  WHEN b.cnt2 IS NOT NULL THEN b.cnt2 * 1000 // c.cnt1
+                  ELSE coalesce(u.cnt1, 0) * 400 // tot.n END AS s_milli
+           FROM seq s
+           LEFT JOIN uni u ON u.term = s.term
+           LEFT JOIN bi b ON b.prev = s.prev AND b.term = s.term
+           LEFT JOIN uni c ON c.term = s.prev, tot),
+         grp AS (SELECT doc_id, count(*) AS n_tokens, sum(s_milli) AS s_sum FROM sc GROUP BY 1)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(s_sum // n_tokens AS BIGINT) AS score_milli
+         FROM grp""",
     "q185_mixture_resample" ->
       // same weight CASE, lateral range expansion = explode(sequence)
       """WITH w AS (
@@ -5556,6 +5609,30 @@ object SparkEntry {
          SELECT CAST(2 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
            CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM m WHERE rk = 1 GROUP BY 1, 2, 3""",
+    "q201_pyramid_rms" ->
+      // parent pixel = sqrt(mean of squares of the 2x2 child block);
+      // exact-integer sum of squares, dyadic /4, correctly-rounded sqrt
+      """WITH parent AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 7) gx(x), generate_series(0, 3) gy(y)),
+         cells AS (
+           SELECT p.tx, p.ty, i.i AS i,
+             2*p.tx + ((i.i % 64) // 32) AS ctx, 2*p.ty + ((i.i // 64) // 32) AS cty,
+             2*((i.i % 64) % 32) AS cx, 2*((i.i // 64) % 32) AS cy
+           FROM parent p, generate_series(0, 4095) i(i)),
+         q4 AS (
+           SELECT tx, ty, i,
+             (ctx*131 + cty*173 + cx*7     + cy*11     + 3) % 256 AS v0,
+             (ctx*131 + cty*173 + (cx+1)*7 + cy*11     + 3) % 256 AS v1,
+             (ctx*131 + cty*173 + cx*7     + (cy+1)*11 + 3) % 256 AS v2,
+             (ctx*131 + cty*173 + (cx+1)*7 + (cy+1)*11 + 3) % 256 AS v3
+           FROM cells),
+         r AS (
+           SELECT tx, ty, i,
+             sqrt(CAST(v0*v0 + v1*v1 + v2*v2 + v3*v3 AS DOUBLE) / 4.0) AS v
+           FROM q4)
+         SELECT CAST(2 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(floor(v) AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM r GROUP BY 1, 2, 3""",
     "q51_geom_selfjoin" ->
       // axis-aligned boxes: intersects ⟺ closed-interval overlap (JTS
       // counts boundary touch); overlap area = clamped interval product,

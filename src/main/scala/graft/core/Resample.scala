@@ -156,6 +156,29 @@ object Resample {
     out
   }
 
+  /** RMS reduction (reference: gcore/overview.cpp, the "RMS" resampling
+    * of GDALRegenerateOverviews, GDAL 3.3): parent = sqrt of the mean of
+    * squares of its 2×2 block. For integer-valued pixels the sum of
+    * squares is an exact integer, /4.0 is exact (dyadic), and IEEE sqrt
+    * is correctly rounded — so the double is bit-identical to any other
+    * engine evaluating the same expression (SQL-oracle replayable). */
+  def downsample2x2Rms(pixels: Array[Double], w: Int, h: Int): Array[Double] = {
+    val ow = w / 2; val oh = h / 2
+    val out = new Array[Double](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val i = (2 * y) * w + 2 * x
+        val a = pixels(i); val b = pixels(i + 1); val c = pixels(i + w); val d = pixels(i + w + 1)
+        out(y * ow + x) = math.sqrt((a * a + b * b + c * c + d * d) / 4.0)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** MODE reduction: most frequent value of each 2×2 block, ties broken by
     * smallest value (deterministic; the reference's GDALDownsampleChunk32R
     * mode kernel keeps the first-seen max count — ours pins smallest for

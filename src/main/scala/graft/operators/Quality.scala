@@ -152,4 +152,60 @@ object Quality {
       .select(col("doc_id"), col("n_tokens"),
         expr("surp_sum div n_tokens").as("score_milli"))
   }
+
+  /** Stupid Backoff bigram LM scoring (Brants et al. 2007 §4, "Large
+    * Language Models in Machine Translation" — the web-scale LM scoring
+    * law built for exactly this distributed setting): per token,
+    *
+    *   S(wᵢ|wᵢ₋₁) = c(wᵢ₋₁wᵢ)/c(wᵢ₋₁)   if the bigram was seen,
+    *              = α·c(wᵢ)/N  (α=0.4)   otherwise,
+    *
+    * pinned in exact-integer milli form — bigram leg (cnt2·1000) div
+    * c(prev), backoff leg (cnt1·400) div N, a doc's FIRST token scored on
+    * the α-free unigram (cnt1·1000) div N, unseen unigrams scoring 0 —
+    * so every value is BIGINT-exact on any engine. The model trains on a
+    * HELD-OUT half of the corpus (`modelFilter`) and scores ALL docs,
+    * the CCNet arrangement; scoring the training corpus against itself
+    * would never exercise backoff (every adjacent pair trivially has
+    * count ≥ 1 in its own doc).
+    *
+    * 100-TB shape: two vocabulary-bounded hash aggs (unigram + bigram
+    * models), THREE term-keyed equi-joins back (AQE broadcasts the
+    * models when small, plain shuffles otherwise), one doc-keyed agg.
+    * The lag() window partitions BY DOCUMENT — no global sort, state is
+    * one token per partition-local group. The only driver value is the
+    * scalar N. */
+  def bigramBackoff(docs: DataFrame, idCol: String, textCol: String,
+                    modelFilter: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"), modelFilter.as("in_model"),
+        posexplode(split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " "))
+          .as(Seq("pos", "term")))
+      .where(col("term") =!= "")
+    val seq = toks.withColumn("prev",
+        lag(col("term"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mtoks = seq.where(col("in_model"))
+    val uni = mtoks.groupBy("term").agg(count(lit(1)).as("cnt1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = uni.agg(sum(col("cnt1"))).collect()(0).getLong(0)
+    require(n > 0, "bigramBackoff: empty model corpus")
+    require(n < Long.MaxValue / 1000L,
+      s"bigramBackoff: model token count $n would overflow the milli scale")
+    val bi = mtoks.where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("cnt2"))
+    val ctx = uni.select(col("term").as("prev"), col("cnt1").as("ctx_cnt"))
+    seq
+      .join(uni, Seq("term"), "left")
+      .join(bi, Seq("prev", "term"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .withColumn("s_milli",
+        when(col("prev").isNull, expr(s"coalesce(cnt1, 0L) * 1000L div ${n}L"))
+          .when(col("cnt2").isNotNull, expr("cnt2 * 1000L div ctx_cnt"))
+          .otherwise(expr(s"coalesce(cnt1, 0L) * 400L div ${n}L")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s_milli")).as("s_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("s_sum div n_tokens").as("score_milli"))
+  }
 }

@@ -155,6 +155,7 @@ object Raster {
       val down = method match {
         case "near" => graft.core.Resample.downsample2x2Near(child, w, h)
         case "mode" => graft.core.Resample.downsample2x2Mode(child, w, h)
+        case "rms"  => graft.core.Resample.downsample2x2Rms(child, w, h)
         case _      => graft.core.Resample.downsample2x2Avg(child, w, h)
       }
       val ox = q.qx * (w / 2); val oy = q.qy * (h / 2)

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.F
-import graft.operators.{Ann, Dedup, Media}
+import graft.operators.{Ann, Dedup, Media, Quality}
 import graft.synth.Synth
 import graft.core.TextCore
 
@@ -476,5 +476,36 @@ class PipelineSpec extends AnyFunSuite {
     for (id <- Seq(1L, 2L, 3L, 4L, 5L)) assert(out(id)._1 == 1L, s"doc $id")
     for (id <- Seq(10L, 11L)) assert(out(id)._1 == 10L, s"doc $id")
     assert(out.collect { case (id, (_, 1)) => id }.toSet == Set(1L, 10L))
+  }
+
+  test("bigramBackoff: all four scoring legs match a hand computation") {
+    // model = doc 0 only: "a b a b c". N = 5; cnt1: a=2 b=2 c=1.
+    // bigrams: (a,b)=2 (b,a)=1 (b,c)=1
+    val docs = Seq(
+      (0L, "a b a b c"),  // in model
+      (1L, "a b z"),      // bigram leg, then (b,z) unseen->backoff, z unseen unigram
+      (2L, "c a")         // first-token leg on c, (c,a) unseen bigram -> backoff on a
+    ).toDF("doc_id", "text")
+    val out = Quality.bigramBackoff(docs, "doc_id", "text", col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 0: first a: 2*1000/5=400; (a,b): 2*1000/2=1000; (b,a): 1*1000/2=500;
+    //        (a,b): 1000; (b,c): 1*1000/2=500 -> sum 3400, n=5, score 680
+    assert(out(0L) == ((5L, 680L)), s"doc0: ${out(0L)}")
+    // doc 1: first a: 400; (a,b): 1000; (b,z): z unseen -> 0*400/5=0
+    //        -> sum 1400, n=3, score 466
+    assert(out(1L) == ((3L, 466L)), s"doc1: ${out(1L)}")
+    // doc 2: first c: 1*1000/5=200; (c,a): unseen bigram -> 2*400/5=160
+    //        -> sum 360, n=2, score 180
+    assert(out(2L) == ((2L, 180L)), s"doc2: ${out(2L)}")
+  }
+
+  test("downsample2x2Rms: sqrt(mean of squares), exact anchors") {
+    // block {3,4,0,0}: sqrt(25/4) = 2.5 exactly; block {5,5,5,5} -> 5.0
+    val px = Array(3.0, 4.0, 5.0, 5.0,
+                   0.0, 0.0, 5.0, 5.0,
+                   1.0, 1.0, 0.0, 0.0,
+                   1.0, 1.0, 0.0, 2.0)
+    val out = graft.core.Resample.downsample2x2Rms(px, 4, 4)
+    assert(out.toSeq == Seq(2.5, 5.0, 1.0, 1.0))
   }
 }
