@@ -294,6 +294,66 @@ FROM vr v JOIN ks k ON k.q_id = v.q_id
 """
   }
 
+  /** q203: DXF entity-block replica — group-code/value line pairs
+    * rebuilt byte-for-byte (codes unpadded, layer 8/0, the engine's
+    * pinned profile) plus the parsed-back vertex rows. */
+  def q203Dxf: String = {
+    def f(e: String): String =
+      s"CASE WHEN ($e) = floor($e) THEN CAST(CAST(($e) AS BIGINT) AS VARCHAR) " +
+        s"ELSE CAST(($e) AS VARCHAR) END"
+    val nl = "chr(10)"
+    def cv(code: String, value: String): String = s"'$code' || $nl || $value"
+    def pt(x: String, y: String): String =
+      s"${cv("10", f(x))} || $nl || ${cv("20", f(y))}"
+    s"""WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 4.0 AS ax,
+    CAST((s_suppkey * 104729) % 512 AS DOUBLE) AS ay,
+    1.0 + CAST(s_suppkey % 7 AS DOUBLE) / 2.0 AS w,
+    2.0 + CAST(s_suppkey % 5 AS DOUBLE) AS h
+  FROM supplier),
+cc AS (
+  SELECT q_id, ax, ay, ax + w AS x2, ay + h AS y2,
+    ay + 2.0*h AS y3, ay + 3.0*h AS y4,
+    ax + 4.0*w AS sx2, ay + 4.0*h AS sy2
+  FROM sp),
+ks AS (
+  SELECT q_id,
+    CASE WHEN q_id % 4 = 0 THEN
+      ${cv("0", "'POINT'")} || $nl || ${cv("8", "'0'")} || $nl || ${pt("ax", "ay")}
+    WHEN q_id % 4 = 1 THEN
+      ${cv("0", "'LINE'")} || $nl || ${cv("8", "'0'")} || $nl || ${pt("ax", "ay")} ||
+        $nl || ${cv("11", f("x2"))} || $nl || ${cv("21", f("y2"))}
+    WHEN q_id % 4 = 2 THEN
+      ${cv("0", "'LWPOLYLINE'")} || $nl || ${cv("8", "'0'")} || $nl ||
+        ${cv("90", "'4'")} || $nl || ${cv("70", "'0'")} || $nl ||
+        ${pt("ax", "ay")} || $nl || ${pt("x2", "y2")} || $nl ||
+        ${pt("ax", "y3")} || $nl || ${pt("x2", "y4")}
+    ELSE
+      ${cv("0", "'LWPOLYLINE'")} || $nl || ${cv("8", "'0'")} || $nl ||
+        ${cv("90", "'4'")} || $nl || ${cv("70", "'1'")} || $nl ||
+        ${pt("ax", "ay")} || $nl || ${pt("sx2", "ay")} || $nl ||
+        ${pt("sx2", "sy2")} || $nl || ${pt("ax", "sy2")}
+    END AS dxf
+  FROM cc),
+vr AS (
+  SELECT q_id, 0 AS seq, ax AS x, ay AS y FROM cc WHERE q_id % 4 = 0
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 4 = 1
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 2, ax, y3 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 3, x2, y4 FROM cc WHERE q_id % 4 = 2
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 1, sx2, ay FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 2, sx2, sy2 FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 3, ax, sy2 FROM cc WHERE q_id % 4 = 3
+  UNION ALL SELECT q_id, 4, ax, ay FROM cc WHERE q_id % 4 = 3)
+SELECT v.q_id, k.dxf, CAST(v.seq AS BIGINT) AS seq, v.x, v.y
+FROM vr v JOIN ks k ON k.q_id = v.q_id
+"""
+  }
+
   /** q188: hashing-trick featurization — the engine's signed-tf law with
     * the unsigned hash64 replay: dim = u mod 32, sign = bit 5 of u (both
     * invariant under the signed/unsigned 2^64 congruence). */

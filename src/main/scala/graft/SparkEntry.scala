@@ -1990,6 +1990,39 @@ object SparkEntry {
         .select(col("q_id"), col("mif"), col("seq").cast("long").as("seq"),
           col("p.x").as("x"), col("p.y").as("y"))
     }),
+    "q203_dxf_driver" -> ((s, dir) => {
+      // OGR DXF driver analog (ogr/ogrsf_frmts/dxf): eighth text format
+      // and the first GROUP-CODE one — (code line, value line) pairs, a
+      // third text shape beside XML and MIF's keyword lines. Write each
+      // geometry as a DXF entity block, parse it BACK, dump vertex rows;
+      // the oracle rebuilds the ENTIRE block text and the vertices.
+      // Branches: POINT, LINE (2-pt special form), LWPOLYLINE open
+      // (4 vertices), LWPOLYLINE closed (polygon shell, closing vertex
+      // dropped on write and restored on parse). Shuffle-free.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 4.0D"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 512 AS DOUBLE)"))
+        .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
+        .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
+        .withColumn("wkt", expr(
+          """CASE WHEN q_id % 4 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+             WHEN q_id % 4 = 1 THEN format_string('LINESTRING(%s %s, %s %s)',
+               ax, ay, ax + w, ay + h)
+             WHEN q_id % 4 = 2 THEN format_string('LINESTRING(%s %s, %s %s, %s %s, %s %s)',
+               ax, ay, ax + w, ay + h, ax, ay + 2.0D*h, ax + w, ay + 3.0D*h)
+             ELSE format_string('POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))',
+               ax, ay, ax + 4.0D*w, ay, ax + 4.0D*w, ay + 4.0D*h, ax, ay + 4.0D*h, ax, ay)
+             END"""))
+        .withColumn("dxf", call_function("st_asdxf",
+          call_function("st_geomfromwkt", col("wkt"))))
+        .select(col("q_id"), col("dxf"),
+          posexplode(call_function("st_points",
+            call_function("st_geomfromdxf", col("dxf")))).as(Seq("seq", "p")))
+        .select(col("q_id"), col("dxf"), col("seq").cast("long").as("seq"),
+          col("p.x").as("x"), col("p.y").as("y"))
+    }),
     "q188_feature_hashing" -> ((s, dir) => {
       // hashing-trick featurization (public recipe: Weinberger et al.
       // 2009, the fastText/Vowpal-Wabbit input layer): term → dimension
@@ -4716,6 +4749,7 @@ object SparkEntry {
     "q186_image_dhash_dedup" -> OracleHashSql.q186Dhash,
     "q188_feature_hashing" -> OracleHashSql.q188FeatureHash,
     "q189_mif_driver" -> OracleHashSql.q189Mif,
+    "q203_dxf_driver" -> OracleHashSql.q203Dxf,
     "q190_substr_repetition" -> OracleHashSql.q190SubstrRep,
     "q191_incremental_resume" ->
       // the committed table after resume must equal a plain full recompute

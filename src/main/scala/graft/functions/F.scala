@@ -72,6 +72,8 @@ object F {
         "st_geomfromgpx" -> (e => StGeomFromGpx(e.head)),
         "st_asmif"       -> (e => StAsMif(e.head)),
         "st_geomfrommif" -> (e => StGeomFromMif(e.head)),
+        "st_asdxf"       -> (e => StAsDxf(e.head)),
+        "st_geomfromdxf" -> (e => StGeomFromDxf(e.head)),
         "st_segmentize"  -> (e => StSegmentize(e(0), e(1))),
         "st_distance_sphere" -> (e => StDistanceSphere(e(0), e(1))),
         "st_line_length"    -> (e => StLineLength(e.head)),

@@ -354,6 +354,37 @@ case class StGeomFromMif(child: Expression)
   override def prettyName: String = "st_geomfrommif"
 }
 
+/** st_asdxf(geom) → DXF entity block (reference: ogr/ogrsf_frmts/dxf ::
+  * OGRDXFWriterLayer; core/Dxf contract — group-code/value line pairs,
+  * the third text shape beside XML and MIF's keyword lines). */
+case class StAsDxf(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (b.isEmpty) null
+    else UTF8String.fromString(graft.core.Dxf.write(GeomOps.fromWkb(b)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_asdxf"
+}
+
+/** st_geomfromdxf(text) → WKB (OGRDXFLayer reader analog: POINT / LINE /
+  * LWPOLYLINE open+closed, unknown group codes tolerated). */
+case class StGeomFromDxf(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty || s.forall(_.isWhitespace)) null
+    else GeomIO.toWkb(graft.core.Dxf.parse(s))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_geomfromdxf"
+}
+
 case class StGeomFromGeoJson(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

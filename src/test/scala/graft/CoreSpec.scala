@@ -972,6 +972,38 @@ class CoreSpec extends AnyFunSuite {
     intercept[Exception](Mif.parse("POINT 1 2 junk"))
   }
 
+  test("DXF: write/parse round-trips, code tolerance, file wrapper") {
+    import graft.core.Dxf
+    def rt(wkt: String): Unit = {
+      val g = GeomIO.fromWkt(wkt)
+      val back = Dxf.parse(Dxf.write(g))
+      assert(back.equalsExact(g), s"$wkt -> ${Dxf.write(g)} -> $back")
+    }
+    rt("POINT (3 4.25)")
+    rt("LINESTRING (0 0, 4 3)")                       // LINE special form
+    rt("LINESTRING (0 0, 1.5 2, 3 0)")                // open LWPOLYLINE
+    rt("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))")         // closed LWPOLYLINE
+    // exact writer form (group-code/value line pairs, unpadded codes)
+    assert(Dxf.write(GeomIO.point(3.0, 4.25)) ==
+      "0\nPOINT\n8\n0\n10\n3\n20\n4.25")
+    assert(Dxf.write(GeomIO.fromWkt("LINESTRING (0 0, 1 1)")) ==
+      "0\nLINE\n8\n0\n10\n0\n20\n0\n11\n1\n21\n1")
+    // reader tolerance: right-aligned codes (the reference's 3-char
+    // padding) and unknown group codes (62 color) are skipped
+    val padded = Dxf.parse("  0\nPOINT\n  8\n0\n 62\n5\n 10\n3\n 20\n4")
+    assert(padded.equalsExact(GeomIO.point(3.0, 4.0)))
+    // whole-file wrapper: SECTION/ENTITIES skeleton, multiple entities
+    val gs = Seq(GeomIO.point(1.0, 2.0),
+      GeomIO.fromWkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    val back = Dxf.parseFile(Dxf.writeFile(gs))
+    assert(back.length == 2 && back.zip(gs).forall { case (a, b) => a.equalsExact(b) })
+    // profile limits raise, not corrupt
+    intercept[Exception](Dxf.write(GeomIO.fromWkt(
+      "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")))
+    intercept[Exception](Dxf.parse("0\nCIRCLE\n10\n0\n20\n0\n40\n5"))
+    intercept[Exception](Dxf.parse("0\nLINE\n10\n0\n20\n0"))
+  }
+
   test("st_simplify: DP keep/drop against ground truth, survivors bit-exact") {
     val spark = TestSpark.spark
     import spark.implicits._
