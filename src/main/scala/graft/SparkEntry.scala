@@ -942,6 +942,19 @@ object SparkEntry {
         .select(col("tx"), col("ty"), col("w"), col("h"),
           F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q204_retile_overlap" -> ((s, dir) => {
+      // gdal_retile.py -overlap 16: q129's re-chunk with a 16 px overlap
+      // band — output tiles start every (size − overlap) px, so
+      // interior pixels are REPLICATED into two tiles per axis (the
+      // output contract of overlapped tiling: each tile self-contained
+      // for downstream focal ops without a halo exchange). Offsets
+      // 0,144,…,1008 × 0,80,…,480 → 8×7 tiles, edge tiles clipped. Same
+      // single strips→exchange→assembly plan as q129.
+      F.ensureRegistered(s)
+      Raster.retile(Synth.tiles(s, 3), 16, 8, 160, 96, overlap = 16)
+        .select(col("tx"), col("ty"), col("w"), col("h"),
+          F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q130_rasterize_at" -> ((s, dir) => {
       // gdal_rasterize -at (ALL_TOUCHED): polygons burn every pixel they
       // INTERSECT — parity fill ∪ ring DDA — with MAX merge (the mode q17
@@ -2105,6 +2118,37 @@ object SparkEntry {
       Quality.bigramBackoff(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         col("doc_id") % 16 === 0)),
+    "q205_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+      // §4.3): per language, docs split into terciles of the LM score —
+      // here q184's exact-integer unigram surprisal. 100-TB shape: the
+      // published pipeline cuts at percentile THRESHOLDS, not per-doc
+      // ranks — so the plan is a (lang, score) histogram agg (bounded by
+      // distinct scores), a cumulative window over that small histogram,
+      // a tiny threshold table joined back (AQE-broadcast), and a
+      // map-side CASE. No global rank over the corpus. Tie law: a score
+      // straddling a boundary keeps the whole tie in the lower bucket
+      // (t1/t2 = smallest score with cum·3 ≥ n / cum·3 ≥ 2n).
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scored = Quality.unigramSurprisal(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("score_milli"))
+      val hist = scored.groupBy("lang", "score_milli").agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy("lang").orderBy("score_milli")))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
+      val th = cum.groupBy("lang").agg(
+        min(when(col("cum") * 3 >= col("n"), col("score_milli"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("score_milli"))).as("t2"))
+      scored.join(th, Seq("lang"))
+        .withColumn("bucket",
+          when(col("score_milli") <= col("t1"), lit("head"))
+            .when(col("score_milli") <= col("t2"), lit("middle"))
+            .otherwise(lit("tail")))
+        .select(col("doc_id"), col("lang"), col("score_milli"), col("bucket"))
+    }),
     "q185_mixture_resample" -> ((s, dir) =>
       // domain mixture resampling (the Pile/LLaMA-style per-source epoch
       // weights, public recipe): integer upweights per source, plus a
@@ -4624,6 +4668,27 @@ object SparkEntry {
            CAST(w AS INT) AS w, CAST(h AS INT) AS h,
            CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM vals GROUP BY 1, 2, 3, 4""",
+    "q204_retile_overlap" ->
+      // q129's closed-form replay with stride 144/80 (size - overlap)
+      """WITH ot AS (
+           SELECT gx.x AS otx, gy.y AS oty
+           FROM generate_series(0, 7) gx(x), generate_series(0, 6) gy(y)),
+         dims AS (
+           SELECT otx, oty, least(160, 1024 - otx * 144) AS w,
+             least(96, 512 - oty * 80) AS h FROM ot),
+         px AS (
+           SELECT otx, oty, w, h, i.i AS i,
+             otx * 144 + (i.i % w) AS gx, oty * 80 + (i.i // w) AS gy
+           FROM dims, generate_series(0, 15359) i(i) WHERE i.i < w * h),
+         vals AS (
+           SELECT otx, oty, w, h, i,
+             ((gx // 64) * 131 + (gy // 64) * 173 + (gx % 64) * 7
+              + (gy % 64) * 11 + 3) % 256 AS v
+           FROM px)
+         SELECT CAST(otx AS BIGINT) AS tx, CAST(oty AS BIGINT) AS ty,
+           CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+           CAST(sum(CAST(v AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM vals GROUP BY 1, 2, 3, 4""",
     "q21_grid_metrics" ->
       s"""WITH pts AS ($ptsSql)
          SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * 128), 0), 127) AS BIGINT) AS tx,
@@ -4867,6 +4932,40 @@ object SparkEntry {
          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(surp_sum // n_tokens AS BIGINT) AS score_milli
          FROM sc""",
+    "q205_ccnet_buckets" ->
+      // q184's surprisal replica, then per-lang tercile THRESHOLDS from
+      // the (lang, score) histogram; ties stay in the lower bucket
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents),
+         t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         model AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM model),
+         sc AS (
+           SELECT t2.doc_id, count(*) AS n_tokens,
+             sum((tot.total * 1000) // model.cnt) AS surp_sum
+           FROM t2 JOIN model USING (term), tot
+           GROUP BY 1),
+         scored AS (
+           SELECT s.doc_id, d.lang, CAST(s.surp_sum // s.n_tokens AS BIGINT) AS score_milli
+           FROM sc s JOIN documents d USING (doc_id)),
+         hist AS (SELECT lang, score_milli, count(*) AS cnt FROM scored GROUP BY 1, 2),
+         cum AS (
+           SELECT lang, score_milli,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY score_milli) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+           FROM hist),
+         th AS (
+           SELECT lang,
+             min(CASE WHEN cum * 3 >= n THEN score_milli END) AS t1,
+             min(CASE WHEN cum * 3 >= 2 * n THEN score_milli END) AS t2
+           FROM cum GROUP BY 1)
+         SELECT s.doc_id, s.lang, s.score_milli,
+           CASE WHEN s.score_milli <= th.t1 THEN 'head'
+                WHEN s.score_milli <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM scored s JOIN th USING (lang)""",
     "q202_bigram_backoff" ->
       // Stupid Backoff replica: bigram leg (cnt2·1000)//c(prev), backoff
       // (cnt1·400)//N, first token (cnt1·1000)//N, unseen unigram -> 0

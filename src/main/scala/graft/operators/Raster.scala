@@ -824,18 +824,33 @@ object Raster {
     * array. One exchange, carrying each pixel once — the inherent data
     * motion of re-chunking. */
   def retile(tiles: DataFrame, srcNx: Long, srcNy: Long,
-             outW: Int, outH: Int): DataFrame = {
+             outW: Int, outH: Int, overlap: Int = 0): DataFrame = {
+    // gdal_retile.py -overlap: output tiles start at multiples of the
+    // STRIDE (tile size − overlap) while the offset is inside the grid,
+    // so each interior pixel lands in ⌈outW/sx⌉ output tiles per axis —
+    // the replication is part of the output contract, not a shuffle
+    // amplification bug. overlap = 0 degenerates to disjoint re-chunking.
+    require(overlap >= 0 && overlap < outW && overlap < outH,
+      s"retile: overlap $overlap must be in [0, min(outW, outH))")
+    val sx = outW - overlap; val sy = outH - overlap
     val gw = srcNx * TW; val gh = srcNy * TH
+    // ceil((g - size + 1)/stride) with a guaranteed-nonnegative numerator
+    // (truncating div == floor div only above zero — both engines agree
+    // there, which is why the CASE guards the small-g branch)
+    def firstOut(g: String, size: Int, stride: Int): String =
+      s"CASE WHEN $g <= ${size - 1} THEN 0L ELSE ($g - $size + $stride) div $stride END"
     val strips = tiles
       .withColumn("sy", explode(expr(s"sequence(0, ${TH - 1})")))
       .withColumn("gy", col("ty") * TH + col("sy"))
-      .withColumn("oty", expr(s"gy div $outH"))
-      .withColumn("dy", col("gy") % outH)
+      .withColumn("oty", explode(expr(
+        s"sequence(${firstOut("gy", outH, sy)}, gy div $sy)")))
+      .withColumn("dy", col("gy") - col("oty") * sy)
       .withColumn("otx", explode(expr(
-        s"sequence((tx * $TW) div $outW, (tx * $TW + ${TW - 1}) div $outW)")))
-      .withColumn("lo", greatest(lit(0L), col("otx") * outW - col("tx") * TW))
-      .withColumn("hi", least(lit(TW.toLong), (col("otx") + 1) * outW - col("tx") * TW))
-      .withColumn("dx0", col("tx") * TW + col("lo") - col("otx") * outW)
+        s"sequence(${firstOut(s"(tx * $TW)", outW, sx)}, (tx * $TW + ${TW - 1}) div $sx)")))
+      .withColumn("lo", greatest(lit(0L), col("otx") * sx - col("tx") * TW))
+      .withColumn("hi", least(lit(TW.toLong), col("otx") * sx + outW - col("tx") * TW))
+      .where(col("hi") > col("lo"))
+      .withColumn("dx0", col("tx") * TW + col("lo") - col("otx") * sx)
       .select(col("otx"), col("oty"), col("dy"), col("dx0"),
         expr(s"slice(pixels, CAST(sy * $TW + lo + 1 AS INT), CAST(hi - lo AS INT))")
           .as("vals"))
@@ -844,8 +859,8 @@ object Raster {
         "transform(array_sort(collect_list(struct(dy, dx0, vals))), s -> s.vals)"))
         .as("pixels"))
       .select(col("otx").as("tx"), col("oty").as("ty"),
-        expr(s"CAST(least($outW, $gw - otx * $outW) AS INT)").as("w"),
-        expr(s"CAST(least($outH, $gh - oty * $outH) AS INT)").as("h"),
+        expr(s"CAST(least($outW, $gw - otx * $sx) AS INT)").as("w"),
+        expr(s"CAST(least($outH, $gh - oty * $sy) AS INT)").as("h"),
         col("pixels"))
   }
 

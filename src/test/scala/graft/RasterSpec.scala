@@ -619,6 +619,35 @@ class RasterSpec extends AnyFunSuite {
     assert(total == 1024L * 512)     // exact partition of the raster
   }
 
+  test("retile -overlap: stride = size - overlap, replicated bands match closed form") {
+    F.ensureRegistered(spark)
+    val ov = 16
+    val got = Raster.retile(Synth.tiles(spark, 3), 16, 8, 160, 96, overlap = ov)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getInt(3), r.getSeq[Double](4).toArray))).toMap
+    assert(got.size == 8 * 7)                 // offsets 0,144..1008 x 0,80..480
+    assert(got((7L, 0L))._1 == 16)            // 1024 - 7*144
+    assert(got((0L, 6L))._2 == 32)            // 512 - 6*80
+    var total = 0L
+    for (((otx, oty), (w, h, px)) <- got) {
+      assert(px.length == w * h, s"tile ($otx,$oty) dims")
+      total += px.length
+      var i = 0
+      while (i < px.length) {
+        val gx = otx * 144 + i % w; val gy = oty * 80 + i / w
+        assert(px(i) == synthPixel(3, gx / 64, gy / 64, (gx % 64).toInt, (gy % 64).toInt),
+          s"tile ($otx,$oty) i=$i")
+        i += 1
+      }
+    }
+    // replication is exact: Σ tile areas = Σ over pixels of (tiles per px)
+    assert(total > 1024L * 512, "overlap must replicate interior pixels")
+    // the overlap BAND is bit-identical between horizontal neighbors
+    val (w0, _, p0) = got((0L, 0L)); val (_, _, p1) = got((1L, 0L))
+    for (dy <- 0 until 96; k <- 0 until ov)
+      assert(p0(dy * w0 + 144 + k) == p1(dy * 160 + k), s"seam band dy=$dy k=$k")
+  }
+
   test("pyramidGauss tiled == whole-grid scalar (halo seams, border truncation)") {
     F.ensureRegistered(spark)
     val got = Raster.pyramidGauss(Synth.tiles(spark, 2))
