@@ -1468,6 +1468,42 @@ FROM docsh d JOIN bench b ON d.s = b.s
 """
   }
 
+  /** q206: the Bloom prefilter graded at CONTRACT level — a probe
+    * position is set iff some benchmark shingle produced it (the packed
+    * long words are the engine's implementation detail; membership
+    * semantics are identical). Positions = unsigned low 15 bits and the
+    * next 15 (s % 2^15, (s // 2^15) % 2^15 on the HUGEINT hash — the
+    * engine's positive-mask AND law under the 2^64 congruence). */
+  def q206BloomDecontaminate: String = {
+    ctr = 0
+    val shingleHash = hash64("concat_ws(chr(32), ts[__w], ts[__w+1], ts[__w+2])")
+    val shortHash = hash64("array_to_string(ts, chr(32))")
+    val shExpr =
+      "CASE WHEN len(ts) = 0 THEN CAST([] AS HUGEINT[]) " +
+        s"WHEN len(ts) < 3 THEN [$shortHash] " +
+        s"ELSE list_distinct(list_transform(range(1, len(ts)-1), __w -> $shingleHash)) END"
+    s"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n FROM documents),
+toks AS (
+  SELECT doc_id, CASE WHEN n = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(n, ' ') END AS ts FROM norm),
+sh AS (SELECT doc_id, $shExpr AS sh FROM toks),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+bpos AS (
+  SELECT DISTINCT unnest([s % 32768, (s // 32768) % 32768]) AS p FROM bench),
+docsh AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+probe AS (
+  SELECT doc_id, s FROM docsh
+  WHERE s % 32768 IN (SELECT p FROM bpos)
+    AND (s // 32768) % 32768 IN (SELECT p FROM bpos)),
+bloomdocs AS (SELECT DISTINCT doc_id FROM probe),
+exactdocs AS (SELECT DISTINCT p.doc_id FROM probe p JOIN bench b ON p.s = b.s)
+SELECT bd.doc_id, CAST(1 AS BIGINT) AS bloom_hit,
+  CAST(CASE WHEN ed.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_hit
+FROM bloomdocs bd LEFT JOIN exactdocs ed ON ed.doc_id = bd.doc_id
+"""
+  }
+
   /** q142: the OGR CSV driver graded against the generating arithmetic —
     * the oracle rebuilds the ENTIRE record string (conditional RFC-4180
     * quoting: the name field quotes + doubles its embedded quotes, the

@@ -2823,6 +2823,17 @@ object SparkEntry {
       Dedup.decontaminate(docs, "doc_id", "text",
         docs.where(col("doc_id") % 97 === 0), "text", k = 3)
     }),
+    "q206_bloom_decontaminate" -> ((s, dir) => {
+      // q144's decontamination through the BLOOM prefilter (the scale
+      // path: broadcast 512-long filter + map-side bit probes; exact
+      // confirm join only on survivors). mBits = 32768 is sized so the
+      // false-positive branch measurably fires on this corpus (FP docs
+      // appear as bloom_hit=1 / exact_hit=0 rows and are graded).
+      F.ensureRegistered(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.decontaminateBloom(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 97 === 0), "text", k = 3, mBits = 32768)
+    }),
     "q142_csv_driver" -> ((s, dir) => {
       // OGR CSV driver analog (ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp,
       // GEOMETRY=AS_WKT): each feature writes ONE RFC-4180 record —
@@ -4763,6 +4774,7 @@ object SparkEntry {
     "q159_gml" -> OracleHashSql.q159Gml,
     "q162_shapefile" -> OracleHashSql.q162Shapefile,
     "q144_decontaminate" -> OracleHashSql.q144Decontaminate,
+    "q206_bloom_decontaminate" -> OracleHashSql.q206BloomDecontaminate,
     "q113_band_stats" -> OracleHashSql.q113BandStats,
     "q122_gdal2xyz" -> OracleHashSql.q122Gdal2xyz,
     "q123_gdalcompare" -> OracleHashSql.q123GdalCompare,

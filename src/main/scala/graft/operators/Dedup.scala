@@ -118,6 +118,64 @@ object Dedup {
       .withColumn("contaminated", lit(true))
   }
 
+  /** Bloom-filter decontamination PREFILTER — the scale path beside the
+    * exact semi-join of [[decontaminate]] (the classic benchmark-overlap
+    * check, e.g. GPT-3 §C / Brown et al. 2020, run with a Bloom filter
+    * when the benchmark shingle set is too hot to semi-join the whole
+    * corpus against): the benchmark's word-k-shingle hashes set TWO bit
+    * positions each (disjoint 64-bit-hash fields — deterministic, no
+    * extra hash passes) in an mBits-wide filter packed as ≤ mBits/64
+    * longs; the corpus probes the BROADCAST filter map-side and only the
+    * surviving "maybe" shingles pay the exact confirm semi-join. Output
+    * row per bloom-hit doc: (doc_id, bloom_hit=1, exact_hit ∈ {0,1}) —
+    * exact_hit=0 rows are the filter's false positives, observable and
+    * graded. Bloom membership is superset-of-exact by construction, so
+    * the confirm join's input is the maybe-set, never the corpus.
+    *
+    * 100-TB shape: text → shingle hashes map-side; two ≤ mBits/64-row
+    * broadcast joins + codegen'd bit tests; the exact semi-join (the
+    * only benchmark-sized shuffle) shrinks to the maybe-set — the entire
+    * point of the prefilter. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         k: Int = 3, mBits: Int = 32768): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0 && mBits <= (1 << 17),
+      s"decontaminateBloom: mBits $mBits must be a power of two in [64, 2^17]")
+    val log2 = java.lang.Integer.numberOfTrailingZeros(mBits)
+    val mask = (mBits - 1).toLong
+    F.ensureRegistered(corpus.sparkSession)
+    // probe positions: unsigned low log2 bits and the next log2 bits —
+    // AND with a positive mask keeps both legs sign-safe on the signed
+    // 64-bit shingle hash (== the unsigned mod/div law the oracle replays)
+    def pos1(c: String) = s"($c & ${mask}L)"
+    def pos2(c: String) = s"(($c & ${mask << log2}L) div ${mBits}L)"
+    val cs = corpus.select(col(idCol).as("doc_id"),
+      explode(call_function("shingles64", col(textCol), lit(k))).as("sh"))
+    val bsh = benchmark.select(
+      explode(call_function("shingles64", col(benchTextCol), lit(k))).as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = bsh
+      .select(explode(array(expr(pos1("sh")), expr(pos2("sh")))).as("p"))
+      .distinct()
+      .select(expr("p div 64").as("w"), expr("shiftleft(1L, CAST(p % 64 AS INT))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bw"))
+    val probes = cs
+      .withColumn("p1", expr(pos1("sh"))).withColumn("p2", expr(pos2("sh")))
+      .withColumn("w1", expr("p1 div 64")).withColumn("w2", expr("p2 div 64"))
+      .join(broadcast(words.select(col("w").as("w1"), col("bw").as("bw1"))), Seq("w1"), "left")
+      .join(broadcast(words.select(col("w").as("w2"), col("bw").as("bw2"))), Seq("w2"), "left")
+      .where(expr("coalesce(bw1 & shiftleft(1L, CAST(p1 % 64 AS INT)), 0L) != 0L") &&
+        expr("coalesce(bw2 & shiftleft(1L, CAST(p2 % 64 AS INT)), 0L) != 0L"))
+      .select(col("doc_id"), col("sh"))
+    val bloomDocs = probes.select("doc_id").distinct()
+    val exactDocs = probes.join(bsh, Seq("sh"), "left_semi")
+      .select("doc_id").distinct().withColumn("__exact", lit(1L))
+    bloomDocs.join(exactDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(1L).as("bloom_hit"),
+        coalesce(col("__exact"), lit(0L)).as("exact_hit"))
+  }
+
   /** Exact n-gram (character k-gram) Jaccard similarity join within an
     * optional blocking column. TWO regimes, selected by measured
     * vocabulary size (one cheap count agg):

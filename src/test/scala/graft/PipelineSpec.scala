@@ -478,6 +478,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.collect { case (id, (_, 1)) => id }.toSet == Set(1L, 10L))
   }
 
+  test("decontaminateBloom: exact-hit set == exact decontaminate; FPs observable; shrinking the filter never loses a hit") {
+    val docs = docsTable
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val exact = Dedup.decontaminate(docs, "doc_id", "text", bench, "text", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.decontaminateBloom(docs, "doc_id", "text", bench, "text", 3, 32768)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bloom.forall(_._2 == 1L), "every emitted row is a bloom hit")
+    assert(bloom.filter(_._3 == 1L).map(_._1).toSet == exact,
+      "confirm join must recover exactly the exact-decontaminate set")
+    assert(bloom.map(_._1).toSet.size >= exact.size, "bloom is a superset")
+    // a saturated 64-bit filter still never loses a true hit (no false
+    // negatives by construction — only the FP count changes)
+    val tiny = Dedup.decontaminateBloom(docs, "doc_id", "text", bench, "text", 3, 64)
+      .where(col("exact_hit") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tiny == exact)
+  }
+
   test("bigramBackoff: all four scoring legs match a hand computation") {
     // model = doc 0 only: "a b a b c". N = 5; cnt1: a=2 b=2 c=1.
     // bigrams: (a,b)=2 (b,a)=1 (b,c)=1
