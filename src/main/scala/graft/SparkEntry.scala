@@ -1094,6 +1094,23 @@ object SparkEntry {
         .select(col("zoom").cast("long").as("zoom"), col("tx"), col("ty"),
           F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q207_calc_mask" -> ((s, dir) => {
+      // gdal_calc.py LOGICAL-mask idiom (swig/python/scripts/gdal_calc.py
+      // docs: --calc="A*(A>B) + B*(A<=B)", the per-pixel max-via-mask —
+      // numpy comparisons yield 0/1 masks that multiply the branches; the
+      // q48 arithmetic calc never exercises a comparison). Same zip_with
+      // codegen path, booleans cast to 0/1 doubles exactly as numpy does.
+      // Map-only after the one tile equi-join — at 100 TB this stays the
+      // calc family's join-then-HOF shape.
+      F.ensureRegistered(s)
+      val a = Synth.tiles(s, 3)
+      val b = Synth.tiles(s, 3)
+        .withColumn("pixels", expr("transform(pixels, p -> (p * 3.0 + 1.0) % 128.0)"))
+      Raster.calc(a, b,
+        "a * CAST(a > b AS DOUBLE) + b * CAST(a <= b AS DOUBLE)")
+        .select(col("zoom").cast("long").as("zoom"), col("tx"), col("ty"),
+          F.checksum_px(col("pixels")).as("cks"))
+    }),
     "q49_pyramid_mode" -> ((s, dir) => {
       F.ensureRegistered(s)
       Raster.pyramidUp(Synth.tiles(s, 3), method = "mode")
@@ -5728,6 +5745,23 @@ object SparkEntry {
              (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS a
            FROM tiles t, generate_series(0, 4095) i(i)),
          v AS (SELECT tx, ty, i, a + 2 * ((a * 3 + 1) % 128) AS val FROM px)
+         SELECT CAST(3 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+           CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
+         FROM v GROUP BY 1, 2, 3""",
+    "q207_calc_mask" ->
+      // the masking idiom per pixel: b = (a*3+1)%128, val = max(a, b)
+      // through the 0/1-mask law (a>b and a<=b partition, so the sum IS
+      // the max — replayed as greatest for clarity-equivalence)
+      """WITH tiles AS (
+           SELECT gx.x AS tx, gy.y AS ty FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+         px AS (
+           SELECT t.tx, t.ty, i.i AS i,
+             (t.tx*131 + t.ty*173 + (i.i % 64)*7 + (i.i // 64)*11 + 3) % 256 AS a
+           FROM tiles t, generate_series(0, 4095) i(i)),
+         v AS (SELECT tx, ty, i,
+             a * (CASE WHEN a > ((a * 3 + 1) % 128) THEN 1 ELSE 0 END)
+             + ((a * 3 + 1) % 128) * (CASE WHEN a <= ((a * 3 + 1) % 128) THEN 1 ELSE 0 END) AS val
+           FROM px)
          SELECT CAST(3 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
            CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM v GROUP BY 1, 2, 3""",

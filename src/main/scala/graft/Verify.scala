@@ -25,6 +25,17 @@ object Verify {
   def run(spark: SparkSession, sfDir: String, outDir: String,
           queries: Map[String, (SparkSession, String) => DataFrame]): Unit = {
     new java.io.File(outDir).mkdirs()
+    // Warmup no-op job, mirroring Bench's entry() warmup. Diagnosed on
+    // Spark 4.1 local mode: the very FIRST job of a fresh session can
+    // fail task-side with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when its
+    // plan carries an interpreted FilterExec over a self-join of
+    // canonically-similar subtrees (q48/q207's two-synth-raster calc) —
+    // the same plan succeeds on every subsequent run in the session, and
+    // any prior trivial job makes run #1 pass too (initialization race,
+    // not a plan bug: reproduced with codegen on AND off, with and
+    // without coalesce/planned-write). Full runs were never exposed
+    // (q01 always ran first); subset runs (GRAFT_ONLY=q48_calc) were.
+    spark.range(4).repartition(2).count(): Unit
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
