@@ -278,6 +278,17 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n$p")
   }
 
+  test("q206: bloom probes are BROADCAST joins; no cartesian; footprint (q200) and DXF (q203) shuffle-free") {
+    val p = plan("q206_bloom_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val fp = plan("q200_footprint")
+    assert(!fp.contains(") Exchange") && !fp.contains("Join"),
+      s"footprint must stay map-only:\n$fp")
+    val dxf = plan("q203_dxf_driver")
+    assert(!dxf.contains(") Exchange") && !dxf.contains("Join"), dxf)
+  }
+
   test("q92/q93/q98/q101/q102/q103: scalar-surface queries are shuffle-free") {
     for (q <- Seq("q92_segmentize", "q93_sphere_distance", "q98_explode",
       "q101_geojson", "q102_translate_scale", "q103_clipsrc",
