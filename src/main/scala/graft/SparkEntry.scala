@@ -2148,9 +2148,13 @@ object SparkEntry {
       // (t1/t2 = smallest score with cum·3 ≥ n / cum·3 ≥ 2n).
       import org.apache.spark.sql.expressions.Window
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // scored feeds BOTH the threshold branch and the final probe join —
+      // persist it or the token explode + model join + doc agg runs twice
+      // per action (the file's two-consumer convention)
       val scored = Quality.unigramSurprisal(docs, "doc_id", "text")
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("score_milli"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hist = scored.groupBy("lang", "score_milli").agg(count(lit(1)).as("cnt"))
       val cum = hist
         .withColumn("cum", sum(col("cnt")).over(

@@ -105,6 +105,8 @@ object Dxf {
     def flush(): Unit = {
       if (etype == null) return
       val xa = xs.result(); val ya = ys.result()
+      require(xa.length == ya.length,
+        s"DXF: unpaired 10/20 group codes in $etype (${xa.length} x vs ${ya.length} y)")
       val cs = xa.indices.map(i => new Coordinate(xa(i), ya(i))).toArray
       etype match {
         case "POINT" =>
@@ -115,9 +117,13 @@ object Dxf {
           out += f.createLineString(Array(cs.head, new Coordinate(x2, y2)))
         case "LWPOLYLINE" =>
           require(cs.length >= 2, "DXF LWPOLYLINE needs >= 2 vertices")
-          if ((flag70 & 1) == 1)
+          if ((flag70 & 1) == 1) {
+            // a closed polyline is a ring: JTS needs >= 3 distinct
+            // vertices, so fail with a DXF-level message, not a raw
+            // IllegalArgumentException from createLinearRing
+            require(cs.length >= 3, "DXF closed LWPOLYLINE needs >= 3 vertices")
             out += f.createPolygon(f.createLinearRing(cs :+ cs.head.copy()))
-          else out += f.createLineString(cs)
+          } else out += f.createLineString(cs)
         case other => sys.error(s"unsupported DXF entity '$other'")
       }
       etype = null; xs = Array.newBuilder; ys = Array.newBuilder

@@ -1002,6 +1002,11 @@ class CoreSpec extends AnyFunSuite {
       "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")))
     intercept[Exception](Dxf.parse("0\nCIRCLE\n10\n0\n20\n0\n40\n5"))
     intercept[Exception](Dxf.parse("0\nLINE\n10\n0\n20\n0"))
+    // malformed coordinate pairing raises a DXF-level error, not a raw
+    // index/JTS exception: unpaired 10/20; 2-vertex closed polyline
+    intercept[IllegalArgumentException](Dxf.parse("0\nPOINT\n8\n0\n10\n3"))
+    intercept[IllegalArgumentException](Dxf.parse(
+      "0\nLWPOLYLINE\n8\n0\n90\n2\n70\n1\n10\n0\n20\n0\n10\n1\n20\n1"))
   }
 
   test("st_simplify: DP keep/drop against ground truth, survivors bit-exact") {
