@@ -890,6 +890,28 @@ object SparkEntry {
       a.unionByName(b)
         .select(col("band"), col("tx"), col("ty"), F.checksum_px(col("pixels")).as("cks"))
     }),
+    "q208_ogrmerge" -> ((s, dir) => {
+      // ogrmerge.py -single (swig/python/scripts/ogrmerge.py): merge
+      // heterogeneous-SCHEMA vector layers into one, recording the
+      // source layer per feature; fields absent from a source fill NULL
+      // (the utility unions layer field definitions). Layers here carry
+      // genuinely different attribute sets: A has `name`, B has `sz`.
+      // unionByName(allowMissingColumns) IS the field-union law — plain
+      // scan→project→union, shuffle-free, and at 100 TB this merges
+      // without touching either source's partitioning.
+      F.ensureRegistered(s)
+      val a = Synth.boxes(s, dir).where(col("box_id") % 3 === 0)
+        .select(lit("layer_a").as("src_layer"), col("box_id").as("fid"),
+          format_string("name_%d", col("box_id")).as("name"),
+          col("xmin"), col("ymin"))
+      val b = Synth.boxes(s, dir).where(col("box_id") % 3 === 1)
+        .select(lit("layer_b").as("src_layer"), col("box_id").as("fid"),
+          (col("box_id") % 100).cast("long").as("sz"),
+          col("xmin"), col("ymin"))
+      a.unionByName(b, allowMissingColumns = true)
+        .select(col("src_layer"), col("fid"), col("name"), col("sz"),
+          col("xmin"), col("ymin"))
+    }),
     "q157_ogrtindex" -> ((s, dir) =>
       // ogrtindex (apps/ogrtindex.cpp): one index row per vector LAYER —
       // layer name + feature count + the layer extent envelope (the
@@ -4662,6 +4684,21 @@ object SparkEntry {
            CAST(ty AS BIGINT) AS ty,
            CAST(sum(CAST(val AS BIGINT) * (i % 49 + 1)) % 65535 AS INT) AS cks
          FROM b GROUP BY 1, 2, 3""",
+    "q208_ogrmerge" ->
+      // field-union merge: layer A carries name (sz NULL), layer B
+      // carries sz (name NULL); source layer recorded per feature
+      s"""WITH boxes AS ($boxesSql),
+         a AS (
+           SELECT 'layer_a' AS src_layer, box_id AS fid,
+             printf('name_%d', box_id) AS name, CAST(NULL AS BIGINT) AS sz,
+             xmin, ymin
+           FROM boxes WHERE box_id % 3 = 0),
+         b AS (
+           SELECT 'layer_b' AS src_layer, box_id AS fid,
+             CAST(NULL AS VARCHAR) AS name, CAST(box_id % 100 AS BIGINT) AS sz,
+             xmin, ymin
+           FROM boxes WHERE box_id % 3 = 1)
+         SELECT * FROM a UNION ALL SELECT * FROM b""",
     "q157_ogrtindex" ->
       s"""WITH boxes AS ($boxesSql)
          SELECT printf('layer_%d', box_id % 4) AS layer, count(*) AS n_features,
