@@ -1350,6 +1350,24 @@ object SparkEntry {
             F.checksum_px(col("pixels")).as("cks")))
         .reduce(_ unionByName _)
     }),
+    "q209_warp_quantiles" -> ((s, dir) => {
+      // gdalwarp -r med / -r q1 / -r q3 (reference:
+      // alg/gdalwarpkernel.cpp :: GWKAverageOrModeThread GWKAOM_Quant,
+      // quant 0.5/0.25/0.75): the value at SELECTION index ceil(q·n)−1
+      // of the sorted valid sources — a pure order statistic, no
+      // interpolation, so integer sources stay bit-exact and the oracle
+      // replays it with a row_number window. Same shuffle-once-then-map
+      // dst-tile regroup as q55/q197; the 8/5 scale yields windows of
+      // 1/2/4 centers, so the n=1 passthrough, n=2 lower-pick and n=4
+      // interior-pick branches all fire.
+      F.ensureRegistered(s)
+      val t = Synth.tiles(s, 3)
+      Seq("med", "q1", "q3").map(k =>
+        Raster.regrid(t, 1024, 512, 640, 320, k)
+          .select(lit(k).as("kernel"), col("tx"), col("ty"),
+            F.checksum_px(col("pixels")).as("cks")))
+        .reduce(_ unionByName _)
+    }),
 
     // ------------- multimodal resolver ------------------------------------
     "q44_media_mean" -> ((s, dir) => {
@@ -6173,6 +6191,24 @@ object SparkEntry {
            SELECT 'max' AS kernel, dgx, dgy, CAST(max(v) AS DOUBLE) AS v FROM vals GROUP BY 2, 3
            UNION ALL
            SELECT 'sum' AS kernel, dgx, dgy, CAST(sum(v) AS DOUBLE) AS v FROM vals GROUP BY 2, 3),
+         tilepx AS (SELECT kernel, dgx//64 AS tx, dgy//64 AS ty, (dgy%64)*64 + dgx%64 AS i, v FROM m)
+         SELECT kernel, tx, ty, CAST(sum(CAST(floor(v) AS BIGINT) * (i%49+1)) % 65535 AS INT) AS cks
+         FROM tilepx GROUP BY 1, 2, 3""",
+    "q209_warp_quantiles" ->
+      // order statistic at sorted index ceil(q·n)−1 (GWKAOM_Quant law);
+      // q·n exact (q dyadic, n <= 4), ties harmless (equal values)
+      s"""WITH $regridValsSql,
+         ranked AS (
+           SELECT dgx, dgy, v,
+             row_number() OVER (PARTITION BY dgx, dgy ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY dgx, dgy) AS cnt
+           FROM vals),
+         m AS (
+           SELECT 'med' AS kernel, dgx, dgy, CAST(v AS DOUBLE) AS v FROM ranked WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+           UNION ALL
+           SELECT 'q1', dgx, dgy, CAST(v AS DOUBLE) FROM ranked WHERE rn = CAST(ceil(0.25 * cnt) AS BIGINT)
+           UNION ALL
+           SELECT 'q3', dgx, dgy, CAST(v AS DOUBLE) FROM ranked WHERE rn = CAST(ceil(0.75 * cnt) AS BIGINT)),
          tilepx AS (SELECT kernel, dgx//64 AS tx, dgy//64 AS ty, (dgy%64)*64 + dgx%64 AS i, v FROM m)
          SELECT kernel, tx, ty, CAST(sum(CAST(floor(v) AS BIGINT) * (i%49+1)) % 65535 AS INT) AS cks
          FROM tilepx GROUP BY 1, 2, 3""",

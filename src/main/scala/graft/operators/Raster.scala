@@ -611,8 +611,20 @@ object Raster {
   def regrid(tiles: DataFrame, srcW: Long, srcH: Long, dstW: Long, dstH: Long,
              method: String = "average", nodata: Option[Double] = None): DataFrame = {
     require(dstW % TW == 0 && dstH % TH == 0, "dst grid must be whole tiles")
-    require(Set("average", "mode", "min", "max", "sum")(method),
+    require(Set("average", "mode", "min", "max", "sum", "med", "q1", "q3")(method),
       s"regrid: near/bilinear/cubic go through warp; got $method")
+    // -r med/q1/q3 (reference: alg/gdalwarpkernel.cpp ::
+    // GWKAverageOrModeThread, GWKAOM_Quant with quant 0.5/0.25/0.75):
+    // the value at SELECTION index ceil(q·n)−1 of the sorted valid
+    // sources — pure order statistic, no interpolation, so integer
+    // sources stay bit-exact and the SQL oracle replays it with a
+    // row_number window.
+    val quant = method match {
+      case "med" => 0.5
+      case "q1"  => 0.25
+      case "q3"  => 0.75
+      case _     => -1.0
+    }
     // -srcnodata (reference: alg/gdalwarpkernel.cpp GWKAverageOrModeThread
     // honoring the nodata masks): declared-nodata sources are excluded
     // from the kernel exactly like off-grid pixels; an all-excluded
@@ -659,6 +671,7 @@ object Raster {
             var sum = 0.0; var n = 0L
             var mn = Double.MaxValue; var mx = -Double.MaxValue
             val counts = if (method == "mode") new java.util.TreeMap[Double, Int]() else null
+            val qvals = if (quant >= 0) scala.collection.mutable.ArrayBuffer.empty[Double] else null
             var gy = 2 * dgy * srcH / (2 * dstH) // first candidate row
             while ((2 * gy + 1) * dstH < 2 * dgy * srcH) gy += 1
             while ((2 * gy + 1) * dstH < 2 * (dgy + 1) * srcH) {
@@ -668,6 +681,7 @@ object Raster {
                 val v = src(gx, gy)
                 if (!v.isNaN && v != nd) {
                   if (counts != null) counts.merge(v, 1, (a, b) => a + b)
+                  else if (qvals != null) qvals += v
                   else {
                     sum += v; n += 1
                     if (v < mn) mn = v
@@ -689,6 +703,15 @@ object Raster {
                     if (e.getValue > bestN) { best = e.getKey; bestN = e.getValue }
                   }
                   best
+                }
+              } else if (qvals != null) {
+                if (qvals.isEmpty) fallback
+                else {
+                  val a = qvals.toArray
+                  java.util.Arrays.sort(a)
+                  // order statistic at ceil(q·n)−1; q·n is exact here
+                  // (q ∈ {1/4, 1/2, 3/4} dyadic, n a small int)
+                  a(math.ceil(quant * a.length).toInt - 1)
                 }
               } else if (n == 0) fallback
               else method match {
