@@ -1649,6 +1649,47 @@ UNION ALL
 SELECT rid - 1000, 'upd', (u1 - u0) * (v1 - v0), u0, v0, u1, v1 FROM b2
 """
 
+  /** q210: layer-algebra Erase + SymDifference — erase rows reuse the
+    * q118 rect-minus-rect diff arithmetic (single method rectangle per
+    * region); the method-side rows are closed-form because same-region
+    * inputs are disjoint (area = B minus the intersection sum) and no
+    * input can contain a B corner (envelope = B's own). */
+  def q210LayerEraseSymdiff: String = """
+WITH sp AS (SELECT s_suppkey AS q_id, s_suppkey % 32 AS rid, s_suppkey // 32 AS k
+  FROM supplier WHERE s_suppkey < 256),
+cells AS (SELECT * FROM (VALUES (0,1,0),(1,3,0),(2,0,1),(3,1,1),(4,2,1),(5,3,1),(6,1,2),(7,3,2)) c(k, cx, cy)),
+aa AS (SELECT q_id, rid,
+    CAST(rid*32 + cx*8 AS DOUBLE) + 0.25 + CAST((q_id*7919) % 8 AS DOUBLE)/4.0 AS x0,
+    CAST(cy*8 AS DOUBLE) + 0.25 + CAST((q_id*104729) % 8 AS DOUBLE)/4.0 AS y0
+  FROM sp JOIN cells USING (k)),
+a2 AS (SELECT *, x0 + 1.0 + CAST(q_id % 14 AS DOUBLE)/4.0 AS x1,
+    y0 + 1.0 + CAST(q_id % 11 AS DOUBLE)/4.0 AS y1 FROM aa),
+bb AS (SELECT r.i AS rid, CAST(r.i*32 AS DOUBLE) + 2.125 + CAST(r.i % 3 AS DOUBLE) AS u0,
+    2.125 + CAST(r.i % 5 AS DOUBLE) AS v0 FROM generate_series(0, 31) r(i)),
+b2 AS (SELECT *, u0 + 17.0 AS u1, v0 + 16.0 AS v1 FROM bb),
+j AS (SELECT a2.q_id, a2.x0, a2.y0, a2.x1, a2.y1, b2.u0, b2.v0, b2.u1, b2.v1, a2.rid
+  FROM a2 JOIN b2 USING (rid)),
+ii AS (SELECT *, GREATEST(x0, u0) AS ix0, GREATEST(y0, v0) AS iy0,
+    LEAST(x1, u1) AS ix1, LEAST(y1, v1) AS iy1,
+    (GREATEST(x0, u0) < LEAST(x1, u1) AND GREATEST(y0, v0) < LEAST(y1, v1)) AS hasint
+  FROM j),
+bsum AS (SELECT rid, sum(CASE WHEN hasint THEN (ix1 - ix0) * (iy1 - iy0) ELSE 0.0 END) AS cut
+  FROM ii GROUP BY rid)
+SELECT q_id, 'erase' AS kind,
+  (x1 - x0) * (y1 - y0) - CASE WHEN hasint THEN (ix1 - ix0) * (iy1 - iy0) ELSE 0.0 END AS area,
+  CASE WHEN hasint AND u0 < x0 AND v0 < y0 AND v1 > y1 THEN ix1 ELSE x0 END AS xmin,
+  CASE WHEN hasint AND v0 < y0 AND u0 < x0 AND u1 > x1 THEN iy1 ELSE y0 END AS ymin,
+  CASE WHEN hasint AND u1 > x1 AND v0 < y0 AND v1 > y1 THEN ix0 ELSE x1 END AS xmax,
+  CASE WHEN hasint AND v1 > y1 AND u0 < x0 AND u1 > x1 THEN iy0 ELSE y1 END AS ymax
+FROM ii
+WHERE NOT (hasint AND u0 < x0 AND u1 > x1 AND v0 < y0 AND v1 > y1)
+UNION ALL
+SELECT b2.rid - 1000, 'bside',
+  (u1 - u0) * (v1 - v0) - COALESCE(cut, 0.0),
+  u0, v0, u1, v1
+FROM b2 LEFT JOIN bsum ON b2.rid = bsum.rid
+"""
+
   /** q111: Douglas–Peucker keep/drop replayed as ground truth — the
     * apex's perpendicular distance to the horizontal base is exactly h
     * (apex x strictly interior), so the simplifier's decision must equal

@@ -3108,6 +3108,68 @@ object SparkEntry {
           element_at(col("env"), 1).as("xmin"), element_at(col("env"), 2).as("ymin"),
           element_at(col("env"), 3).as("xmax"), element_at(col("env"), 4).as("ymax"))
     }),
+    "q210_layer_erase_symdiff" -> ((s, dir) => {
+      // ogr_layer_algebra Erase + SymDifference (reference
+      // swig/python/samples/ogr_layer_algebra.py :: Erase/SymDifference,
+      // OGRLayer::Erase/SymDifference): Erase emits each INPUT feature's
+      // piece outside the method layer; SymDifference adds each METHOD
+      // feature's piece outside the input layer. Corpus: one method
+      // rectangle per 32-unit region (eighth-offset lattice, so edges
+      // never coincide with the quarter-lattice inputs); input boxes are
+      // confined to per-(region, slot) 8x8 cells chosen so (a) no input
+      // can contain a method-rectangle corner — the method piece's
+      // envelope is then exactly the method rectangle's own — and (b)
+      // same-region inputs are DISJOINT — the method piece's area is
+      // closed-form: B area minus the sum of pairwise intersections.
+      // Plan: erase side is the q118/q126 broadcast region join; method
+      // side folds a per-region collect_list union (bounded at 8 boxes
+      // by construction — the per-method-feature candidate set, exactly
+      // the loop the reference runs per feature). Contained /
+      // edge-crossed / disjoint input branches all fire. UNQUANTIZED:
+      // every coordinate is dyadic and every shoelace product exact.
+      F.ensureRegistered(s)
+      val a = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .where(col("q_id") < 256) // one input per (region, cell slot)
+        .withColumn("rid", expr("q_id % 32"))
+        .withColumn("k", expr("CAST(q_id div 32 AS INT)"))
+        .withColumn("cx", expr("element_at(array(1, 3, 0, 1, 2, 3, 1, 3), k + 1)"))
+        .withColumn("cy", expr("element_at(array(0, 0, 1, 1, 1, 1, 2, 2), k + 1)"))
+        .withColumn("x0", expr("CAST(rid * 32 + cx * 8 AS DOUBLE) + 0.25 + CAST((q_id * 7919) % 8 AS DOUBLE) / 4.0"))
+        .withColumn("y0", expr("CAST(cy * 8 AS DOUBLE) + 0.25 + CAST((q_id * 104729) % 8 AS DOUBLE) / 4.0"))
+        .withColumn("x1", expr("x0 + 1.0 + CAST(q_id % 14 AS DOUBLE) / 4.0"))
+        .withColumn("y1", expr("y0 + 1.0 + CAST(q_id % 11 AS DOUBLE) / 4.0"))
+        .withColumn("ga", call_function("st_geomfromwkt", format_string(
+          "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
+          col("x0"), col("y0"), col("x1"), col("y0"), col("x1"), col("y1"),
+          col("x0"), col("y1"), col("x0"), col("y0"))))
+      val b = s.range(32)
+        .select(col("id").as("rid"))
+        .withColumn("u0", expr("CAST(rid * 32 AS DOUBLE) + 2.125 + CAST(rid % 3 AS DOUBLE)"))
+        .withColumn("v0", expr("2.125 + CAST(rid % 5 AS DOUBLE)"))
+        .withColumn("u1", expr("u0 + 17.0")).withColumn("v1", expr("v0 + 16.0"))
+        .withColumn("gb", call_function("st_geomfromwkt", format_string(
+          "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
+          col("u0"), col("v0"), col("u1"), col("v0"), col("u1"), col("v1"),
+          col("u0"), col("v1"), col("u0"), col("v0"))))
+        .select(col("rid"), col("gb"))
+      val erase = a.join(broadcast(b), Seq("rid"))
+        .withColumn("g", call_function("st_difference", col("ga"), col("gb")))
+        .where(!call_function("st_isempty", col("g")))
+        .select(col("q_id"), lit("erase").as("kind"), col("g"))
+      val cover = a.groupBy("rid").agg(collect_list(col("ga")).as("gas"))
+      val bside = b.join(cover, Seq("rid"), "left")
+        .withColumn("g", when(col("gas").isNull, col("gb")).otherwise(
+          call_function("st_difference", col("gb"),
+            expr("aggregate(slice(gas, 2, size(gas) - 1), element_at(gas, 1), (acc, gg) -> st_union(acc, gg))"))))
+        .select((col("rid") - 1000L).as("q_id"), lit("bside").as("kind"), col("g"))
+      erase.unionByName(bside)
+        .withColumn("env", call_function("st_env_bounds", col("g")))
+        .select(col("q_id"), col("kind"),
+          call_function("st_area", col("g")).as("area"),
+          element_at(col("env"), 1).as("xmin"), element_at(col("env"), 2).as("ymin"),
+          element_at(col("env"), 3).as("xmax"), element_at(col("env"), 4).as("ymax"))
+    }),
     "q111_simplify" -> ((s, dir) => {
       // ogr2ogr -simplify (reference ogr/ogrgeometry.cpp ::
       // OGRGeometry::Simplify → GEOS Douglas–Peucker; JTS
@@ -4843,6 +4905,7 @@ object SparkEntry {
     "q111_simplify" -> OracleHashSql.q111Simplify,
     "q118_layer_identity" -> OracleHashSql.q118LayerIdentity,
     "q126_layer_update" -> OracleHashSql.q126LayerUpdate,
+    "q210_layer_erase_symdiff" -> OracleHashSql.q210LayerEraseSymdiff,
     "q120_stream_sessionize" -> OracleHashSql.q120StreamSessionize,
     "q112_kml" -> OracleHashSql.q112Kml,
     "q175_gpx" -> OracleHashSql.q175Gpx,
