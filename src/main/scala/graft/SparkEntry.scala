@@ -2683,6 +2683,63 @@ object SparkEntry {
         .select(col("doc_id"), col("rank").cast("long").as("rank"),
           col("term"), col("score_milli"))
     }),
+    "q211_rag_chunks" -> ((s, dir) => {
+      // RAG-style sliding-window chunking: fixed 32-token windows at
+      // stride 24 (8-token overlap) over the corpus tokenization law
+      // (q29's whitespace tokens) — the retrieval-index prep step every
+      // training/RAG pipeline runs. Starts at 0, 24, 48, … while < n;
+      // the last window is short. Each chunk carries its token extent
+      // and the q31 polynomial fingerprint of its canonical space-joined
+      // text, so chunk identity (the dedup/index key) is graded, not
+      // just the span arithmetic. Map-only: split + bounded
+      // sequence-explode per doc, text never shuffles — at 100 TB this
+      // is a pure scan→generate pass.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("toks", split(trim(lower(regexp_replace(col("text"), "\\s+", " "))), " "))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(expr("sequence(0, (n - 1) div 24)")).as("ci"))
+        .withColumn("tok_start", col("ci") * 24)
+        .withColumn("nt", least(lit(32), col("n") - col("tok_start")))
+        .withColumn("ctext", expr("array_join(slice(toks, tok_start + 1, nt), ' ')"))
+        .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+          col("tok_start").cast("long").as("tok_start"),
+          col("nt").cast("long").as("n_toks"),
+          F.fingerprint64(col("ctext")).as("chunk_fp"))
+    }),
+    "q212_vocab_oov" -> ((s, dir) => {
+      // Vocabulary construction + OOV audit: the top-256 corpus tokens
+      // by frequency (ties → lexicographically smaller, the
+      // deterministic cut every tokenizer-training run needs) become the
+      // vocab; every document is then scored for out-of-vocabulary
+      // tokens and an exact-integer OOV rate (1000·oov div n). 100-TB
+      // shape: one (term) hash agg builds the model, the tiny vocab
+      // broadcasts back against the token stream, one (doc) agg scores —
+      // the q147/q202 model-build pattern; the corpus text never joins
+      // anything bigger than the 256-row vocab.
+      F.ensureRegistered(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val terms = docs
+        .select(col("doc_id"), explode(
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("term"))
+        .where(col("term") =!= "")
+      // top-256 via sort+limit = TakeOrderedAndProject: per-partition
+      // top-k then a k-row merge — never a single-partition global
+      // window over the (unbounded) distinct-term table
+      val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(256)
+        .select(col("term"), lit(1).as("in_vocab"))
+      val perDoc = terms.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          expr("CASE WHEN coalesce(n_toks, 0) = 0 THEN 0 ELSE (1000 * coalesce(n_oov, 0)) div n_toks END").as("oov_milli"))
+    }),
     "q148_zonal_majority" -> ((s, dir) => {
       // Zonal MAJORITY (the raster-stats mode the q15 count/sum family
       // doesn't exercise): per region, the most frequent quantity class
@@ -6008,6 +6065,50 @@ object SparkEntry {
          SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
            CAST(score_milli AS BIGINT) AS score_milli
          FROM rk WHERE rank <= 3""",
+    "q211_rag_chunks" ->
+      // q29 tokenization law + stride-24/width-32 window arithmetic + the
+      // q31 polynomial fingerprint replayed over the space-joined chunk
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         ch AS (SELECT doc_id, toks, n,
+                  unnest(range(0, (n - 1) // 24 + 1)) AS ci FROM nn),
+         sp AS (SELECT doc_id, ci, ci * 24 AS tok_start,
+                  least(32, n - ci * 24) AS nt, toks FROM ch),
+         tx AS (SELECT doc_id, ci, tok_start, nt,
+                  array_to_string(toks[tok_start + 1 : tok_start + nt], ' ') AS ctext
+                FROM sp)
+         SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(tok_start AS BIGINT) AS tok_start, CAST(nt AS BIGINT) AS n_toks,
+           CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             list_transform(range(1, length(ctext) + 1),
+               i -> CAST(unicode(substr(ctext, CAST(i AS INT), 1)) AS HUGEINT))),
+             (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS chunk_fp
+         FROM tx""",
+    "q212_vocab_oov" ->
+      // q147's token law; top-256 vocab cut by (cnt desc, term asc); the
+      // per-doc OOV census with exact-integer 1000·oov//n rate
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents),
+         t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         vocab AS (
+           SELECT term FROM (SELECT term, count(*) AS cnt FROM t2 GROUP BY 1)
+           ORDER BY cnt DESC, term ASC LIMIT 256),
+         perdoc AS (
+           SELECT t2.doc_id, count(*) AS n_toks,
+             sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+           FROM t2 LEFT JOIN vocab v ON t2.term = v.term
+           GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(p.n_toks, 0) AS BIGINT) AS n_toks,
+           CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(CASE WHEN coalesce(p.n_toks, 0) = 0 THEN 0
+                ELSE (1000 * coalesce(p.n_oov, 0)) // p.n_toks END AS BIGINT) AS oov_milli
+         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""",
     "q148_zonal_majority" ->
       // q15's PIP chain + class counts + the same packed-key majority
       s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql),
