@@ -225,6 +225,36 @@ object SparkEntry {
       Knn.knn(Synth.queryPoints(s, dir), "q_id", "lon", "lat",
         Synth.points(s, dir), "pt_id", "lon", "lat", k = 5, zoom = 7)
         .select(col("q_id"), col("pt_id"), col("rank").cast("long").as("rank"))),
+    "q213_tile_addressing" -> ((s, dir) => {
+      // gdal2tiles tile ADDRESSING conventions (swig/python/scripts/
+      // gdal2tiles.py :: GlobalGeodetic + GlobalMercator.QuadTree +
+      // TMS/XYZ flip): the corpus tile inventory at zoom 6 with every
+      // naming scheme a tile server needs — XYZ (tx,ty), the TMS row
+      // flip (2^z-1-ty), the Bing-style base-4 quadkey (geodetic grid =
+      // two side-by-side square quadtrees, WMTS convention: hemisphere
+      // root digit + z interleaved bits, MSB first), and the z/x/y.png
+      // output path. All-integer bit arithmetic on the exact-rational
+      // geodetic cell law → oracle-reproducible; one hash agg over the
+      // point stream then per-tile map work — at 100 TB the tile
+      // inventory is tiny next to the points and never reshuffles.
+      F.ensureRegistered(s)
+      val z = 6; val n = 1L << z
+      Synth.points(s, dir)
+        .select(F.cell_encode(col("lon"), col("lat"), lit(z)).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n_points"))
+        .withColumn("tx", F.cell_tx(col("cell")))
+        .withColumn("ty", F.cell_ty(col("cell")))
+        .withColumn("tms_ty", lit(n - 1) - col("ty"))
+        .withColumn("txm", col("tx") % n)
+        .withColumn("quadkey", concat(
+          (col("tx") >= n).cast("int").cast("string"),
+          expr(s"array_join(transform(sequence(1, $z), i -> cast(" +
+            s"(shiftright(txm, $z - i) % 2) + 2 * (shiftright(ty, $z - i) % 2)" +
+            " as string)), '')")))
+        .select(col("tx"), col("ty"), col("tms_ty"), col("quadkey"),
+          format_string("%d/%d/%d.png", lit(z), col("tx"), col("tms_ty")).as("tile_path"),
+          col("n_points"))
+    }),
     "q15_zonal_stats" -> ((s, dir) => {
       F.ensureRegistered(s)
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
@@ -4579,6 +4609,23 @@ object SparkEntry {
            CAST(least(greatest(floor((lon + 180.0) / 360.0 * 8192), 0), 8191) AS BIGINT) AS tx,
            CAST(least(greatest(floor((90.0 - lat) / 180.0 * 4096), 0), 4095) AS BIGINT) AS ty
          FROM pts""",
+    "q213_tile_addressing" ->
+      // q13's rational tile law at zoom 6 + integer bit arithmetic for
+      // the TMS flip, hemisphere-rooted quadkey, and path template
+      s"""WITH pts AS ($ptsSql),
+         t AS (SELECT
+             least(greatest(CAST(floor((lon + 180.0) / 360.0 * 128) AS BIGINT), 0), 127) AS tx,
+             least(greatest(CAST(floor((90.0 - lat) / 180.0 * 64) AS BIGINT), 0), 63) AS ty
+           FROM pts),
+         g AS (SELECT tx, ty, count(*) AS n_points FROM t GROUP BY 1, 2)
+         SELECT tx, ty, CAST(63 - ty AS BIGINT) AS tms_ty,
+           CAST(tx // 64 AS VARCHAR) || list_aggregate(
+             list_transform(range(1, 7), i ->
+               CAST((((tx % 64) >> (6 - i)) & 1) + 2 * ((ty >> (6 - i)) & 1) AS VARCHAR)),
+             'string_agg', '') AS quadkey,
+           printf('6/%d/%d.png', tx, 63 - ty) AS tile_path,
+           n_points
+         FROM g""",
     "q14_knn" ->
       s"""WITH pts AS ($ptsSql), q AS ($qptsSql)
          SELECT q_id, pt_id, CAST(rnk AS BIGINT) AS rank FROM (
