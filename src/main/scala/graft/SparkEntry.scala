@@ -2770,6 +2770,29 @@ object SparkEntry {
           coalesce(col("n_oov"), lit(0L)).as("n_oov"),
           expr("CASE WHEN coalesce(n_toks, 0) = 0 THEN 0 ELSE (1000 * coalesce(n_oov, 0)) div n_toks END").as("oov_milli"))
     }),
+    "q214_bpe_pairs" -> ((s, dir) => {
+      // BPE tokenizer training, merge step 1 (Sennrich et al. 2016 §3.2):
+      // the most frequent adjacent character pairs over the corpus,
+      // counted per word OCCURRENCE via the word-frequency dictionary —
+      // the exact quantity the first merge rule maximizes. 100-TB shape:
+      // the token stream collapses to a distinct-word dictionary in one
+      // hash agg (vocab ≪ corpus), pairs explode off the DICTIONARY (not
+      // the corpus), one more agg, then TakeOrderedAndProject for the
+      // top-32 cut — corpus text is touched exactly once, map-side.
+      F.ensureRegistered(s)
+      val words = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("wcnt"))
+      // guard length >= 2 BEFORE sequence(): Spark's sequence(1, 0) yields
+      // the descending [1, 0], not an empty array
+      words.where(length(col("term")) >= 2)
+        .select(col("wcnt"), explode(expr(
+          "transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum(col("wcnt")).as("freq"))
+        .orderBy(col("freq").desc, col("pair").asc).limit(32)
+    }),
     "q148_zonal_majority" -> ((s, dir) => {
       // Zonal MAJORITY (the raster-stats mode the q15 count/sum family
       // doesn't exercise): per region, the most frequent quantity class
@@ -6156,6 +6179,19 @@ object SparkEntry {
            CAST(CASE WHEN coalesce(p.n_toks, 0) = 0 THEN 0
                 ELSE (1000 * coalesce(p.n_oov, 0)) // p.n_toks END AS BIGINT) AS oov_milli
          FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""",
+    "q214_bpe_pairs" ->
+      // q147's token law → word dictionary; adjacent pairs off the
+      // dictionary weighted by word frequency; (freq desc, pair asc) cut
+      """WITH toks AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents),
+         words AS (SELECT term, count(*) AS wcnt FROM toks WHERE term <> '' GROUP BY 1),
+         pr AS (
+           SELECT unnest(list_transform(range(1, length(term)),
+                    i -> substr(term, CAST(i AS INT), 2))) AS pair, wcnt
+           FROM words WHERE length(term) >= 2),
+         pc AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS freq FROM pr GROUP BY 1)
+         SELECT pair, freq FROM pc ORDER BY freq DESC, pair ASC LIMIT 32""",
     "q148_zonal_majority" ->
       // q15's PIP chain + class counts + the same packed-key majority
       s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql),
