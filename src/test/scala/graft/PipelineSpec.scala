@@ -518,6 +518,75 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 180L)), s"doc2: ${out(2L)}")
   }
 
+  test("q211 chunk law: stride-24/width-32 extents at every boundary shape") {
+    // exact-multiple (24), boundary+1 (25), multi-window (80), singleton (1)
+    val dir = java.nio.file.Files.createTempDirectory("q211spec").toString
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    Seq((1L, mk(24)), (2L, mk(25)), (3L, mk(80)), (4L, mk(1)), (5L, "solo"),
+        (6L, mk(33)))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q211_rag_chunks")(spark, dir)
+      .select("doc_id", "chunk_idx", "tok_start", "n_toks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = Set(
+      (1L, 0L, 0L, 24L),                                        // one full-stride chunk
+      (2L, 0L, 0L, 25L), (2L, 1L, 24L, 1L),                     // overlap token re-emitted
+      (3L, 0L, 0L, 32L), (3L, 1L, 24L, 32L), (3L, 2L, 48L, 32L), (3L, 3L, 72L, 8L),
+      (4L, 0L, 0L, 1L), (5L, 0L, 0L, 1L),
+      (6L, 0L, 0L, 32L), (6L, 1L, 24L, 9L))
+    assert(out == expected, s"got $out")
+    // chunk fingerprint = the q31 polynomial fp of the canonical chunk text
+    val fp = SparkEntry.queries("q211_rag_chunks")(spark, dir)
+      .where(col("doc_id") === 5L).select("chunk_fp").collect().head.getLong(0)
+    assert(fp == graft.core.TextCore.fingerprint("solo"))
+  }
+
+  test("q212 OOV law: all-OOV and empty-token docs hit the exact-integer edges") {
+    val dir = java.nio.file.Files.createTempDirectory("q212spec").toString
+    // "the" dominates the vocab; doc 3 is whitespace-only (0 tokens ->
+    // oov_milli 0 via the divide-by-zero guard); doc 2 is pure OOV
+    val common = (1 to 300).map(_ => "the").mkString(" ")
+    Seq((1L, common), (2L, "zzqx1 zzqx2 zzqx3"), (3L, "   "))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q212_vocab_oov")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((300L, 0L, 0L)))      // all in vocab
+    // vocab = {the, zzqx1..3} (4 distinct terms <= 256) -> doc 2 has 0 OOV;
+    // the law's OOV branch needs MORE than 256 distinct terms, covered at
+    // sf0.001 by EntrySpec + the oracle; here we pin the n_toks census + guard
+    assert(out(2L)._1 == 3L)
+    assert(out(3L) == ((0L, 0L, 0L)))        // empty-token doc: guard fires
+  }
+
+  test("q213 quadkey: independent bit-interleave recompute over the sf0.001 inventory") {
+    val rows = SparkEntry.queries("q213_tile_addressing")(spark, TestSpark.SfSmall)
+      .select("tx", "ty", "tms_ty", "quadkey", "tile_path")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tx = r.getLong(0); val ty = r.getLong(1)
+      assert(r.getLong(2) == 63L - ty)
+      // independent formulation: binary-string zip, not shift arithmetic
+      val xb = (tx % 64).toBinaryString.reverse.padTo(6, '0').reverse
+      val yb = ty.toBinaryString.reverse.padTo(6, '0').reverse
+      val qk = (tx / 64).toString + xb.zip(yb).map { case (a, b) =>
+        ('0' + (a - '0') + 2 * (b - '0')).toChar }.mkString
+      assert(r.getString(3) == qk, s"tile ($tx,$ty)")
+      assert(r.getString(4) == s"6/$tx/${63 - ty}.png")
+    }
+  }
+
+  test("q214 BPE pair law: per-occurrence weighting on a crafted corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("q214spec").toString
+    // "ab" appears as a word twice, "aab" once: pair "ab" weights 2+1=3,
+    // pair "aa" weights 1; "a" (len 1) contributes no pair
+    Seq((1L, "ab a AAB"), (2L, "Ab")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q214_bpe_pairs")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("ab" -> 3L, "aa" -> 1L))
+  }
+
   test("downsample2x2Rms: sqrt(mean of squares), exact anchors") {
     // block {3,4,0,0}: sqrt(25/4) = 2.5 exactly; block {5,5,5,5} -> 5.0
     val px = Array(3.0, 4.0, 5.0, 5.0,
