@@ -2415,4 +2415,90 @@ SELECT CAST(3 AS BIGINT) AS zoom, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) A
 FROM v GROUP BY 2, 3
 """
   }
+
+  /** BPE training levels (q215/q216): the corpus word dictionary with
+    * wrapped symbol strings (".t..h..e."), then `k` unrolled merge
+    * iterations — pair counts off the dictionary, argmax by (freq DESC,
+    * lhs ASC, rhs ASC), merge applied via left-to-right non-overlapping
+    * replace() (identical semantics in DuckDB and Spark; see
+    * operators/Bpe.scala). Emits CTEs toks, s0 and p/g/t/s 1..k. */
+  private def bpeLevels(k: Int): String = {
+    val base = """toks AS (
+  SELECT unnest(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+  FROM documents),
+s0 AS (
+  SELECT term, count(*) AS wcnt,
+    array_to_string(list_transform(range(1, length(term) + 1),
+      i -> '.' || substr(term, CAST(i AS INT), 1) || '.'), '') AS syms
+  FROM toks WHERE term <> '' GROUP BY 1)"""
+    val levels = (1 to k).map { j =>
+      val p = j - 1
+      s"""p$j AS (
+  SELECT wcnt, ss, unnest(range(1, len(ss))) AS i
+  FROM (SELECT wcnt, string_split(substr(syms, 2, length(syms) - 2), '..') AS ss
+        FROM s$p)
+  WHERE len(ss) >= 2),
+g$j AS (
+  SELECT ss[CAST(i AS INT)] AS lhs, ss[CAST(i AS INT) + 1] AS rhs,
+    CAST(sum(wcnt) AS BIGINT) AS freq
+  FROM p$j GROUP BY 1, 2),
+t$j AS (SELECT $j AS it, lhs, rhs, freq FROM g$j
+        ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
+s$j AS (
+  SELECT term, wcnt,
+    replace(syms, '.' || t$j.lhs || '..' || t$j.rhs || '.',
+                  '.' || t$j.lhs || t$j.rhs || '.') AS syms
+  FROM s$p CROSS JOIN t$j)"""
+    }.mkString(",\n")
+    base + ",\n" + levels
+  }
+
+  def q215BpeTrain: String = {
+    val k = 6
+    val union = (1 to k).map(j => s"SELECT * FROM t$j").mkString(" UNION ALL ")
+    s"""WITH ${bpeLevels(k)}
+SELECT CAST(it AS BIGINT) AS it, lhs, rhs, freq FROM ($union)"""
+  }
+
+  /** q211's polynomial-fingerprint replay over an arbitrary string expr:
+    * fold (acc*257 + codepoint) mod 2305843009213693951 from 0. */
+  private def fpReplay(s: String): String =
+    s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      list_transform(range(1, length($s) + 1),
+        i -> CAST(unicode(substr($s, CAST(i AS INT), 1)) AS HUGEINT))),
+      (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT)"""
+
+  def q216BpeEncode: String = {
+    val k = 6
+    s"""WITH ${bpeLevels(k)},
+enc AS (
+  SELECT term, length(term) AS nch,
+    len(string_split(substr(syms, 2, length(syms) - 2), '..')) AS nsym,
+    replace(substr(syms, 2, length(syms) - 2), '..', ' ') AS encsp
+  FROM s$k),
+d AS (
+  SELECT doc_id,
+    string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tk
+  FROM documents),
+tok AS (
+  SELECT doc_id, u.pos AS pos, u.term AS term
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+          i -> struct_pack(pos := i, term := tk[CAST(i AS INT)]))) AS u
+        FROM d)
+  WHERE u.term <> ''),
+pd AS (
+  SELECT t.doc_id, count(*) AS n_toks, CAST(sum(e.nch) AS BIGINT) AS n_chars,
+    CAST(sum(e.nsym) AS BIGINT) AS n_sym,
+    string_agg(e.encsp, ' ' ORDER BY t.pos) AS stream
+  FROM tok t JOIN enc e ON t.term = e.term
+  GROUP BY 1)
+SELECT dd.doc_id,
+  CAST(coalesce(p.n_toks, 0) AS BIGINT) AS n_toks,
+  CAST(coalesce(p.n_chars, 0) AS BIGINT) AS n_chars,
+  CAST(coalesce(p.n_sym, 0) AS BIGINT) AS n_sym,
+  ${fpReplay("coalesce(p.stream, '')")} AS fp,
+  CAST(CASE WHEN coalesce(p.n_sym, 0) = 0 THEN 0
+       ELSE (1000 * coalesce(p.n_chars, 0)) // p.n_sym END AS BIGINT) AS ratio_milli
+FROM documents dd LEFT JOIN pd p ON dd.doc_id = p.doc_id"""
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.F
-import graft.operators.{Ann, Contour, Dedup, Focal, Knn, Media, OgrSql, Osm, Pack, Polygonize, Proximity, Quality, Raster, SpatialJoin, Streaming, Viewshed}
+import graft.operators.{Ann, Bpe, Contour, Dedup, Focal, Knn, Media, OgrSql, Osm, Pack, Polygonize, Proximity, Quality, Raster, SpatialJoin, Streaming, Viewshed}
 import graft.synth.Synth
 
 /** Driver contract (see /root/repo/SURVEY.md §7 + the builder prompt).
@@ -2792,6 +2792,58 @@ object SparkEntry {
           "transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")).as("pair"))
         .groupBy("pair").agg(sum(col("wcnt")).as("freq"))
         .orderBy(col("freq").desc, col("pair").asc).limit(32)
+    }),
+    "q215_bpe_train" -> ((s, dir) => {
+      // BPE tokenizer training, the FULL iterative merge loop (Sennrich
+      // et al. 2016 Algorithm 1; q214 was merge step 1 only): six merge
+      // rules learned over the corpus, each iteration counting adjacent
+      // symbol pairs weighted by word frequency and merging the argmax
+      // (freq desc, lhs asc, rhs asc). 100-TB shape: the corpus collapses
+      // to the persisted distinct-word dictionary in ONE hash agg; each
+      // iteration is a vocab-sized pair agg + a ONE-ROW collect (the
+      // q170 kmeans literal-re-bake pattern); merge application is a
+      // map-side replace() chain whose left-to-right non-overlapping
+      // semantics ARE the greedy single-pass merge law — the oracle
+      // unrolls the six levels and replays replace() op-for-op.
+      F.ensureRegistered(s)
+      import s.implicits._
+      val rules = Bpe.train(s.read.parquet(s"$dir/documents.parquet"), 6)
+      rules.zipWithIndex
+        .map { case (r, i) => (i + 1L, r.lhs, r.rhs, r.freq) }
+        .toDF("it", "lhs", "rhs", "freq")
+    }),
+    "q216_bpe_encode" -> ((s, dir) => {
+      // BPE ENCODING: apply the six trained merge rules (q215's law) to
+      // every document — the tokenizer-application pass every training
+      // pipeline runs over the full corpus. Per doc: token count, source
+      // char count, encoded SYMBOL count, the q31 polynomial fingerprint
+      // of the space-joined encoded symbol stream in document order (the
+      // grading key — symbol identity and order, not just counts), and
+      // the exact-integer chars-per-symbol compression ratio. 100-TB
+      // shape: rules come from vocab-sized aggs (six 1-row collects); the
+      // corpus encodes by broadcasting the ENCODED DICTIONARY against the
+      // token stream (text joins nothing bigger than the vocab) and one
+      // per-doc agg assembles the stream.
+      F.ensureRegistered(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val rules = Bpe.train(docs, 6)
+      val enc = Bpe.encodedDict(docs, rules)
+      val tok = docs.select(col("doc_id"), posexplode(
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as(Seq("pos", "term")))
+        .where(col("term") =!= "")
+      val perDoc = tok.join(broadcast(enc), Seq("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("nch")).as("n_chars"),
+          sum(col("nsym")).as("n_sym"),
+          sort_array(collect_list(struct(col("pos"), col("encsp")))).as("ps"))
+        .withColumn("stream", expr("array_join(transform(ps, x -> x.encsp), ' ')"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+          coalesce(col("n_sym"), lit(0L)).as("n_sym"),
+          F.fingerprint64(coalesce(col("stream"), lit(""))).as("fp"),
+          expr("CASE WHEN coalesce(n_sym, 0) = 0 THEN 0 ELSE (1000 * coalesce(n_chars, 0)) div coalesce(n_sym, 0) END").as("ratio_milli"))
     }),
     "q148_zonal_majority" -> ((s, dir) => {
       // Zonal MAJORITY (the raster-stats mode the q15 count/sum family
@@ -6192,6 +6244,8 @@ object SparkEntry {
            FROM words WHERE length(term) >= 2),
          pc AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS freq FROM pr GROUP BY 1)
          SELECT pair, freq FROM pc ORDER BY freq DESC, pair ASC LIMIT 32""",
+    "q215_bpe_train" -> OracleHashSql.q215BpeTrain,
+    "q216_bpe_encode" -> OracleHashSql.q216BpeEncode,
     "q148_zonal_majority" ->
       // q15's PIP chain + class counts + the same packed-key majority
       s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql),
