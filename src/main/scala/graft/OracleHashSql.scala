@@ -2468,6 +2468,50 @@ SELECT CAST(it AS BIGINT) AS it, lhs, rhs, freq FROM ($union)"""
         i -> CAST(unicode(substr($s, CAST(i AS INT), 1)) AS HUGEINT))),
       (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT)"""
 
+  /** q217: ExactSubstr removal — disjoint char-32 span tiling, packed
+    * (doc_id·2^20 + span_idx) first-occurrence keeper, cleaned-text
+    * rebuild + fingerprint replay. Mirrors Dedup.substrDedup. */
+  def q217SubstrDedup: String = {
+    ctr = 0
+    s"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 0
+    THEN 'call me ishmael some years ago never mind how long precisely ok '
+    ELSE '' END ||
+    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents),
+dn AS (SELECT doc_id, norm, length(norm) // 32 AS nsp FROM d),
+g AS (
+  SELECT doc_id, norm, unnest(range(0, nsp)) AS spi
+  FROM dn WHERE nsp >= 1),
+gh AS (
+  SELECT doc_id, spi, doc_id * 1048576 + spi AS pk,
+    ${hash64("substr(norm, CAST(spi*32 + 1 AS INT), 32)")} AS h
+  FROM g),
+keeper AS (
+  SELECT h, min(pk) AS pk0 FROM gh GROUP BY 1 HAVING count(*) >= 2),
+rmv AS (
+  SELECT gh.doc_id, list_sort(list(gh.spi)) AS rm, count(*) AS n_removed
+  FROM gh JOIN keeper k ON k.h = gh.h
+  WHERE gh.pk <> k.pk0
+  GROUP BY 1),
+fin AS (
+  SELECT dn.doc_id, dn.nsp, coalesce(r.n_removed, 0) AS n_removed,
+    (CASE WHEN dn.nsp = 0 THEN '' ELSE
+      array_to_string(list_transform(range(0, dn.nsp),
+        i -> CASE WHEN list_contains(coalesce(r.rm, []), i) THEN ''
+             ELSE substr(dn.norm, CAST(i*32 + 1 AS INT), 32) END), '') END)
+      || substr(dn.norm, CAST(dn.nsp*32 + 1 AS INT)) AS clean
+  FROM dn LEFT JOIN rmv r ON r.doc_id = dn.doc_id)
+SELECT doc_id, CAST(nsp AS BIGINT) AS n_spans,
+  CAST(n_removed AS BIGINT) AS n_removed,
+  CAST(length(clean) AS BIGINT) AS kept_chars,
+  CAST(${toSigned(hash64("clean"))} AS BIGINT) AS clean_fp
+FROM fin
+"""
+  }
+
   def q216BpeEncode: String = {
     val k = 6
     s"""WITH ${bpeLevels(k)},

@@ -2055,6 +2055,25 @@ object SparkEntry {
              ELSE '' END)"""))
       Dedup.substrRepetition(d, "doc_id", "norm", k = 32, stride = 16)
     }),
+    "q217_substr_dedup" -> ((s, dir) => {
+      // ExactSubstr dedup REMOVAL (Lee et al. 2021 §4.2) — q190 censuses
+      // repeated substrings; this performs the action: tile each doc into
+      // disjoint char-32 spans, keep the global FIRST occurrence of every
+      // duplicated span (order (doc_id, span_idx)), cut the rest, and
+      // grade the CLEANED text via its polynomial fingerprint. A 64-char
+      // slogan PREFIX planted on doc_id % 10 = 0 docs makes the removal
+      // branch fire deterministically (span-aligned at offset 0, so all
+      // slogan docs share spans 0-1 and only doc 0 keeps them). 100-TB
+      // shape: see Dedup.substrDedup — span hashes shuffle as 16 B rows,
+      // text is rebuilt map-side from the removed-index set.
+      F.ensureRegistered(s)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("norm", expr(
+          """concat(CASE WHEN doc_id % 10 = 0
+             THEN 'call me ishmael some years ago never mind how long precisely ok '
+             ELSE '' END, trim(lower(regexp_replace(text, '\\s+', ' '))))"""))
+      Dedup.substrDedup(d, "doc_id", "norm", k = 32)
+    }),
     "q189_mif_driver" -> ((s, dir) => {
       // OGR MapInfo MIF driver analog (ogr/ogrsf_frmts/mitab/
       // mitab_miffile.cpp): seventh text-format driver and the first
@@ -6246,6 +6265,7 @@ object SparkEntry {
          SELECT pair, freq FROM pc ORDER BY freq DESC, pair ASC LIMIT 32""",
     "q215_bpe_train" -> OracleHashSql.q215BpeTrain,
     "q216_bpe_encode" -> OracleHashSql.q216BpeEncode,
+    "q217_substr_dedup" -> OracleHashSql.q217SubstrDedup,
     "q148_zonal_majority" ->
       // q15's PIP chain + class counts + the same packed-key majority
       s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql),

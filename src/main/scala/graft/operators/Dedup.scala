@@ -500,4 +500,60 @@ object Dedup {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
   }
+
+  /** ExactSubstr dedup REMOVAL (Lee et al. 2021 §4.2 — the action their
+    * census motivates: every duplicated substring keeps exactly ONE
+    * occurrence, all others are cut out of the corpus). Distributed law:
+    * the doc tiles into disjoint char-`k` spans (span i = chars
+    * [i·k, i·k + k); the short tail is always kept); a span is REMOVED
+    * iff an identical span occurs earlier in the corpus under the total
+    * order (doc_id, span_idx) — the global first occurrence is the
+    * keeper, within-doc repeats dedup too.
+    *
+    * 100-TB shape: the span table is (hash64, packed doc·2^20+idx) LONG
+    * pairs — text never shuffles; one hash agg finds each duplicated
+    * hash's first occurrence (singleton hashes never leave the agg); one
+    * equi-join marks removed spans; one doc agg collects the removed
+    * index set (bounded by spans-per-doc); the cleaned text is rebuilt
+    * MAP-SIDE on the original row from that index set, and its
+    * fingerprint grades content, not just counts. The packed BIGINT
+    * keeper key bounds doc_id < 2^43 — a struct-min carries the law past
+    * that. Output: (doc_id, n_spans, n_removed, kept_chars, clean_fp). */
+  def substrDedup(docs: DataFrame, idCol: String, normCol: String,
+                  k: Int = 32): DataFrame = {
+    F.ensureRegistered(docs.sparkSession)
+    val d = docs.select(col(idCol).as("doc_id"), col(normCol).as("norm"))
+      .withColumn("nsp", expr(s"length(norm) div $k"))
+    val g = d.where(col("nsp") >= 1)
+      .select(col("doc_id"), col("nsp"), explode(expr(
+        s"transform(sequence(0, CAST(nsp - 1 AS INT)), __i -> named_struct(" +
+          s"'spi', CAST(__i AS BIGINT), " +
+          s"'h', hash64(substring(norm, __i * $k + 1, $k))))")).as("sp"))
+      .select(col("doc_id"), col("sp.spi").as("spi"), col("sp.h").as("h"),
+        (col("doc_id") * 1048576L + col("sp.spi")).as("pk"))
+    val keeper = g.groupBy("h")
+      .agg(min(col("pk")).as("pk0"), count(lit(1)).as("nocc"))
+      .where(col("nocc") >= 2).select("h", "pk0")
+    val removed = g.join(keeper, Seq("h")).where(col("pk") =!= col("pk0"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("spi"))).as("rm"),
+        count(lit(1)).as("n_removed"))
+    d.join(removed, Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("rm"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .withColumn("clean", expr(
+        s"""concat(
+           CASE WHEN nsp = 0 THEN ''
+           ELSE array_join(transform(sequence(0, CAST(nsp - 1 AS INT)),
+             __i -> CASE WHEN array_contains(rm, CAST(__i AS BIGINT)) THEN ''
+                    ELSE substring(norm, __i * $k + 1, $k) END), '') END,
+           substring(norm, CAST(nsp AS INT) * $k + 1))"""))
+      .select(col("doc_id"), col("nsp").as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        length(col("clean")).cast("long").as("kept_chars"),
+        // hash64, NOT fingerprint64: the fingerprint law re-normalizes
+        // (trim + whitespace collapse), which would mask the seam
+        // artifacts removal creates (leading-space tails, doubled
+        // spaces); hash64 grades the raw cleaned bytes
+        call_function("hash64", col("clean")).as("clean_fp"))
+  }
 }
