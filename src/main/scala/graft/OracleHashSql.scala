@@ -2468,6 +2468,38 @@ SELECT CAST(it AS BIGINT) AS it, lhs, rhs, freq FROM ($union)"""
         i -> CAST(unicode(substr($s, CAST(i AS INT), 1)) AS HUGEINT))),
       (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT)"""
 
+  /** q218: ViT patchify — replay patch stats + Walsh-Hadamard projections
+    * from the synth tile pixel law (the PNG codec legs are lossless,
+    * q68/q186 precedent). px(x,y) = (tx·131 + ty·173 + x·7 + y·11 + 3)
+    * % 256; patch p = 4×4 grid cell, j = row-major index inside it. */
+  def q218VitPatchify: String = {
+    val px = "(tx*131 + ty*173 + ((p % 4)*16 + (j % 16))*7 + ((p // 4)*16 + (j // 16))*11 + 3) % 256"
+    s"""
+WITH imgs AS (
+  SELECT gx.x AS tx, gy.y AS ty, gy.y * 16 + gx.x AS img_id
+  FROM generate_series(0, 15) gx(x), generate_series(0, 7) gy(y)),
+pp AS (
+  SELECT img_id, tx, ty, unnest(range(0, 16)) AS p FROM imgs),
+st AS (
+  SELECT img_id, p,
+    CAST(list_sum(list_transform(range(0, 256), j -> $px)) AS BIGINT) AS psum,
+    CAST(list_min(list_transform(range(0, 256), j -> $px)) AS BIGINT) AS pmin,
+    CAST(list_max(list_transform(range(0, 256), j -> $px)) AS BIGINT) AS pmax,
+    CAST(list_sum(list_transform(range(0, 256), j ->
+      ($px) * (1 - 2 * ((j // 1) % 2)))) AS BIGINT) AS proj0,
+    CAST(list_sum(list_transform(range(0, 256), j ->
+      ($px) * (1 - 2 * ((j // 2) % 2)))) AS BIGINT) AS proj1,
+    CAST(list_sum(list_transform(range(0, 256), j ->
+      ($px) * (1 - 2 * ((j // 4) % 2)))) AS BIGINT) AS proj2,
+    CAST(list_sum(list_transform(range(0, 256), j ->
+      ($px) * (1 - 2 * ((j // 8) % 2)))) AS BIGINT) AS proj3
+  FROM pp)
+SELECT CAST(img_id AS BIGINT) AS img_id, CAST(p AS BIGINT) AS patch,
+  psum, psum // 256 AS pmean, pmin, pmax, proj0, proj1, proj2, proj3
+FROM st
+"""
+  }
+
   /** q217: ExactSubstr removal — disjoint char-32 span tiling, packed
     * (doc_id·2^20 + span_idx) first-occurrence keeper, cleaned-text
     * rebuild + fingerprint replay. Mirrors Dedup.substrDedup. */

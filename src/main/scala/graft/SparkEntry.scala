@@ -2209,6 +2209,19 @@ object SparkEntry {
       val dec = Media.decodePng(Media.encodePng(Synth.tiles(s, 3))).drop("png")
       Media.dhashPairs(dec, maxHamming = 4)
     }),
+    "q218_vit_patchify" -> ((s, dir) => {
+      // ViT-style patch extraction (Dosovitskiy et al. 2021 §3.1) — the
+      // multimodal PREPROCESSING verb every vision-language training
+      // pipeline runs: 64×64 images through the REAL PNG codec path split
+      // into 4×4 grids of 16×16 patches, each graded by exact integer
+      // stats + its first four Walsh-Hadamard projections (the
+      // oracle-replayable stand-in for the learned patch embedding).
+      // Map-only; the decode UDF runs ONCE per image (evaluate-once HOF
+      // binding — see Media.patchify), 16 patch rows explode after.
+      F.ensureRegistered(s)
+      Media.patchify(
+        Media.decodePng(Media.encodePng(Synth.tiles(s, 3))).drop("png"))
+    }),
     "q184_lm_surprisal" -> ((s, dir) =>
       // LM-quality filtering analog (CCNet perplexity law, exact-integer
       // unigram surrogate — see Quality.unigramSurprisal)
@@ -6266,6 +6279,7 @@ object SparkEntry {
     "q215_bpe_train" -> OracleHashSql.q215BpeTrain,
     "q216_bpe_encode" -> OracleHashSql.q216BpeEncode,
     "q217_substr_dedup" -> OracleHashSql.q217SubstrDedup,
+    "q218_vit_patchify" -> OracleHashSql.q218VitPatchify,
     "q148_zonal_majority" ->
       // q15's PIP chain + class counts + the same packed-key majority
       s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql),

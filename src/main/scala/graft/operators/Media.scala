@@ -158,6 +158,51 @@ object Media {
                        THEN shiftleft(1L, CAST(k AS INT)) ELSE 0L END)), 1)), 1)"""))
       .select("img_id", "dhash")
 
+  /** ViT-style PATCHIFY (Dosovitskiy et al. 2021 §3.1 — "an image is
+    * worth 16x16 words"): a 64x64 image splits into a 4x4 grid of 16x16
+    * patches; each patch is flattened (row-major) and summarized by exact
+    * integer stats plus its first four WALSH-HADAMARD projections along
+    * the flattened index (proj_k = Σ px[j]·(1 − 2·((j >> k) & 1)) — the
+    * structured stand-in for the learned linear patch embedding, chosen
+    * because it is exact-integer and oracle-replayable).
+    *
+    * Map-only at any scale: all 16 patches are computed inside ONE bound
+    * HOF per image row (the dhash evaluate-once discipline — `pixels` is
+    * the HOF's argument, so a decode UDF upstream runs once per row, not
+    * once per element_at) and exploded afterwards. */
+  def patchify(decoded: DataFrame, gridW: Int = 16): DataFrame =
+    decoded
+      .withColumn("img_id", (col("ty") * gridW + col("tx")).cast("long"))
+      .withColumn("patches", expr(
+        """element_at(transform(array(pixels), px ->
+             transform(sequence(0, 15), p -> named_struct(
+               'psum', aggregate(sequence(0, 255), 0L, (acc, j) ->
+                 acc + CAST(element_at(px, CAST(
+                   (p div 4)*1024 + (j div 16)*64 + (p % 4)*16 + (j % 16) + 1
+                 AS INT)) AS BIGINT)),
+               'pmin', aggregate(sequence(0, 255), 255L, (acc, j) ->
+                 least(acc, CAST(element_at(px, CAST(
+                   (p div 4)*1024 + (j div 16)*64 + (p % 4)*16 + (j % 16) + 1
+                 AS INT)) AS BIGINT))),
+               'pmax', aggregate(sequence(0, 255), 0L, (acc, j) ->
+                 greatest(acc, CAST(element_at(px, CAST(
+                   (p div 4)*1024 + (j div 16)*64 + (p % 4)*16 + (j % 16) + 1
+                 AS INT)) AS BIGINT))),
+               'proj', transform(sequence(0, 3), k ->
+                 aggregate(sequence(0, 255), 0L, (acc, j) ->
+                   acc + CAST(element_at(px, CAST(
+                     (p div 4)*1024 + (j div 16)*64 + (p % 4)*16 + (j % 16) + 1
+                   AS INT)) AS BIGINT) * (1L - 2L * ((j div shiftleft(1, k)) % 2))))
+             ))), 1)"""))
+      .select(col("img_id"), posexplode(col("patches")).as(Seq("patch", "st")))
+      .select(col("img_id"), col("patch").cast("long").as("patch"),
+        col("st.psum").as("psum"), expr("st.psum div 256").as("pmean"),
+        col("st.pmin").as("pmin"), col("st.pmax").as("pmax"),
+        element_at(col("st.proj"), 1).as("proj0"),
+        element_at(col("st.proj"), 2).as("proj1"),
+        element_at(col("st.proj"), 3).as("proj2"),
+        element_at(col("st.proj"), 4).as("proj3"))
+
   /** Near-duplicate image pairs at hamming(dhash) <= maxHamming via the
     * EXACT k+1 pigeonhole (the q25 SimHash law re-aimed at 56 bits): two
     * hashes within hamming m must agree on at least one of m+1 disjoint
