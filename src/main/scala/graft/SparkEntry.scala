@@ -2272,6 +2272,35 @@ object SparkEntry {
             .otherwise(lit("tail")))
         .select(col("doc_id"), col("lang"), col("score_milli"), col("bucket"))
     }),
+    "q219_unimax_sampling" -> ((s, dir) => {
+      // UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+      // More Effective Language Sampling" Algorithm 1): distribute a
+      // character budget B = 2×corpus over languages by WATERFILLING —
+      // languages ascending by size, each gets min(cap·size, fair share
+      // of the remaining budget); q185 applies GIVEN mixture weights,
+      // this COMPUTES them. Budget/cap chosen so both branches fire on
+      // this corpus (de hits the 3-epoch cap, the other four are
+      // fair-share-bound). Per-doc copy law: floor(e_milli/1000) plus a
+      // deterministic fractional epoch via (doc_id·7919) % 1000. 100-TB
+      // shape: ONE lang agg (collect bounded by #languages), driver
+      // waterfilling over L rows, broadcast join back, map-side copies.
+      F.ensureRegistered(s)
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val sizes = docs.groupBy("lang").agg(sum(col("n_chars")).as("sz"))
+        .orderBy(col("sz").asc, col("lang").asc).collect()
+      var remB = 2L * sizes.map(_.getLong(1)).sum
+      var remL = sizes.length.toLong
+      val allocs = sizes.map { r =>
+        val lang = r.getString(0); val sz = r.getLong(1)
+        val a = math.min(3L * sz, remB / remL)
+        remB -= a; remL -= 1
+        (lang, a, a * 1000L / sz)
+      }.toSeq
+      docs.join(broadcast(allocs.toDF("lang", "alloc", "e_milli")), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("alloc"), col("e_milli"),
+          expr("e_milli div 1000 + CASE WHEN (doc_id * 7919) % 1000 < e_milli % 1000 THEN 1 ELSE 0 END").as("n_copies"))
+    }),
     "q185_mixture_resample" -> ((s, dir) =>
       // domain mixture resampling (the Pile/LLaMA-style per-source epoch
       // weights, public recipe): integer upweights per source, plus a
@@ -6280,6 +6309,38 @@ object SparkEntry {
     "q216_bpe_encode" -> OracleHashSql.q216BpeEncode,
     "q217_substr_dedup" -> OracleHashSql.q217SubstrDedup,
     "q218_vit_patchify" -> OracleHashSql.q218VitPatchify,
+    "q219_unimax_sampling" ->
+      // the waterfilling recursion replayed as a recursive CTE over the
+      // size-ranked language table; same integer div laws as the engine
+      """WITH RECURSIVE
+         sizes AS (
+           SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sz
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT CAST(2 * sum(sz) AS BIGINT) AS b, count(*) AS l FROM sizes),
+         rk AS (
+           SELECT lang, sz,
+             CAST(row_number() OVER (ORDER BY sz ASC, lang ASC) AS BIGINT) AS r
+           FROM sizes),
+         wf AS (
+           SELECT CAST(0 AS BIGINT) AS r, CAST(NULL AS VARCHAR) AS lang,
+             CAST(0 AS BIGINT) AS alloc,
+             (SELECT b FROM tot) AS rem_b, (SELECT l FROM tot) AS rem_l
+           UNION ALL
+           SELECT rk.r, rk.lang,
+             least(3 * rk.sz, wf.rem_b // wf.rem_l) AS alloc,
+             wf.rem_b - least(3 * rk.sz, wf.rem_b // wf.rem_l) AS rem_b,
+             wf.rem_l - 1 AS rem_l
+           FROM wf JOIN rk ON rk.r = wf.r + 1),
+         pe AS (
+           SELECT s.lang, w.alloc, (w.alloc * 1000) // s.sz AS e_milli
+           FROM sizes s JOIN (SELECT lang, alloc FROM wf WHERE r >= 1) w
+             ON w.lang = s.lang)
+         SELECT d.doc_id, d.lang, p.alloc, CAST(p.e_milli AS BIGINT) AS e_milli,
+           CAST(p.e_milli // 1000 +
+             CASE WHEN (d.doc_id * 7919) % 1000 < p.e_milli % 1000
+             THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         FROM documents d JOIN pe p ON p.lang = d.lang""",
     "q148_zonal_majority" ->
       // q15's PIP chain + class counts + the same packed-key majority
       s"""WITH pts AS ($ptsSql), boxes AS ($boxesSql),
