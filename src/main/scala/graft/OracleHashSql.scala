@@ -404,6 +404,40 @@ FROM h GROUP BY 1, 2
 """
   }
 
+  /** q220: fastText-style classifier inference — unigram+bigram features,
+    * the q188 hashed-dim/sign law, literal weights (d·7919)%31−15, bias 3. */
+  def q220QualityClassifier: String = {
+    ctr = 0
+    s"""
+WITH d0 AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+      t -> t <> '') AS toks
+  FROM documents),
+fe AS (
+  SELECT doc_id, unnest(toks ||
+    CASE WHEN len(toks) >= 2
+    THEN list_transform(range(1, len(toks)),
+      i -> toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1])
+    ELSE [] END) AS feat
+  FROM d0),
+tf AS (SELECT doc_id, feat, count(*) AS tf FROM fe GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, ${hash64("feat")} AS u FROM tf),
+dv AS (
+  SELECT doc_id, CAST(u % 32 AS BIGINT) AS dim,
+    CAST(sum(CASE WHEN (u // 32) % 2 = 0 THEN tf ELSE -tf END) AS BIGINT) AS v
+  FROM h GROUP BY 1, 2),
+dt AS (
+  SELECT doc_id, CAST(sum(v * ((dim * 7919) % 31 - 15)) AS BIGINT) AS dot,
+    count(*) AS n_dims
+  FROM dv GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(t.n_dims, 0) AS BIGINT) AS n_dims,
+  CAST(coalesce(t.dot, 0) + 3 AS BIGINT) AS margin,
+  CAST(CASE WHEN coalesce(t.dot, 0) + 3 > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+FROM documents d LEFT JOIN dt t ON t.doc_id = d.doc_id
+"""
+  }
+
   /** q186: image dHash near-dup — replay the 56-bit difference hash from
     * the z3 synth pixel law ((tx·131+ty·173+x·7+y·11+3) mod 256), then the
     * 5-chunk pigeonhole candidate join and exact popcount verify at

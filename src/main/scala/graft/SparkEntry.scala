@@ -2142,6 +2142,41 @@ object SparkEntry {
         .select(col("q_id"), col("dxf"), col("seq").cast("long").as("seq"),
           col("p.x").as("x"), col("p.y").as("y"))
     }),
+    "q220_quality_classifier" -> ((s, dir) => {
+      // fastText-style quality-classifier INFERENCE (Joulin et al. 2017;
+      // the LLaMA/CCNet quality-filter step applies such a pretrained
+      // linear model over hashed bag-of-words+bigram features): features
+      // are unigrams PLUS adjacent word bigrams (wordNgrams=2, built
+      // map-side from the token array — no window, no self-join), hashed
+      // into 32 signed dims by the q188 law; the model is a literal
+      // integer weight vector w_d = (d·7919) % 31 − 15 with bias 3 (the
+      // pretrained-artifact stand-in, the q170/q180 literal-model
+      // precedent). 100-TB shape: two hash aggs + map-side dot — no
+      // vocabulary, no model state beyond 32 literals.
+      F.ensureRegistered(s)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("toks", expr(
+          "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), t -> t <> '')"))
+        .withColumn("feats", expr(
+          """concat(toks, CASE WHEN size(toks) >= 2
+             THEN transform(sequence(1, size(toks) - 1),
+               i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))
+             ELSE CAST(array() AS ARRAY<STRING>) END)"""))
+      val dot = d.select(col("doc_id"), explode(col("feats")).as("feat"))
+        .groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
+        .withColumn("h", call_function("hash64", col("feat")))
+        .withColumn("dim", expr("((h % 32) + 32) % 32"))
+        .withColumn("sv", expr("CASE WHEN (shiftright(h, 5) & 1) = 0 THEN tf ELSE -tf END"))
+        .groupBy("doc_id", "dim").agg(sum(col("sv")).as("v"))
+        .groupBy("doc_id")
+        .agg(sum(expr("v * ((dim * 7919) % 31 - 15)")).as("dot"),
+          count(lit(1)).as("n_dims"))
+      d.select("doc_id").join(dot, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dims"), lit(0L)).as("n_dims"),
+          (coalesce(col("dot"), lit(0L)) + 3L).as("margin"),
+          expr("CAST(CASE WHEN coalesce(dot, 0) + 3 > 0 THEN 1 ELSE 0 END AS BIGINT)").as("label"))
+    }),
     "q188_feature_hashing" -> ((s, dir) => {
       // hashing-trick featurization (public recipe: Weinberger et al.
       // 2009, the fastText/Vowpal-Wabbit input layer): term → dimension
@@ -5204,6 +5239,7 @@ object SparkEntry {
     "q182_semdedup" -> OracleHashSql.q182SemDedup,
     "q186_image_dhash_dedup" -> OracleHashSql.q186Dhash,
     "q188_feature_hashing" -> OracleHashSql.q188FeatureHash,
+    "q220_quality_classifier" -> OracleHashSql.q220QualityClassifier,
     "q189_mif_driver" -> OracleHashSql.q189Mif,
     "q203_dxf_driver" -> OracleHashSql.q203Dxf,
     "q190_substr_repetition" -> OracleHashSql.q190SubstrRep,
