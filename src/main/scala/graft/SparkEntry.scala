@@ -359,6 +359,34 @@ object SparkEntry {
         .select(F.cell_tx(col("cell")).as("tx"), F.cell_ty(col("cell")).as("ty"),
           col("v_min"), col("v_max"), (col("v_max") - col("v_min")).as("v_range"))
     }),
+    "q221_grid_nearest" -> ((s, dir) => {
+      F.ensureRegistered(s)
+      // gdal_grid NEAREST NEIGHBOR interpolation (reference
+      // alg/gdalgrid.cpp :: GDALGridNearestNeighbor) — the one grid
+      // algorithm the invdist (q56/q141/q150) and metric (q21/q67/q199)
+      // families don't pin: each node takes the VALUE of its closest
+      // point. Same degenerate-ellipse framing as the family (node
+      // window = its zoom-6 cell). EXACT arithmetic: synth lon/lat are
+      // dyadic 1024ths and the cell center is too (cell = 2880/1024
+      // deg), so d² in 1024ths² is an exact BIGINT; the winner is a
+      // lexicographic struct-min over (d², pt_id, part_key, supp_key,
+      // v) — fully deterministic even where pt_id collides (it is not
+      // unique in the driver data). ONE hash agg, map-side partials.
+      Synth.points(s, dir)
+        .withColumn("cell", F.cell_encode(col("lon"), col("lat"), lit(6)))
+        .withColumn("tx", F.cell_tx(col("cell"))).withColumn("ty", F.cell_ty(col("cell")))
+        .withColumn("ilon", (col("lon") * 1024).cast("long"))
+        .withColumn("ilat", (col("lat") * 1024).cast("long"))
+        .withColumn("dx", col("ilon") - (lit(-184320L) + col("tx") * 2880L + 1440L))
+        .withColumn("dy", col("ilat") - (lit(92160L) - col("ty") * 2880L - 1440L))
+        .withColumn("d2", col("dx") * col("dx") + col("dy") * col("dy"))
+        .groupBy("tx", "ty")
+        .agg(min(struct(col("d2"), col("pt_id"), col("part_key"),
+          col("supp_key"), col("l_quantity").cast("long").as("v"))).as("w"),
+          count(lit(1)).as("n_pts"))
+        .select(col("tx"), col("ty"), col("w.v").as("v_near"),
+          col("w.d2").as("d2"), col("w.pt_id").as("pt_id"), col("n_pts"))
+    }),
     "q32_extent_agg" -> ((s, dir) =>
       // GetExtent / envelope aggregate per group (reference OGRLayer::GetExtent)
       Synth.points(s, dir)
@@ -5127,6 +5155,30 @@ object SparkEntry {
            CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v_max,
            CAST(max(CAST(l_quantity AS BIGINT)) - min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v_range
          FROM pts GROUP BY 1, 2""",
+    "q221_grid_nearest" ->
+      // exact-integer d² in dyadic 1024ths; lexicographic struct-min
+      // replays the engine's deterministic tie law
+      s"""WITH pts AS ($ptsSql),
+         c AS (
+           SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * 128), 0), 127) AS BIGINT) AS tx,
+             CAST(least(greatest(floor((90.0 - lat) / 180.0 * 64), 0), 63) AS BIGINT) AS ty,
+             CAST(lon * 1024 AS BIGINT) AS ilon, CAST(lat * 1024 AS BIGINT) AS ilat,
+             pt_id, part_key, supp_key, CAST(l_quantity AS BIGINT) AS v
+           FROM pts),
+         e AS (
+           SELECT tx, ty, pt_id, part_key, supp_key, v,
+             (ilon - (-184320 + 2880*tx + 1440)) * (ilon - (-184320 + 2880*tx + 1440))
+             + (ilat - (92160 - 2880*ty - 1440)) * (ilat - (92160 - 2880*ty - 1440)) AS d2
+           FROM c),
+         w AS (
+           SELECT tx, ty,
+             min(struct_pack(d2 := d2, pt_id := pt_id, part_key := part_key,
+               supp_key := supp_key, v := v)) AS w,
+             count(*) AS n_pts
+           FROM e GROUP BY 1, 2)
+         SELECT tx, ty, CAST(w.v AS BIGINT) AS v_near, CAST(w.d2 AS BIGINT) AS d2,
+           CAST(w.pt_id AS BIGINT) AS pt_id, n_pts
+         FROM w""",
     "q32_extent_agg" ->
       s"""WITH pts AS ($ptsSql)
          SELECT doc_key % 10 AS grp, min(lon) AS min_x, max(lon) AS max_x,
