@@ -404,6 +404,54 @@ FROM h GROUP BY 1, 2
 """
   }
 
+  /** q222: T5 span corruption — deterministic one-span-per-segment
+    * placement, sentinel input/target rebuild, signed hash64 grading. */
+  def q222T5Spans: String = {
+    ctr = 0
+    val c = "((15 * n) // 100)"
+    val nsp = s"greatest(1, $c // 3)"
+    val lenS = s"($c // $nsp + CASE WHEN s < $c % $nsp THEN 1 ELSE 0 END)"
+    val startS = s"(s * seg + (doc_id * 7919 + s * 104729) % (seg - $lenS + 1))"
+    val s0 = "((i - 1) // seg)"
+    val sp0 = s"sps[CAST($s0 + 1 AS INT)]"
+    val inside = s"($s0 < len(sps) AND (i - 1) >= $sp0.st AND (i - 1) < $sp0.st + $sp0.ln)"
+    val isStart = s"($s0 < len(sps) AND (i - 1) = $sp0.st)"
+    val sAt = "sps[CAST(s + 1 AS INT)]"
+    s"""
+WITH d0 AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+      t -> t <> '') AS tk
+  FROM documents),
+d1 AS (
+  SELECT doc_id, tk, n, n // $nsp AS seg
+  FROM (SELECT doc_id, tk, len(tk) AS n FROM d0)),
+sp AS (
+  SELECT doc_id, tk, n, seg,
+    CASE WHEN $c = 0 THEN CAST([] AS STRUCT(st BIGINT, ln BIGINT)[])
+    ELSE list_transform(range(0, $nsp),
+      s -> struct_pack(st := $startS, ln := $lenS)) END AS sps
+  FROM d1),
+txt AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_toks, CAST($c AS BIGINT) AS n_corrupt,
+    CAST(len(sps) AS BIGINT) AS n_spans,
+    CASE WHEN n = 0 THEN ''
+    ELSE array_to_string(list_filter(list_transform(range(1, n + 1), i ->
+      CASE WHEN $isStart THEN '<x' || CAST($s0 AS VARCHAR) || '>'
+           WHEN $inside THEN ''
+           ELSE tk[CAST(i AS INT)] END), x -> x <> ''), ' ') END AS inp,
+    CASE WHEN len(sps) = 0 THEN ''
+    ELSE array_to_string(flatten(list_transform(range(0, len(sps)), s ->
+      ['<x' || CAST(s AS VARCHAR) || '>'] ||
+      tk[CAST($sAt.st + 1 AS INT) : CAST($sAt.st + $sAt.ln AS INT)])), ' ') END AS tgt
+  FROM sp)
+SELECT doc_id, n_toks, n_corrupt, n_spans,
+  CAST(${toSigned(hash64("inp"))} AS BIGINT) AS inp_fp,
+  CAST(${toSigned(hash64("tgt"))} AS BIGINT) AS tgt_fp
+FROM txt
+"""
+  }
+
   /** q220: fastText-style classifier inference — unigram+bigram features,
     * the q188 hashed-dim/sign law, literal weights (d·7919)%31−15, bias 3. */
   def q220QualityClassifier: String = {

@@ -2170,6 +2170,59 @@ object SparkEntry {
         .select(col("q_id"), col("dxf"), col("seq").cast("long").as("seq"),
           col("p.x").as("x"), col("p.y").as("y"))
     }),
+    "q222_t5_span_corrupt" -> ((s, dir) => {
+      // T5 span-corruption preprocessing (Raffel et al. 2020 §3.1.4:
+      // corrupt 15% of tokens in mean-length-3 spans; input keeps one
+      // sentinel per span, target lists sentinel + removed tokens). The
+      // published transform samples spans randomly; this is the
+      // DETERMINISTIC analog every reproducible pipeline wants: spans
+      // live one per equal segment, offset by a (doc_id, s) hash law, so
+      // placement is content-independent and replayable. Per doc:
+      // c = (15·n) div 100 corrupted tokens in nsp = max(1, c div 3)
+      // spans (lengths c div nsp, remainder to the first c % nsp spans).
+      // Graded surface: hash64 of the INPUT and TARGET sequences — the
+      // exact denoising pair, not just counts. Map-only at any scale;
+      // the token array is bound once per row (evaluate-once HOF
+      // discipline), never re-split per lambda call.
+      F.ensureRegistered(s)
+      val n = "size(tk)"
+      val c = s"((15 * $n) div 100)"
+      val nsp = s"greatest(1, $c div 3)"
+      val seg = s"($n div $nsp)"
+      val lenS = s"($c div $nsp + CASE WHEN s < $c % $nsp THEN 1 ELSE 0 END)"
+      val startS = s"(s * $seg + CAST((doc_id * 7919 + s * 104729) % ($seg - $lenS + 1) AS INT))"
+      val spans = s"CASE WHEN $c = 0 THEN CAST(array() AS ARRAY<STRUCT<st: INT, ln: INT>>) " +
+        s"ELSE transform(sequence(0, CAST($nsp AS INT) - 1), " +
+        s"s -> named_struct('st', $startS, 'ln', CAST($lenS AS INT))) END"
+      // token i (1-based) falls in segment s0; only that segment's span
+      // can cover it, so membership is one element_at, not a scan
+      val s0 = s"((i - 1) div $seg)"
+      val sp0 = s"element_at(sps, CAST($s0 AS INT) + 1)"
+      val inside = s"($s0 < size(sps) AND (i - 1) >= $sp0.st AND (i - 1) < $sp0.st + $sp0.ln)"
+      val isStart = s"($s0 < size(sps) AND (i - 1) = $sp0.st)"
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("toks", expr(
+          "filter(split(trim(lower(regexp_replace(text, '\\\\s+', ' '))), ' '), t -> t <> '')"))
+        .withColumn("st", expr(
+          s"""element_at(transform(array(toks), tk ->
+              element_at(transform(array($spans), sps -> named_struct(
+                'n_toks', CAST($n AS BIGINT),
+                'n_corrupt', CAST($c AS BIGINT),
+                'n_spans', CAST(size(sps) AS BIGINT),
+                'inp_fp', hash64(CASE WHEN $n = 0 THEN ''
+                  ELSE array_join(filter(transform(sequence(1, $n), i ->
+                    CASE WHEN $isStart THEN concat('<x', CAST($s0 AS STRING), '>')
+                         WHEN $inside THEN ''
+                         ELSE element_at(tk, i) END), x -> x <> ''), ' ') END),
+                'tgt_fp', hash64(CASE WHEN size(sps) = 0 THEN ''
+                  ELSE array_join(flatten(transform(sequence(0, size(sps) - 1), s ->
+                    concat(array(concat('<x', CAST(s AS STRING), '>')),
+                      slice(tk, element_at(sps, s + 1).st + 1, element_at(sps, s + 1).ln)))), ' ') END)
+              )), 1)), 1)"""))
+        .select(col("doc_id"), col("st.n_toks").as("n_toks"),
+          col("st.n_corrupt").as("n_corrupt"), col("st.n_spans").as("n_spans"),
+          col("st.inp_fp").as("inp_fp"), col("st.tgt_fp").as("tgt_fp"))
+    }),
     "q220_quality_classifier" -> ((s, dir) => {
       // fastText-style quality-classifier INFERENCE (Joulin et al. 2017;
       // the LLaMA/CCNet quality-filter step applies such a pretrained
@@ -5292,6 +5345,7 @@ object SparkEntry {
     "q186_image_dhash_dedup" -> OracleHashSql.q186Dhash,
     "q188_feature_hashing" -> OracleHashSql.q188FeatureHash,
     "q220_quality_classifier" -> OracleHashSql.q220QualityClassifier,
+    "q222_t5_span_corrupt" -> OracleHashSql.q222T5Spans,
     "q189_mif_driver" -> OracleHashSql.q189Mif,
     "q203_dxf_driver" -> OracleHashSql.q203Dxf,
     "q190_substr_repetition" -> OracleHashSql.q190SubstrRep,
