@@ -648,6 +648,45 @@ object SparkEntry {
       Streaming.releaseStaticCovers()
       s.read.parquet(out).select(col("box_id"), col("pt_id"))
     }),
+    "q223_stream_semi_join" -> ((s, dir) => {
+      // Stream-stream LEFT SEMI interval join — the seventh
+      // oracle-adjudicated streaming shape, and the one that emits each
+      // LEFT row at most ONCE regardless of match multiplicity (the
+      // "which views converted" question q140's inner join answers with
+      // one row PER click). Semi joins emit eagerly on first match
+      // (watermarks only bound state, exactly the inner-join contract),
+      // so one processAllAvailable after both sources are written drains
+      // the complete, deterministic row set — no sentinel protocol. The
+      // range bound sits on the raw watermarked ts columns so
+      // state-eviction watermarks stay derivable.
+      F.ensureRegistered(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val srcV = scratch("q223v")
+      val srcC = scratch("q223c")
+      val out = scratch("q223out")
+      val ckp = scratch("q223ckp")
+      ev.where(col("event_id") % 2 === 0).write.mode("overwrite").parquet(srcV)
+      ev.where(col("event_id") % 2 === 1).write.mode("overwrite").parquet(srcC)
+      val views = s.readStream.schema(ev.schema).parquet(srcV)
+        .withWatermark("ts", "40 days")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("vts"))
+      val clicks = s.readStream.schema(ev.schema).parquet(srcC)
+        .withWatermark("ts", "40 days")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("cts"))
+      val joined = Streaming.streamIntervalJoin(views, clicks,
+          "v_user", "c_user", "vts", "cts", windowMs = 3600000L,
+          joinType = "leftSemi")
+        .select(col("view_id"), col("v_user"),
+          unix_millis(col("vts")).as("vts_ms"))
+      val q = joined.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckp).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(out).select(col("view_id"), col("v_user"), col("vts_ms"))
+    }),
     "q140_stream_join" -> ((s, dir) => {
       // First stream-STREAM join, ORACLE-adjudicated (§3.9; the q120/q121
       // protocol): views (even event_id) and clicks (odd) arrive as TWO
@@ -7183,7 +7222,18 @@ object SparkEntry {
            ON a.user_id = b.user_id
           AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
           AND epoch_us(b.ts) >= epoch_us(a.ts)
-          AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000"""
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000""",
+    "q223_stream_semi_join" ->
+      // semi semantics: each view at most once, iff >= 1 same-user click
+      // in [view_ts, view_ts + 1h]; range replayed at micros like q140
+      """SELECT a.event_id AS view_id, a.user_id AS v_user,
+           epoch_ms(a.ts) AS vts_ms
+         FROM events a
+         WHERE a.event_id % 2 = 0 AND EXISTS (
+           SELECT 1 FROM events b
+           WHERE b.event_id % 2 = 1 AND b.user_id = a.user_id
+             AND epoch_us(b.ts) >= epoch_us(a.ts)
+             AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000)"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

@@ -136,10 +136,11 @@ object Streaming {
     * Column names must already be disjoint. */
   def streamIntervalJoin(left: DataFrame, right: DataFrame,
                          keyL: String, keyR: String,
-                         tsL: String, tsR: String, windowMs: Long): DataFrame =
+                         tsL: String, tsR: String, windowMs: Long,
+                         joinType: String = "inner"): DataFrame =
     left.join(right, expr(
       s"""$keyL = $keyR AND $tsR >= $tsL
-          AND $tsR <= $tsL + INTERVAL $windowMs MILLISECOND"""))
+          AND $tsR <= $tsL + INTERVAL $windowMs MILLISECOND"""), joinType)
 
   def sessionizeStream(events: DataFrame, gapSec: Long = 1800,
                        watermark: String = "2 hours"): Dataset[SessionOut] = {
