@@ -587,6 +587,105 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Map("ab" -> 3L, "aa" -> 1L))
   }
 
+  test("q215 BPE training law: composition, within-word greed, tie order") {
+    val dir = java.nio.file.Files.createTempDirectory("q215spec").toString
+    Seq((1L, "abab abab abab cdcd cdcd efef aaa"), (2L, "abab aaa cdcd"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // hand trace: dict abab×4 cdcd×3 efef×1 aaa×2
+    //  it1 (a,b,8); it2 (c,d,6); it3 tie@4 (a,a) beats (ab,ab) on lhs asc;
+    //  it4 (ab,ab,4) — a COMPOSED merge (both sides are merge outputs);
+    //  it5 (cd,cd,3); it6 tie@2 (aa,a) beats (e,f) on lhs asc. "aaa"
+    //  merges greedily to [aa,a] ((a,a) counted 2 per occurrence, merged
+    //  once), then (aa,a) composes it back to a single symbol.
+    val rules = graft.operators.Bpe.train(
+      spark.read.parquet(s"$dir/documents.parquet"), 6)
+    assert(rules.map(r => (r.lhs, r.rhs, r.freq)) == Seq(
+      ("a", "b", 8L), ("c", "d", 6L), ("a", "a", 4L),
+      ("ab", "ab", 4L), ("cd", "cd", 3L), ("aa", "a", 2L)))
+    // q216 on the same corpus: doc 2 encodes to "abab aaa cdcd"
+    val out = SparkEntry.queries("q216_bpe_encode")(spark, dir)
+      .where(col("doc_id") === 2L).collect().head
+    assert(out.getLong(1) == 3L)  // n_toks
+    assert(out.getLong(2) == 11L) // n_chars
+    assert(out.getLong(3) == 3L)  // n_sym
+    assert(out.getLong(4) == TextCore.fingerprint("abab aaa cdcd"))
+    assert(out.getLong(5) == 11000L / 3L) // ratio_milli
+  }
+
+  test("q217 substrDedup law: cross-doc, shifted, within-doc and tail-only edges") {
+    val s1 = "a" * 30 + "zq"          // span-sized building blocks
+    val s2 = "b" * 30 + "wk"
+    val s3 = "c" * 30 + "vj"
+    val dir = java.nio.file.Files.createTempDirectory("q217spec").toString
+    // doc1 owns the first occurrences; doc2 repeats both spans verbatim;
+    // doc3 has the SAME spans in swapped order (still removed — content
+    // keyed); doc4 repeats its own fresh span WITHIN itself; doc5 is
+    // sub-span short. ids % 10 != 0 keep the slogan branch out of the law.
+    Seq((1L, s1 + s2 + "t1"), (2L, s1 + s2 + "t2"), (3L, s2 + s1 + "t3"),
+        (4L, s3 + s3), (5L, "short"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q217_substr_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((2L, 0L, 66L, TextCore.hash64(s1 + s2 + "t1"))))
+    assert(out(2L) == ((2L, 2L, 2L, TextCore.hash64("t2"))))
+    assert(out(3L) == ((2L, 2L, 2L, TextCore.hash64("t3"))))
+    assert(out(4L) == ((2L, 1L, 32L, TextCore.hash64(s3))))
+    assert(out(5L) == ((0L, 0L, 5L, TextCore.hash64("short"))))
+  }
+
+  test("q218 patchify law: constant and column-ramp anchor images") {
+    // constant image: mean = v, projections all cancel to 0;
+    // column-ramp px(x,y) = x % 16: proj0 = 16·Σ jc·(1−2·(jc%2)) = −128
+    val const = (0 until 4096).map(_ => 7.0)
+    val ramp = (0 until 4096).map(i => ((i % 64) % 16).toDouble)
+    val df = Seq((0L, 0L, const), (1L, 0L, ramp)).toDF("tx", "ty", "pixels")
+    val out = graft.operators.Media.patchify(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))).toMap
+    assert(out.size == 32)
+    (0L until 16L).foreach { p =>
+      assert(out((0L, p)) == ((256L * 7, 7L, 7L, 7L, 0L, 0L, 0L, 0L)))
+      // ramp: every patch sees columns 0..15 in each of 16 rows
+      val (psum, pmean, pmin, pmax, pr0, _, _, _) = out((1L, p))
+      assert(psum == 16L * (0 to 15).sum && pmean == psum / 256)
+      assert(pmin == 0L && pmax == 15L && pr0 == -128L)
+    }
+  }
+
+  test("q219 UniMax law: cap and fair-share branches, fractional copies") {
+    val dir = java.nio.file.Files.createTempDirectory("q219spec").toString
+    // sizes: aa=10, bb=100; budget 220 → aa capped at 3 epochs (30),
+    // bb gets the 190 remainder → e_milli 3000 / 1900
+    Seq((1L, "aa", 10L), (2L, "bb", 50L), (13L, "bb", 50L))
+      .toDF("doc_id", "lang", "n_chars")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q219_unimax_sampling")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("aa", 30L, 3000L, 3L)))
+    // (2·7919)%1000 = 838 < 900 → extra copy; (13·7919)%1000 = 947 → none
+    assert(out(2L) == (("bb", 190L, 1900L, 2L)))
+    assert(out(13L) == (("bb", 190L, 1900L, 1L)))
+  }
+
+  test("q222 T5 span law: placement, sentinels, input/target identity") {
+    val dir = java.nio.file.Files.createTempDirectory("q222spec").toString
+    val toks = (1 to 20).map(i => s"t$i")
+    Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // n=20 → c=3, nsp=1, seg=20, len=3, start=(1·7919)%18=17 → tokens
+    // t18..t20 corrupted
+    val out = SparkEntry.queries("q222_t5_span_corrupt")(spark, dir).collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) == ((20L, 3L, 1L)))
+    val inp = (toks.take(17) :+ "<x0>").mkString(" ")
+    val tgt = ("<x0>" +: toks.drop(17)).mkString(" ")
+    assert(out.getLong(4) == TextCore.hash64(inp))
+    assert(out.getLong(5) == TextCore.hash64(tgt))
+  }
+
   test("downsample2x2Rms: sqrt(mean of squares), exact anchors") {
     // block {3,4,0,0}: sqrt(25/4) = 2.5 exactly; block {5,5,5,5} -> 5.0
     val px = Array(3.0, 4.0, 5.0, 5.0,
