@@ -2659,4 +2659,117 @@ SELECT dd.doc_id,
        ELSE (1000 * coalesce(p.n_chars, 0)) // p.n_sym END AS BIGINT) AS ratio_milli
 FROM documents dd LEFT JOIN pd p ON dd.doc_id = p.doc_id"""
   }
+
+  /** q227 shared unigram piece vocabulary (piece → integer centinat
+    * cost): the 26 single letters at 300 plus multi-char pieces — a
+    * literal pretrained-model stand-in (the q220 literal-weights
+    * precedent). Max piece length 5; single-letter coverage makes every
+    * word segmentable. */
+  val unigramVocab: Seq[(String, Long)] =
+    ('a' to 'z').map(c => c.toString -> 300L) ++ Seq(
+      "er" -> 420L, "st" -> 425L, "an" -> 430L, "ow" -> 435L, "le" -> 440L,
+      "ue" -> 445L, "ta" -> 450L, "ab" -> 455L, "sc" -> 460L, "or" -> 465L,
+      "ar" -> 470L, "in" -> 475L, "ra" -> 480L, "al" -> 485L, "us" -> 490L,
+      "om" -> 495L, "ch" -> 505L, "pa" -> 510L, "rt" -> 515L, "ha" -> 520L,
+      "sh" -> 525L, "gr" -> 530L, "ey" -> 535L, "ig" -> 540L, "il" -> 545L,
+      "lu" -> 550L, "ge" -> 560L, "up" -> 565L, "re" -> 570L, "ea" -> 575L,
+      "am" -> 580L, "do" -> 585L, "wi" -> 590L, "nd" -> 595L,
+      "val" -> 600L, "que" -> 605L, "row" -> 610L, "key" -> 615L,
+      "tab" -> 620L, "ine" -> 625L, "ort" -> 630L, "dow" -> 635L,
+      "lum" -> 640L, "eam" -> 645L, "oup" -> 650L, "ter" -> 655L,
+      "ect" -> 660L, "sma" -> 665L,
+      "scan" -> 700L, "fast" -> 705L, "merg" -> 710L, "sort" -> 715L,
+      "part" -> 720L, "hash" -> 725L, "join" -> 730L, "data" -> 735L,
+      "line" -> 740L,
+      "table" -> 800L, "spark" -> 805L, "value" -> 810L, "batch" -> 815L,
+      "query" -> 820L, "small" -> 825L, "group" -> 830L)
+
+  /** q227: unigram-LM Viterbi tokenization — the DP is unrolled to the
+    * corpus max word length (8; the q215 six-level-unroll precedent).
+    * Level j computes the min packed key cost·16 + (8 − len) over piece
+    * lengths 1..min(5,j) via LEFT JOINs against the vocab (least()
+    * skips NULL candidates = absent pieces); backtrack is 8 more
+    * unrolled steps collecting pieces rightmost-first, re-joined
+    * leftmost-first by concat_ws's NULL skipping. */
+  def q227UnigramViterbi: String = {
+    val vvals = unigramVocab.map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+    def level(j: Int): String = {
+      val ls = 1 to math.min(5, j)
+      val joins = ls.map(l =>
+        s"  LEFT JOIN v v${j}_$l ON v${j}_$l.piece = substr(b.term, ${j - l + 1}, $l)")
+        .mkString("\n")
+      val cands = ls.map(l => s"(b.c${j - l} + v${j}_$l.c) * 16 + ${8 - l}")
+        .mkString(", ")
+      val prev = ((0 until j).map(i => s"b.c$i") ++
+        (1 until j).map(i => s"b.bl$i")).mkString(", ")
+      s"""b$j AS (
+  SELECT b.term, b.n_occ, b.len, $prev,
+    least($cands) // 16 AS c$j,
+    8 - (least($cands) % 16) AS bl$j
+  FROM b${j - 1} b
+$joins)"""
+    }
+    def blCase(p: String): String =
+      "(CASE " + (1 to 8).map(j => s"WHEN $p = $j THEN bl$j").mkString(" ") +
+        " END)"
+    def step(k: Int): String =
+      s"""s$k AS (
+  SELECT *,
+    CASE WHEN p${k - 1} > 0 THEN
+      substr(term, p${k - 1} - ${blCase(s"p${k - 1}")} + 1,
+        ${blCase(s"p${k - 1}")}) END AS piece$k,
+    CASE WHEN p${k - 1} > 0 THEN p${k - 1} - ${blCase(s"p${k - 1}")}
+         ELSE p${k - 1} END AS p$k
+  FROM s${k - 1})"""
+    val costCase =
+      "CASE len " + (1 to 8).map(j => s"WHEN $j THEN c$j").mkString(" ") + " END"
+    s"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+occ AS (SELECT term, count(*) AS n_occ FROM toks WHERE term <> '' GROUP BY 1),
+v(piece, c) AS (VALUES $vvals),
+b0 AS (SELECT term, n_occ, length(term) AS len, 0 AS c0 FROM occ),
+${(1 to 8).map(level).mkString(",\n")},
+s0 AS (SELECT *, len AS p0 FROM b8),
+${(1 to 8).map(step).mkString(",\n")},
+segd AS (SELECT *, concat_ws(' ', piece8, piece7, piece6, piece5,
+  piece4, piece3, piece2, piece1) AS seg FROM s8)
+SELECT term, CAST(n_occ AS BIGINT) AS n_occ,
+  CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_sym,
+  CAST($costCase AS BIGINT) AS cost,
+  seg
+FROM segd
+"""
+  }
+
+  /** q225: 4-round Feistel epoch shuffle — each round rebuilds the
+    * engine's keyed round-function input string 'fs<epoch>_<round>_<R>'
+    * and replays hash64; low 16 bits via % 65536 on the non-negative
+    * HUGEINT (== Java's `& 0xFFFF` on the signed long), rank compression
+    * by the same (perm, doc_id) order. */
+  def q225Feistel: String = {
+    def round(i: Int, src: String, dst: String): String = {
+      val h = hash64(s"'fs' || CAST(epoch AS VARCHAR) || '_${i}_' || CAST(r AS VARCHAR)")
+      s"""$dst AS (
+  SELECT epoch, doc_id, r AS l,
+    xor(l, CAST(($h) % 65536 AS BIGINT)) AS r
+  FROM $src)"""
+    }
+    s"""
+WITH f0 AS (
+  SELECT CAST(e.epoch AS BIGINT) AS epoch, d.doc_id,
+    d.doc_id // 65536 AS l, d.doc_id % 65536 AS r
+  FROM documents d, (VALUES (1), (2)) e(epoch)),
+${round(1, "f0", "f1")},
+${round(2, "f1", "f2")},
+${round(3, "f2", "f3")},
+${round(4, "f3", "f4")},
+p AS (SELECT epoch, doc_id, l * 65536 + r AS perm FROM f4)
+SELECT epoch, doc_id, CAST(perm AS BIGINT) AS perm,
+  CAST(row_number() OVER (PARTITION BY epoch ORDER BY perm, doc_id) - 1
+    AS BIGINT) AS new_pos
+FROM p
+"""
+  }
 }

@@ -3923,7 +3923,192 @@ object SparkEntry {
         .groupBy("tx", "ty")
         .agg(count(lit(1)).as("n"),
           expr("(sum(v) * 1000L) div count(1)").as("avg_milli"),
-          min("v").as("vmin"), max("v").as("vmax")))
+          min("v").as("vmin"), max("v").as("vmax"))),
+    "q224_bm25_topk" -> ((s, dir) => {
+      // BM25 (Robertson/Sparck Jones Okapi weighting; the Lucene default
+      // similarity) top-5 docs per query — the lexical-retrieval step RAG
+      // pipelines run beside the q26/q171 ANN path, completing the q147
+      // TF-IDF family with BM25's two distinguishing behaviors: tf
+      // SATURATION (k1) and document-length normalization (b). Exact
+      // integer arithmetic throughout: with k1 = 5/4 and b = 3/4 the
+      // per-term score idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+      // clears avgdl = S/N from every denominator and folds to
+      //   idf_milli · ((36·tf·S·1000000) div (16·tf·S + 5·S + 15·dl·N))
+      // with S = Σ dl (corpus token count) and N = corpus docs; idf is
+      // the q147-style ln-free rational surrogate
+      //   idf_milli = (1000·(2·(N−df)+1)) div (2·df+1)
+      // (exactly ((N−df+0.5)/(df+0.5))·1000 truncated — the Robertson
+      // idf's argument, monotone in df, no ln ULPs to flip the compare).
+      // 100-TB shape: the query-term set broadcasts; df and tf aggregate
+      // ONLY term occurrences matching a query term (broadcast semi-join
+      // BEFORE the aggs, so the corpus-wide term table never shuffles);
+      // S and N are two scalar aggregates (1-row collect, the q147
+      // precedent); top-5 is one window partitioned by query. Long
+      // headroom: 36·tf·S·1e6 requires tf·S < 2.5e11 — comfortable
+      // through sf10; past that the 1e6 scale constant drops a decade.
+      import s.implicits._
+      F.ensureRegistered(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"), expr(
+        "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), t -> t <> '')")
+        .as("toks"))
+      val st = toks.agg(sum(size(col("toks"))).as("s"), count(lit(1)).as("n")).head()
+      val sTot = st.getLong(0); val nDocs = st.getLong(1)
+      val qterms = Seq(
+        ("Q1", "spark"), ("Q1", "table"),
+        ("Q2", "hash"), ("Q2", "join"), ("Q2", "merge"),
+        ("Q3", "vector"), ("Q3", "stream")).toDF("qid", "term")
+      val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val rel = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .join(broadcast(qterms.select("term").distinct()), "term")
+      val tf = rel.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = rel.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(broadcast(qterms), "term")
+        .withColumn("idf_milli",
+          expr(s"(1000L * (2L * (${nDocs}L - df) + 1L)) div (2L * df + 1L)"))
+        .withColumn("tfp_micro", expr(
+          s"(36L * tf * ${sTot}L * 1000000L) div " +
+            s"(16L * tf * ${sTot}L + 5L * ${sTot}L + 15L * dl * ${nDocs}L)"))
+        .groupBy("qid", "doc_id")
+        .agg(sum(expr("idf_milli * tfp_micro")).as("score"),
+          count(lit(1)).as("n_terms"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score"), col("n_terms"))
+    }),
+    "q225_feistel_shuffle" -> ((s, dir) => {
+      // Deterministic per-epoch data shuffle — the dataloader-order step
+      // every multi-epoch training run needs (public recipe: format-
+      // preserving Feistel permutation, Black & Rogaway 2002, as used for
+      // seedable index shuffling). A 4-round Feistel network over the
+      // 32-bit id domain (16-bit halves; at 10^12 docs the halves widen
+      // to 24 bits, nothing else changes) with the corpus hash64 as the
+      // keyed round function F(e,i,R) = hash64('fs<e>_<i>_<R>') & 0xFFFF
+      // is injective by construction, so NO cycle-walking loop is needed:
+      // rank compression (row_number over the permuted value) lands the
+      // N real ids densely on 0..N−1 while preserving the Feistel order.
+      // 100-TB shape: map-side rounds (4 hash evaluations/row), then ONE
+      // range-partitioned sort per epoch — exactly the shuffle a real
+      // dataloader order materialization is; no state, no joins.
+      F.ensureRegistered(s)
+      val rounds = (1 to 4).foldLeft(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            explode(expr("array(1L, 2L)")).as("epoch"))
+          .withColumn("l", expr("doc_id div 65536L"))
+          .withColumn("r", expr("doc_id % 65536L"))) { (df, i) =>
+        df.select(col("doc_id"), col("epoch"), col("r").as("l"),
+          expr(s"l ^ (hash64(concat('fs', CAST(epoch AS STRING), '_', " +
+            s"'$i', '_', CAST(r AS STRING))) & 65535L)").as("r"))
+      }
+      val w = Window.partitionBy("epoch")
+        .orderBy(col("perm").asc, col("doc_id").asc)
+      rounds.withColumn("perm", expr("l * 65536L + r"))
+        .withColumn("new_pos", (row_number().over(w) - 1).cast("long"))
+        .select(col("epoch"), col("doc_id"), col("perm"), col("new_pos"))
+    }),
+    "q226_audio_resample" -> ((s, dir) => {
+      // Multimodal AUDIO resample — linear interpolation at the rational
+      // 5/8 rate (the 8 kHz→5 kHz downsample speech pipelines run before
+      // feature extraction; torchaudio/librosa's linear-kernel resample
+      // is this law at factor L/M). Sixth audio/video verb on the
+      // q151/q193 byte plumbing: sample count and silence margins are
+      // recovered FROM the container bytes; output length
+      // m = (n−1)·5 div 8 + 1; out[k] sits at source phase k·8/5 with
+      // q = (k·8) div 5, r = (k·8) % 5 and exact-integer interpolation
+      // s[q] + (s[q+1]−s[q])·r div 5 (both engines truncate toward
+      // zero). Graded per row: m, sum/min/max AND a base-31 polynomial
+      // hash of the resampled stream — one wrong sample breaks the row.
+      // Map-only per-row HOFs: zero shuffle at 100 TB.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("aid"))
+        .withColumn("bin", expr(
+          """CAST(format_string('AUD:%04d:%01d:%01d:',
+             64 + aid % 129, aid % 7, aid % 5) AS BINARY)"""))
+        .select(col("aid"), col("bin")) // widths live ONLY in the bytes
+        .withColumn("hdr", expr("CAST(bin AS STRING)"))
+        .withColumn("n", expr("CAST(substring(hdr, 5, 4) AS INT)"))
+        .withColumn("ld", expr("CAST(substring(hdr, 10, 1) AS INT)"))
+        .withColumn("tl", expr("CAST(substring(hdr, 12, 1) AS INT)"))
+        .withColumn("smp", expr(
+          """transform(sequence(0, n - 1), i ->
+               CASE WHEN i < ld OR i >= n - tl THEN 0L
+                    ELSE (aid*31 + i*17) % 256 - 128 END)"""))
+        .withColumn("m", expr("((n - 1) * 5) div 8 + 1"))
+        .withColumn("res", expr(
+          """transform(sequence(0, m - 1), k ->
+               CASE WHEN (k * 8) % 5 = 0
+                 THEN element_at(smp, CAST((k * 8) div 5 + 1 AS INT))
+                 ELSE element_at(smp, CAST((k * 8) div 5 + 1 AS INT))
+                      + ((element_at(smp, CAST((k * 8) div 5 + 2 AS INT))
+                          - element_at(smp, CAST((k * 8) div 5 + 1 AS INT)))
+                         * ((k * 8) % 5)) div 5 END)"""))
+        .select(col("aid"), col("m").cast("long").as("m"),
+          expr("aggregate(res, 0L, (a, x) -> a + x)").as("sum_s"),
+          expr("CAST(array_min(res) AS BIGINT)").as("min_s"),
+          expr("CAST(array_max(res) AS BIGINT)").as("max_s"),
+          expr("aggregate(res, 0L, (a, x) -> (a * 31 + (x + 128)) % 1000000007L)")
+            .as("h"))
+    }),
+    "q227_unigram_viterbi" -> ((s, dir) => {
+      // SentencePiece unigram-LM tokenization (Kudo 2018 §3 — the OTHER
+      // tokenizer family beside q215/q216's BPE): per word, the min-cost
+      // segmentation over a literal piece vocabulary (integer centinat
+      // costs, the q220 literal-pretrained-model stand-in; shared with
+      // the oracle via OracleHashSql.unigramVocab) by exact Viterbi DP.
+      // Tie law: min cost, then LONGEST last piece — packed key
+      // cost·16 + (8 − len), min over candidates. 100-TB shape: the DP
+      // runs once per DISTINCT word (the corpus vocabulary, tiny beside
+      // the corpus), never per occurrence — per-unique-key compute with
+      // occurrence counts aggregated beside it is exactly how
+      // SentencePiece encodes at scale; the map literal constant-folds,
+      // so the whole DP is one codegen'd projection after one tf agg.
+      F.ensureRegistered(s)
+      val vmap = "map(" + OracleHashSql.unigramVocab
+        .map { case (p, c) => s"'$p', ${c}L" }.mkString(", ") + ")"
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(expr(
+          "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), t -> t <> '')"))
+          .as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n_occ"))
+        .withColumn("best", expr(
+          s"""aggregate(sequence(1, length(term)),
+              array(named_struct('c', 0L, 'bl', 0)),
+              (acc, j) -> concat(acc, array(
+                element_at(transform(array(
+                    element_at(array_sort(transform(
+                      filter(sequence(greatest(1, j - 4), j),
+                        st -> element_at($vmap, substring(term, st, j - st + 1)) IS NOT NULL),
+                      st -> (element_at(acc, st).c
+                             + element_at($vmap, substring(term, st, j - st + 1))) * 16
+                            + 8 - (j - st + 1))), 1)),
+                  k -> named_struct('c', k div 16,
+                    'bl', CAST(8 - (k % 16) AS INT))), 1))))"""))
+        .withColumn("cost", expr("element_at(best, length(term) + 1).c"))
+        .withColumn("seg", expr(
+          """element_at(transform(array(
+               aggregate(sequence(1, length(term)),
+                 named_struct('pos', length(term), 'str', ''),
+                 (stt, z) -> CASE WHEN stt.pos > 0 THEN named_struct(
+                     'pos', stt.pos - element_at(best, stt.pos + 1).bl,
+                     'str', CASE WHEN stt.str = ''
+                       THEN substring(term, stt.pos - element_at(best, stt.pos + 1).bl + 1,
+                                      element_at(best, stt.pos + 1).bl)
+                       ELSE concat(substring(term,
+                              stt.pos - element_at(best, stt.pos + 1).bl + 1,
+                              element_at(best, stt.pos + 1).bl), ' ', stt.str) END)
+                   ELSE stt END)), v -> v.str), 1)"""))
+        .select(col("term"), col("n_occ"),
+          expr("CAST(size(split(seg, ' ')) AS BIGINT)").as("n_sym"),
+          col("cost"), col("seg"))
+    })
   )
 
   /** q35 oracle: full sieve replica in SQL — CCL by min-label
@@ -7233,7 +7418,77 @@ object SparkEntry {
            SELECT 1 FROM events b
            WHERE b.event_id % 2 = 1 AND b.user_id = a.user_id
              AND epoch_us(b.ts) >= epoch_us(a.ts)
-             AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000)"""
+             AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000)""",
+    "q224_bm25_topk" ->
+      // same integer BM25 law: k1=5/4, b=3/4 folded to one BIGINT
+      // rational per term; idf = truncated 1000·(N−df+0.5)/(df+0.5);
+      // (score desc, doc_id asc) total order
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents),
+         t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         st AS (SELECT (SELECT count(*) FROM t2) AS s,
+                       (SELECT count(*) FROM documents) AS n),
+         dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+         q(qid, term) AS (VALUES
+           ('Q1', 'spark'), ('Q1', 'table'),
+           ('Q2', 'hash'), ('Q2', 'join'), ('Q2', 'merge'),
+           ('Q3', 'vector'), ('Q3', 'stream')),
+         rel AS (SELECT doc_id, term FROM t2
+                 WHERE term IN (SELECT DISTINCT term FROM q)),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM rel GROUP BY 1, 2),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM rel GROUP BY 1),
+         sc AS (
+           SELECT q.qid, tf.doc_id,
+             ((1000 * (2 * (st.n - dfq.df) + 1)) // (2 * dfq.df + 1))
+               * ((36 * tf.tf * st.s * 1000000) //
+                  (16 * tf.tf * st.s + 5 * st.s + 15 * dl.dl * st.n)) AS contrib
+           FROM tf
+           JOIN dfq ON dfq.term = tf.term
+           JOIN dl ON dl.doc_id = tf.doc_id
+           JOIN q ON q.term = tf.term, st),
+         ag AS (SELECT qid, doc_id,
+                  CAST(sum(contrib) AS BIGINT) AS score,
+                  count(*) AS n_terms
+                FROM sc GROUP BY 1, 2),
+         rk AS (SELECT qid, doc_id, score, n_terms,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, doc_id ASC) AS rank
+                FROM ag)
+       SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score, n_terms
+       FROM rk WHERE rank <= 5""",
+    "q225_feistel_shuffle" -> OracleHashSql.q225Feistel,
+    "q226_audio_resample" ->
+      // same container/sample law rebuilt from the header arithmetic,
+      // same 5/8 linear-interp integer law (// truncates toward zero on
+      // non-negative operands like Spark div; interp numerator sign
+      // handled identically — both truncate)
+      """WITH a AS (SELECT s_suppkey AS aid, 64 + s_suppkey % 129 AS n,
+                    s_suppkey % 7 AS ld, s_suppkey % 5 AS tl FROM supplier),
+         sm AS (SELECT aid, n,
+             list_transform(range(0, n), i ->
+               CASE WHEN i < ld OR i >= n - tl THEN 0
+                    ELSE (aid*31 + i*17) % 256 - 128 END) AS smp
+           FROM a),
+         r1 AS (SELECT aid, n, smp, ((n - 1) * 5) // 8 + 1 AS m FROM sm),
+         res AS (SELECT aid, m,
+             list_transform(range(0, m), k ->
+               CASE WHEN (k * 8) % 5 = 0
+                 THEN list_extract(smp, (k * 8) // 5 + 1)
+                 ELSE list_extract(smp, (k * 8) // 5 + 1)
+                      + ((list_extract(smp, (k * 8) // 5 + 2)
+                          - list_extract(smp, (k * 8) // 5 + 1))
+                         * ((k * 8) % 5)) // 5 END) AS res
+           FROM r1)
+       SELECT aid, CAST(m AS BIGINT) AS m,
+         CAST(list_sum(res) AS BIGINT) AS sum_s,
+         CAST(list_min(res) AS BIGINT) AS min_s,
+         CAST(list_max(res) AS BIGINT) AS max_s,
+         CAST(list_reduce(list_prepend(0, list_transform(res, x -> x + 128)),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS h
+       FROM res""",
+    "q227_unigram_viterbi" -> OracleHashSql.q227UnigramViterbi
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
