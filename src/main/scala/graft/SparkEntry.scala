@@ -4108,6 +4108,154 @@ object SparkEntry {
         .select(col("term"), col("n_occ"),
           expr("CAST(size(split(seg, ' ')) AS BIGINT)").as("n_sym"),
           col("cost"), col("seg"))
+    }),
+    "q228_stream_full_outer" -> ((s, dir) => {
+      // Stream-stream FULL OUTER interval join — the eighth streaming
+      // shape, completing the join family (inner q140, LEFT OUTER q154,
+      // LEFT SEMI q223): BOTH unmatched sides emit null-padded rows once
+      // the min-across-sources watermark passes their window, answering
+      // "which views converted AND which clicks were orphans" in one
+      // pass. Same sentinel protocol as q154 (both streams advance);
+      // -1 sentinels for hash stability; range bound on the raw
+      // watermarked ts columns so state eviction stays derivable.
+      import s.implicits._
+      F.ensureRegistered(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val srcV = scratch("q228v")
+      val srcC = scratch("q228c")
+      val out = scratch("q228out")
+      val ckp = scratch("q228ckp")
+      ev.where(col("event_id") % 2 === 0).write.mode("overwrite").parquet(srcV)
+      ev.where(col("event_id") % 2 === 1).write.mode("overwrite").parquet(srcC)
+      val views = s.readStream.schema(ev.schema).parquet(srcV)
+        .withWatermark("ts", "1 minute")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("vts"))
+      val clicks = s.readStream.schema(ev.schema).parquet(srcC)
+        .withWatermark("ts", "1 minute")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("cts"))
+      val joined = views.join(clicks, expr(
+          "v_user = c_user AND cts >= vts AND cts <= vts + interval 1 hour"),
+          "fullOuter")
+        .select(coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("v_user"), col("c_user")).as("u"),
+          coalesce(unix_millis(col("cts")) - unix_millis(col("vts")), lit(-1L))
+            .as("delta_ms"))
+      // 8 state stores, scoped to the streaming query (q154 rationale)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckp).outputMode("append").start()
+        q.processAllAvailable()
+        val maxMs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+        def sentinel(days: Long): Unit = {
+          val row = Seq((-1L, -1L, new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)))
+            .toDF("event_id", "user_id", "ts")
+          row.write.mode("append").parquet(srcV)
+          row.write.mode("append").parquet(srcC)
+        }
+        sentinel(30); q.processAllAvailable()
+        sentinel(31); q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out).where(col("u") >= 0)
+        .select(col("view_id"), col("click_id"), col("delta_ms"))
+    }),
+    "q229_rrf_fusion" -> ((s, dir) => {
+      // Reciprocal-rank fusion (Cormack et al. 2009 — the hybrid-
+      // retrieval step that merges lexical and second-system rankings in
+      // every production RAG stack): fuse q224's BM25 ranking with the
+      // q147-law TF-IDF ranking over the same literal query set. Exact
+      // integers: contribution = 1000000 div (60 + rank) per system
+      // (k = 60, the published constant), summed; each system feeds its
+      // top-20. 100-TB shape: both rankings aggregate only query-term
+      // occurrences (broadcast semi-join first), fusion is one hash agg
+      // over ≤ 40 rows per query + one top-5 window.
+      import s.implicits._
+      F.ensureRegistered(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"), expr(
+        "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), t -> t <> '')")
+        .as("toks"))
+      val st = toks.agg(sum(size(col("toks"))).as("s"), count(lit(1)).as("n")).head()
+      val sTot = st.getLong(0); val nDocs = st.getLong(1)
+      val qterms = Seq(
+        ("Q1", "spark"), ("Q1", "table"),
+        ("Q2", "hash"), ("Q2", "join"), ("Q2", "merge"),
+        ("Q3", "vector"), ("Q3", "stream")).toDF("qid", "term")
+      val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val rel = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .join(broadcast(qterms.select("term").distinct()), "term")
+      val tf = rel.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = rel.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val base = tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id").join(broadcast(qterms), "term")
+        .withColumn("idf_milli",
+          expr(s"(1000L * (2L * (${nDocs}L - df) + 1L)) div (2L * df + 1L)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bm25 = base
+        .withColumn("tfp_micro", expr(
+          s"(36L * tf * ${sTot}L * 1000000L) div " +
+            s"(16L * tf * ${sTot}L + 5L * ${sTot}L + 15L * dl * ${nDocs}L)"))
+        .groupBy("qid", "doc_id")
+        .agg(sum(expr("idf_milli * tfp_micro")).as("sc"))
+      val tfidf = base
+        .groupBy("qid", "doc_id")
+        .agg(sum(expr("tf * idf_milli")).as("sc"))
+      def ranked(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy("qid").orderBy(col("sc").desc, col("doc_id").asc)
+        df.withColumn("rank", row_number().over(w)).where(col("rank") <= 20)
+          .select(col("qid"), col("doc_id"),
+            expr("1000000L div (60L + rank)").as("contrib"))
+      }
+      val w2 = Window.partitionBy("qid")
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      ranked(bm25).unionByName(ranked(tfidf))
+        .groupBy("qid", "doc_id")
+        .agg(sum(col("contrib")).as("rrf_micro"), count(lit(1)).as("n_systems"))
+        .withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("rrf_micro"), col("n_systems"))
+    }),
+    "q230_kneser_ney" -> ((s, dir) => {
+      // Interpolated Kneser-Ney bigram estimation (Kneser & Ney 1995;
+      // Chen & Goodman 1999 eq. 4.25) — the smoothing family beside
+      // q202's Stupid Backoff, with KN's two signature quantities built
+      // EXACTLY: absolute discount d = 3/4 and the CONTINUATION
+      // probability (bigram TYPE counts, not token counts). Exact
+      // integer micro law per observed bigram, two fixed-order divs:
+      //   leg1 = (max(4·c12 − 3, 0)·1e6) div (4·c1)
+      //   leg2 = (3·N1p_fwd(w1)·N1p_bwd(w2)·1e6) div (4·c1·Ntypes)
+      // 100-TB shape: bigrams built MAP-SIDE from the token array (no
+      // per-doc lag window), then everything is hash aggs on the bigram
+      // table — vocab², tiny beside the corpus.
+      F.ensureRegistered(s)
+      val bi = s.read.parquet(s"$dir/documents.parquet")
+        .select(expr(
+          "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), t -> t <> '')")
+          .as("tk"))
+        .select(explode(expr(
+          """CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1),
+               i -> named_struct('w1', element_at(tk, i), 'w2', element_at(tk, i + 1)))
+             ELSE array() END""")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ntypes = c12.count()
+      val c1 = c12.groupBy("w1")
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_fwd"))
+      val bwd = c12.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
+      c12.join(c1, "w1").join(bwd, "w2")
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          expr(s"""(greatest(4L * c12 - 3L, 0L) * 1000000L) div (4L * c1)
+            + (3L * n1p_fwd * n1p_bwd * 1000000L) div (4L * c1 * ${ntypes}L)""")
+            .as("p_micro"))
     })
   )
 
@@ -7488,7 +7636,97 @@ object SparkEntry {
          CAST(list_reduce(list_prepend(0, list_transform(res, x -> x + 128)),
            (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS h
        FROM res""",
-    "q227_unigram_viterbi" -> OracleHashSql.q227UnigramViterbi
+    "q227_unigram_viterbi" -> OracleHashSql.q227UnigramViterbi,
+    "q228_stream_full_outer" ->
+      // full outer at micros like q140/q154: unmatched views AND
+      // unmatched clicks null-pad to -1
+      """SELECT coalesce(a.event_id, -1) AS view_id,
+           coalesce(b.event_id, -1) AS click_id,
+           coalesce(epoch_ms(b.ts) - epoch_ms(a.ts), -1) AS delta_ms
+         FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
+         FULL JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+           ON a.user_id = b.user_id
+          AND epoch_us(b.ts) >= epoch_us(a.ts)
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000""",
+    "q229_rrf_fusion" ->
+      // both system scores replay their engine laws (q224 BM25 integer
+      // rational; q147 tf·idf_milli), rank caps at 20, RRF k = 60,
+      // (rrf desc, doc_id asc) total order
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents),
+         t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         st AS (SELECT (SELECT count(*) FROM t2) AS s,
+                       (SELECT count(*) FROM documents) AS n),
+         dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+         q(qid, term) AS (VALUES
+           ('Q1', 'spark'), ('Q1', 'table'),
+           ('Q2', 'hash'), ('Q2', 'join'), ('Q2', 'merge'),
+           ('Q3', 'vector'), ('Q3', 'stream')),
+         rel AS (SELECT doc_id, term FROM t2
+                 WHERE term IN (SELECT DISTINCT term FROM q)),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM rel GROUP BY 1, 2),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM rel GROUP BY 1),
+         base AS (
+           SELECT q.qid, tf.doc_id, tf.tf, dl.dl,
+             (1000 * (2 * (st.n - dfq.df) + 1)) // (2 * dfq.df + 1) AS idf_milli,
+             st.s AS s, st.n AS n
+           FROM tf
+           JOIN dfq ON dfq.term = tf.term
+           JOIN dl ON dl.doc_id = tf.doc_id
+           JOIN q ON q.term = tf.term, st),
+         bm AS (SELECT qid, doc_id,
+                  CAST(sum(idf_milli * ((36 * tf * s * 1000000) //
+                    (16 * tf * s + 5 * s + 15 * dl * n))) AS BIGINT) AS sc
+                FROM base GROUP BY 1, 2),
+         ti AS (SELECT qid, doc_id,
+                  CAST(sum(tf * idf_milli) AS BIGINT) AS sc
+                FROM base GROUP BY 1, 2),
+         rbm AS (SELECT qid, doc_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id ASC) AS rank
+                FROM bm),
+         rti AS (SELECT qid, doc_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id ASC) AS rank
+                FROM ti),
+         uni AS (
+           SELECT qid, doc_id, 1000000 // (60 + rank) AS contrib
+           FROM rbm WHERE rank <= 20
+           UNION ALL
+           SELECT qid, doc_id, 1000000 // (60 + rank) AS contrib
+           FROM rti WHERE rank <= 20),
+         fused AS (SELECT qid, doc_id,
+                     CAST(sum(contrib) AS BIGINT) AS rrf_micro,
+                     count(*) AS n_systems
+                   FROM uni GROUP BY 1, 2),
+         rk AS (SELECT qid, doc_id, rrf_micro, n_systems,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+                FROM fused)
+       SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, rrf_micro, n_systems
+       FROM rk WHERE rank <= 5""",
+    "q230_kneser_ney" ->
+      // same map-side adjacency law, same two fixed-order integer divs
+      """WITH d AS (
+           SELECT list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             t -> t <> '') AS tk
+           FROM documents),
+         b AS (
+           SELECT unnest(CASE WHEN len(tk) >= 2
+             THEN list_transform(range(1, len(tk)),
+               i -> struct_pack(w1 := tk[CAST(i AS INT)], w2 := tk[CAST(i + 1 AS INT)]))
+             ELSE [] END) AS s
+           FROM d),
+         c12 AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p_fwd
+                FROM c12 GROUP BY 1),
+         bwd AS (SELECT w2, count(*) AS n1p_bwd FROM c12 GROUP BY 1),
+         nt AS (SELECT count(*) AS ntypes FROM c12)
+       SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, c1,
+         CAST((greatest(4 * c12 - 3, 0) * 1000000) // (4 * c1)
+            + (3 * n1p_fwd * n1p_bwd * 1000000) // (4 * c1 * ntypes) AS BIGINT)
+           AS p_micro
+       FROM c12 JOIN c1 USING (w1) JOIN bwd USING (w2), nt"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
