@@ -686,6 +686,124 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.getLong(5) == TextCore.hash64(tgt))
   }
 
+  test("q224 BM25 law: exact integer rational replayed on a crafted corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("q224spec").toString
+    Seq((0L, "spark spark table"), (1L, "spark alpha beta gamma"),
+      (2L, "delta eps zeta eta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // S = 11 tokens, N = 3 docs; only Q1 (spark, table) matches anything
+    def idf(df: Long): Long = (1000L * (2L * (3L - df) + 1L)) / (2L * df + 1L)
+    def tfp(tf: Long, dl: Long): Long =
+      (36L * tf * 11L * 1000000L) / (16L * tf * 11L + 5L * 11L + 15L * dl * 3L)
+    val d0 = idf(2) * tfp(2, 3) + idf(1) * tfp(1, 3)
+    val d1 = idf(2) * tfp(1, 4)
+    val out = SparkEntry.queries("q224_bm25_topk")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(("Q1", 1L, 0L, d0, 2L), ("Q1", 2L, 1L, d1, 1L)))
+    assert(d0 > d1) // saturation+norm still rank the 2-hit short doc first
+  }
+
+  test("q225 Feistel shuffle: exact permutation per epoch, round function replay") {
+    val dir = java.nio.file.Files.createTempDirectory("q225spec").toString
+    Seq.tabulate(257)(i => (i.toLong, "t")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q225_feistel_shuffle")(spark, dir).collect()
+    val byEpoch = out.groupBy(_.getLong(0))
+    assert(byEpoch.keySet == Set(1L, 2L))
+    byEpoch.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (0L until 257L)) }
+    // epochs differ (the key enters the round function)
+    val p1 = byEpoch(1L).map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val p2 = byEpoch(2L).map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(p1 != p2)
+    // replay doc 123, epoch 1 through the 4 rounds
+    var l = 123L / 65536; var r = 123L % 65536
+    for (i <- 1 to 4) {
+      val nl = r
+      val nr = l ^ (TextCore.hash64(s"fs1_${i}_$r") & 65535L)
+      l = nl; r = nr
+    }
+    assert(out.find(x => x.getLong(0) == 1L && x.getLong(1) == 123L)
+      .get.getLong(2) == l * 65536 + r)
+  }
+
+  test("q226 audio resample law: 5/8 linear interp replayed for every row") {
+    val dir = java.nio.file.Files.createTempDirectory("q226spec").toString
+    Seq.tabulate(10)(i => Tuple1(i.toLong)).toDF("s_suppkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    val out = SparkEntry.queries("q226_audio_resample")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.size == 10)
+    (0L until 10L).foreach { aid =>
+      val n = (64 + aid % 129).toInt; val ld = (aid % 7).toInt; val tl = (aid % 5).toInt
+      val smp = Array.tabulate(n)(i =>
+        if (i < ld || i >= n - tl) 0L else (aid * 31 + i * 17) % 256 - 128)
+      val m = ((n - 1) * 5) / 8 + 1
+      val res = Array.tabulate(m) { k =>
+        val q = (k * 8) / 5; val rr = (k * 8) % 5
+        if (rr == 0) smp(q) else smp(q) + (smp(q + 1) - smp(q)) * rr / 5
+      }
+      val h = res.foldLeft(0L)((a, x) => (a * 31 + (x + 128)) % 1000000007L)
+      assert(out(aid) == ((m.toLong, res.sum, res.min, res.max, h)), s"aid=$aid")
+    }
+  }
+
+  test("q227 unigram Viterbi: engine cost == brute-force min; segs re-join; pins") {
+    val out = SparkEntry.queries("q227_unigram_viterbi")(spark, TestSpark.SfSmall)
+      .collect()
+    val vocab = OracleHashSql.unigramVocab.toMap
+    def bruteMin(w: String): Long = {
+      val dp = Array.fill(w.length + 1)(Long.MaxValue); dp(0) = 0L
+      for (j <- 1 to w.length; l <- 1 to math.min(5, j))
+        vocab.get(w.substring(j - l, j)).foreach { c =>
+          if (dp(j - l) != Long.MaxValue && dp(j - l) + c < dp(j)) dp(j) = dp(j - l) + c }
+      dp(w.length)
+    }
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val w = r.getString(0); val pieces = r.getString(4).split(" ")
+      assert(r.getLong(3) == bruteMin(w), s"cost not minimal for '$w'")
+      assert(pieces.mkString("") == w, s"seg does not re-join '$w'")
+      assert(pieces.map(vocab).sum == r.getLong(3), s"piece costs != total for '$w'")
+      assert(r.getLong(2) == pieces.length)
+    }
+    val segs = out.map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(segs("table") == "table")        // whole-word piece wins
+    assert(segs("window") == "w in dow")    // cross-boundary merge beats wi+nd+ow
+    assert(segs("customer") == "c u st om er")
+  }
+
+  test("q229 RRF law: k=60 contributions sum across both systems") {
+    val dir = java.nio.file.Files.createTempDirectory("q229spec").toString
+    Seq((0L, "spark spark table"), (1L, "spark alpha beta gamma"),
+      (2L, "delta eps zeta eta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // doc0 is rank 1 and doc1 rank 2 in BOTH systems (q224 spec's corpus)
+    val out = SparkEntry.queries("q229_rrf_fusion")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      ("Q1", 1L, 0L, 2L * (1000000L / 61L), 2L),
+      ("Q1", 2L, 1L, 2L * (1000000L / 62L), 2L)))
+  }
+
+  test("q230 Kneser-Ney law: hand-computed discount and continuation legs") {
+    val dir = java.nio.file.Files.createTempDirectory("q230spec").toString
+    Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // bigrams: (a,b)x2 (b,a)x2 (a,c)x1; c1(a)=3 c1(b)=2;
+    // N1p_fwd(a)=2 (b)=1; N1p_bwd(a)=1 (b)=1 (c)=1; Ntypes=3
+    val out = SparkEntry.queries("q230_kneser_ney")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 3)
+    assert(out(("a", "b")) == ((2L, 3L, 5000000L / 12L + 6000000L / 36L)))
+    assert(out(("b", "a")) == ((2L, 2L, 5000000L / 8L + 3000000L / 24L)))
+    assert(out(("a", "c")) == ((1L, 3L, 1000000L / 12L + 6000000L / 36L)))
+  }
+
   test("downsample2x2Rms: sqrt(mean of squares), exact anchors") {
     // block {3,4,0,0}: sqrt(25/4) = 2.5 exactly; block {5,5,5,5} -> 5.0
     val px = Array(3.0, 4.0, 5.0, 5.0,
