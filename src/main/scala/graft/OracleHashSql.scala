@@ -1736,7 +1736,10 @@ SELECT rid - 1000, 'upd', (u1 - u0) * (v1 - v0), u0, v0, u1, v1 FROM b2
     * region); the method-side rows are closed-form because same-region
     * inputs are disjoint (area = B minus the intersection sum) and no
     * input can contain a B corner (envelope = B's own). */
-  def q210LayerEraseSymdiff: String = """
+  /** Shared q210/q231 rectangle-corpus CTE chain (see SparkEntry's
+    * algebraRects for the geometric invariants that keep every leg
+    * closed-form). */
+  private val algebraCtes: String = """
 WITH sp AS (SELECT s_suppkey AS q_id, s_suppkey % 32 AS rid, s_suppkey // 32 AS k
   FROM supplier WHERE s_suppkey < 256),
 cells AS (SELECT * FROM (VALUES (0,1,0),(1,3,0),(2,0,1),(3,1,1),(4,2,1),(5,3,1),(6,1,2),(7,3,2)) c(k, cx, cy)),
@@ -1756,7 +1759,32 @@ ii AS (SELECT *, GREATEST(x0, u0) AS ix0, GREATEST(y0, v0) AS iy0,
     (GREATEST(x0, u0) < LEAST(x1, u1) AND GREATEST(y0, v0) < LEAST(y1, v1)) AS hasint
   FROM j),
 bsum AS (SELECT rid, sum(CASE WHEN hasint THEN (ix1 - ix0) * (iy1 - iy0) ELSE 0.0 END) AS cut
-  FROM ii GROUP BY rid)
+  FROM ii GROUP BY rid)"""
+
+  /** q231: Union mode = the q210 erase + bside legs plus the A∩B pieces
+    * (axis-aligned rect ∩ rect = the ii rectangle itself). */
+  def q231LayerUnion: String = algebraCtes + """
+SELECT q_id, 'int' AS kind,
+  (ix1 - ix0) * (iy1 - iy0) AS area, ix0 AS xmin, iy0 AS ymin,
+  ix1 AS xmax, iy1 AS ymax
+FROM ii WHERE hasint
+UNION ALL
+SELECT q_id, 'erase' AS kind,
+  (x1 - x0) * (y1 - y0) - CASE WHEN hasint THEN (ix1 - ix0) * (iy1 - iy0) ELSE 0.0 END AS area,
+  CASE WHEN hasint AND u0 < x0 AND v0 < y0 AND v1 > y1 THEN ix1 ELSE x0 END AS xmin,
+  CASE WHEN hasint AND v0 < y0 AND u0 < x0 AND u1 > x1 THEN iy1 ELSE y0 END AS ymin,
+  CASE WHEN hasint AND u1 > x1 AND v0 < y0 AND v1 > y1 THEN ix0 ELSE x1 END AS xmax,
+  CASE WHEN hasint AND v1 > y1 AND u0 < x0 AND u1 > x1 THEN iy0 ELSE y1 END AS ymax
+FROM ii
+WHERE NOT (hasint AND u0 < x0 AND u1 > x1 AND v0 < y0 AND v1 > y1)
+UNION ALL
+SELECT b2.rid - 1000, 'bside',
+  (u1 - u0) * (v1 - v0) - COALESCE(cut, 0.0),
+  u0, v0, u1, v1
+FROM b2 LEFT JOIN bsum ON b2.rid = bsum.rid
+"""
+
+  def q210LayerEraseSymdiff: String = algebraCtes + """
 SELECT q_id, 'erase' AS kind,
   (x1 - x0) * (y1 - y0) - CASE WHEN hasint THEN (ix1 - ix0) * (iy1 - iy0) ELSE 0.0 END AS area,
   CASE WHEN hasint AND u0 < x0 AND v0 < y0 AND v1 > y1 THEN ix1 ELSE x0 END AS xmin,

@@ -3506,31 +3506,7 @@ object SparkEntry {
       // edge-crossed / disjoint input branches all fire. UNQUANTIZED:
       // every coordinate is dyadic and every shoelace product exact.
       F.ensureRegistered(s)
-      val a = s.read.parquet(s"$dir/supplier.parquet")
-        .select(col("s_suppkey").as("q_id"))
-        .where(col("q_id") < 256) // one input per (region, cell slot)
-        .withColumn("rid", expr("q_id % 32"))
-        .withColumn("k", expr("CAST(q_id div 32 AS INT)"))
-        .withColumn("cx", expr("element_at(array(1, 3, 0, 1, 2, 3, 1, 3), k + 1)"))
-        .withColumn("cy", expr("element_at(array(0, 0, 1, 1, 1, 1, 2, 2), k + 1)"))
-        .withColumn("x0", expr("CAST(rid * 32 + cx * 8 AS DOUBLE) + 0.25 + CAST((q_id * 7919) % 8 AS DOUBLE) / 4.0"))
-        .withColumn("y0", expr("CAST(cy * 8 AS DOUBLE) + 0.25 + CAST((q_id * 104729) % 8 AS DOUBLE) / 4.0"))
-        .withColumn("x1", expr("x0 + 1.0 + CAST(q_id % 14 AS DOUBLE) / 4.0"))
-        .withColumn("y1", expr("y0 + 1.0 + CAST(q_id % 11 AS DOUBLE) / 4.0"))
-        .withColumn("ga", call_function("st_geomfromwkt", format_string(
-          "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
-          col("x0"), col("y0"), col("x1"), col("y0"), col("x1"), col("y1"),
-          col("x0"), col("y1"), col("x0"), col("y0"))))
-      val b = s.range(32)
-        .select(col("id").as("rid"))
-        .withColumn("u0", expr("CAST(rid * 32 AS DOUBLE) + 2.125 + CAST(rid % 3 AS DOUBLE)"))
-        .withColumn("v0", expr("2.125 + CAST(rid % 5 AS DOUBLE)"))
-        .withColumn("u1", expr("u0 + 17.0")).withColumn("v1", expr("v0 + 16.0"))
-        .withColumn("gb", call_function("st_geomfromwkt", format_string(
-          "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
-          col("u0"), col("v0"), col("u1"), col("v0"), col("u1"), col("v1"),
-          col("u0"), col("v1"), col("u0"), col("v0"))))
-        .select(col("rid"), col("gb"))
+      val (a, b) = algebraRects(s, dir)
       val erase = a.join(broadcast(b), Seq("rid"))
         .withColumn("g", call_function("st_difference", col("ga"), col("gb")))
         .where(!call_function("st_isempty", col("g")))
@@ -4256,6 +4232,41 @@ object SparkEntry {
           expr(s"""(greatest(4L * c12 - 3L, 0L) * 1000000L) div (4L * c1)
             + (3L * n1p_fwd * n1p_bwd * 1000000L) div (4L * c1 * ${ntypes}L)""")
             .as("p_micro"))
+    }),
+    "q231_layer_union" -> ((s, dir) => {
+      // ogr_layer_algebra UNION mode (reference swig/python/samples/
+      // ogr_layer_algebra.py :: Union, OGRLayer::Union) — the last of
+      // the seven algebra modes (Intersection q51/q12, Clip q103,
+      // Identity q118, Update q126, Erase+SymDifference q210): output =
+      // A∩B pieces (kind 'int') ∪ A−B pieces ('erase') ∪ B−A pieces
+      // ('bside'), on the shared q210 rectangle corpus whose invariants
+      // keep every leg closed-form for the oracle. Plan: the int/erase
+      // legs are the q118/q126 broadcast region join (32-row method
+      // side); the bside leg folds the bounded per-region cover — one
+      // broadcast join + one 8-bounded agg, no cartesian anywhere.
+      F.ensureRegistered(s)
+      val (a, b) = algebraRects(s, dir)
+      val ab = a.join(broadcast(b), Seq("rid"))
+      val inter = ab
+        .withColumn("g", call_function("st_intersection", col("ga"), col("gb")))
+        .where(!call_function("st_isempty", col("g")))
+        .select(col("q_id"), lit("int").as("kind"), col("g"))
+      val erase = ab
+        .withColumn("g", call_function("st_difference", col("ga"), col("gb")))
+        .where(!call_function("st_isempty", col("g")))
+        .select(col("q_id"), lit("erase").as("kind"), col("g"))
+      val cover = a.groupBy("rid").agg(collect_list(col("ga")).as("gas"))
+      val bside = b.join(cover, Seq("rid"), "left")
+        .withColumn("g", when(col("gas").isNull, col("gb")).otherwise(
+          call_function("st_difference", col("gb"),
+            expr("aggregate(slice(gas, 2, size(gas) - 1), element_at(gas, 1), (acc, gg) -> st_union(acc, gg))"))))
+        .select((col("rid") - 1000L).as("q_id"), lit("bside").as("kind"), col("g"))
+      inter.unionByName(erase).unionByName(bside)
+        .withColumn("env", call_function("st_env_bounds", col("g")))
+        .select(col("q_id"), col("kind"),
+          call_function("st_area", col("g")).as("area"),
+          element_at(col("env"), 1).as("xmin"), element_at(col("env"), 2).as("ymin"),
+          element_at(col("env"), 3).as("xmax"), element_at(col("env"), 4).as("ymax"))
     })
   )
 
@@ -4689,6 +4700,41 @@ object SparkEntry {
     * cell-disk explode): zoom-5 grid cells within radius 8192 units
     * (8 deg) of each point, with integer-unit coords and exact d2 —
     * point-side explode, one hash aggregate, no shuffle of the grid. */
+  /** Shared q210/q231 layer-algebra corpus: 256 input boxes confined to
+    * per-(region, slot) 8×8 cells on the quarter lattice (ga) and one
+    * method rectangle per 32-unit region on the eighth lattice (gb) —
+    * every coordinate dyadic, edges never coincide, same-region inputs
+    * disjoint, no input contains a method corner (see q210's Scaladoc for
+    * why each invariant makes the oracle closed-form). */
+  private def algebraRects(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val a = s.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").as("q_id"))
+      .where(col("q_id") < 256) // one input per (region, cell slot)
+      .withColumn("rid", expr("q_id % 32"))
+      .withColumn("k", expr("CAST(q_id div 32 AS INT)"))
+      .withColumn("cx", expr("element_at(array(1, 3, 0, 1, 2, 3, 1, 3), k + 1)"))
+      .withColumn("cy", expr("element_at(array(0, 0, 1, 1, 1, 1, 2, 2), k + 1)"))
+      .withColumn("x0", expr("CAST(rid * 32 + cx * 8 AS DOUBLE) + 0.25 + CAST((q_id * 7919) % 8 AS DOUBLE) / 4.0"))
+      .withColumn("y0", expr("CAST(cy * 8 AS DOUBLE) + 0.25 + CAST((q_id * 104729) % 8 AS DOUBLE) / 4.0"))
+      .withColumn("x1", expr("x0 + 1.0 + CAST(q_id % 14 AS DOUBLE) / 4.0"))
+      .withColumn("y1", expr("y0 + 1.0 + CAST(q_id % 11 AS DOUBLE) / 4.0"))
+      .withColumn("ga", call_function("st_geomfromwkt", format_string(
+        "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
+        col("x0"), col("y0"), col("x1"), col("y0"), col("x1"), col("y1"),
+        col("x0"), col("y1"), col("x0"), col("y0"))))
+    val b = s.range(32)
+      .select(col("id").as("rid"))
+      .withColumn("u0", expr("CAST(rid * 32 AS DOUBLE) + 2.125 + CAST(rid % 3 AS DOUBLE)"))
+      .withColumn("v0", expr("2.125 + CAST(rid % 5 AS DOUBLE)"))
+      .withColumn("u1", expr("u0 + 17.0")).withColumn("v1", expr("v0 + 16.0"))
+      .withColumn("gb", call_function("st_geomfromwkt", format_string(
+        "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
+        col("u0"), col("v0"), col("u1"), col("v0"), col("u1"), col("v1"),
+        col("u0"), col("v1"), col("u0"), col("v0"))))
+      .select(col("rid"), col("gb"))
+    (a, b)
+  }
+
   private def gridCandidates(s: SparkSession, dir: String): DataFrame = {
     F.ensureRegistered(s)
     Synth.points(s, dir).select(
@@ -7726,7 +7772,8 @@ object SparkEntry {
          CAST((greatest(4 * c12 - 3, 0) * 1000000) // (4 * c1)
             + (3 * n1p_fwd * n1p_bwd * 1000000) // (4 * c1 * ntypes) AS BIGINT)
            AS p_micro
-       FROM c12 JOIN c1 USING (w1) JOIN bwd USING (w2), nt"""
+       FROM c12 JOIN c1 USING (w1) JOIN bwd USING (w2), nt""",
+    "q231_layer_union" -> OracleHashSql.q231LayerUnion
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
