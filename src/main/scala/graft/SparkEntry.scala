@@ -804,6 +804,11 @@ object SparkEntry {
         .select(col("tx"), col("ty"), posexplode(col("bits")).as(Seq("i", "bit")))
     }),
     "q36_focal_tri" -> ((s, dir) => focalPixels(s, "tri")),
+    // gdaldem TRI's DEFAULT algorithm (Riley et al. 1999; apps/gdaldem.cpp
+    // -alg Riley): sqrt of summed squared neighbor differences — q36 is
+    // the -alg Wilson variant. Exact integer sums + correctly-rounded
+    // IEEE sqrt make the raw DOUBLE bit-exact across engines.
+    "q232_tri_riley" -> ((s, dir) => focalPixels(s, "tri_riley")),
     "q37_focal_tpi" -> ((s, dir) => focalPixels(s, "tpi")),
     "q38_focal_roughness" -> ((s, dir) => focalPixels(s, "roughness")),
     "q39_hillshade" -> ((s, dir) =>
@@ -4267,6 +4272,55 @@ object SparkEntry {
           call_function("st_area", col("g")).as("area"),
           element_at(col("env"), 1).as("xmin"), element_at(col("env"), 2).as("ymin"),
           element_at(col("env"), 3).as("xmax"), element_at(col("env"), 4).as("ymax"))
+    }),
+    "q233_url_canonicalize" -> ((s, dir) => {
+      // URL canonicalization + URL-level dedup — the crawl-pipeline step
+      // CCNet/C4 run before any content dedup (public recipe: RFC-3986
+      // normalization + tracking-param strip). Law: lowercase scheme and
+      // host, strip the https default port :443, drop the fragment, drop
+      // utm_* query params (KEEP others), then group by the canonical
+      // URL (keeper = min doc_id). URLs are synthesized deterministically
+      // with mixed-case hosts, default ports, utm-only/mixed/absent
+      // queries and fragments so every branch fires. Parsing is pure
+      // instr/substring arithmetic (no regex) — map-only, then ONE hash
+      // agg on the canonical key; at 100 TB this is the exact shape of
+      // crawl dedup (canonical key never exceeds the URL length).
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"))
+        .withColumn("url", expr(
+          """concat(
+               CASE doc_id % 2 WHEN 0 THEN 'HTTPS' ELSE 'https' END, '://',
+               CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM:443'
+                 WHEN 1 THEN 'www.example.com' ELSE 'WwW.ExAmPlE.CoM:443' END,
+               '/Docs/Page', CAST(doc_id % 50 AS STRING),
+               CASE doc_id % 4
+                 WHEN 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 50 AS STRING))
+                 WHEN 1 THEN '#section-2'
+                 WHEN 2 THEN '?utm_only=1'
+                 ELSE '' END)"""))
+        .withColumn("i1", expr("instr(url, '://')"))
+        .withColumn("scheme", expr("lower(substring(url, 1, i1 - 1))"))
+        .withColumn("rest", expr("substring(url, i1 + 3)"))
+        .withColumn("sl", expr("instr(rest, '/')"))
+        .withColumn("hp", expr("substring(rest, 1, sl - 1)"))
+        .withColumn("host", expr(
+          """lower(CASE WHEN substring(hp, length(hp) - 3) = ':443'
+             THEN substring(hp, 1, length(hp) - 4) ELSE hp END)"""))
+        .withColumn("pq", expr("substring(rest, sl)"))
+        .withColumn("nofrag", expr(
+          "CASE WHEN instr(pq, '#') > 0 THEN substring(pq, 1, instr(pq, '#') - 1) ELSE pq END"))
+        .withColumn("qp", expr("instr(nofrag, '?')"))
+        .withColumn("path", expr(
+          "CASE WHEN qp > 0 THEN substring(nofrag, 1, qp - 1) ELSE nofrag END"))
+        .withColumn("kept", expr(
+          """array_join(filter(split(CASE WHEN qp > 0 THEN substring(nofrag, qp + 1) ELSE '' END, '&'),
+             p -> p <> '' AND substring(p, 1, 4) <> 'utm_'), '&')"""))
+        .withColumn("canon", expr(
+          "concat(scheme, '://', host, path, CASE WHEN kept <> '' THEN concat('?', kept) ELSE '' END)"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+          countDistinct(col("url")).as("n_raw"))
     })
   )
 
@@ -4790,6 +4844,10 @@ object SparkEntry {
     val agg = mode match {
       case "tri" =>
         "CAST(sum(CASE WHEN NOT (dx = 0 AND dy = 0) THEN abs(v - ce) END) AS DOUBLE) / 8.0"
+      case "tri_riley" =>
+        // exact integer sum of squares, correctly-rounded IEEE sqrt —
+        // bit-exact as a raw DOUBLE on both engines
+        "sqrt(CAST(sum(CASE WHEN NOT (dx = 0 AND dy = 0) THEN (v - ce) * (v - ce) END) AS DOUBLE))"
       case "tpi" =>
         "any_value(ce) - CAST(sum(CASE WHEN NOT (dx = 0 AND dy = 0) THEN v END) AS DOUBLE) / 8.0"
       case "roughness" => "CAST(max(v) - min(v) AS DOUBLE)"
@@ -6483,6 +6541,7 @@ object SparkEntry {
            min(n.gy) AS min_gy, max(n.gy) AS max_gy
          FROM lbl l JOIN nodes n ON n.id = l.id GROUP BY 1""",
     "q36_focal_tri" -> focalOracle("tri"),
+    "q232_tri_riley" -> focalOracle("tri_riley"),
     "q37_focal_tpi" -> focalOracle("tpi"),
     "q38_focal_roughness" -> focalOracle("roughness"),
     "q39_hillshade" -> hillshadeOracle,
@@ -7773,7 +7832,50 @@ object SparkEntry {
             + (3 * n1p_fwd * n1p_bwd * 1000000) // (4 * c1 * ntypes) AS BIGINT)
            AS p_micro
        FROM c12 JOIN c1 USING (w1) JOIN bwd USING (w2), nt""",
-    "q231_layer_union" -> OracleHashSql.q231LayerUnion
+    "q231_layer_union" -> OracleHashSql.q231LayerUnion,
+    "q233_url_canonicalize" ->
+      // same synth law and the same instr/substring canonicalization
+      // (DuckDB instr == Spark instr; substring(s, pos) to end in both)
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE doc_id % 2 WHEN 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+             (CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM:443'
+                WHEN 1 THEN 'www.example.com' ELSE 'WwW.ExAmPlE.CoM:443' END) ||
+             '/Docs/Page' || CAST(doc_id % 50 AS VARCHAR) ||
+             (CASE doc_id % 4
+                WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+                WHEN 1 THEN '#section-2'
+                WHEN 2 THEN '?utm_only=1'
+                ELSE '' END) AS url
+           FROM documents),
+         p1 AS (SELECT doc_id, url, instr(url, '://') AS i1 FROM u),
+         p2 AS (SELECT doc_id, url,
+             lower(substring(url, 1, CAST(i1 - 1 AS INT))) AS scheme,
+             substring(url, CAST(i1 + 3 AS INT)) AS rest FROM p1),
+         p3 AS (SELECT *, instr(rest, '/') AS sl FROM p2),
+         p4 AS (SELECT doc_id, url, scheme, rest, sl,
+             substring(rest, 1, CAST(sl - 1 AS INT)) AS hp,
+             substring(rest, CAST(sl AS INT)) AS pq FROM p3),
+         p5 AS (SELECT *,
+             lower(CASE WHEN substring(hp, CAST(length(hp) - 3 AS INT)) = ':443'
+               THEN substring(hp, 1, CAST(length(hp) - 4 AS INT)) ELSE hp END) AS host,
+             CASE WHEN instr(pq, '#') > 0
+               THEN substring(pq, 1, CAST(instr(pq, '#') - 1 AS INT)) ELSE pq END AS nofrag
+           FROM p4),
+         p6 AS (SELECT *, instr(nofrag, '?') AS qp FROM p5),
+         p7 AS (SELECT *,
+             CASE WHEN qp > 0 THEN substring(nofrag, 1, CAST(qp - 1 AS INT)) ELSE nofrag END AS path,
+             array_to_string(list_filter(
+               string_split(CASE WHEN qp > 0 THEN substring(nofrag, CAST(qp + 1 AS INT)) ELSE '' END, '&'),
+               p -> p <> '' AND substring(p, 1, 4) <> 'utm_'), '&') AS kept
+           FROM p6),
+         c AS (SELECT doc_id, url,
+             scheme || '://' || host || path ||
+             (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS canon
+           FROM p7)
+       SELECT canon, count(*) AS n_docs, min(doc_id) AS keeper,
+         CAST(count(DISTINCT url) AS BIGINT) AS n_raw
+       FROM c GROUP BY 1"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

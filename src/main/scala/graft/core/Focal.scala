@@ -43,9 +43,17 @@ object Focal {
         val v = mode match {
           case "tri" =>
             // mean absolute difference center vs 8 neighbors (Wilson 2007;
-            // reference: gdaldem TRI)
+            // reference: gdaldem TRI -alg Wilson)
             (math.abs(a - e) + math.abs(b - e) + math.abs(c - e) + math.abs(d - e) +
               math.abs(f - e) + math.abs(g - e) + math.abs(hh - e) + math.abs(i - e)) / 8.0
+          case "tri_riley" =>
+            // sqrt of summed squared differences (Riley et al. 1999 —
+            // gdaldem TRI's DEFAULT algorithm). Squares/sums of small
+            // integers are exact and IEEE sqrt is correctly rounded, so
+            // the double compares bit-exactly across engines.
+            math.sqrt((a - e) * (a - e) + (b - e) * (b - e) + (c - e) * (c - e) +
+              (d - e) * (d - e) + (f - e) * (f - e) + (g - e) * (g - e) +
+              (hh - e) * (hh - e) + (i - e) * (i - e))
           case "tpi" =>
             // center minus mean of 8 neighbors
             e - (a + b + c + d + f + g + hh + i) / 8.0
