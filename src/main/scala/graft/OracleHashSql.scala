@@ -2771,6 +2771,61 @@ FROM segd
 """
   }
 
+  /** q234: WKT1 render from the same two literal tables, string_agg in
+    * ord order == the engine's array_sort fold; parse-back by the same
+    * instr arithmetic; hash64(wkt) pins every byte. */
+  def q234CrsWkt: String = s"""
+WITH crs(epsg, name, geog, proj) AS (VALUES
+  (2154, 'RGF93 / Lambert-93',
+   'GEOGCS["RGF93",DATUM["RGF93",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]',
+   'Lambert_Conformal_Conic_2SP'),
+  (3978, 'NAD83 / Canada Atlas Lambert',
+   'GEOGCS["NAD83",DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]',
+   'Lambert_Conformal_Conic_2SP'),
+  (32633, 'WGS 84 / UTM zone 33N',
+   'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]',
+   'Transverse_Mercator'),
+  (3031, 'WGS 84 / Antarctic Polar Stereographic',
+   'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]',
+   'Polar_Stereographic'),
+  (27700, 'OSGB 1936 / British National Grid',
+   'GEOGCS["OSGB 1936",DATUM["OSGB_1936",SPHEROID["Airy 1830",6377563.396,299.3249646]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]',
+   'Transverse_Mercator')),
+par(epsg, ord, k, v) AS (VALUES
+  (2154, 1, 'standard_parallel_1', '49'), (2154, 2, 'standard_parallel_2', '44'),
+  (2154, 3, 'latitude_of_origin', '46.5'), (2154, 4, 'central_meridian', '3'),
+  (2154, 5, 'false_easting', '700000'), (2154, 6, 'false_northing', '6600000'),
+  (3978, 1, 'standard_parallel_1', '49'), (3978, 2, 'standard_parallel_2', '77'),
+  (3978, 3, 'latitude_of_origin', '49'), (3978, 4, 'central_meridian', '-95'),
+  (3978, 5, 'false_easting', '0'), (3978, 6, 'false_northing', '0'),
+  (32633, 1, 'latitude_of_origin', '0'), (32633, 2, 'central_meridian', '15'),
+  (32633, 3, 'scale_factor', '0.9996'),
+  (32633, 4, 'false_easting', '500000'), (32633, 5, 'false_northing', '0'),
+  (3031, 1, 'latitude_of_origin', '-71'), (3031, 2, 'central_meridian', '0'),
+  (3031, 3, 'false_easting', '0'), (3031, 4, 'false_northing', '0'),
+  (27700, 1, 'latitude_of_origin', '49'), (27700, 2, 'central_meridian', '-2'),
+  (27700, 3, 'scale_factor', '0.9996012717'),
+  (27700, 4, 'false_easting', '400000'), (27700, 5, 'false_northing', '-100000')),
+pstr AS (SELECT epsg,
+    string_agg('PARAMETER["' || k || '",' || v || ']', ',' ORDER BY ord) AS pstr
+  FROM par GROUP BY 1),
+w AS (SELECT crs.epsg,
+    'PROJCS["' || name || '",' || geog || ',PROJECTION["' || proj || '"],'
+      || pstr.pstr || ',UNIT["metre",1],AUTHORITY["EPSG","'
+      || CAST(crs.epsg AS VARCHAR) || '"]]' AS wkt
+  FROM crs JOIN pstr ON pstr.epsg = crs.epsg),
+x AS (SELECT par.epsg, par.k, w.wkt,
+    'PARAMETER["' || par.k || '",' AS needle
+  FROM par JOIN w ON w.epsg = par.epsg),
+y AS (SELECT epsg, k, wkt,
+    substring(wkt, CAST(instr(wkt, needle) + length(needle) AS INT)) AS tail
+  FROM x)
+SELECT CAST(epsg AS BIGINT) AS epsg, k,
+  substring(tail, 1, CAST(instr(tail, ']') - 1 AS INT)) AS v_parsed,
+  CAST(${toSigned(hash64("wkt"))} AS BIGINT) AS wkt_fp
+FROM y
+"""
+
   /** q225: 4-round Feistel epoch shuffle — each round rebuilds the
     * engine's keyed round-function input string 'fs<epoch>_<round>_<R>'
     * and replays hash64; low 16 bits via % 65536 on the non-negative

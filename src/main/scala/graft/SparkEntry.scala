@@ -4321,6 +4321,64 @@ object SparkEntry {
         .groupBy("canon")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
           countDistinct(col("url")).as("n_raw"))
+    }),
+    "q234_crs_wkt" -> ((s, dir) => {
+      // CRS WKT1 export + import (gdalsrsinfo; ogr/ogrspatialreference.cpp
+      // :: exportToWkt / importFromWkt) over the engine's own projection
+      // registry (LCC 2154/3978, UTM 32633, PS 3031, BNG 27700): the WKT
+      // text is RENDERED in-engine (ordered parameter fold over a params
+      // table — array_sort(collect_list(struct)) keeps the spec order),
+      // then every parameter is PARSED BACK from the text by instr
+      // arithmetic and graded against the original; hash64(wkt) pins the
+      // whole serialization byte-for-byte (the q142/q187 whole-text
+      // discipline). Param values live as STRINGS end to end — no
+      // float→text formatting divergence between engines can exist.
+      import s.implicits._
+      F.ensureRegistered(s)
+      val crs = Seq(
+        (2154L, "RGF93 / Lambert-93",
+          """GEOGCS["RGF93",DATUM["RGF93",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]""",
+          "Lambert_Conformal_Conic_2SP"),
+        (3978L, "NAD83 / Canada Atlas Lambert",
+          """GEOGCS["NAD83",DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]""",
+          "Lambert_Conformal_Conic_2SP"),
+        (32633L, "WGS 84 / UTM zone 33N",
+          """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]""",
+          "Transverse_Mercator"),
+        (3031L, "WGS 84 / Antarctic Polar Stereographic",
+          """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]""",
+          "Polar_Stereographic"),
+        (27700L, "OSGB 1936 / British National Grid",
+          """GEOGCS["OSGB 1936",DATUM["OSGB_1936",SPHEROID["Airy 1830",6377563.396,299.3249646]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]""",
+          "Transverse_Mercator")).toDF("epsg", "name", "geog", "proj")
+      val params = Seq(
+        (2154L, 1, "standard_parallel_1", "49"), (2154L, 2, "standard_parallel_2", "44"),
+        (2154L, 3, "latitude_of_origin", "46.5"), (2154L, 4, "central_meridian", "3"),
+        (2154L, 5, "false_easting", "700000"), (2154L, 6, "false_northing", "6600000"),
+        (3978L, 1, "standard_parallel_1", "49"), (3978L, 2, "standard_parallel_2", "77"),
+        (3978L, 3, "latitude_of_origin", "49"), (3978L, 4, "central_meridian", "-95"),
+        (3978L, 5, "false_easting", "0"), (3978L, 6, "false_northing", "0"),
+        (32633L, 1, "latitude_of_origin", "0"), (32633L, 2, "central_meridian", "15"),
+        (32633L, 3, "scale_factor", "0.9996"),
+        (32633L, 4, "false_easting", "500000"), (32633L, 5, "false_northing", "0"),
+        (3031L, 1, "latitude_of_origin", "-71"), (3031L, 2, "central_meridian", "0"),
+        (3031L, 3, "false_easting", "0"), (3031L, 4, "false_northing", "0"),
+        (27700L, 1, "latitude_of_origin", "49"), (27700L, 2, "central_meridian", "-2"),
+        (27700L, 3, "scale_factor", "0.9996012717"),
+        (27700L, 4, "false_easting", "400000"), (27700L, 5, "false_northing", "-100000"))
+        .toDF("epsg", "ord", "k", "v")
+      val pstr = params.groupBy("epsg").agg(expr(
+        """array_join(transform(array_sort(collect_list(named_struct('ord', ord, 'k', k, 'v', v))),
+           p -> concat('PARAMETER["', p.k, '",', p.v, ']')), ',')""").as("pstr"))
+      val wkt = crs.join(pstr, "epsg").withColumn("wkt", expr(
+        """concat('PROJCS["', name, '",', geog, ',PROJECTION["', proj, '"],',
+           pstr, ',UNIT["metre",1],AUTHORITY["EPSG","', CAST(epsg AS STRING), '"]]')"""))
+      params.join(wkt.select("epsg", "wkt"), Seq("epsg"))
+        .withColumn("needle", expr("""concat('PARAMETER["', k, '",')"""))
+        .withColumn("tail", expr("substring(wkt, instr(wkt, needle) + length(needle))"))
+        .select(col("epsg"), col("k"),
+          expr("substring(tail, 1, instr(tail, ']') - 1)").as("v_parsed"),
+          call_function("hash64", col("wkt")).as("wkt_fp"))
     })
   )
 
@@ -7875,7 +7933,8 @@ object SparkEntry {
            FROM p7)
        SELECT canon, count(*) AS n_docs, min(doc_id) AS keeper,
          CAST(count(DISTINCT url) AS BIGINT) AS n_raw
-       FROM c GROUP BY 1"""
+       FROM c GROUP BY 1""",
+    "q234_crs_wkt" -> OracleHashSql.q234CrsWkt
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
