@@ -4379,6 +4379,36 @@ object SparkEntry {
         .select(col("epsg"), col("k"),
           expr("substring(tail, 1, instr(tail, ']') - 1)").as("v_parsed"),
           call_function("hash64", col("wkt")).as("wkt_fp"))
+    }),
+    "q235_chat_template" -> ((s, dir) => {
+      // SFT chat-template rendering + loss-mask accounting over the
+      // interleaved-span table (the input_hint shape, q158's sibling):
+      // spans alternate roles by offset parity (even = user, odd =
+      // assistant), media spans render as their placeholder INSIDE the
+      // turn, and the loss mask is the standard SFT law — only
+      // assistant-turn content trains. Output per doc: turn count,
+      // trainable/masked char counts, and the fingerprint of the fully
+      // templated render (a role token out of place, a span out of
+      // order, or a wrong mask boundary breaks the row). Same one-agg
+      // shuffle as the docs() assembly; render + mask are codegen'd
+      // HOFs — map-only after the span sort at any scale.
+      F.ensureRegistered(s)
+      Synth.docs(s, dir)
+        .withColumn("turns", expr(
+          """transform(spans, sp -> named_struct(
+             'role', sp.offset % 2,
+             'p', CASE WHEN sp.kind = 'text' THEN sp.text
+                  ELSE concat('<media:', sp.media_ref, '>') END))"""))
+        .withColumn("render", expr(
+          """array_join(transform(turns, t ->
+             concat(CASE WHEN t.role = 0 THEN '<|user|>' ELSE '<|assistant|>' END, t.p)), '')"""))
+        .select(col("doc_id"),
+          size(col("turns")).cast("long").as("n_turns"),
+          expr("""aggregate(turns, 0L, (a, t) ->
+             a + CASE WHEN t.role = 1 THEN length(t.p) ELSE 0 END)""").as("n_train_chars"),
+          expr("""aggregate(turns, 0L, (a, t) ->
+             a + CASE WHEN t.role = 0 THEN length(t.p) ELSE 0 END)""").as("n_mask_chars"),
+          call_function("fingerprint64", col("render")).as("fp"))
     })
   )
 
@@ -7934,7 +7964,45 @@ object SparkEntry {
        SELECT canon, count(*) AS n_docs, min(doc_id) AS keeper,
          CAST(count(DISTINCT url) AS BIGINT) AS n_raw
        FROM c GROUP BY 1""",
-    "q234_crs_wkt" -> OracleHashSql.q234CrsWkt
+    "q234_crs_wkt" -> OracleHashSql.q234CrsWkt,
+    "q235_chat_template" ->
+      // q158's span/payload law + role alternation by span ordinal
+      // (row_number over the proven-unique order == offset), '' joined;
+      // q31 rolling hash over the normalized render
+      s"""WITH pts AS ($ptsSql),
+         sp AS (
+           SELECT doc_key, line_no, part_key, supp_key,
+             CASE WHEN line_no % 4 <> 0 THEN printf('POINT(%.10f %.10f)', lon, lat)
+             ELSE '<media:tile://8/'
+               || CAST(CAST(floor((lon + 180.0) / 360.0 * 512) AS BIGINT) AS VARCHAR)
+               || '/'
+               || CAST(CAST(floor((90.0 - lat) / 180.0 * 256) AS BIGINT) AS VARCHAR)
+               || '/1>' END AS payload
+           FROM pts),
+         rn AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_key
+             ORDER BY line_no, part_key, supp_key) - 1 AS off
+           FROM sp),
+         r AS (
+           SELECT doc_key,
+             string_agg((CASE WHEN off % 2 = 0 THEN '<|user|>'
+               ELSE '<|assistant|>' END) || payload, '' ORDER BY off) AS render,
+             count(*) AS n_turns,
+             CAST(sum(CASE WHEN off % 2 = 1 THEN length(payload) ELSE 0 END) AS BIGINT) AS n_train_chars,
+             CAST(sum(CASE WHEN off % 2 = 0 THEN length(payload) ELSE 0 END) AS BIGINT) AS n_mask_chars
+           FROM rn GROUP BY doc_key),
+         n AS (
+           SELECT doc_key, render, n_turns, n_train_chars, n_mask_chars,
+             trim(regexp_replace(lower(render), '\\s+', ' ', 'g')) AS nm
+           FROM r)
+         SELECT printf('doc-%09d', doc_key) AS doc_id,
+           n_turns, n_train_chars, n_mask_chars,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS HUGEINT),
+               list_transform(range(1, length(nm) + 1),
+                 i -> CAST(unicode(substr(nm, CAST(i AS INT), 1)) AS HUGEINT))),
+             (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS fp
+         FROM n"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
