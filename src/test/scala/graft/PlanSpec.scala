@@ -289,6 +289,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!dxf.contains(") Exchange") && !dxf.contains("Join"), dxf)
   }
 
+  test("q224/q229: retrieval rankings broadcast the query-term side; no cartesian") {
+    for (q <- Seq("q224_bm25_topk", "q229_rrf_fusion")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("q226/q232/q233/q234 map-side laws: resample and URL-canon shuffle only to aggregate") {
+    // q226 is pure map (no agg at all); q233's only exchange is the
+    // canonical-key hash agg; q232 rides the focal strip machinery
+    val p226 = plan("q226_audio_resample")
+    assert(!p226.contains(") Exchange") && !p226.contains("Join"), p226)
+    val p233 = plan("q233_url_canonicalize")
+    assert(!p233.contains("Join"), p233)
+    assert(p233.contains("HashAggregate") && p233.toLowerCase.contains("partial"),
+      s"q233 needs map-side partial agg:\n$p233")
+  }
+
+  test("q227: unigram Viterbi DP is a constant-folded projection after ONE tf agg") {
+    val p = plan("q227_unigram_viterbi")
+    assert(!p.contains("Join"), p) // per-unique-word compute joins nothing
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q92/q93/q98/q101/q102/q103: scalar-surface queries are shuffle-free") {
     for (q <- Seq("q92_segmentize", "q93_sphere_distance", "q98_explode",
       "q101_geojson", "q102_translate_scale", "q103_clipsrc",
