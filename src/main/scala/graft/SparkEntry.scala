@@ -4409,7 +4409,20 @@ object SparkEntry {
           expr("""aggregate(turns, 0L, (a, t) ->
              a + CASE WHEN t.role = 0 THEN length(t.p) ELSE 0 END)""").as("n_mask_chars"),
           call_function("fingerprint64", col("render")).as("fp"))
-    })
+    }),
+    "q236_bucketed_pack" -> ((s, dir) =>
+      // Length-bucketed packing — the SECOND packing law beside q183's
+      // concat-then-chunk: documents are never split; they bucket by the
+      // smallest power-of-two token length and context div bucket
+      // same-bucket docs share a training sequence (the SFT/seq2seq
+      // batching standard; the last bin's residue is padding). The
+      // per-bucket global rank reuses pack()'s TWO-PHASE distributed
+      // scan (range partition + keyed per-partition window + a bounded
+      // (partitions × buckets) driver prefix) — no single-partition
+      // window at any scale, bit-stable at any parallelism (the 7-core
+      // probe checks exactly this).
+      Pack.bucketedPack(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", context = 256L))
   )
 
   /** q35 oracle: full sieve replica in SQL — CCL by min-label
@@ -8002,7 +8015,34 @@ object SparkEntry {
                list_transform(range(1, length(nm) + 1),
                  i -> CAST(unicode(substr(nm, CAST(i AS INT), 1)) AS HUGEINT))),
              (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS fp
-         FROM n"""
+         FROM n""",
+    "q236_bucketed_pack" ->
+      // q29 token law; same power-of-two ladder; rank within bucket by
+      // doc_id (the global window is fine at oracle scale — the ENGINE
+      // uses the two-phase scan)
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_tokens, least(n_tokens, 256) AS n_cap FROM d),
+         c AS (
+           SELECT doc_id, n_tokens,
+             CASE WHEN n_cap <= 1 THEN 1 WHEN n_cap <= 2 THEN 2
+                  WHEN n_cap <= 4 THEN 4 WHEN n_cap <= 8 THEN 8
+                  WHEN n_cap <= 16 THEN 16 WHEN n_cap <= 32 THEN 32
+                  WHEN n_cap <= 64 THEN 64 WHEN n_cap <= 128 THEN 128
+                  ELSE 256 END AS bucket
+           FROM b),
+         r AS (
+           SELECT doc_id, n_tokens, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rank0,
+             256 // bucket AS g
+           FROM c)
+       SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+         CAST(rank0 // g AS BIGINT) AS bin_idx,
+         CAST(rank0 % g AS BIGINT) AS slot
+       FROM r"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
