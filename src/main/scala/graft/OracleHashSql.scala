@@ -2771,6 +2771,61 @@ FROM segd
 """
   }
 
+  /** q237: the GeoJSON text (q101 writer law) and KML text (q112 writer
+    * law) rebuilt from the generating arithmetic for the q_id%3 family,
+    * hashed; the end-to-end WKB identity is 1 by construction (both
+    * parsers are bit-exact inverses on this family, q101/q112-pinned). */
+  def q237FormatConvert: String = {
+    def f(e: String): String =
+      s"CASE WHEN ($e) = floor($e) THEN CAST(CAST(($e) AS BIGINT) AS VARCHAR) " +
+        s"ELSE CAST(($e) AS VARCHAR) END"
+    def jpt(x: String, y: String): String =
+      s"'[' || ${f(x)} || ',' || ${f(y)} || ']'"
+    def kpt(x: String, y: String): String =
+      s"${f(x)} || ',' || ${f(y)}"
+    s"""WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 4.0 AS ax,
+    CAST((s_suppkey * 104729) % 512 AS DOUBLE) AS ay,
+    1.0 + CAST(s_suppkey % 7 AS DOUBLE) / 2.0 AS w,
+    2.0 + CAST(s_suppkey % 5 AS DOUBLE) AS h
+  FROM supplier),
+cc AS (
+  SELECT q_id, ax, ay, ax + w AS x2, ay + h AS y2, ay + 2.0 * h AS y3 FROM sp),
+tx AS (
+  SELECT q_id,
+    CASE WHEN q_id % 3 = 0 THEN
+      '{"type":"Point","coordinates":' || ${jpt("ax", "ay")} || '}'
+    WHEN q_id % 3 = 1 THEN
+      '{"type":"LineString","coordinates":[' || ${jpt("ax", "ay")} || ',' ||
+        ${jpt("x2", "y2")} || ',' || ${jpt("ax", "y3")} || ']}'
+    ELSE
+      '{"type":"Polygon","coordinates":[[' || ${jpt("ax", "ay")} || ',' ||
+        ${jpt("x2", "ay")} || ',' || ${jpt("x2", "y2")} || ',' ||
+        ${jpt("ax", "y2")} || ',' || ${jpt("ax", "ay")} || ']]}'
+    END AS gj,
+    CASE WHEN q_id % 3 = 0 THEN
+      '<Point><coordinates>' || ${kpt("ax", "ay")} || '</coordinates></Point>'
+    WHEN q_id % 3 = 1 THEN
+      '<LineString><coordinates>' || ${kpt("ax", "ay")} || ' ' ||
+        ${kpt("x2", "y2")} || ' ' || ${kpt("ax", "y3")} ||
+        '</coordinates></LineString>'
+    ELSE
+      '<Polygon><outerBoundaryIs><LinearRing><coordinates>' ||
+        ${kpt("ax", "ay")} || ' ' || ${kpt("x2", "ay")} || ' ' ||
+        ${kpt("x2", "y2")} || ' ' || ${kpt("ax", "y2")} || ' ' ||
+        ${kpt("ax", "ay")} ||
+        '</coordinates></LinearRing></outerBoundaryIs></Polygon>'
+    END AS kml
+  FROM cc)
+SELECT q_id,
+  CAST(${toSigned(hash64("gj"))} AS BIGINT) AS gj_fp,
+  CAST(${toSigned(hash64("kml"))} AS BIGINT) AS kml_fp,
+  CAST(1 AS BIGINT) AS roundtrip_ok
+FROM tx
+"""
+  }
+
   /** q234: WKT1 render from the same two literal tables, string_agg in
     * ord order == the engine's array_sort fold; parse-back by the same
     * instr arithmetic; hash64(wkt) pins every byte. */

@@ -4422,7 +4422,40 @@ object SparkEntry {
       // window at any scale, bit-stable at any parallelism (the 7-core
       // probe checks exactly this).
       Pack.bucketedPack(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", context = 256L))
+        "doc_id", "text", context = 256L)),
+    "q237_format_convert" -> ((s, dir) => {
+      // ogr2ogr format-conversion chain (apps/ogr2ogr.cpp — read with
+      // one driver, write with another): geometry → GeoJSON text (the
+      // q101 writer) → GeoJSON parser → KML text (the q112 writer) →
+      // KML parser. Grades hash64 of BOTH intermediate texts (each byte
+      // pinned by its own driver law) and end-to-end canonical-WKB
+      // identity, so a drift in either writer, either parser, or the
+      // canonicalization breaks the row. Shuffle-free map chain — the
+      // conversion never leaves the row at any scale.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 4.0D"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 512 AS DOUBLE)"))
+        .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
+        .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
+        .withColumn("wkt", expr(
+          """CASE WHEN q_id % 3 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+             WHEN q_id % 3 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
+               ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
+             ELSE format_string('POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))',
+               ax, ay, ax + w, ay, ax + w, ay + h, ax, ay + h, ax, ay) END"""))
+        .withColumn("geom", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("gj", call_function("st_asgeojson", col("geom")))
+        .withColumn("g2", call_function("st_geomfromgeojson", col("gj")))
+        .withColumn("kml", call_function("st_askml", col("g2")))
+        .withColumn("g3", call_function("st_geomfromkml", col("kml")))
+        .select(col("q_id"),
+          call_function("hash64", col("gj")).as("gj_fp"),
+          call_function("hash64", col("kml")).as("kml_fp"),
+          expr("CAST(CASE WHEN g3 = geom THEN 1 ELSE 0 END AS BIGINT)")
+            .as("roundtrip_ok"))
+    })
   )
 
   /** q35 oracle: full sieve replica in SQL — CCL by min-label
@@ -8042,7 +8075,8 @@ object SparkEntry {
        SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
          CAST(rank0 // g AS BIGINT) AS bin_idx,
          CAST(rank0 % g AS BIGINT) AS slot
-       FROM r"""
+       FROM r""",
+    "q237_format_convert" -> OracleHashSql.q237FormatConvert
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
