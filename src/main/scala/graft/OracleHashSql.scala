@@ -454,10 +454,10 @@ FROM txt
 
   /** q220: fastText-style classifier inference — unigram+bigram features,
     * the q188 hashed-dim/sign law, literal weights (d·7919)%31−15, bias 3. */
-  def q220QualityClassifier: String = {
-    ctr = 0
-    s"""
-WITH d0 AS (
+  /** Shared q220/q239 fastText-margin CTE chain (unigram+bigram hashed
+    * features → 32-dim signed tf vector → literal-weight dot). */
+  private def classifierCtes: String =
+    s"""d0 AS (
   SELECT doc_id,
     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
       t -> t <> '') AS toks
@@ -478,11 +478,44 @@ dv AS (
 dt AS (
   SELECT doc_id, CAST(sum(v * ((dim * 7919) % 31 - 15)) AS BIGINT) AS dot,
     count(*) AS n_dims
-  FROM dv GROUP BY 1)
+  FROM dv GROUP BY 1)"""
+
+  def q220QualityClassifier: String = {
+    ctr = 0
+    s"""
+WITH ${classifierCtes}
 SELECT d.doc_id, CAST(coalesce(t.n_dims, 0) AS BIGINT) AS n_dims,
   CAST(coalesce(t.dot, 0) + 3 AS BIGINT) AS margin,
   CAST(CASE WHEN coalesce(t.dot, 0) + 3 > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
 FROM documents d LEFT JOIN dt t ON t.doc_id = d.doc_id
+"""
+  }
+
+  /** q239: DPO chosen/rejected pairing over the q220 margin law —
+    * chosen = (margin desc, doc_id asc) rank 1 per prompt group,
+    * rejected = (margin asc, doc_id asc) rank 1, emitted only when the
+    * gap is strictly positive. */
+  def q239DpoPairs: String = {
+    ctr = 0
+    s"""
+WITH ${classifierCtes},
+m AS (
+  SELECT d.doc_id, d.doc_id % 32 AS g,
+    CAST(coalesce(t.dot, 0) + 3 AS BIGINT) AS margin
+  FROM documents d LEFT JOIN dt t ON t.doc_id = d.doc_id),
+ch AS (SELECT g, doc_id AS chosen_id, margin AS cm,
+    row_number() OVER (PARTITION BY g ORDER BY margin DESC, doc_id ASC) AS r
+  FROM m),
+rj AS (SELECT g, doc_id AS rejected_id, margin AS rm,
+    row_number() OVER (PARTITION BY g ORDER BY margin ASC, doc_id ASC) AS r
+  FROM m),
+nc AS (SELECT g, count(*) AS n_cand FROM m GROUP BY 1)
+SELECT ch.g, ch.chosen_id, rj.rejected_id,
+  CAST(ch.cm - rj.rm AS BIGINT) AS gap, nc.n_cand
+FROM ch
+JOIN rj ON rj.g = ch.g AND rj.r = 1
+JOIN nc ON nc.g = ch.g
+WHERE ch.r = 1 AND ch.cm > rj.rm
 """
   }
 

@@ -4455,6 +4455,86 @@ object SparkEntry {
           call_function("hash64", col("kml")).as("kml_fp"),
           expr("CAST(CASE WHEN g3 = geom THEN 1 ELSE 0 END AS BIGINT)")
             .as("roundtrip_ok"))
+    }),
+    "q238_vrt_resolution" -> ((s, dir) => {
+      // gdalbuildvrt -resolution highest|lowest|average grid negotiation
+      // (apps/gdalbuildvrt_lib.cpp :: VRTBuilder::AnalyseRaster — the
+      // metadata pass that runs BEFORE any pixel work): scene origins,
+      // sizes and pixel sizes in exact 1/1024-degree integer units; the
+      // union extent is the min/max fold, the negotiated resolution is
+      // min (highest), max (lowest) or the truncated mean (average), and
+      // the output grid dims are ceil((extent)/res) — all one metadata
+      // aggregate per mode over a 3-row mode table. 100-TB shape: this
+      // is a pure scene-CATALOG aggregate (one row per scene, never per
+      // pixel) crossed with 3 modes.
+      import s.implicits._
+      F.ensureRegistered(s)
+      val scenes = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("sid"))
+        .withColumn("px_u", expr("element_at(array(256L, 512L, 1024L, 2048L), CAST(sid % 4 + 1 AS INT))"))
+        .withColumn("x0_u", expr("(sid % 16) * 65536L"))
+        .withColumn("y0_u", expr("(sid % 8) * 65536L"))
+        .withColumn("w_px", expr("64L + (sid % 5) * 32L"))
+        .withColumn("h_px", expr("48L + (sid % 3) * 16L"))
+        .withColumn("x1_u", expr("x0_u + w_px * px_u"))
+        .withColumn("y1_u", expr("y0_u + h_px * px_u"))
+      val agg = scenes.agg(
+        min("x0_u").as("xmin_u"), min("y0_u").as("ymin_u"),
+        max("x1_u").as("xmax_u"), max("y1_u").as("ymax_u"),
+        min("px_u").as("res_hi"), max("px_u").as("res_lo"),
+        expr("sum(px_u) div count(1)").as("res_avg"))
+      agg.crossJoin(Seq("highest", "lowest", "average").toDF("mode"))
+        .withColumn("res_u", expr(
+          """CASE mode WHEN 'highest' THEN res_hi
+             WHEN 'lowest' THEN res_lo ELSE res_avg END"""))
+        .select(col("mode"), col("res_u"),
+          col("xmin_u"), col("ymin_u"), col("xmax_u"), col("ymax_u"),
+          expr("(xmax_u - xmin_u + res_u - 1L) div res_u").as("nx"),
+          expr("(ymax_u - ymin_u + res_u - 1L) div res_u").as("ny"))
+    }),
+    "q239_dpo_pairs" -> ((s, dir) => {
+      // DPO/RLHF preference-pair construction (Rafailov et al. 2023 data
+      // prep — the chosen/rejected pairing every alignment pipeline runs
+      // over a scored candidate pool): candidates group by a prompt key
+      // (doc_id % 32, the synthetic prompt id), scored by the q220
+      // fastText-margin law; chosen = (margin desc, doc_id asc) rank 1
+      // per group, rejected = (margin asc, doc_id asc) rank 1, and a
+      // pair emits only when the gap is STRICTLY positive (equal-margin
+      // groups produce nothing to prefer). 100-TB shape: two hash aggs
+      // for the margins, then per-group extremes — windows partition by
+      // the prompt key, whose fan-in is the candidate count per prompt
+      // (bounded in any real pool), never corpus-wide.
+      F.ensureRegistered(s)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("toks", expr(
+          "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), t -> t <> '')"))
+        .withColumn("feats", expr(
+          """concat(toks, CASE WHEN size(toks) >= 2
+             THEN transform(sequence(1, size(toks) - 1),
+               i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))
+             ELSE CAST(array() AS ARRAY<STRING>) END)"""))
+      val dot = d.select(col("doc_id"), explode(col("feats")).as("feat"))
+        .groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
+        .withColumn("h", call_function("hash64", col("feat")))
+        .withColumn("dim", expr("((h % 32) + 32) % 32"))
+        .withColumn("sv", expr("CASE WHEN (shiftright(h, 5) & 1) = 0 THEN tf ELSE -tf END"))
+        .groupBy("doc_id", "dim").agg(sum(col("sv")).as("v"))
+        .groupBy("doc_id")
+        .agg(sum(expr("v * ((dim * 7919) % 31 - 15)")).as("dot"))
+      val m = d.select("doc_id").join(dot, Seq("doc_id"), "left")
+        .select(col("doc_id"), expr("doc_id % 32").as("g"),
+          expr("coalesce(dot, 0L) + 3L").as("margin"))
+      val wTop = Window.partitionBy("g").orderBy(col("margin").desc, col("doc_id").asc)
+      val wBot = Window.partitionBy("g").orderBy(col("margin").asc, col("doc_id").asc)
+      val ch = m.withColumn("r", row_number().over(wTop)).where(col("r") === 1)
+        .select(col("g"), col("doc_id").as("chosen_id"), col("margin").as("cm"))
+      val rj = m.withColumn("r", row_number().over(wBot)).where(col("r") === 1)
+        .select(col("g"), col("doc_id").as("rejected_id"), col("margin").as("rm"))
+      val nc = m.groupBy("g").agg(count(lit(1)).as("n_cand"))
+      ch.join(rj, "g").join(nc, "g")
+        .where(col("cm") > col("rm"))
+        .select(col("g"), col("chosen_id"), col("rejected_id"),
+          (col("cm") - col("rm")).as("gap"), col("n_cand"))
     })
   )
 
@@ -8076,7 +8156,36 @@ object SparkEntry {
          CAST(rank0 // g AS BIGINT) AS bin_idx,
          CAST(rank0 % g AS BIGINT) AS slot
        FROM r""",
-    "q237_format_convert" -> OracleHashSql.q237FormatConvert
+    "q237_format_convert" -> OracleHashSql.q237FormatConvert,
+    "q238_vrt_resolution" ->
+      // same catalog arithmetic; ceil-div replayed as (a + r - 1) // r
+      """WITH sc AS (
+           SELECT s_suppkey AS sid,
+             ([256, 512, 1024, 2048])[CAST(s_suppkey % 4 + 1 AS INT)] AS px_u,
+             (s_suppkey % 16) * 65536 AS x0_u,
+             (s_suppkey % 8) * 65536 AS y0_u,
+             64 + (s_suppkey % 5) * 32 AS w_px,
+             48 + (s_suppkey % 3) * 16 AS h_px
+           FROM supplier),
+         sc2 AS (SELECT *, x0_u + w_px * px_u AS x1_u, y0_u + h_px * px_u AS y1_u FROM sc),
+         a AS (
+           SELECT CAST(min(x0_u) AS BIGINT) AS xmin_u, CAST(min(y0_u) AS BIGINT) AS ymin_u,
+             CAST(max(x1_u) AS BIGINT) AS xmax_u, CAST(max(y1_u) AS BIGINT) AS ymax_u,
+             CAST(min(px_u) AS BIGINT) AS res_hi, CAST(max(px_u) AS BIGINT) AS res_lo,
+             CAST(sum(px_u) // count(*) AS BIGINT) AS res_avg
+           FROM sc2),
+         m(mode) AS (VALUES ('highest'), ('lowest'), ('average')),
+         x AS (
+           SELECT m.mode,
+             CASE m.mode WHEN 'highest' THEN a.res_hi
+               WHEN 'lowest' THEN a.res_lo ELSE a.res_avg END AS res_u,
+             a.xmin_u, a.ymin_u, a.xmax_u, a.ymax_u
+           FROM a, m)
+       SELECT mode, res_u, xmin_u, ymin_u, xmax_u, ymax_u,
+         CAST((xmax_u - xmin_u + res_u - 1) // res_u AS BIGINT) AS nx,
+         CAST((ymax_u - ymin_u + res_u - 1) // res_u AS BIGINT) AS ny
+       FROM x""",
+    "q239_dpo_pairs" -> OracleHashSql.q239DpoPairs
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
