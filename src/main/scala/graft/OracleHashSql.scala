@@ -2859,6 +2859,45 @@ FROM tx
 """
   }
 
+  /** q240: FIM split replay — same deterministic span, list_slice ==
+    * Spark's slice, both sentinel orderings hashed. */
+  def q240Fim: String = {
+    ctr = 0
+    s"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+      t -> t <> '') AS tk
+  FROM documents),
+sp AS (
+  SELECT doc_id, tk, len(tk) AS n,
+    CASE WHEN len(tk) >= 3 THEN CAST((doc_id * 7919) % (len(tk) - 1) AS INT) ELSE 0 END AS st
+  FROM d),
+sp2 AS (
+  SELECT *, CASE WHEN n >= 3
+    THEN CAST(least(greatest(n // 4, 1), n - st) AS INT) ELSE 0 END AS ln
+  FROM sp),
+r AS (
+  SELECT doc_id, n, st, ln,
+    -- list_slice returns NULL (not []) on an empty range; Spark's
+    -- slice gives [] -> '' after join, so coalesce restores parity
+    coalesce(array_to_string(list_slice(tk, 1, st), ' '), '') AS p,
+    coalesce(array_to_string(list_slice(tk, st + 1, st + ln), ' '), '') AS m,
+    coalesce(array_to_string(list_slice(tk, st + ln + 1, n), ' '), '') AS sf
+  FROM sp2),
+t AS (
+  SELECT doc_id, n, st, ln,
+    '<PRE>' || p || '<SUF>' || sf || '<MID>' || m AS psm,
+    '<SUF>' || sf || '<PRE>' || p || '<MID>' || m AS spm
+  FROM r)
+SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+  CAST(st AS BIGINT) AS m_start, CAST(ln AS BIGINT) AS m_len,
+  CAST(${toSigned(hash64("psm"))} AS BIGINT) AS psm_fp,
+  CAST(${toSigned(hash64("spm"))} AS BIGINT) AS spm_fp
+FROM t
+"""
+  }
+
   /** q234: WKT1 render from the same two literal tables, string_agg in
     * ord order == the engine's array_sort fold; parse-back by the same
     * instr arithmetic; hash64(wkt) pins every byte. */

@@ -4535,6 +4535,52 @@ object SparkEntry {
         .where(col("cm") > col("rm"))
         .select(col("g"), col("chosen_id"), col("rejected_id"),
           (col("cm") - col("rm")).as("gap"), col("n_cand"))
+    }),
+    "q240_fim_transform" -> ((s, dir) => {
+      // Fill-in-the-Middle transform (Bavarian et al. 2022 §2 — the FIM
+      // corruption code-model pipelines apply beside q222's T5 spans):
+      // per doc a deterministic middle span (start = (doc_id·7919) %
+      // (n−1), len = max(1, n div 4), clipped to the end) splits tokens
+      // into prefix/middle/suffix; BOTH orderings render — PSM
+      // <PRE>p<SUF>s<MID>m and SPM <SUF>s<PRE>p<MID>m — and hash64 of
+      // each is graded with the span arithmetic. Docs under 3 tokens
+      // pass through uncorrupted (len 0). Map-only HOFs, no shuffle.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("tk", expr(
+          "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), t -> t <> '')"))
+        .withColumn("n", size(col("tk")))
+        .withColumn("st", expr(
+          "CASE WHEN n >= 3 THEN CAST((doc_id * 7919) % (n - 1) AS INT) ELSE 0 END"))
+        .withColumn("ln", expr(
+          "CASE WHEN n >= 3 THEN CAST(least(greatest(n div 4, 1), n - st) AS INT) ELSE 0 END"))
+        .withColumn("p", expr("array_join(slice(tk, 1, st), ' ')"))
+        .withColumn("m", expr("array_join(slice(tk, st + 1, ln), ' ')"))
+        .withColumn("sf", expr("array_join(slice(tk, st + ln + 1, n - st - ln), ' ')"))
+        .select(col("doc_id"), col("n").cast("long").as("n_toks"),
+          col("st").cast("long").as("m_start"), col("ln").cast("long").as("m_len"),
+          call_function("hash64",
+            expr("concat('<PRE>', p, '<SUF>', sf, '<MID>', m)")).as("psm_fp"),
+          call_function("hash64",
+            expr("concat('<SUF>', sf, '<PRE>', p, '<MID>', m)")).as("spm_fp"))
+    }),
+    "q241_matryoshka" -> ((s, dir) => {
+      // Matryoshka representation truncation audit (Kusupati et al. 2022
+      // — MRL's deploy step keeps the first k dims of a 64-dim
+      // embedding): exact-integer energy accounting under the corpus
+      // quantization law q = floor(x·2^20) (no +2 offset — norms must
+      // not be offset-dominated): squared norms of the full vector and
+      // the 16-dim prefix, and the retained-energy ratio in exact milli
+      // (n2_16·1000 div n2_64 — bounded 2.8e17, Long-safe). Map-only.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("q", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))"))
+        .select(col("vec_id"),
+          expr("aggregate(q, 0L, (a, v) -> a + v * v)").as("n2_full"),
+          expr("aggregate(slice(q, 1, 16), 0L, (a, v) -> a + v * v)").as("n2_16"))
+        .withColumn("retain_milli", expr(
+          "CASE WHEN n2_full = 0 THEN 0L ELSE (n2_16 * 1000L) div n2_full END"))
     })
   )
 
@@ -8185,7 +8231,24 @@ object SparkEntry {
          CAST((xmax_u - xmin_u + res_u - 1) // res_u AS BIGINT) AS nx,
          CAST((ymax_u - ymin_u + res_u - 1) // res_u AS BIGINT) AS ny
        FROM x""",
-    "q239_dpo_pairs" -> OracleHashSql.q239DpoPairs
+    "q239_dpo_pairs" -> OracleHashSql.q239DpoPairs,
+    "q240_fim_transform" -> OracleHashSql.q240Fim,
+    "q241_matryoshka" ->
+      // same no-offset quantization; list slice == Spark slice
+      """WITH q AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+           FROM embeddings),
+         a AS (
+           SELECT vec_id,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2_full,
+             CAST(list_sum(list_transform(list_slice(q, 1, 16), v -> v * v)) AS BIGINT) AS n2_16
+           FROM q)
+       SELECT vec_id, n2_full, n2_16,
+         CAST(CASE WHEN n2_full = 0 THEN 0
+              ELSE (n2_16 * 1000) // n2_full END AS BIGINT) AS retain_milli
+       FROM a"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
