@@ -4581,6 +4581,32 @@ object SparkEntry {
           expr("aggregate(slice(q, 1, 16), 0L, (a, v) -> a + v * v)").as("n2_16"))
         .withColumn("retain_milli", expr(
           "CASE WHEN n2_full = 0 THEN 0L ELSE (n2_16 * 1000L) div n2_full END"))
+    }),
+    "q242_skew_census" -> ((s, dir) => {
+      // Hot-cell skew census — the diagnostic pre-aggregate the adaptive
+      // salting path (SpatialJoin.pointInPolygon adaptive mode, SURVEY §5
+      // skew row) consumes before planning: per zoom-7 cell point count,
+      // corpus share in exact milli, (count desc, cell asc) hot rank,
+      // and the salt factor the blanket path would assign under the
+      // pinned self-scaling law salt = least(cnt div max(total div 256,
+      // 1) + 1, 8). 100-TB shape: ONE cell hash agg (16 B rows) + one
+      // scalar total; the top-16 window runs over the bounded CELL table
+      // (≤ 2^13 rows at z7), never over points.
+      F.ensureRegistered(s)
+      val pts = Synth.points(s, dir)
+        .select(F.cell_encode(col("lon"), col("lat"), lit(7)).as("cell"))
+      val total = pts.count()
+      val w = Window.orderBy(col("cnt").desc, col("tx").asc, col("ty").asc)
+      pts.groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .select(F.cell_tx(col("cell")).as("tx"), F.cell_ty(col("cell")).as("ty"),
+          col("cnt"))
+        .withColumn("share_milli", expr(s"cnt * 1000L div ${total}L"))
+        .withColumn("salt", expr(
+          s"least(cnt div greatest(${total}L div 256L, 1L) + 1L, 8L)"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 16)
+        .select(col("rank"), col("tx"), col("ty"), col("cnt"),
+          col("share_milli"), col("salt"))
     })
   )
 
@@ -8248,7 +8274,23 @@ object SparkEntry {
        SELECT vec_id, n2_full, n2_16,
          CAST(CASE WHEN n2_full = 0 THEN 0
               ELSE (n2_16 * 1000) // n2_full END AS BIGINT) AS retain_milli
-       FROM a"""
+       FROM a""",
+    "q242_skew_census" ->
+      // q13's rational cell law at zoom 7; same self-scaling salt law
+      s"""WITH pts AS ($ptsSql),
+         c AS (SELECT
+             least(greatest(CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT), 0), 255) AS tx,
+             least(greatest(CAST(floor((90.0 - lat) / 180.0 * 128) AS BIGINT), 0), 127) AS ty
+           FROM pts),
+         t AS (SELECT count(*) AS total FROM c),
+         g AS (SELECT tx, ty, count(*) AS cnt FROM c GROUP BY 1, 2),
+         r AS (SELECT tx, ty, cnt,
+             CAST(cnt * 1000 // t.total AS BIGINT) AS share_milli,
+             CAST(least(cnt // greatest(t.total // 256, 1) + 1, 8) AS BIGINT) AS salt,
+             row_number() OVER (ORDER BY cnt DESC, tx ASC, ty ASC) AS rank
+           FROM g, t)
+       SELECT CAST(rank AS BIGINT) AS rank, tx, ty, cnt, share_milli, salt
+       FROM r WHERE rank <= 16"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
