@@ -1559,6 +1559,60 @@ SELECT v.q_id, CAST(m.rec_len AS BIGINT) AS rec_len,
 FROM vr v JOIN meta m ON m.q_id = v.q_id
 """
 
+  /** q243: the GeoPackage cell round-trip replayed arithmetically. The
+    * cell's byte length is closed-form: GPKG blob = 8B header + 32B XY
+    * envelope + JTS WKB (BE 2-D: point 21, 3-pt line 57, 5-pt 1-ring
+    * polygon 93 bytes); record = 5B header (1 + fid-serial 1 + name-
+    * serial 1 + blob-serial 2) + minimal-int fid body (0 bytes for fid
+    * 0/1 via serials 8/9, 1 below 128, 2 below 32768) + name + blob; cell =
+    * varint(payload) + varint(rowid) + payload, each varint 1 byte below
+    * 128 and 2 up to 16383. Geometry vertices replay the generating
+    * arithmetic verbatim (WKB round-trips doubles bit-exact). */
+  def q243Gpkg: String =
+    """WITH sp AS (
+  SELECT s_suppkey AS q_id,
+    CAST((s_suppkey * 7919) % 1024 AS DOUBLE) / 4.0 AS ax,
+    CAST((s_suppkey * 104729) % 512 AS DOUBLE) AS ay,
+    1.0 + CAST(s_suppkey % 7 AS DOUBLE) / 2.0 AS w,
+    2.0 + CAST(s_suppkey % 5 AS DOUBLE) AS h
+  FROM supplier),
+cc AS (
+  SELECT q_id, ax, ay, ax + w AS x2, ay + h AS y2, ay + 2.0 * h AS y3
+  FROM sp),
+meta AS (
+  SELECT q_id,
+    CASE q_id % 3 WHEN 0 THEN 61 WHEN 1 THEN 97 ELSE 133 END AS gp_len,
+    CASE WHEN q_id <= 1 THEN 0 WHEN q_id < 128 THEN 1 ELSE 2 END AS fid_bytes,
+    2 + len(CAST(q_id % 89 AS VARCHAR)) AS name_len,
+    'f_' || CAST(q_id % 89 AS VARCHAR) AS name_back
+  FROM cc),
+m2 AS (
+  SELECT q_id, name_back,
+    5 + fid_bytes + name_len + gp_len AS payload_len
+  FROM meta),
+m3 AS (
+  SELECT q_id, name_back,
+    (CASE WHEN payload_len < 128 THEN 1 ELSE 2 END)
+    + (CASE WHEN q_id < 128 THEN 1 ELSE 2 END)
+    + payload_len AS cell_len
+  FROM m2),
+vr AS (
+  SELECT q_id, 0 AS seq, ax AS x, ay AS y FROM cc WHERE q_id % 3 = 0
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 3 = 1
+  UNION ALL SELECT q_id, 1, x2, y2 FROM cc WHERE q_id % 3 = 1
+  UNION ALL SELECT q_id, 2, ax, y3 FROM cc WHERE q_id % 3 = 1
+  UNION ALL SELECT q_id, 0, ax, ay FROM cc WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 1, x2, ay FROM cc WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 2, x2, y2 FROM cc WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 3, ax, y2 FROM cc WHERE q_id % 3 = 2
+  UNION ALL SELECT q_id, 4, ax, ay FROM cc WHERE q_id % 3 = 2)
+SELECT v.q_id, CAST(m.cell_len AS BIGINT) AS cell_len,
+  CAST(v.q_id AS BIGINT) AS rowid_back, CAST(v.q_id AS BIGINT) AS fid_back,
+  m.name_back, CAST(4326 AS BIGINT) AS srs_back,
+  CAST(v.seq AS BIGINT) AS seq, v.x, v.y
+FROM vr v JOIN m3 m ON m.q_id = v.q_id
+"""
+
   /** q144: decontamination replayed in the q24 shingle arithmetic — the
     * benchmark subset's DISTINCT 3-shingle hashes, then any corpus doc
     * owning one of them. */

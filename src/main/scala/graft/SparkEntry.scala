@@ -4607,6 +4607,54 @@ object SparkEntry {
         .where(col("rank") <= 16)
         .select(col("rank"), col("tx"), col("ty"), col("cnt"),
           col("share_milli"), col("salt"))
+    }),
+    "q243_gpkg" -> ((s, dir) => {
+      // OGR GeoPackage driver analog (ogr/ogrsf_frmts/gpkg ::
+      // OGRGeoPackageLayer::CreateFeature/GetNextFeature) — the SECOND
+      // binary driver after q162's Shapefile, and the one whose container
+      // is a full SQLite database file. Each feature writes ONE SQLite
+      // table-leaf CELL image (varint payload + varint rowid + record
+      // (fid INTEGER, name TEXT, geom GPKG-blob)), parses it back, and
+      // dumps the cell's byte length plus every recovered field and
+      // geometry vertex. Integers take minimal serial types and the GPKG
+      // blob is 8B header + 32B XY envelope + JTS WKB, so the cell
+      // length is CLOSED-FORM in (q_id, geometry class, name digits) —
+      // the oracle replays varint/serial/WKB sizing arithmetically,
+      // grading the whole binary layout bit-exact. Shuffle-free scan →
+      // project → generate; whole-database images (100-byte header,
+      // sqlite_master, gpkg_* system tables, 2-level b-trees) are
+      // composed by Gpkg.writeFile and graded in SqliteSpec.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("ax", expr("CAST((q_id * 7919) % 1024 AS DOUBLE) / 4.0D"))
+        .withColumn("ay", expr("CAST((q_id * 104729) % 512 AS DOUBLE)"))
+        .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
+        .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
+        .withColumn("wkt", expr(
+          """CASE WHEN q_id % 3 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+             WHEN q_id % 3 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
+               ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
+             ELSE format_string(
+               'POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))',
+               ax, ay, ax + w, ay, ax + w, ay + h, ax, ay + h, ax, ay)
+             END"""))
+        .withColumn("cell", call_function("gpkg_cell",
+          col("q_id").cast("long"), col("q_id").cast("long"),
+          format_string("f_%d", col("q_id") % 89),
+          call_function("gpkg_blob", lit(4326),
+            call_function("st_geomfromwkt", col("wkt")))))
+        .withColumn("f", call_function("gpkg_cell_fields", col("cell")))
+        .select(col("q_id"),
+          length(col("cell")).cast("long").as("cell_len"),
+          col("f.rowid").as("rowid_back"), col("f.fid").as("fid_back"),
+          col("f.name").as("name_back"),
+          col("f.srs_id").cast("long").as("srs_back"),
+          posexplode(call_function("st_points", col("f.geom"))).as(Seq("seq", "p")))
+        .select(col("q_id"), col("cell_len"), col("rowid_back"),
+          col("fid_back"), col("name_back"), col("srs_back"),
+          col("seq").cast("long").as("seq"),
+          col("p.x").as("x"), col("p.y").as("y"))
     })
   )
 
@@ -8290,7 +8338,8 @@ object SparkEntry {
              row_number() OVER (ORDER BY cnt DESC, tx ASC, ty ASC) AS rank
            FROM g, t)
        SELECT CAST(rank AS BIGINT) AS rank, tx, ty, cnt, share_milli, salt
-       FROM r WHERE rank <= 16"""
+       FROM r WHERE rank <= 16""",
+    "q243_gpkg" -> OracleHashSql.q243Gpkg
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

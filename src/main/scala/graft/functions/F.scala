@@ -121,7 +121,10 @@ object F {
         // at plan time from the literal argument (like a DDL string)
         "dbf_record"     -> (e => DbfRecord(e(0), e(1).eval(null).toString)),
         "dbf_fields"     -> (e => DbfFields(e(0), e(1).eval(null).toString)),
-        "dither_fs"      -> (e => DitherFs(e(0), e(1), e(2))))
+        "dither_fs"      -> (e => DitherFs(e(0), e(1), e(2))),
+        "gpkg_blob"        -> (e => GpkgBlob(e(0), e(1))),
+        "gpkg_cell"        -> (e => GpkgCell(e)),
+        "gpkg_cell_fields" -> (e => GpkgCellFields(e.head)))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     if (registered.containsKey(spark)) return
