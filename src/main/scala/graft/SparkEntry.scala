@@ -4655,7 +4655,49 @@ object SparkEntry {
           col("fid_back"), col("name_back"), col("srs_back"),
           col("seq").cast("long").as("seq"),
           col("p.x").as("x"), col("p.y").as("y"))
-    })
+    }),
+    "q244_temperature_sampling" -> ((s, dir) => {
+      // Temperature-based language sampling (mT5, Xue et al. 2021 §3.1 /
+      // XLM-R, Conneau et al. 2020 eq. 1): p_l ∝ c_l^α — the POWER-law
+      // companion to q219's UniMax waterfilling (which computes caps,
+      // not exponents). α = 1/2 is the exactly-gradable power: IEEE-754
+      // sqrt is correctly rounded in both engines and ·2^20 shifts the
+      // exponent only, so s_l = floor(sqrt(c_l)·2^20) is bit-pinned with
+      // zero transcendental risk. Weights in exact ppm by integer
+      // division; per-language doc targets from the total-doc budget;
+      // per-doc copies via q219's fractional-epoch law on (doc_id·7919)
+      // % 1000. 100-TB shape: ONE lang hash agg (bounded by #languages),
+      // a 1-row total cross-joined in, the L-row weight table BROADCAST
+      // back to the corpus, map-only copy assignment — no doc-keyed
+      // shuffle anywhere.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val l = docs.groupBy("lang")
+        .agg(sum("n_chars").as("c"), count(lit(1)).as("n"))
+        .withColumn("sl",
+          expr("CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576.0D) AS BIGINT)"))
+      val t = l.agg(sum("sl").as("tot"), sum("n").as("b"))
+      val e = l.crossJoin(broadcast(t))
+        .withColumn("w_ppm", expr("sl * 1000000L div tot"))
+        .withColumn("e_milli", expr("(b * sl div tot) * 1000L div n"))
+        .select("lang", "sl", "w_ppm", "e_milli")
+      docs.join(broadcast(e), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("sl"), col("w_ppm"),
+          expr("e_milli div 1000 + CASE WHEN (doc_id * 7919) % 1000 < e_milli % 1000 THEN 1 ELSE 0 END").as("n_copies"))
+    }),
+    "q245_hillshade_igor" -> ((s, dir) =>
+      // gdaldem hillshade -igor (apps/gdaldem_lib.cpp ::
+      // GDALHillshadeIgorAlg): the soft-shadow law 255·(1 −
+      // slopeStrength·aspectStrength) over the Horn gradient —
+      // slopeStrength = atan(|∇|)/(π/2), aspectStrength = minimal
+      // angular distance from the light direction / π (fmod-folded; a
+      // bare subtraction would round differently than fmod's exact
+      // remainder). Unlike the cos-product shade chain (q39/q96/q99),
+      // igor darkens LINEARLY in both slope and aspect misalignment and
+      // never reads the altitude. Milli-quantized like the q94/q95
+      // family; same map-only tiled plan.
+      focalPixels(s, "hillshade_igor")
+        .select(col("gx"), col("gy"),
+          expr("CAST(floor(val * 1000.0 + 0.5) AS BIGINT)").as("shade_milli")))
   )
 
   /** q35 oracle: full sieve replica in SQL — CCL by min-label
@@ -5240,6 +5282,34 @@ object SparkEntry {
            sum(CASE WHEN dx= 0 AND dy= 1 THEN v END) AS hh,
            sum(CASE WHEN dx= 1 AND dy= 1 THEN v END) AS i
          FROM vals GROUP BY 1, 2)"""
+
+  /** q245: igor hillshade — the kernel's shadow law replicated op-for-op
+    * (Horn gradient with the kernel's sign convention, atan slope
+    * fraction, fmod-folded angular distance from light = azRad − π/2,
+    * 255·(1 − s·a)), milli-quantized with the family's floor(x·1000+0.5).
+    * fmod matches Scala's % exactly (both are the exact IEEE remainder);
+    * the trig ULP-gap argument is q39's. */
+  private def hillshadeIgorOracle: String =
+    s"""$focalWinCte,
+       sh AS (
+         SELECT gx, gy,
+           ((a + 2*d + g) - (c + 2*f + i)) / 8.0 AS xx,
+           ((g + 2*hh + i) - (a + 2*b + c)) / 8.0 AS yy
+         FROM win),
+       ig AS (
+         SELECT gx, gy,
+           atan(sqrt(xx*xx + yy*yy)) / (pi() / 2.0) AS ss,
+           fmod(abs(atan2(yy, xx) - ((315.0 * (pi() / 180.0)) - (pi() / 2.0))),
+                2.0 * pi()) AS d0
+         FROM sh),
+       vv AS (
+         SELECT gx, gy,
+           255.0 * (1.0 - ss * ((CASE WHEN d0 > pi() THEN 2.0 * pi() - d0
+                                      ELSE d0 END) / pi())) AS v
+         FROM ig)
+       SELECT gx, gy,
+         CAST(floor(v * 1000.0 + 0.5) AS BIGINT) AS shade_milli
+       FROM vv"""
 
   /** q94: Horn slope in degrees — kernel arithmetic replicated op-for-op
     * (ewres=nsres=z=scale=1 defaults kept as literal 1.0 factors, exact
@@ -8339,7 +8409,27 @@ object SparkEntry {
            FROM g, t)
        SELECT CAST(rank AS BIGINT) AS rank, tx, ty, cnt, share_milli, salt
        FROM r WHERE rank <= 16""",
-    "q243_gpkg" -> OracleHashSql.q243Gpkg
+    "q243_gpkg" -> OracleHashSql.q243Gpkg,
+    "q244_temperature_sampling" ->
+      // α=1/2 power via correctly-rounded sqrt + exponent-only 2^20
+      // scaling — bit-pinned on both engines; the rest is integer
+      """WITH l AS (
+           SELECT lang, sum(n_chars) AS c, count(*) AS n
+           FROM documents GROUP BY lang),
+         s AS (SELECT lang, c, n,
+             CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576.0) AS BIGINT) AS sl
+           FROM l),
+         t AS (SELECT sum(sl) AS tot, sum(n) AS b FROM s),
+         e AS (SELECT lang, sl,
+             sl * 1000000 // t.tot AS w_ppm,
+             ((t.b * sl // t.tot) * 1000) // n AS e_milli
+           FROM s, t)
+       SELECT d.doc_id, d.lang, e.sl, CAST(e.w_ppm AS BIGINT) AS w_ppm,
+         CAST(e.e_milli // 1000
+           + CASE WHEN (d.doc_id * 7919) % 1000 < e.e_milli % 1000 THEN 1 ELSE 0 END
+           AS BIGINT) AS n_copies
+       FROM documents d JOIN e ON e.lang = d.lang""",
+    "q245_hillshade_igor" -> hillshadeIgorOracle
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

@@ -186,6 +186,28 @@ object Focal {
             val cmb = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cang))) *
               slopeAng / (math.Pi * math.Pi / 4.0)
             if (cmb <= 0.0) 1.0 else math.floor(1.0 + 254.0 * cmb + 0.5)
+          case "hillshade_igor" =>
+            // igor-style soft shading (reference: gdaldem hillshade -igor,
+            // apps/gdaldem_lib.cpp :: GDALHillshadeIgorAlg — the shadow
+            // law shade = 255·(1 − slopeStrength·aspectStrength) over the
+            // Horn gradient): slopeStrength = slope angle as a fraction of
+            // 90° (atan(|∇|)/(π/2)); aspectStrength = angdiff/π where
+            // angdiff is the minimal angular distance between the aspect
+            // and the LIGHT direction (azRad − π/2 in the math convention
+            // the Horn shade chain uses) — 0 facing the light, 1 facing
+            // away — so light-facing cells keep full brightness and
+            // away-facing steep cells darken linearly.
+            // fmod (Scala %) on both engines — a bare subtraction rounds
+            // differently than the exact fmod remainder.
+            val xx = p.z * ((a + 2 * d + g) - (c + 2 * f + i)) / (8.0 * p.ewres * p.scale)
+            val yy = p.z * ((g + 2 * hh + i) - (a + 2 * b + c)) / (8.0 * p.nsres * p.scale)
+            val slopeStrength = math.atan(math.sqrt(xx * xx + yy * yy)) / (math.Pi / 2.0)
+            val aspect = math.atan2(yy, xx)
+            val light = azRad - math.Pi / 2.0
+            val d0 = math.abs(aspect - light) % (2.0 * math.Pi)
+            val angDiff = if (d0 > math.Pi) 2.0 * math.Pi - d0 else d0
+            val aspectStrength = angDiff / math.Pi
+            255.0 * (1.0 - slopeStrength * aspectStrength)
           case "edge8" =>
             // class-boundary marker: 1 where the center differs from any
             // 8-neighbor (edge-clamped borders never flag). Feeds the
