@@ -4697,7 +4697,60 @@ object SparkEntry {
       // family; same map-only tiled plan.
       focalPixels(s, "hillshade_igor")
         .select(col("gx"), col("gy"),
-          expr("CAST(floor(val * 1000.0 + 0.5) AS BIGINT)").as("shade_milli")))
+          expr("CAST(floor(val * 1000.0 + 0.5) AS BIGINT)").as("shade_milli"))),
+    "q246_slm_token_select" -> ((s, dir) => {
+      // Selective Language Modeling token selection (Rho-1, Lin et al.
+      // 2024): score every token by reference-vs-policy excess and keep
+      // the tokens the reference model likes better — here the two
+      // "models" are add-one unigram LMs trained on the doc_id-parity
+      // halves of the corpus, and the excess-probability test
+      // p_B(t) > p_A(t) is graded EXACTLY by cross-multiplication:
+      // (c_B+1)(N_A+V) > (c_A+1)(N_B+V) — zero logs, zero floats. Per
+      // doc: token count, selected count, selected share in exact milli
+      // (empty docs emit 0/0/0 through the LEFT join). 100-TB shape:
+      // ONE token hash agg (partial-agg friendly), a 1-row totals
+      // cross-join, a token-keyed equi-join back (sort-merge on the
+      // 8-byte-ish token key; text itself never re-shuffles), one
+      // doc-keyed count agg.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"), explode(expr(
+        "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), t -> t <> '')"))
+        .as("tok"))
+      val st = toks.groupBy("tok").agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val tt = st.agg(sum("ca").as("na"), sum("cb").as("nb"),
+        count(lit(1)).as("v"))
+      val sel = toks.join(st, Seq("tok")).crossJoin(broadcast(tt))
+        .select(col("doc_id"),
+          expr("CASE WHEN (cb + 1) * (na + v) > (ca + 1) * (nb + v) THEN 1L ELSE 0L END").as("s"))
+      val agg = sel.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("s").as("n_selected"))
+      docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          expr("CAST(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0 ELSE n_selected * 1000 div n_tokens END AS BIGINT)").as("sel_milli"))
+    }),
+    "q247_best_of_n" -> ((s, dir) =>
+      // Best-of-N rejection sampling (RAFT, Dong et al. 2023; the
+      // rejection-sampling fine-tuning step of Llama-2-chat): candidates
+      // group 8-per-prompt by doc_id div 8, a deterministic integer
+      // reward scores each, and ONLY the argmax survives — ties broken
+      // by lowest doc_id (the stable-keeper rule q169's dedup clusters
+      // pin). Graded per candidate: keeper verdict + margin to the
+      // keeper's reward (0 for the keeper itself). The window partitions
+      // by the prompt key — fan-in bounded at N=8, never a global sort.
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), (col("doc_id") / 8).cast("long").as("prompt_id"),
+          expr("(doc_id * 7919) % 256").as("reward"))
+        .withColumn("best", max("reward").over(
+          Window.partitionBy(col("prompt_id"))))
+        .withColumn("keeper_id", min(when(col("reward") === col("best"),
+          col("doc_id"))).over(Window.partitionBy(col("prompt_id"))))
+        .select(col("prompt_id"), col("doc_id"), col("reward"),
+          (col("doc_id") === col("keeper_id")).as("is_keeper"),
+          (col("best") - col("reward")).as("margin")))
   )
 
   /** q35 oracle: full sieve replica in SQL — CCL by min-label
@@ -8429,7 +8482,52 @@ object SparkEntry {
            + CASE WHEN (d.doc_id * 7919) % 1000 < e.e_milli % 1000 THEN 1 ELSE 0 END
            AS BIGINT) AS n_copies
        FROM documents d JOIN e ON e.lang = d.lang""",
-    "q245_hillshade_igor" -> hillshadeIgorOracle
+    "q245_hillshade_igor" -> hillshadeIgorOracle,
+    "q246_slm_token_select" ->
+      // exact cross-multiplied add-one unigram comparison — no logs
+      """WITH norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+           FROM documents),
+         toks AS (
+           SELECT doc_id, unnest(CASE WHEN n = '' THEN CAST([] AS VARCHAR[])
+                                      ELSE string_split(n, ' ') END) AS tok
+           FROM norm),
+         st AS (
+           SELECT tok,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+           FROM toks GROUP BY tok),
+         tt AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM st),
+         sel AS (
+           SELECT t.doc_id,
+             CASE WHEN (st.cb + 1) * (tt.na + tt.v) > (st.ca + 1) * (tt.nb + tt.v)
+                  THEN 1 ELSE 0 END AS s
+           FROM toks t JOIN st ON st.tok = t.tok, tt),
+         agg AS (
+           SELECT doc_id, count(*) AS n_tokens, sum(s) AS n_selected
+           FROM sel GROUP BY doc_id)
+       SELECT d.doc_id,
+         CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(a.n_selected, 0) AS BIGINT) AS n_selected,
+         CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+                   ELSE a.n_selected * 1000 // a.n_tokens END AS BIGINT) AS sel_milli
+       FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
+    "q247_best_of_n" ->
+      """WITH c AS (
+           SELECT doc_id, doc_id // 8 AS prompt_id,
+             (doc_id * 7919) % 256 AS reward
+           FROM documents),
+         k AS (
+           SELECT prompt_id, max(reward) AS best FROM c GROUP BY prompt_id),
+         kid AS (
+           SELECT c.prompt_id, min(c.doc_id) AS keeper_id
+           FROM c JOIN k ON k.prompt_id = c.prompt_id AND c.reward = k.best
+           GROUP BY c.prompt_id)
+       SELECT c.prompt_id, c.doc_id, c.reward,
+         c.doc_id = kid.keeper_id AS is_keeper,
+         CAST(k.best - c.reward AS BIGINT) AS margin
+       FROM c JOIN k ON k.prompt_id = c.prompt_id
+       JOIN kid ON kid.prompt_id = c.prompt_id"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
