@@ -870,6 +870,93 @@ FROM fin
 """
   }
 
+  /** q248: generalized Gauss-Krüger round trip — the q73 forward series
+    * AND the q76 inverse series chained in one statement, with the TM
+    * parameters (lon0 = 3°-band center, k0 = 1 so kA collapses to the
+    * rectifying radius A, zone-encoded false easting z·10⁶+500000)
+    * replacing the UTM constants. The inverse leg consumes the forward
+    * leg's UNQUANTIZED doubles exactly as the engine does; cm / 1e-6-deg
+    * quantization absorbs the transcendental ULP gaps at both exits (the
+    * round-trip legs use offset 0.3, not 0.5 — the k/1024° input grid
+    * puts x·10⁶+0.5 exactly ON floor boundaries, see the query). */
+  def q248GaussKruger(qptsSql: String): String = {
+    val c1 = java.lang.Double.toString(graft.core.Utm.oracleC1)
+    val rA = java.lang.Double.toString(graft.core.Utm.oracleRectA)
+    val a = graft.core.Utm.oracleAlpha.map(java.lang.Double.toString)
+    val b = graft.core.Utm.oracleBeta.map(java.lang.Double.toString)
+    val dl = graft.core.Utm.oracleDelta.map(java.lang.Double.toString)
+    def cosh(x: String): String = s"((exp($x) + exp(-($x))) / 2.0)"
+    def sinh(x: String): String = s"((exp($x) - exp(-($x))) / 2.0)"
+    val xiSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"(${a(j)} * sin($k * xip)) * ${cosh(s"$k * etap")}"
+    }.mkString(" + ")
+    val etaSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"(${a(j)} * cos($k * xip)) * ${sinh(s"$k * etap")}"
+    }.mkString(" + ")
+    val xipSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"- (${b(j)} * sin($k * ixi)) * ${cosh(s"$k * ieta")}"
+    }.mkString(" ")
+    val etapSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"- (${b(j)} * cos($k * ixi)) * ${sinh(s"$k * ieta")}"
+    }.mkString(" ")
+    val phiSer = (0 until 6).map { j =>
+      val k = s"${2.0 * (j + 1)}"
+      s"+ ${dl(j)} * sin($k * chi)"
+    }.mkString(" ")
+    s"""
+WITH qp AS ($qptsSql),
+z AS (
+  SELECT q_id, lon, lat,
+    LEAST(119, GREATEST(0, CAST(floor((lon + 180.0) / 3.0) AS BIGINT))) AS zone
+  FROM qp),
+base AS (
+  SELECT q_id, lon, lat, zone,
+    CAST(zone AS DOUBLE) * 3.0 - 178.5 AS lon0,
+    CAST(zone AS DOUBLE) * 1000000.0 + 500000.0 AS e0,
+    (lat / 180.0) * pi() AS phi0
+  FROM z),
+bl AS (SELECT *, ((lon - lon0) / 180.0) * pi() AS lam FROM base),
+s1 AS (SELECT *, sin(phi0) AS sphi, cos(lam) AS cosl, sin(lam) AS sinl FROM bl),
+s2 AS (SELECT *,
+    0.5 * ln((1.0 + sphi) / (1.0 - sphi))
+      - $c1 * (0.5 * ln((1.0 + $c1 * sphi) / (1.0 - $c1 * sphi))) AS u
+  FROM s1),
+s3 AS (SELECT *, ${sinh("u")} AS t FROM s2),
+s4 AS (SELECT *, atan2(t, cosl) AS xip, sinl / sqrt(t * t + cosl * cosl) AS xr FROM s3),
+s5 AS (SELECT *,
+    CASE WHEN xr < 0 THEN -(ln(abs(xr) + sqrt(xr * xr + 1.0)))
+         ELSE ln(abs(xr) + sqrt(xr * xr + 1.0)) END AS etap
+  FROM s4),
+fw AS (SELECT q_id, zone, lon0, e0,
+    e0 + $rA * (etap + $etaSer) AS e,
+    0.0 + $rA * (xip + $xiSer) AS nth
+  FROM s5),
+x0 AS (
+  SELECT q_id, zone, lon0, e, nth,
+    (nth - 0.0) / $rA AS ixi,
+    (e - e0) / $rA AS ieta
+  FROM fw),
+i1 AS (SELECT *, ixi $xipSer AS xip, ieta $etapSer AS ietap FROM x0),
+i2 AS (SELECT *, asin(sin(xip) / ${cosh("ietap")}) AS chi FROM i1),
+i3 AS (SELECT *, chi $phiSer AS phi, atan2(${sinh("ietap")}, cos(xip)) AS lam FROM i2),
+fin AS (
+  SELECT q_id, zone, e, nth,
+    lon0 + ((lam * 180.0) / pi()) AS lon_b,
+    (phi * 180.0) / pi() AS lat_b
+  FROM i3)
+SELECT q_id, zone,
+  CAST(floor(e * 100.0 + 0.5) AS BIGINT) AS e_cm,
+  CAST(floor(nth * 100.0 + 0.5) AS BIGINT) AS n_cm,
+  CAST(floor(lon_b * 1000000.0 + 0.3) AS BIGINT) AS lon_udeg,
+  CAST(floor(lat_b * 1000000.0 + 0.3) AS BIGINT) AS lat_udeg
+FROM fin
+"""
+  }
+
   /** q80: per-point LCC 2SP forward (Snyder/EPSG-9802, core/Lcc.forward)
     * replicated op-for-op under the q73 discipline: derived projection
     * constants (n, a·F, ρ0) embedded as the engine's exact runtime doubles,

@@ -4732,6 +4732,39 @@ object SparkEntry {
           coalesce(col("n_selected"), lit(0L)).as("n_selected"),
           expr("CAST(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0 ELSE n_selected * 1000 div n_tokens END AS BIGINT)").as("sel_milli"))
     }),
+    "q248_gauss_kruger" -> ((s, dir) => {
+      // Generalized Transverse Mercator / Gauss-Krüger (reference:
+      // ogr/ogr_spatialref.cpp :: OGRSpatialReference::SetTM — the
+      // parametric projection whose SetUTM is the fixed-parameter
+      // wrapper): each query point forward-transforms into its 3°-band
+      // GK zone (lon0 = band center, k0 = 1, zone-encoded false easting
+      // z·10⁶+500000 — the classic GK easting convention) and then
+      // ROUND-TRIPS through the inverse, both legs the q73/q76 Krüger
+      // series with explicit parameters (core/Utm.forwardTm/inverseTm).
+      // cm + 1e-6-deg quantization absorbs transcendental ULPs; plan is
+      // scan → project, shuffle-free.
+      F.ensureRegistered(s)
+      Synth.queryPoints(s, dir)
+        .withColumn("zone", least(lit(119L),
+          greatest(lit(0L), floor((col("lon") + 180.0) / 3.0).cast("long"))))
+        .withColumn("lon0", expr("CAST(zone AS DOUBLE) * 3.0D - 178.5D"))
+        .withColumn("e0", expr("CAST(zone AS DOUBLE) * 1000000.0D + 500000.0D"))
+        .withColumn("fwd", call_function("tm_forward", col("lon"), col("lat"),
+          col("lon0"), lit(1.0), col("e0"), lit(0.0)))
+        .withColumn("inv", call_function("tm_inverse", col("fwd.x"), col("fwd.y"),
+          col("lon0"), lit(1.0), col("e0"), lit(0.0)))
+        .select(col("q_id"), col("zone"),
+          expr("CAST(floor(fwd.x * 100.0 + 0.5) AS BIGINT)").as("e_cm"),
+          expr("CAST(floor(fwd.y * 100.0 + 0.5) AS BIGINT)").as("n_cm"),
+          // round-trip quantization offset is 0.3, NOT the family's 0.5:
+          // the synth lon/lat grid is k/1024°, so x·10⁶ + 0.5 lands
+          // EXACTLY on a floor boundary whenever k ≡ 0 (mod 16) and the
+          // round-trip's ±ulp residual would flip it per-engine; 0.3 is
+          // ≥ 1/80 away from every multiple of 1/16, so no boundary sits
+          // within reach of the ~1e-4-µdeg series residual
+          expr("CAST(floor(inv.x * 1000000.0 + 0.3) AS BIGINT)").as("lon_udeg"),
+          expr("CAST(floor(inv.y * 1000000.0 + 0.3) AS BIGINT)").as("lat_udeg"))
+    }),
     "q247_best_of_n" -> ((s, dir) =>
       // Best-of-N rejection sampling (RAFT, Dong et al. 2023; the
       // rejection-sampling fine-tuning step of Llama-2-chat): candidates
@@ -8527,7 +8560,8 @@ object SparkEntry {
          c.doc_id = kid.keeper_id AS is_keeper,
          CAST(k.best - c.reward AS BIGINT) AS margin
        FROM c JOIN k ON k.prompt_id = c.prompt_id
-       JOIN kid ON kid.prompt_id = c.prompt_id"""
+       JOIN kid ON kid.prompt_id = c.prompt_id""",
+    "q248_gauss_kruger" -> OracleHashSql.q248GaussKruger(qptsSql)
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

@@ -62,6 +62,7 @@ object Utm {
     * makes the oracle's arithmetic start from bit-identical constants. */
   private[graft] def oracleC1: Double = twoSqrtNov
   private[graft] def oracleKA: Double = k0 * rectA
+  private[graft] def oracleRectA: Double = rectA
   private[graft] def oracleAlpha: Array[Double] = al.clone()
   private[graft] def oracleBeta: Array[Double] = be.clone()
   private[graft] def oracleDelta: Array[Double] = de.clone()
@@ -84,9 +85,19 @@ object Utm {
   def isUtm(epsg: Int): Boolean = epsgZone(epsg)._1 > 0
 
   /** (lon°, lat°) → (easting m, northing m) in the given zone/hemisphere. */
-  def forward(lon: Double, lat: Double, zone: Int, north: Boolean): (Double, Double) = {
+  def forward(lon: Double, lat: Double, zone: Int, north: Boolean): (Double, Double) =
+    forwardTm(lon, lat, zoneLon0(zone), k0, E0, if (north) 0.0 else N0South)
+
+  /** Generalized Gauss-Krüger / Transverse Mercator forward with explicit
+    * central meridian, scale factor and false origin (reference:
+    * ogr/ogr_srsnode.cpp + ogr_spatialref.cpp :: SetTM — the
+    * Transverse_Mercator projection's four parameters; UTM is SetUTM's
+    * (zone·6−183, 0.9996, 500000, 0|10M) specialization). The identical
+    * Krüger series — delegation keeps q73/q76's doubles bit-stable. */
+  def forwardTm(lon: Double, lat: Double, lon0: Double, k: Double,
+                e0: Double, n0: Double): (Double, Double) = {
     val phi = math.toRadians(lat)
-    val lam = math.toRadians(lon - zoneLon0(zone))
+    val lam = math.toRadians(lon - lon0)
     val sphi = math.sin(phi)
     // conformal latitude via Gauss-Schreiber: t = sinh(atanh sinφ − 2√n/(1+n)·atanh(2√n/(1+n)·sinφ))
     val t = math.sinh(atanh(sphi) - twoSqrtNov * atanh(twoSqrtNov * sphi))
@@ -101,26 +112,31 @@ object Utm {
     var xi = xip; var eta = etap
     var j = 0
     while (j < 6) {
-      val k = 2.0 * (j + 1)
-      xi += al(j) * math.sin(k * xip) * math.cosh(k * etap)
-      eta += al(j) * math.cos(k * xip) * math.sinh(k * etap)
+      val kk = 2.0 * (j + 1)
+      xi += al(j) * math.sin(kk * xip) * math.cosh(kk * etap)
+      eta += al(j) * math.cos(kk * xip) * math.sinh(kk * etap)
       j += 1
     }
-    val e = E0 + k0 * rectA * eta
-    val nn = (if (north) 0.0 else N0South) + k0 * rectA * xi
+    val e = e0 + k * rectA * eta
+    val nn = n0 + k * rectA * xi
     (e, nn)
   }
 
   /** (easting m, northing m, zone, hemisphere) → (lon°, lat°). */
-  def inverse(easting: Double, northing: Double, zone: Int, north: Boolean): (Double, Double) = {
-    val xi = (northing - (if (north) 0.0 else N0South)) / (k0 * rectA)
-    val eta = (easting - E0) / (k0 * rectA)
+  def inverse(easting: Double, northing: Double, zone: Int, north: Boolean): (Double, Double) =
+    inverseTm(easting, northing, zoneLon0(zone), k0, E0, if (north) 0.0 else N0South)
+
+  /** Generalized TM inverse — see [[forwardTm]]. */
+  def inverseTm(easting: Double, northing: Double, lon0: Double, k: Double,
+                e0: Double, n0: Double): (Double, Double) = {
+    val xi = (northing - n0) / (k * rectA)
+    val eta = (easting - e0) / (k * rectA)
     var xip = xi; var etap = eta
     var j = 0
     while (j < 6) {
-      val k = 2.0 * (j + 1)
-      xip -= be(j) * math.sin(k * xi) * math.cosh(k * eta)
-      etap -= be(j) * math.cos(k * xi) * math.sinh(k * eta)
+      val kk = 2.0 * (j + 1)
+      xip -= be(j) * math.sin(kk * xi) * math.cosh(kk * eta)
+      etap -= be(j) * math.cos(kk * xi) * math.sinh(kk * eta)
       j += 1
     }
     val chi = math.asin(math.sin(xip) / math.cosh(etap))
@@ -131,7 +147,7 @@ object Utm {
       j += 1
     }
     val lam = math.atan2(math.sinh(etap), math.cos(xip))
-    (zoneLon0(zone) + math.toDegrees(lam), math.toDegrees(phi))
+    (lon0 + math.toDegrees(lam), math.toDegrees(phi))
   }
 
   private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))

@@ -122,6 +122,8 @@ object F {
         "dbf_record"     -> (e => DbfRecord(e(0), e(1).eval(null).toString)),
         "dbf_fields"     -> (e => DbfFields(e(0), e(1).eval(null).toString)),
         "dither_fs"      -> (e => DitherFs(e(0), e(1), e(2))),
+        "tm_forward"       -> (e => TmTransform(e, forward = true)),
+        "tm_inverse"       -> (e => TmTransform(e, forward = false)),
         "gpkg_blob"        -> (e => GpkgBlob(e(0), e(1))),
         "gpkg_cell"        -> (e => GpkgCell(e)),
         "gpkg_cell_fields" -> (e => GpkgCellFields(e.head)))

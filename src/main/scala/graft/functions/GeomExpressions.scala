@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -845,4 +846,34 @@ case class StLineSubstring(first: Expression, second: Expression, third: Express
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
   override def prettyName: String = "st_line_substring"
+}
+
+/** tm_forward / tm_inverse — the generalized Transverse Mercator
+  * (Gauss-Krüger) transform with explicit projection parameters
+  * (reference: ogr/ogr_spatialref.cpp :: OGRSpatialReference::SetTM —
+  * central meridian, scale factor, false easting/northing; SetUTM is its
+  * fixed-parameter wrapper). Returns struct(x, y); the Krüger series is
+  * core/Utm.forwardTm/inverseTm, bit-shared with the q73/q76 UTM path. */
+case class TmTransform(children: Seq[Expression], forward: Boolean)
+    extends Expression with CodegenFallback {
+  require(children.length == 6,
+    "tm_forward/tm_inverse(a, b, lon0, k0, false_e, false_n)")
+  override def dataType: DataType = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else {
+      val d = vs.map(_.asInstanceOf[Double])
+      val (x, y) =
+        if (forward) graft.core.Utm.forwardTm(d(0), d(1), d(2), d(3), d(4), d(5))
+        else graft.core.Utm.inverseTm(d(0), d(1), d(2), d(3), d(4), d(5))
+      InternalRow(x, y)
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs, forward)
+  override def prettyName: String = if (forward) "tm_forward" else "tm_inverse"
 }
