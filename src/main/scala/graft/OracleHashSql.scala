@@ -957,6 +957,109 @@ FROM fin
 """
   }
 
+  /** q249: per-point Albers Equal-Area forward (Snyder/EPSG-9822,
+    * core/Albers.forward) replicated op-for-op under the q80 discipline:
+    * derived constants (n, C, ρ0) embedded as the engine's exact runtime
+    * doubles, identical IEEE op order — only transcendental ULPs remain,
+    * absorbed by the cm quantization. Both supported CRS are GRS80, so
+    * e / e² are single shared literals. */
+  def q249Albers(qptsSql: String): String = {
+    val c1 = graft.core.Albers.crs5070; val c2 = graft.core.Albers.crs3577
+    def d(x: Double): String = java.lang.Double.toString(x)
+    val e = d(c1.e); val e2 = d(c1.e2)
+    s"""
+WITH qp AS ($qptsSql),
+c AS (
+  SELECT q_id, lon, lat,
+    CASE WHEN q_id % 2 = 0 THEN 5070 ELSE 3577 END AS epsg,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.n)} ELSE ${d(c2.n)} END AS cn,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.bigC)} ELSE ${d(c2.bigC)} END AS cc,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.rho0)} ELSE ${d(c2.rho0)} END AS rho0,
+    CASE WHEN q_id % 2 = 0 THEN -96.0 ELSE 132.0 END AS lon0
+  FROM qp),
+w AS (
+  SELECT *, CASE WHEN lon - lon0 > 180.0 THEN lon - lon0 - 360.0
+                 WHEN lon - lon0 < -180.0 THEN lon - lon0 + 360.0
+                 ELSE lon - lon0 END AS lamd FROM c),
+s1 AS (SELECT *, (lat / 180.0) * pi() AS phi, (lamd / 180.0) * pi() AS lam FROM w),
+s2 AS (SELECT *, sin(phi) AS sphi FROM s1),
+s3 AS (SELECT *,
+    (1.0 - $e2) * (sphi / (1.0 - $e2 * sphi * sphi)
+      - (1.0 / (2.0 * $e)) * ln((1.0 - $e * sphi) / (1.0 + $e * sphi))) AS q
+  FROM s2),
+s4 AS (SELECT *, 6378137.0 * sqrt(cc - cn * q) / cn AS rho, cn * lam AS th FROM s3),
+fin AS (
+  SELECT q_id, epsg,
+    rho * sin(th) AS e_m,
+    rho0 - rho * cos(th) AS n_m
+  FROM s4)
+SELECT q_id, CAST(epsg AS INT) AS epsg,
+  CAST(floor(e_m * 100.0 + 0.5) AS BIGINT) AS e_cm,
+  CAST(floor(n_m * 100.0 + 0.5) AS BIGINT) AS n_cm
+FROM fin
+"""
+  }
+
+  /** q250: per-row Albers Equal-Area inverse (core/Albers.inverse) —
+    * asin(q′/2) seed then the Snyder 3-16 Newton step unrolled to the
+    * engine's exact 6 iterations (each a (sin, 1−e²s²) CTE feeding the
+    * update, so the shared subexpressions evaluate once per step exactly
+    * like the engine's locals); n<0 (EPSG:3577) flips both atan2 args via
+    * the embedded sgn literal. 1e-6-degree quantization (q81 trick). */
+  def q250AlbersInv: String = {
+    val c1 = graft.core.Albers.crs5070; val c2 = graft.core.Albers.crs3577
+    def d(x: Double): String = java.lang.Double.toString(x)
+    val e = d(c1.e); val e2 = d(c1.e2)
+    def step(k: Int): String = {
+      val p = s"p${k - 1}"
+      s"""g$k AS (SELECT *, sin($p) AS s$k FROM ${if (k == 1) "i0" else s"i${k - 1}"}),
+h$k AS (SELECT *, 1.0 - $e2 * s$k * s$k AS om$k FROM g$k),
+i$k AS (SELECT *, $p + (om$k * om$k) / (2.0 * cos($p)) *
+    (qp / (1.0 - $e2) - s$k / om$k
+      + (1.0 / (2.0 * $e)) * ln((1.0 - $e * s$k) / (1.0 + $e * s$k))) AS p$k FROM h$k)"""
+    }
+    s"""
+WITH sp AS (SELECT s_suppkey AS q_id FROM supplier),
+c AS (
+  SELECT q_id,
+    CASE WHEN q_id % 2 = 0 THEN 5070 ELSE 3577 END AS epsg,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.n)} ELSE ${d(c2.n)} END AS cn,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.bigC)} ELSE ${d(c2.bigC)} END AS cc,
+    CASE WHEN q_id % 2 = 0 THEN ${d(c1.rho0)} ELSE ${d(c2.rho0)} END AS rho0,
+    CASE WHEN q_id % 2 = 0 THEN -96.0 ELSE 132.0 END AS lon0,
+    CASE WHEN q_id % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM sp),
+b AS (
+  SELECT *,
+    CAST((q_id * 69621) % 2000001 AS DOUBLE) - 1000000.0 AS e_m,
+    CAST((q_id * 40692) % 3000001 AS DOUBLE) - 1500000.0 AS n_m
+  FROM c),
+x0 AS (SELECT *, e_m AS dx, rho0 - n_m AS dy FROM b),
+r1 AS (SELECT *, sqrt(dx * dx + dy * dy) AS rhop FROM x0),
+r2 AS (SELECT *,
+    (cc - (rhop * rhop) * (cn * cn) / (6378137.0 * 6378137.0)) / cn AS qp,
+    atan2(sgn * dx, sgn * dy) / cn AS lam
+  FROM r1),
+i0 AS (SELECT *, asin(qp / 2.0) AS p0 FROM r2),
+${(1 to 6).map(step).mkString(",\n")},
+fin AS (
+  SELECT q_id, epsg,
+    lon0 + (lam * 180.0) / pi() AS lon_r,
+    (p6 * 180.0) / pi() AS lat
+  FROM i6),
+fw AS (
+  SELECT q_id, epsg,
+    CASE WHEN lon_r > 180.0 THEN lon_r - 360.0
+         WHEN lon_r < -180.0 THEN lon_r + 360.0
+         ELSE lon_r END AS lon, lat
+  FROM fin)
+SELECT q_id, CAST(epsg AS INT) AS epsg,
+  CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS lon_e6,
+  CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS lat_e6
+FROM fw
+"""
+  }
+
   /** q80: per-point LCC 2SP forward (Snyder/EPSG-9802, core/Lcc.forward)
     * replicated op-for-op under the q73 discipline: derived projection
     * constants (n, a·F, ρ0) embedded as the engine's exact runtime doubles,

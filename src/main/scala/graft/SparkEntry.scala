@@ -4765,6 +4765,45 @@ object SparkEntry {
           expr("CAST(floor(inv.x * 1000000.0 + 0.3) AS BIGINT)").as("lon_udeg"),
           expr("CAST(floor(inv.y * 1000000.0 + 0.3) AS BIGINT)").as("lat_udeg"))
     }),
+    "q249_albers_forward" -> ((s, dir) => {
+      // Albers Equal-Area conic forward (reference: ogr/ogr_spatialref.cpp
+      // :: OGRSpatialReference::SetACEA via ogrct.cpp; Snyder/EPSG 9822,
+      // core/Albers.forward): each query point forward-projects into an
+      // AEA CRS chosen per row — EPSG:5070 Conus Albers (even q_id, n>0)
+      // or EPSG:3577 Australian Albers (odd, the southern-parallel n<0
+      // case) — cm-quantized; the oracle replays the Snyder chain
+      // op-for-op with the engine's derived constants as literals (q80
+      // trick). Plan: scan → project, shuffle-free.
+      F.ensureRegistered(s)
+      Synth.queryPoints(s, dir)
+        .withColumn("epsg", when(col("q_id") % 2 === 0, lit(5070))
+          .otherwise(lit(3577)).cast("int"))
+        .withColumn("u", call_function("st_transform",
+          F.st_point(col("lon"), col("lat")), lit(4326), col("epsg")))
+        .select(col("q_id"), col("epsg"),
+          expr("CAST(floor(st_x(u) * 100.0 + 0.5) AS BIGINT)").as("e_cm"),
+          expr("CAST(floor(st_y(u) * 100.0 + 0.5) AS BIGINT)").as("n_cm"))
+    }),
+    "q250_albers_inverse" -> ((s, dir) => {
+      // Albers Equal-Area inverse leg: deterministic integer-meter
+      // easting/northing around each CRS's (0,0) false origin back to
+      // 4326 through core/Albers.inverse — asin(q'/2) seed + the Snyder
+      // 3-16 Newton step unrolled to exactly 6 iterations so the oracle
+      // replays the same chain; the n<0 CRS exercises the sign-reversed
+      // atan2. 1e-6-degree quantization (q81 trick). Shuffle-free.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("epsg", when(col("q_id") % 2 === 0, lit(5070))
+          .otherwise(lit(3577)).cast("int"))
+        .withColumn("e_m", ((col("q_id") * 69621) % 2000001).cast("double") - 1000000.0)
+        .withColumn("n_m", ((col("q_id") * 40692) % 3000001).cast("double") - 1500000.0)
+        .withColumn("u", F.st_transform(
+          F.st_point(col("e_m"), col("n_m")), col("epsg"), lit(4326)))
+        .select(col("q_id"), col("epsg"),
+          expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
+          expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
+    }),
     "q247_best_of_n" -> ((s, dir) =>
       // Best-of-N rejection sampling (RAFT, Dong et al. 2023; the
       // rejection-sampling fine-tuning step of Llama-2-chat): candidates
@@ -8561,7 +8600,9 @@ object SparkEntry {
          CAST(k.best - c.reward AS BIGINT) AS margin
        FROM c JOIN k ON k.prompt_id = c.prompt_id
        JOIN kid ON kid.prompt_id = c.prompt_id""",
-    "q248_gauss_kruger" -> OracleHashSql.q248GaussKruger(qptsSql)
+    "q248_gauss_kruger" -> OracleHashSql.q248GaussKruger(qptsSql),
+    "q249_albers_forward" -> OracleHashSql.q249Albers(qptsSql),
+    "q250_albers_inverse" -> OracleHashSql.q250AlbersInv
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

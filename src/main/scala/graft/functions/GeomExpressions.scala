@@ -603,14 +603,15 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
 
   private def supported(srid: Int): Boolean =
     srid == 4326 || srid == 3857 || srid == 27700 || graft.core.Utm.isUtm(srid) ||
-      graft.core.Lcc.isLcc(srid) || graft.core.Ps.isPs(srid)
+      graft.core.Lcc.isLcc(srid) || graft.core.Ps.isPs(srid) ||
+      graft.core.Albers.isAlbers(srid)
 
   override def nullSafeEval(g0: Any, s0: Any, d0: Any): Any = {
     val g = GeomOps.fromWkb(g0.asInstanceOf[Array[Byte]]).copy()
     val src = s0.asInstanceOf[Int]; val dst = d0.asInstanceOf[Int]
     if (src == dst) return GeomIO.toWkb(g)
     require(supported(src) && supported(dst),
-      s"st_transform supports 4326, 3857, UTM 326xx/327xx, LCC 2154/3978, polar-stereo 3031/3413 and BNG 27700, got $src->$dst")
+      s"st_transform supports 4326, 3857, UTM 326xx/327xx, LCC 2154/3978, polar-stereo 3031/3413, Albers 5070/3577 and BNG 27700, got $src->$dst")
     g.apply(new org.locationtech.jts.geom.CoordinateFilter {
       override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
         // hop 1: src → geodetic lon/lat
@@ -622,6 +623,9 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
           lon = ll._1; lat = ll._2
         } else if (graft.core.Ps.isPs(src)) {
           val ll = graft.core.Ps.inverse(c.x, c.y, graft.core.Ps.byEpsg(src))
+          lon = ll._1; lat = ll._2
+        } else if (graft.core.Albers.isAlbers(src)) {
+          val ll = graft.core.Albers.inverse(c.x, c.y, graft.core.Albers.byEpsg(src))
           lon = ll._1; lat = ll._2
         } else if (src == 27700) {
           val ll = graft.core.Bng.inverse(c.x, c.y)
@@ -640,6 +644,9 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
           c.x = en._1; c.y = en._2
         } else if (graft.core.Ps.isPs(dst)) {
           val en = graft.core.Ps.forward(lon, lat, graft.core.Ps.byEpsg(dst))
+          c.x = en._1; c.y = en._2
+        } else if (graft.core.Albers.isAlbers(dst)) {
+          val en = graft.core.Albers.forward(lon, lat, graft.core.Albers.byEpsg(dst))
           c.x = en._1; c.y = en._2
         } else if (dst == 27700) {
           val en = graft.core.Bng.forward(lon, lat)

@@ -257,6 +257,70 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(latw - 50.0) < 1e-9 && math.abs(lonw - (179.0 - 360.0)) < 1e-9)
   }
 
+  test("Albers: equal-area Jacobian identity, anchors, n<0 case, round-trip") {
+    import graft.core.Albers
+    for (c <- Seq(Albers.crs5070, Albers.crs3577)) {
+      // false-origin anchor: (λ0, φ0) maps to exactly (FE, FN) = (0, 0)
+      val lat0 = if (c.epsg == 5070) 23.0 else 0.0
+      val (e0, n0) = Albers.forward(c.lon0Deg, lat0, c)
+      assert(math.abs(e0) < 1e-6 && math.abs(n0) < 1e-6, s"origin anchor ${c.epsg}")
+      // equal-area defining property: the areal scale factor of the
+      // projected image is EXACTLY 1 everywhere — checked numerically via
+      // a central-difference Jacobian against the ellipsoidal area element
+      // dA = M·N·cosφ (a structural check on the whole n/C/ρ derivation,
+      // independent of any test vector)
+      val a = 6378137.0; val e2 = c.e2
+      for (dlon <- Seq(-100.0, -30.0, 0.0, 40.0); lat <- Seq(-60.0, -20.0, 10.0, 45.0, 70.0)) {
+        val lon = c.lon0Deg + dlon
+        val h = 1e-5 // degrees
+        val (exp, eyp) = Albers.forward(lon + h, lat, c)
+        val (exm, eym) = Albers.forward(lon - h, lat, c)
+        val (fxp, fyp) = Albers.forward(lon, lat + h, c)
+        val (fxm, fym) = Albers.forward(lon, lat - h, c)
+        val dXdl = (exp - exm) / (2 * h); val dYdl = (eyp - eym) / (2 * h)
+        val dXdf = (fxp - fxm) / (2 * h); val dYdf = (fyp - fym) / (2 * h)
+        val jac = math.abs(dXdl * dYdf - dYdl * dXdf) // m² per deg²
+        val phi = math.toRadians(lat); val s = math.sin(phi)
+        val w2 = 1.0 - e2 * s * s
+        val bigM = a * (1.0 - e2) / (w2 * math.sqrt(w2))
+        val bigN = a / math.sqrt(w2)
+        val dA = bigM * bigN * math.cos(phi) * math.pow(math.Pi / 180.0, 2)
+        assert(math.abs(jac / dA - 1.0) < 1e-6,
+          s"areal scale != 1 at ($lon,$lat) epsg ${c.epsg}: ${jac / dA}")
+      }
+      // round-trip grid across the CRS's working area and beyond
+      for (dloni <- -150 to 150 by 50; lati <- -75 to 75 by 25) {
+        val lon0 = c.lon0Deg + dloni
+        val lon = if (lon0 > 180) lon0 - 360 else if (lon0 < -180) lon0 + 360 else lon0
+        val lat = lati.toDouble
+        val (e, n) = Albers.forward(lon, lat, c)
+        val (lon2, lat2) = Albers.inverse(e, n, c)
+        assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+          s"round-trip drift at ($lon,$lat) epsg ${c.epsg}: ($lon2,$lat2)")
+      }
+      // C − n·q stays positive over the whole globe (forward never √-fails)
+      for (lati <- -90 to 90 by 5) {
+        val q = c.qf(math.toRadians(lati.toDouble))
+        assert(c.bigC - c.n * q >= 0.0, s"C - n·q < 0 at φ=$lati epsg ${c.epsg}")
+      }
+    }
+    // the n<0 CRS: cone constant negative, ρ0 negative, and a point far
+    // west of λ0 round-trips onto the canonical (−180, 180] branch (the
+    // inverse wraps its output longitude — unlike LCC's unwrapped exit,
+    // pinned there; both behaviors are documented)
+    assert(Albers.crs3577.n < 0 && Albers.crs3577.rho0 < 0)
+    val (ew, nw) = Albers.forward(-104.9903, 39.7392, Albers.crs3577)
+    val (lonw, latw) = Albers.inverse(ew, nw, Albers.crs3577)
+    assert(math.abs(lonw - (-104.9903)) < 1e-9 && math.abs(latw - 39.7392) < 1e-9)
+    // public-registry plausibility anchors (values from the validated
+    // formula replication; magnitudes match the published CRS extents):
+    // Denver in Conus Albers, Sydney in Australian Albers
+    val (de, dn) = Albers.forward(-104.9903, 39.7392, Albers.crs5070)
+    assert(math.abs(de - -762409.05) < 0.5 && math.abs(dn - 1893843.60) < 0.5)
+    val (se, sn) = Albers.forward(151.2093, -33.8688, Albers.crs3577)
+    assert(math.abs(se - 1760981.53) < 0.5 && math.abs(sn - -3828749.39) < 0.5)
+  }
+
   test("st_transform routes LCC <-> 4326 and chains to mercator") {
     val spark = TestSpark.spark
     import spark.implicits._
