@@ -1060,6 +1060,56 @@ FROM fw
 """
   }
 
+  /** q251: A-Res weighted reservoir sampling — the mix64(doc_id) uniform
+    * replayed through the HUGEINT SplitMix64 chain, power-of-two weight
+    * buckets, and the u^(1/w) key as 0–3 correctly-rounded sqrt
+    * applications (bit-exact in both engines, so even the ORDER BY on the
+    * key is deterministic); top-10 per lang by (key desc, doc_id). */
+  def q251WeightedReservoir: String =
+    s"""
+WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+w AS (SELECT doc_id, lang,
+    CASE WHEN n_chars < 150 THEN 1 WHEN n_chars < 300 THEN 2
+         WHEN n_chars < 450 THEN 4 ELSE 8 END AS w
+  FROM d),
+m AS (SELECT *, ${mix64("doc_id::HUGEINT")} % 9007199254740992 AS um FROM w),
+u AS (SELECT *, CAST(um + 1 AS DOUBLE) / 9007199254740992.0 AS u FROM m),
+k AS (SELECT *, CASE w WHEN 1 THEN u WHEN 2 THEN sqrt(u)
+                       WHEN 4 THEN sqrt(sqrt(u)) ELSE sqrt(sqrt(sqrt(u))) END AS key
+  FROM u),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rnk FROM k)
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, CAST(w AS BIGINT) AS w,
+  CAST(floor(key * 4503599627370496.0) AS BIGINT) AS key_f
+FROM r WHERE rnk <= 10
+"""
+
+  /** q252: character-distribution Shannon entropy — the engine's exact
+    * HOF chain replayed with DuckDB list functions: codepoint-sorted
+    * distinct chars, per-char p as the identical IEEE division, and the
+    * −Σ p·ln p fold LEFT-ASSOC over the same sorted order (list_reduce
+    * seeded by a prepended 0.0 = Spark's aggregate zero); only ln ULPs
+    * differ, absorbed by the milli quantum. */
+  def q252CharEntropy: String =
+    s"""
+WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           FROM documents),
+n0 AS (SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n FROM d),
+cx AS (SELECT *, CASE WHEN n = 0 THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(range(1, n + 1), i -> substring(norm, CAST(i AS INT), 1)) END AS cs
+  FROM n0),
+dx AS (SELECT *, list_sort(list_distinct(cs)) AS ds FROM cx),
+px AS (SELECT *, list_transform(ds,
+    ch -> CAST(len(list_filter(cs, c -> c = ch)) AS DOUBLE) / CAST(n AS DOUBLE)) AS ps
+  FROM dx),
+en AS (SELECT *, -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(ps, p -> p * ln(p))), (acc, t) -> acc + t)) / ln(2.0) AS ent
+  FROM px)
+SELECT doc_id, n AS n_chars_norm, CAST(len(ds) AS BIGINT) AS n_distinct,
+  CAST(floor(ent * 1000.0 + 0.5) AS BIGINT) AS ent_milli,
+  CASE WHEN CAST(floor(ent * 1000.0 + 0.5) AS BIGINT) < 4000 THEN 'low' ELSE 'ok' END AS verdict
+FROM en
+"""
+
   /** q80: per-point LCC 2SP forward (Snyder/EPSG-9802, core/Lcc.forward)
     * replicated op-for-op under the q73 discipline: derived projection
     * constants (n, a·F, ρ0) embedded as the engine's exact runtime doubles,

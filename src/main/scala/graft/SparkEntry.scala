@@ -4804,6 +4804,72 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q251_weighted_reservoir" -> ((s, dir) => {
+      // A-Res weighted reservoir sampling WITHOUT replacement (Efraimidis
+      // & Spirakis 2006 — the standard distributed weighted sampler; each
+      // item draws key u^(1/w) and the k largest keys per stratum are the
+      // sample, exactly equivalent to sequential weighted draws). The
+      // per-doc uniform is the 53-bit mix64(doc_id) hash mapped into
+      // (0, 1]; weights are POWER-OF-TWO length buckets (1/2/4/8), so
+      // u^(1/w) is 0–3 applications of IEEE-754 sqrt — correctly rounded
+      // in every engine — and the key is BIT-EXACT with zero
+      // transcendental risk (the q244 sqrt discipline; an arbitrary-w
+      // u^(1/w) would need pow/exp and per-engine ULP drift in the
+      // ORDERING, not just the output).
+      // 100-TB shape: key synthesis is map-side; a SALTED partial top-k
+      // window (lang, um % S) prunes to ≤ S·k rows per stratum before
+      // the exact per-stratum window — the top-k of the per-bucket
+      // top-ks IS the global top-k (every global winner survives its own
+      // bucket's cut), so the corpus never sorts on one stratum key and
+      // a mega-stratum costs S bounded sorts.
+      F.ensureRegistered(s)
+      val k = 10; val salts = 8
+      val keyed = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("w", expr(
+          "CASE WHEN n_chars < 150 THEN 1L WHEN n_chars < 300 THEN 2L WHEN n_chars < 450 THEN 4L ELSE 8L END"))
+        .withColumn("um", expr("mix64(doc_id) & 9007199254740991L"))
+        .withColumn("u", expr("CAST(um + 1L AS DOUBLE) / 9007199254740992.0D"))
+        .withColumn("key", expr(
+          "CASE w WHEN 1L THEN u WHEN 2L THEN sqrt(u) WHEN 4L THEN sqrt(sqrt(u)) ELSE sqrt(sqrt(sqrt(u))) END"))
+      val pre = Window.partitionBy(col("lang"), pmod(col("um"), lit(salts)))
+        .orderBy(col("key").desc, col("doc_id"))
+      val fin = Window.partitionBy("lang").orderBy(col("key").desc, col("doc_id"))
+      keyed
+        .withColumn("prank", row_number().over(pre)).where(col("prank") <= k)
+        .withColumn("rnk", row_number().over(fin).cast("long")).where(col("rnk") <= k)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("w"),
+          // key ∈ (0, 1] scaled by 2^52 — a pure exponent shift, so the
+          // BIGINT is the key's exact leading bits on both engines
+          expr("CAST(floor(key * 4503599627370496.0D) AS BIGINT)").as("key_f"))
+    }),
+    "q252_char_entropy" -> ((s, dir) => {
+      // Character-distribution Shannon entropy — the gibberish /
+      // low-diversity quality gate (keyboard-mash and repeated-char docs
+      // score near 0 bits; natural prose sits ~4 bits/char): over the
+      // fingerprint-law normalization (lower + whitespace collapse +
+      // trim), H = −Σ p_c·ln(p_c) / ln 2 with the sum folded LEFT-ASSOC
+      // over codepoint-SORTED distinct chars — a fixed op order both
+      // engines replay; only ln ULPs remain, absorbed by the milli
+      // quantum. 100-TB shape: pure map-side HOF chain (no explode, no
+      // shuffle — the alphabet is bounded, so the per-doc
+      // distinct×filter scan is O(|Σ|·n) flat compute inside codegen).
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("norm", expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"))
+        .withColumn("n", expr("CAST(length(norm) AS BIGINT)"))
+        .withColumn("cs", expr(
+          "CASE WHEN n = 0 THEN CAST(array() AS ARRAY<STRING>) " +
+            "ELSE transform(sequence(1, CAST(n AS INT)), i -> substring(norm, i, 1)) END"))
+        .withColumn("ds", expr("array_sort(array_distinct(cs))"))
+        .withColumn("ps", expr(
+          "transform(ds, ch -> CAST(size(filter(cs, c -> c = ch)) AS DOUBLE) / CAST(n AS DOUBLE))"))
+        .withColumn("ent", expr(
+          "-(aggregate(transform(ps, p -> p * ln(p)), 0.0D, (acc, t) -> acc + t)) / ln(2.0D)"))
+        .select(col("doc_id"), col("n").as("n_chars_norm"),
+          expr("CAST(size(ds) AS BIGINT)").as("n_distinct"),
+          expr("CAST(floor(ent * 1000.0D + 0.5D) AS BIGINT)").as("ent_milli"),
+          expr("CASE WHEN CAST(floor(ent * 1000.0D + 0.5D) AS BIGINT) < 4000L THEN 'low' ELSE 'ok' END")
+            .as("verdict"))
+    }),
     "q247_best_of_n" -> ((s, dir) =>
       // Best-of-N rejection sampling (RAFT, Dong et al. 2023; the
       // rejection-sampling fine-tuning step of Llama-2-chat): candidates
@@ -8602,7 +8668,9 @@ object SparkEntry {
        JOIN kid ON kid.prompt_id = c.prompt_id""",
     "q248_gauss_kruger" -> OracleHashSql.q248GaussKruger(qptsSql),
     "q249_albers_forward" -> OracleHashSql.q249Albers(qptsSql),
-    "q250_albers_inverse" -> OracleHashSql.q250AlbersInv
+    "q250_albers_inverse" -> OracleHashSql.q250AlbersInv,
+    "q251_weighted_reservoir" -> OracleHashSql.q251WeightedReservoir,
+    "q252_char_entropy" -> OracleHashSql.q252CharEntropy
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

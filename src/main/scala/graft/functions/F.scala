@@ -103,6 +103,7 @@ object F {
         "style_params"   -> (e => StyleParams(e.head)),
         "quality_score"  -> (e => QualityScore(e.head)),
         "fingerprint64"  -> (e => Fingerprint64(e.head)),
+        "mix64"          -> (e => Mix64(e.head)),
         "cosine_sim"     -> (e => CosineSim(e(0), e(1))),
         "fixed_dot"      -> (e => FixedDot(e(0), e(1), e(2))),
         "sign_lsh_buckets" -> (e => SignLshBuckets(e(0), e(1), e(2))),

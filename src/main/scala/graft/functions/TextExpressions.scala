@@ -100,6 +100,21 @@ case class Fingerprint64(child: Expression)
   override def prettyName: String = "fingerprint64"
 }
 
+/** mix64(x) → long: the bare SplitMix64 finalizer over a BIGINT — the
+  * integer-keyed member of the engine's deterministic hash family (the
+  * string hashes above run the same mix after their polynomial fold).
+  * Used where a per-row uniform must derive from a numeric id with an
+  * oracle-replayable bit pattern (the HUGEINT mix64 chain in
+  * OracleHashSql replays it mod 2^64). */
+case class Mix64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextCore.mix64(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "mix64"
+}
+
 /** cosine_sim(a, b) over array<float> embeddings (sequential fold,
   * deterministic order). */
 case class CosineSim(left: Expression, right: Expression)

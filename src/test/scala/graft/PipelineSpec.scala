@@ -813,4 +813,68 @@ class PipelineSpec extends AnyFunSuite {
     val out = graft.core.Resample.downsample2x2Rms(px, 4, 4)
     assert(out.toSeq == Seq(2.5, 5.0, 1.0, 1.0))
   }
+
+  test("A-Res weighted reservoir (q251): salted two-stage top-k equals direct top-k; weight monotonicity") {
+    // the q251 law: global per-stratum top-k of the per-salt-bucket
+    // top-ks == direct per-stratum top-k (every global winner survives
+    // its own bucket's cut) — pinned on the real corpus by re-deriving
+    // the direct top-k on the driver from the same keys
+    F.ensureRegistered(spark)
+    val k = 10
+    val keyed = docsTable
+      .withColumn("w", expr(
+        "CASE WHEN n_chars < 150 THEN 1L WHEN n_chars < 300 THEN 2L WHEN n_chars < 450 THEN 4L ELSE 8L END"))
+      .withColumn("um", expr("mix64(doc_id) & 9007199254740991L"))
+      .withColumn("u", expr("CAST(um + 1L AS DOUBLE) / 9007199254740992.0D"))
+      .withColumn("key", expr(
+        "CASE w WHEN 1L THEN u WHEN 2L THEN sqrt(u) WHEN 4L THEN sqrt(sqrt(u)) ELSE sqrt(sqrt(sqrt(u))) END"))
+      .select(col("lang"), col("doc_id"), col("w"), col("key"))
+    val rows = keyed.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val direct = rows.groupBy(_._1).toSeq.flatMap { case (lang, rs) =>
+      rs.sortBy(r => (-r._4, r._2)).take(k).zipWithIndex
+        .map { case (r, i) => (lang, (i + 1).toLong, r._2) }.toSeq
+    }.toSet
+    val engine = SparkEntry.queries("q251_weighted_reservoir")(spark, TestSpark.SfSmall)
+      .select("lang", "rnk", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(engine == direct, "two-stage salted top-k diverged from the direct per-stratum top-k")
+    // A-Res law: the key is monotone in w for a fixed uniform — a heavier
+    // doc with the same u always ranks at least as high (u ∈ (0,1] ⇒
+    // each extra sqrt moves the key toward 1)
+    val u0 = 0.37
+    val ks = Seq(u0, math.sqrt(u0), math.sqrt(math.sqrt(u0)), math.sqrt(math.sqrt(math.sqrt(u0))))
+    assert(ks == ks.sorted, "u^(1/w) must increase with w for u < 1")
+  }
+
+  test("char entropy (q252): closed-form anchors and normalization law") {
+    F.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaa"),           // single symbol → exactly 0 bits
+      (2L, "abab"),           // two equiprobable symbols → exactly 1 bit
+      (3L, "abcd"),           // four equiprobable symbols → exactly 2 bits
+      (4L, "AB  ab\tAB"),     // normalization: lower + ws collapse → "ab ab ab"
+      (5L, "")                // empty → 0 bits, 0 distinct
+    ).toDF("doc_id", "text")
+    val ent = df
+      .withColumn("norm", expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"))
+      .withColumn("n", expr("CAST(length(norm) AS BIGINT)"))
+      .withColumn("cs", expr(
+        "CASE WHEN n = 0 THEN CAST(array() AS ARRAY<STRING>) " +
+          "ELSE transform(sequence(1, CAST(n AS INT)), i -> substring(norm, i, 1)) END"))
+      .withColumn("ds", expr("array_sort(array_distinct(cs))"))
+      .withColumn("ps", expr(
+        "transform(ds, ch -> CAST(size(filter(cs, c -> c = ch)) AS DOUBLE) / CAST(n AS DOUBLE))"))
+      .withColumn("ent", expr(
+        "-(aggregate(transform(ps, p -> p * ln(p)), 0.0D, (acc, t) -> acc + t)) / ln(2.0D)"))
+      .select("doc_id", "ent", "n").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(math.abs(ent(1L)._1) < 1e-12)
+    assert(math.abs(ent(2L)._1 - 1.0) < 1e-12)
+    assert(math.abs(ent(3L)._1 - 2.0) < 1e-12)
+    // "ab ab ab": n=8, p(a)=p(b)=3/8, p(space)=2/8 → H = 1.5613 bits
+    val h = -(3.0 / 8 * math.log(3.0 / 8) * 2 + 2.0 / 8 * math.log(2.0 / 8)) / math.log(2.0)
+    assert(ent(4L)._2 == 8L && math.abs(ent(4L)._1 - h) < 1e-12)
+    assert(ent(5L)._1 == 0.0 || ent(5L)._1.abs < 1e-300) // −0.0 tolerated
+  }
 }
