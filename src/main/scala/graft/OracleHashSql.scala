@@ -1110,6 +1110,47 @@ SELECT doc_id, n AS n_chars_norm, CAST(len(ds) AS BIGINT) AS n_distinct,
 FROM en
 """
 
+  /** q253: Hilbert curve index — the core/Hilbert.xy2d rotate-and-flip
+    * walk UNROLLED to the 8 levels of the order-8 grid (s = 128 … 1),
+    * pure &, CASE, xor integer arithmetic on both engine and oracle; run
+    * once per (point, east-neighbor) variant via an exploded two-row
+    * table and folded back with a conditional max. Bit-exact — no floats
+    * anywhere past the tile snap (whose /·× chain is IEEE-identical). */
+  def q253Hilbert(qptsSql: String): String = {
+    def step(k: Int): String = {
+      val s = 1L << (8 - k)
+      val prev = if (k == 1) "h0" else s"h${k - 1}"
+      s"""r$k AS (SELECT q_id, wh, x, y, d,
+    CASE WHEN (x & $s) <> 0 THEN 1 ELSE 0 END AS rx,
+    CASE WHEN (y & $s) <> 0 THEN 1 ELSE 0 END AS ry FROM $prev),
+h$k AS (SELECT q_id, wh,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ($s - 1) - y ELSE y END) ELSE x END AS x,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ($s - 1) - x ELSE x END) ELSE y END AS y,
+    d + $s * $s * xor(3 * rx, ry) AS d
+  FROM r$k)"""
+    }
+    s"""
+WITH qp AS ($qptsSql),
+base AS (
+  SELECT q_id,
+    CAST(floor((lon + 180.0) / 360.0 * 256.0) AS BIGINT) AS tx,
+    CAST(floor((90.0 - lat) / 180.0 * 256.0) AS BIGINT) AS ty
+  FROM qp),
+v AS (SELECT q_id, tx, ty, (tx + 1) % 256 AS txr FROM base),
+pts AS (SELECT q_id, 0 AS wh, tx AS x, ty AS y FROM v
+        UNION ALL SELECT q_id, 1, txr, ty FROM v),
+h0 AS (SELECT q_id, wh, x, y, CAST(0 AS BIGINT) AS d FROM pts),
+${(1 to 8).map(step).mkString(",\n")},
+agg AS (
+  SELECT q_id,
+    max(CASE WHEN wh = 0 THEN d END) AS h,
+    max(CASE WHEN wh = 1 THEN d END) AS hr
+  FROM h8 GROUP BY q_id)
+SELECT v.q_id, v.tx, v.ty, agg.h, agg.hr - agg.h AS dh
+FROM v JOIN agg ON agg.q_id = v.q_id
+"""
+  }
+
   /** q80: per-point LCC 2SP forward (Snyder/EPSG-9802, core/Lcc.forward)
     * replicated op-for-op under the q73 discipline: derived projection
     * constants (n, a·F, ρ0) embedded as the engine's exact runtime doubles,

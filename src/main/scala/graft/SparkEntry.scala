@@ -4804,6 +4804,26 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q253_hilbert_locality" -> ((s, dir) => {
+      // Hilbert-curve cell keys (north star: "Hilbert/Z-order interleaved
+      // cell keys"; core/Hilbert.xy2d — the rotate-and-flip bit walk):
+      // each query point lands on the order-8 (256×256) geodetic tile
+      // grid and gets its Hilbert index plus the index DELTA to the
+      // east-neighbor tile — the locality signal that makes
+      // Hilbert-sorted layouts tighten row-group min-max envelopes past
+      // Z-order (HilbertLocalitySpec quantifies the advantage; the
+      // oracle replays the full 8-level integer chain unrolled).
+      // Plan: scan → codegen'd projection, shuffle-free.
+      F.ensureRegistered(s)
+      Synth.queryPoints(s, dir)
+        .withColumn("tx", expr("CAST(floor((lon + 180.0D) / 360.0D * 256.0D) AS BIGINT)"))
+        .withColumn("ty", expr("CAST(floor((90.0D - lat) / 180.0D * 256.0D) AS BIGINT)"))
+        .withColumn("txr", expr("(tx + 1L) % 256L"))
+        .withColumn("h", call_function("hilbert_d", col("tx"), col("ty"), lit(8)))
+        .withColumn("hr", call_function("hilbert_d", col("txr"), col("ty"), lit(8)))
+        .select(col("q_id"), col("tx"), col("ty"), col("h"),
+          (col("hr") - col("h")).as("dh"))
+    }),
     "q251_weighted_reservoir" -> ((s, dir) => {
       // A-Res weighted reservoir sampling WITHOUT replacement (Efraimidis
       // & Spirakis 2006 — the standard distributed weighted sampler; each
@@ -8670,7 +8690,8 @@ object SparkEntry {
     "q249_albers_forward" -> OracleHashSql.q249Albers(qptsSql),
     "q250_albers_inverse" -> OracleHashSql.q250AlbersInv,
     "q251_weighted_reservoir" -> OracleHashSql.q251WeightedReservoir,
-    "q252_char_entropy" -> OracleHashSql.q252CharEntropy
+    "q252_char_entropy" -> OracleHashSql.q252CharEntropy,
+    "q253_hilbert_locality" -> OracleHashSql.q253Hilbert(qptsSql)
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

@@ -185,3 +185,20 @@ case class CellAtZoom(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
   override def prettyName: String = "cell_at_zoom"
 }
+
+/** hilbert_d(x, y, order) → the Hilbert curve index of tile (x, y) on the
+  * 2^order grid (core/Hilbert.xy2d) — the locality-tightest of the north
+  * star's "Hilbert/Z-order interleaved cell keys". Stays inside
+  * whole-stage codegen via a static call like its Z-order siblings. */
+case class HilbertD(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x0: Any, y0: Any, o0: Any): Any =
+    graft.core.Hilbert.xy2d(o0.asInstanceOf[Int], x0.asInstanceOf[Long], y0.asInstanceOf[Long])
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (x, y, o) => s"graft.core.Hilbert.xy2d($o, $x, $y)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+  override def prettyName: String = "hilbert_d"
+}

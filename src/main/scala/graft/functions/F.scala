@@ -93,6 +93,7 @@ object F {
         "cells_cover"    -> (e => CellsCover(e(0), e(1))),
         "cells_cover_merc" -> (e => CellsCover(e(0), e(1), mercator = true)),
         "cell_at_zoom"   -> (e => CellAtZoom(e(0), e(1))),
+        "hilbert_d"      -> (e => HilbertD(e(0), e(1), e(2))),
         "minhash_sig"    -> (e => MinhashSig(e(0), e(1), e(2))),
         "lsh_bands"      -> (e => LshBands(e(0), e(1), e(2))),
         "simhash64"      -> (e => Simhash64(e.head)),

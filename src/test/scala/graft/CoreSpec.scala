@@ -321,6 +321,50 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(se - 1760981.53) < 0.5 && math.abs(sn - -3828749.39) < 0.5)
   }
 
+  test("Hilbert curve: bijection, unit-step adjacency, locality beats Morton") {
+    import graft.core.{Hilbert, ZCell}
+    // bijection + round trip over the full order-4 grid (256 cells)
+    val n = 4; val side = 1 << n
+    val ds = for (x <- 0L until side; y <- 0L until side) yield Hilbert.xy2d(n, x, y)
+    assert(ds.toSet == (0L until side.toLong * side).toSet, "xy2d is not a bijection")
+    for (d <- 0L until side.toLong * side) {
+      val (x, y) = Hilbert.d2xy(n, d)
+      assert(Hilbert.xy2d(n, x, y) == d, s"round trip broke at d=$d")
+    }
+    // THE Hilbert property: consecutive indices are grid-ADJACENT
+    // (|Δx|+|Δy| = 1 always); Morton's key-order walk jumps (Chebyshev
+    // distance up to 2^(n-1)) at quadrant seams
+    var mortonMaxJump = 0L
+    for (d <- 0L until side.toLong * side - 1) {
+      val (x1, y1) = Hilbert.d2xy(n, d); val (x2, y2) = Hilbert.d2xy(n, d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"non-unit step at d=$d")
+    }
+    val mortonOrder = (for (x <- 0L until side; y <- 0L until side)
+      yield ((ZCell.pack(n, x, y), x, y))).sortBy(_._1)
+    for (i <- 0 until mortonOrder.length - 1) {
+      val (_, x1, y1) = mortonOrder(i); val (_, x2, y2) = mortonOrder(i + 1)
+      mortonMaxJump = math.max(mortonMaxJump,
+        math.max(math.abs(x1 - x2), math.abs(y1 - y2)))
+    }
+    assert(mortonMaxJump >= (side / 2), s"expected Morton seam jumps, got $mortonMaxJump")
+    // row-group envelope metric (the scan-pruning quantity): key-order
+    // cells in groups of 16; sum of group bbox areas must be tighter for
+    // Hilbert than Morton (strictly, on this grid)
+    def envelopeArea(order: Seq[(Long, Long)]): Long =
+      order.grouped(16).map { g =>
+        val xs = g.map(_._1); val ys = g.map(_._2)
+        (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+      }.sum
+    val hilbOrder = (0L until side.toLong * side).map(Hilbert.d2xy(n, _))
+    val hilbArea = envelopeArea(hilbOrder)
+    val mortArea = envelopeArea(mortonOrder.map(t => (t._2, t._3)))
+    assert(hilbArea <= mortArea,
+      s"Hilbert row-group envelopes ($hilbArea) should not exceed Morton's ($mortArea)")
+    // order-8 spot anchors (the q253 grid): corners of the first quadrant walk
+    assert(Hilbert.xy2d(8, 0, 0) == 0L)
+    assert(Hilbert.xy2d(8, 255, 0) == (1L << 16) - 1) // curve ends at (side-1, 0)
+  }
+
   test("st_transform routes LCC <-> 4326 and chains to mercator") {
     val spark = TestSpark.spark
     import spark.implicits._
