@@ -1151,6 +1151,40 @@ FROM v JOIN agg ON agg.q_id = v.q_id
 """
   }
 
+  /** q254: rotated-geotransform round trip — the identical arithmetic
+    * chain as the engine (dyadic-exact forward; the GDALInvGeoTransform
+    * 2×2 inversion with its inv_det division chain mirrored op-for-op),
+    * so only division ULPs could differ — and they can't, IEEE division
+    * is correctly rounded on both engines over identical operand bits. */
+  def q254RotatedGt: String =
+    s"""
+WITH sp AS (SELECT s_suppkey AS q_id FROM supplier),
+g AS (
+  SELECT q_id,
+    -64.0 + CAST(q_id % 17 AS DOUBLE) / 4.0 AS x0,
+    0.25 + CAST(q_id % 5 AS DOUBLE) / 64.0 AS dx,
+    CAST(q_id % 9 - 4 AS DOUBLE) / 64.0 AS rx,
+    32.0 - CAST(q_id % 13 AS DOUBLE) / 8.0 AS y0,
+    CAST(q_id % 7 - 3 AS DOUBLE) / 64.0 AS ry,
+    -(0.25 + CAST(q_id % 3 AS DOUBLE) / 32.0) AS dy,
+    CAST(q_id % 50 AS DOUBLE) AS px,
+    CAST((q_id * 3) % 40 AS DOUBLE) AS py
+  FROM sp),
+f AS (SELECT *, x0 + px * dx + py * rx AS gx, y0 + px * ry + py * dy AS gy FROM g),
+d AS (SELECT *, 1.0 / (dx * dy - rx * ry) AS inv_det FROM f),
+i AS (SELECT *,
+    (rx * y0 - dy * x0) * inv_det AS g0, dy * inv_det AS g1, -(rx) * inv_det AS g2,
+    (ry * x0 - dx * y0) * inv_det AS g3, -(ry) * inv_det AS g4, dx * inv_det AS g5
+  FROM d),
+b AS (SELECT *, g0 + gx * g1 + gy * g2 AS pxb, g3 + gx * g4 + gy * g5 AS pyb FROM i)
+SELECT q_id,
+  CAST(floor(gx * 1048576.0 + 0.5) AS BIGINT) AS gx_fx,
+  CAST(floor(gy * 1048576.0 + 0.5) AS BIGINT) AS gy_fx,
+  CAST(floor(pxb * 1000000.0 + 0.5) AS BIGINT) AS px_u,
+  CAST(floor(pyb * 1000000.0 + 0.5) AS BIGINT) AS py_u
+FROM b
+"""
+
   /** q80: per-point LCC 2SP forward (Snyder/EPSG-9802, core/Lcc.forward)
     * replicated op-for-op under the q73 discipline: derived projection
     * constants (n, a·F, ρ0) embedded as the engine's exact runtime doubles,

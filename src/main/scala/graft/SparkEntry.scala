@@ -4804,6 +4804,45 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q254_rotated_gt" -> ((s, dir) => {
+      // ROTATED/SHEARED geotransform apply + invert (reference:
+      // gcore/gdaltransformer.cpp :: GDALApplyGeoTransform +
+      // GDALInvGeoTransform — the full 6-coefficient affine with nonzero
+      // rotation terms GT[2]/GT[4], which the tile-grid rasters elsewhere
+      // in this engine never exercise): per row a dyadic-exact sheared GT
+      // maps integer pixel (px,py) → geo (X,Y) EXACTLY, then the
+      // 2×2-inversion law (det, inv_det, the six inverse coefficients)
+      // maps it back; the only rounding is the inv_det division chain,
+      // identical IEEE ops on both engines, absorbed by the micro-pixel
+      // quantum. Plan: scan → codegen'd projection, shuffle-free.
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("x0", expr("-64.0D + CAST(q_id % 17 AS DOUBLE) / 4.0D"))
+        .withColumn("dx", expr("0.25D + CAST(q_id % 5 AS DOUBLE) / 64.0D"))
+        .withColumn("rx", expr("CAST(q_id % 9 - 4 AS DOUBLE) / 64.0D"))
+        .withColumn("y0", expr("32.0D - CAST(q_id % 13 AS DOUBLE) / 8.0D"))
+        .withColumn("ry", expr("CAST(q_id % 7 - 3 AS DOUBLE) / 64.0D"))
+        .withColumn("dy", expr("-(0.25D + CAST(q_id % 3 AS DOUBLE) / 32.0D)"))
+        .withColumn("px", expr("CAST(q_id % 50 AS DOUBLE)"))
+        .withColumn("py", expr("CAST((q_id * 3) % 40 AS DOUBLE)"))
+        .withColumn("gx", expr("x0 + px * dx + py * rx"))
+        .withColumn("gy", expr("y0 + px * ry + py * dy"))
+        .withColumn("det", expr("dx * dy - rx * ry"))
+        .withColumn("inv_det", expr("1.0D / det"))
+        .withColumn("g0", expr("(rx * y0 - dy * x0) * inv_det"))
+        .withColumn("g1", expr("dy * inv_det"))
+        .withColumn("g2", expr("-(rx) * inv_det"))
+        .withColumn("g3", expr("(ry * x0 - dx * y0) * inv_det"))
+        .withColumn("g4", expr("-(ry) * inv_det"))
+        .withColumn("g5", expr("dx * inv_det"))
+        .withColumn("pxb", expr("g0 + gx * g1 + gy * g2"))
+        .withColumn("pyb", expr("g3 + gx * g4 + gy * g5"))
+        .select(col("q_id"),
+          expr("CAST(floor(gx * 1048576.0D + 0.5D) AS BIGINT)").as("gx_fx"),
+          expr("CAST(floor(gy * 1048576.0D + 0.5D) AS BIGINT)").as("gy_fx"),
+          expr("CAST(floor(pxb * 1000000.0D + 0.5D) AS BIGINT)").as("px_u"),
+          expr("CAST(floor(pyb * 1000000.0D + 0.5D) AS BIGINT)").as("py_u"))
+    }),
     "q253_hilbert_locality" -> ((s, dir) => {
       // Hilbert-curve cell keys (north star: "Hilbert/Z-order interleaved
       // cell keys"; core/Hilbert.xy2d — the rotate-and-flip bit walk):
@@ -8691,7 +8730,8 @@ object SparkEntry {
     "q250_albers_inverse" -> OracleHashSql.q250AlbersInv,
     "q251_weighted_reservoir" -> OracleHashSql.q251WeightedReservoir,
     "q252_char_entropy" -> OracleHashSql.q252CharEntropy,
-    "q253_hilbert_locality" -> OracleHashSql.q253Hilbert(qptsSql)
+    "q253_hilbert_locality" -> OracleHashSql.q253Hilbert(qptsSql),
+    "q254_rotated_gt" -> OracleHashSql.q254RotatedGt
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
