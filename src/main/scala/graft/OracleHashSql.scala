@@ -1185,6 +1185,56 @@ SELECT q_id,
 FROM b
 """
 
+  /** q255: GDALSuggestedWarpOutput — the identical edge-ring sampling,
+    * web-mercator forward (the q19/q60 spherical replay), bbox agg and
+    * diagonal pixel-size law; only exp/ln/tan ULPs differ, absorbed by
+    * the cm/micro quanta and the reference's own +0.5 size rounding. */
+  def q255SuggestedWarp: String =
+    s"""
+WITH sp AS (SELECT s_suppkey AS q_id FROM supplier),
+r AS (
+  SELECT q_id, 20 * (1 + q_id % 4) AS w, 20 * (1 + q_id % 3) AS h,
+    -100.0 + CAST(q_id % 9 AS DOUBLE) * 16.0 AS x0,
+    60.0 - CAST(q_id % 7 AS DOUBLE) * 12.0 AS y0
+  FROM sp),
+ring AS (
+  SELECT r.*, i.i AS i, j.j AS j FROM r,
+    generate_series(0, 20) i(i), generate_series(0, 3) j(j)),
+pxy AS (
+  SELECT *,
+    CASE WHEN j < 2 THEN CAST(i AS DOUBLE) * CAST(w AS DOUBLE) / 20.0
+         WHEN j = 2 THEN 0.0 ELSE CAST(w AS DOUBLE) END AS px,
+    CASE WHEN j = 0 THEN 0.0 WHEN j = 1 THEN CAST(h AS DOUBLE)
+         ELSE CAST(i AS DOUBLE) * CAST(h AS DOUBLE) / 20.0 END AS py
+  FROM ring),
+ll AS (SELECT *, x0 + px * 0.5 AS lon, y0 + py * -0.5 AS lat FROM pxy),
+mm AS (SELECT *,
+    lon * (pi() * 6378137.0) / 180.0 AS mx,
+    ln(tan((90.0 + lat) * pi() / 360.0)) * 6378137.0 AS my
+  FROM ll),
+agg AS (
+  SELECT q_id, w, h, x0, y0,
+    min(mx) AS minx, max(mx) AS maxx, min(my) AS miny, max(my) AS maxy
+  FROM mm GROUP BY q_id, w, h, x0, y0),
+cor AS (SELECT *,
+    x0 * (pi() * 6378137.0) / 180.0 AS c1x,
+    ln(tan((90.0 + y0) * pi() / 360.0)) * 6378137.0 AS c1y,
+    (x0 + CAST(w AS DOUBLE) * 0.5) * (pi() * 6378137.0) / 180.0 AS c2x,
+    ln(tan((90.0 + (y0 + CAST(h AS DOUBLE) * -0.5)) * pi() / 360.0)) * 6378137.0 AS c2y
+  FROM agg),
+ps AS (SELECT *,
+    sqrt((c2x - c1x) * (c2x - c1x) + (c2y - c1y) * (c2y - c1y))
+      / sqrt(CAST(w * w + h * h AS DOUBLE)) AS psize
+  FROM cor)
+SELECT q_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+  CAST(floor((maxx - minx) / psize + 0.5) AS BIGINT) AS npx,
+  CAST(floor((maxy - miny) / psize + 0.5) AS BIGINT) AS npy,
+  CAST(floor(psize * 1000000.0 + 0.5) AS BIGINT) AS psize_u,
+  CAST(floor(minx * 100.0 + 0.5) AS BIGINT) AS gt_x0_cm,
+  CAST(floor(maxy * 100.0 + 0.5) AS BIGINT) AS gt_y0_cm
+FROM ps
+"""
+
   /** q80: per-point LCC 2SP forward (Snyder/EPSG-9802, core/Lcc.forward)
     * replicated op-for-op under the q73 discipline: derived projection
     * constants (n, a·F, ρ0) embedded as the engine's exact runtime doubles,

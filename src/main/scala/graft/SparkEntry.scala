@@ -4804,6 +4804,56 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q255_suggested_warp" -> ((s, dir) => {
+      // GDALSuggestedWarpOutput (reference: alg/gdaltransformer.cpp ::
+      // GDALSuggestedWarpOutput2 — the gdalwarp output-grid negotiation
+      // every warp run starts with): sample the source edge ring (21
+      // points per edge, the reference's density), transform to the dst
+      // CRS (web mercator here), take the bbox; the suggested SQUARE
+      // pixel size is transformed-corner-diagonal distance over source
+      // diagonal pixel count; out size = bbox/pixel-size rounded with
+      // the reference's (int)(x+0.5); dst GT anchors north-up at
+      // (minX, maxY). 100-TB shape: per-raster edge ring explodes
+      // map-side (84 rows/raster), ONE hash agg keyed by raster id, then
+      // closed-form per-row math — negotiating a million rasters is one
+      // shuffle of 84M 24-byte rows.
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("w", expr("20L * (1L + q_id % 4)"))
+        .withColumn("h", expr("20L * (1L + q_id % 3)"))
+        .withColumn("x0", expr("-100.0D + CAST(q_id % 9 AS DOUBLE) * 16.0D"))
+        .withColumn("y0", expr("60.0D - CAST(q_id % 7 AS DOUBLE) * 12.0D"))
+        .withColumn("i", explode(expr("sequence(0, 20)")))
+        .withColumn("j", explode(expr("sequence(0, 3)")))
+        .withColumn("px", expr(
+          """CASE WHEN j < 2 THEN CAST(i AS DOUBLE) * CAST(w AS DOUBLE) / 20.0D
+             WHEN j = 2 THEN 0.0D ELSE CAST(w AS DOUBLE) END"""))
+        .withColumn("py", expr(
+          """CASE WHEN j = 0 THEN 0.0D WHEN j = 1 THEN CAST(h AS DOUBLE)
+             ELSE CAST(i AS DOUBLE) * CAST(h AS DOUBLE) / 20.0D END"""))
+        .withColumn("lon", expr("x0 + px * 0.5D"))
+        .withColumn("lat", expr("y0 + py * -0.5D"))
+        .withColumn("mx", expr("lon * (pi() * 6378137.0D) / 180.0D"))
+        .withColumn("my", expr("ln(tan((90.0D + lat) * pi() / 360.0D)) * 6378137.0D"))
+        .groupBy("q_id", "w", "h", "x0", "y0")
+        .agg(min("mx").as("minx"), max("mx").as("maxx"),
+          min("my").as("miny"), max("my").as("maxy"))
+        .withColumn("c1x", expr("x0 * (pi() * 6378137.0D) / 180.0D"))
+        .withColumn("c1y", expr("ln(tan((90.0D + y0) * pi() / 360.0D)) * 6378137.0D"))
+        .withColumn("c2x", expr("(x0 + CAST(w AS DOUBLE) * 0.5D) * (pi() * 6378137.0D) / 180.0D"))
+        .withColumn("c2y", expr(
+          "ln(tan((90.0D + (y0 + CAST(h AS DOUBLE) * -0.5D)) * pi() / 360.0D)) * 6378137.0D"))
+        .withColumn("diag", expr(
+          "sqrt((c2x - c1x) * (c2x - c1x) + (c2y - c1y) * (c2y - c1y))"))
+        .withColumn("psize", expr(
+          "diag / sqrt(CAST(w * w + h * h AS DOUBLE))"))
+        .select(col("q_id"), col("w"), col("h"),
+          expr("CAST(floor((maxx - minx) / psize + 0.5D) AS BIGINT)").as("npx"),
+          expr("CAST(floor((maxy - miny) / psize + 0.5D) AS BIGINT)").as("npy"),
+          expr("CAST(floor(psize * 1000000.0D + 0.5D) AS BIGINT)").as("psize_u"),
+          expr("CAST(floor(minx * 100.0D + 0.5D) AS BIGINT)").as("gt_x0_cm"),
+          expr("CAST(floor(maxy * 100.0D + 0.5D) AS BIGINT)").as("gt_y0_cm"))
+    }),
     "q254_rotated_gt" -> ((s, dir) => {
       // ROTATED/SHEARED geotransform apply + invert (reference:
       // gcore/gdaltransformer.cpp :: GDALApplyGeoTransform +
@@ -8731,7 +8781,8 @@ object SparkEntry {
     "q251_weighted_reservoir" -> OracleHashSql.q251WeightedReservoir,
     "q252_char_entropy" -> OracleHashSql.q252CharEntropy,
     "q253_hilbert_locality" -> OracleHashSql.q253Hilbert(qptsSql),
-    "q254_rotated_gt" -> OracleHashSql.q254RotatedGt
+    "q254_rotated_gt" -> OracleHashSql.q254RotatedGt,
+    "q255_suggested_warp" -> OracleHashSql.q255SuggestedWarp
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
