@@ -4804,6 +4804,47 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q256_ogr_vrt" -> ((s, dir) => {
+      // OGR VRT virtual-vector driver (reference: ogr/ogrsf_frmts/vrt/
+      // ogrvrtlayer.cpp :: OGRVRTLayer::FullInitialize): an XML layer
+      // config — parsed ONCE at plan time through the shared tolerant
+      // XML reader, exercising comments AND a CDATA description — maps a
+      // CSV source's fields (rename name→label, v→metric) and
+      // synthesizes point geometry from the lon/lat columns
+      // (encoding="PointFromColumns"). Per row: RFC-4180 write →
+      // quote-aware split → index shuffle → WKT parse-back; %.2f quarter
+      // coordinates keep every leg bit-exact UNQUANTIZED (q142 law).
+      // Shuffle-free scan → project.
+      F.ensureRegistered(s)
+      val vrt = """<?xml version="1.0"?>
+<!-- VRT layer over the per-row CSV source -->
+<OGRVRTDataSource>
+  <OGRVRTLayer name="docs">
+    <SrcDataSource relativeToVRT="1">features.csv</SrcDataSource>
+    <Description><![CDATA[synthetic layer <for> the VRT driver]]></Description>
+    <GeometryType>wkbPoint</GeometryType>
+    <GeometryField encoding="PointFromColumns" x="lon" y="lat"/>
+    <Field name="label" src="name" type="String"/>
+    <Field name="metric" src="v" type="Integer"/>
+  </OGRVRTLayer>
+</OGRVRTDataSource>"""
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("lon", expr("CAST((q_id * 7919) % 1441 AS DOUBLE) / 4.0D - 180.0D"))
+        .withColumn("lat", expr("CAST((q_id * 104729) % 641 AS DOUBLE) / 4.0D - 80.0D"))
+        .withColumn("name", format_string("doc %d, \"t%d\"", col("q_id"), col("q_id") % 5))
+        .withColumn("line", call_function("csv_line", array(
+          col("q_id").cast("string"), col("name"),
+          format_string("%.2f", col("lon")), format_string("%.2f", col("lat")),
+          (col("q_id") % 97).cast("string"))))
+        .withColumn("f", call_function("vrt_feature", col("line"),
+          lit(vrt), lit("id,name,lon,lat,v")))
+        .select(col("q_id"),
+          expr("f[0]").as("layer"), expr("f[1]").as("label"),
+          expr("CAST(f[2] AS BIGINT)").as("metric"),
+          F.st_x(call_function("st_geomfromwkt", expr("f[3]"))).as("x"),
+          F.st_y(call_function("st_geomfromwkt", expr("f[3]"))).as("y"))
+    }),
     "q255_suggested_warp" -> ((s, dir) => {
       // GDALSuggestedWarpOutput (reference: alg/gdaltransformer.cpp ::
       // GDALSuggestedWarpOutput2 — the gdalwarp output-grid negotiation
@@ -8782,7 +8823,19 @@ object SparkEntry {
     "q252_char_entropy" -> OracleHashSql.q252CharEntropy,
     "q253_hilbert_locality" -> OracleHashSql.q253Hilbert(qptsSql),
     "q254_rotated_gt" -> OracleHashSql.q254RotatedGt,
-    "q255_suggested_warp" -> OracleHashSql.q255SuggestedWarp
+    "q255_suggested_warp" -> OracleHashSql.q255SuggestedWarp,
+    "q256_ogr_vrt" ->
+      """WITH sp AS (SELECT s_suppkey AS q_id FROM supplier),
+b AS (SELECT q_id,
+    CAST((q_id * 7919) % 1441 AS DOUBLE) / 4.0 - 180.0 AS lon,
+    CAST((q_id * 104729) % 641 AS DOUBLE) / 4.0 - 80.0 AS lat
+  FROM sp)
+SELECT q_id, 'docs' AS layer,
+  printf('doc %d, "t%d"', q_id, q_id % 5) AS label,
+  CAST(q_id % 97 AS BIGINT) AS metric,
+  CAST(printf('%.2f', lon) AS DOUBLE) AS x,
+  CAST(printf('%.2f', lat) AS DOUBLE) AS y
+FROM b"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

@@ -116,6 +116,8 @@ object F {
         "shingles64"     -> (e => Shingles64(e(0), e(1))),
         "hash64"         -> (e => Hash64(e.head)),
         "csv_fields"     -> (e => CsvFields(e.head)),
+        "vrt_feature"    -> (e => VrtFeature(e(0),
+          e(1).eval(null).toString, e(2).eval(null).toString)),
         "shp_record"     -> (e => ShpRecord(e(0), e(1))),
         "shp_recnum"     -> (e => ShpRecNum(e.head)),
         "shp_geom"       -> (e => ShpGeom(e.head)),

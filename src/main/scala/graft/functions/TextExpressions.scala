@@ -361,6 +361,28 @@ case class CsvFields(child: Expression)
   override def prettyName: String = "csv_fields"
 }
 
+/** vrt_feature(line; VRT config and CSV header fixed at plan time) →
+  * array<string> [layerName, mapped fields…, wkt]: the OGR VRT layer
+  * applied to one CSV record (core/OgrVrt — reference ogr/ogrsf_frmts/
+  * vrt/ogrvrtlayer.cpp :: OGRVRTLayer with encoding="PointFromColumns").
+  * Config XML parses once per plan (the dbf_fields eager-literal
+  * pattern); per row only the quote-aware split + index shuffle run. */
+case class VrtFeature(child: Expression, cfgXml: String, headerStr: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val cfg = graft.core.OgrVrt.parse(cfgXml)
+  @transient private lazy val header = headerStr.split(",", -1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val rec = graft.core.OgrVrt.csvSplit(v.asInstanceOf[UTF8String].toString)
+    val out = graft.core.OgrVrt.feature(cfg, header, rec)
+    new GenericArrayData(out.map(UTF8String.fromString).toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c, cfgXml, headerStr)
+  override def prettyName: String = "vrt_feature"
+}
+
 /** hash64(text) → long: TextCore's base-31 polynomial + mix64 word hash
   * as a standalone scalar — the primitive the hashing-trick featurizer
   * (q188) keys dimensions and signs from. Same hash the shingle/minhash

@@ -321,6 +321,40 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(se - 1760981.53) < 0.5 && math.abs(sn - -3828749.39) < 0.5)
   }
 
+  test("OGR VRT layer: config parse (CDATA, comments), field mapping, PointFromColumns") {
+    import graft.core.OgrVrt
+    val xml = """<?xml version="1.0"?>
+<!-- comment before root -->
+<OGRVRTDataSource>
+  <OGRVRTLayer name="roads">
+    <SrcDataSource>a.csv</SrcDataSource>
+    <Description><![CDATA[raw <text> &amp; unescaped]]></Description>
+    <GeometryType>wkbPoint</GeometryType>
+    <GeometryField encoding="PointFromColumns" x="px" y="py"/>
+    <Field name="cls" src="road_class" type="String"/>
+    <Field name="speed" type="Integer"/>
+  </OGRVRTLayer>
+</OGRVRTDataSource>"""
+    val cfg = OgrVrt.parse(xml)
+    assert(cfg.name == "roads" && cfg.srcDataSource == "a.csv")
+    assert(cfg.encoding == "PointFromColumns" && cfg.xCol == "px" && cfg.yCol == "py")
+    // CDATA content comes through raw — no entity unescaping inside
+    assert(cfg.description.contains("raw <text> &amp; unescaped"))
+    // Field without src defaults to its own name (the reference's rule)
+    assert(cfg.fields == Vector(OgrVrt.FieldMap("cls", "road_class", "String"),
+      OgrVrt.FieldMap("speed", "speed", "Integer")))
+    val header = Array("id", "road_class", "px", "py", "speed")
+    val rec = OgrVrt.csvSplit("7,\"a,b \"\"x\"\"\",1.25,-3.50,90")
+    assert(rec.toSeq == Seq("7", "a,b \"x\"", "1.25", "-3.50", "90"))
+    val out = OgrVrt.feature(cfg, header, rec)
+    assert(out.toSeq == Seq("roads", "a,b \"x\"", "90", "POINT(1.25 -3.50)"))
+    // a src column missing from the header is a loud error, not a null
+    val bad = intercept[IllegalArgumentException] {
+      OgrVrt.feature(cfg, Array("id", "px", "py"), Array("1", "2", "3"))
+    }
+    assert(bad.getMessage.contains("road_class"))
+  }
+
   test("Hilbert curve: bijection, unit-step adjacency, locality beats Morton") {
     import graft.core.{Hilbert, ZCell}
     // bijection + round trip over the full order-4 grid (256 cells)
