@@ -4804,6 +4804,40 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q257_ogr_parse_date" -> ((s, dir) => {
+      // OGR datetime field parsing (reference: ogr/ogrutils.cpp ::
+      // OGRParseDate, the scanner behind every text driver's
+      // Date/DateTime fields): six per-row format variants — '-' and '/'
+      // separators, ' ' and 'T' time separators, date-only, fractional
+      // seconds, and the 'Z' / '+HH:MM' / '-HH:MM' / bare '+HH' timezone
+      // suffixes — parse back to components with the reference's TZFlag
+      // encoding (100 = GMT, ±15-minute steps: +02:30→110, -05:00→80,
+      // +03→112). Writer and parser graded together, all-integer,
+      // UNQUANTIZED. Shuffle-free scan → project.
+      F.ensureRegistered(s)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("y", expr("CAST(1970 + q_id % 55 AS INT)"))
+        .withColumn("mo", expr("CAST(1 + q_id % 12 AS INT)"))
+        .withColumn("dd", expr("CAST(1 + q_id % 28 AS INT)"))
+        .withColumn("hh", expr("CAST(q_id % 24 AS INT)"))
+        .withColumn("mi", expr("CAST((q_id * 7) % 60 AS INT)"))
+        .withColumn("ss", expr("CAST((q_id * 13) % 60 AS INT)"))
+        .withColumn("str", expr(
+          """CASE CAST(q_id % 6 AS INT)
+             WHEN 0 THEN format_string('%04d-%02d-%02d %02d:%02d:%02d', y, mo, dd, hh, mi, ss)
+             WHEN 1 THEN format_string('%04d/%02d/%02d %02d:%02d:%02d+02:30', y, mo, dd, hh, mi, ss)
+             WHEN 2 THEN format_string('%04d-%02d-%02dT%02d:%02d:%02dZ', y, mo, dd, hh, mi, ss)
+             WHEN 3 THEN format_string('%04d-%02d-%02d', y, mo, dd)
+             WHEN 4 THEN format_string('%04d-%02d-%02d %02d:%02d:%02d-05:00', y, mo, dd, hh, mi, ss)
+             ELSE format_string('%04d-%02d-%02d %02d:%02d:%02d.5+03', y, mo, dd, hh, mi, ss)
+             END"""))
+        .withColumn("p", call_function("ogr_parse_date", col("str")))
+        .select(col("q_id"), col("str"),
+          col("p.y").as("py"), col("p.m").as("pm"), col("p.d").as("pd"),
+          col("p.hh").as("phh"), col("p.mi").as("pmi"),
+          col("p.ss_milli").as("pss_milli"), col("p.tz").as("ptz"))
+    }),
     "q256_ogr_vrt" -> ((s, dir) => {
       // OGR VRT virtual-vector driver (reference: ogr/ogrsf_frmts/vrt/
       // ogrvrtlayer.cpp :: OGRVRTLayer::FullInitialize): an XML layer
@@ -8835,7 +8869,35 @@ SELECT q_id, 'docs' AS layer,
   CAST(q_id % 97 AS BIGINT) AS metric,
   CAST(printf('%.2f', lon) AS DOUBLE) AS x,
   CAST(printf('%.2f', lat) AS DOUBLE) AS y
-FROM b"""
+FROM b""",
+    "q257_ogr_parse_date" ->
+      """WITH sp AS (SELECT s_suppkey AS q_id FROM supplier),
+c AS (SELECT q_id,
+    CAST(1970 + q_id % 55 AS INTEGER) AS y,
+    CAST(1 + q_id % 12 AS INTEGER) AS mo,
+    CAST(1 + q_id % 28 AS INTEGER) AS dd,
+    CAST(q_id % 24 AS INTEGER) AS hh,
+    CAST((q_id * 7) % 60 AS INTEGER) AS mi,
+    CAST((q_id * 13) % 60 AS INTEGER) AS ss
+  FROM sp),
+s AS (SELECT *, CASE CAST(q_id % 6 AS INTEGER)
+    WHEN 0 THEN printf('%04d-%02d-%02d %02d:%02d:%02d', y, mo, dd, hh, mi, ss)
+    WHEN 1 THEN printf('%04d/%02d/%02d %02d:%02d:%02d+02:30', y, mo, dd, hh, mi, ss)
+    WHEN 2 THEN printf('%04d-%02d-%02dT%02d:%02d:%02dZ', y, mo, dd, hh, mi, ss)
+    WHEN 3 THEN printf('%04d-%02d-%02d', y, mo, dd)
+    WHEN 4 THEN printf('%04d-%02d-%02d %02d:%02d:%02d-05:00', y, mo, dd, hh, mi, ss)
+    ELSE printf('%04d-%02d-%02d %02d:%02d:%02d.5+03', y, mo, dd, hh, mi, ss)
+    END AS str FROM c)
+SELECT q_id, str, y AS py, mo AS pm, dd AS pd,
+  CAST(CASE WHEN q_id % 6 = 3 THEN 0 ELSE hh END AS INTEGER) AS phh,
+  CAST(CASE WHEN q_id % 6 = 3 THEN 0 ELSE mi END AS INTEGER) AS pmi,
+  CAST(CASE WHEN q_id % 6 = 3 THEN 0
+            WHEN q_id % 6 = 5 THEN ss * 1000 + 500
+            ELSE ss * 1000 END AS INTEGER) AS pss_milli,
+  CAST(CASE CAST(q_id % 6 AS INTEGER)
+       WHEN 1 THEN 110 WHEN 2 THEN 100 WHEN 4 THEN 80 WHEN 5 THEN 112
+       ELSE 0 END AS INTEGER) AS ptz
+FROM s"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

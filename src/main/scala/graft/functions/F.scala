@@ -118,6 +118,7 @@ object F {
         "csv_fields"     -> (e => CsvFields(e.head)),
         "vrt_feature"    -> (e => VrtFeature(e(0),
           e(1).eval(null).toString, e(2).eval(null).toString)),
+        "ogr_parse_date" -> (e => OgrParseDate(e.head)),
         "shp_record"     -> (e => ShpRecord(e(0), e(1))),
         "shp_recnum"     -> (e => ShpRecNum(e.head)),
         "shp_geom"       -> (e => ShpGeom(e.head)),

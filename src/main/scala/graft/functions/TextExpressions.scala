@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -381,6 +382,28 @@ case class VrtFeature(child: Expression, cfgXml: String, headerStr: String)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(c, cfgXml, headerStr)
   override def prettyName: String = "vrt_feature"
+}
+
+/** ogr_parse_date(s) → struct(y,m,d,hh,mi,ss_milli,tz): the OGR datetime
+  * field scanner (core/OgrDate — reference ogr/ogrutils.cpp ::
+  * OGRParseDate) with the TZFlag encoding (100 = GMT, ±15-minute steps). */
+case class OgrParseDate(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("y", IntegerType, nullable = false),
+    StructField("m", IntegerType, nullable = false),
+    StructField("d", IntegerType, nullable = false),
+    StructField("hh", IntegerType, nullable = false),
+    StructField("mi", IntegerType, nullable = false),
+    StructField("ss_milli", IntegerType, nullable = false),
+    StructField("tz", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val p = graft.core.OgrDate.parse(v.asInstanceOf[UTF8String].toString)
+    InternalRow(p.y, p.m, p.d, p.hh, p.mi, p.ssMilli, p.tzFlag)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "ogr_parse_date"
 }
 
 /** hash64(text) → long: TextCore's base-31 polynomial + mix64 word hash

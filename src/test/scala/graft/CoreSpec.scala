@@ -321,6 +321,29 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(se - 1760981.53) < 0.5 && math.abs(sn - -3828749.39) < 0.5)
   }
 
+  test("OGRParseDate: separators, fractions, TZFlag encoding, rejection") {
+    import graft.core.OgrDate
+    def p(s: String) = OgrDate.parse(s)
+    assert(p("2024-03-07 12:34:56") == OgrDate.Parsed(2024, 3, 7, 12, 34, 56000, 0))
+    assert(p("1999/12/31 23:59:59+02:30") == OgrDate.Parsed(1999, 12, 31, 23, 59, 59000, 110))
+    assert(p("2005-01-02T08:00:00Z") == OgrDate.Parsed(2005, 1, 2, 8, 0, 0, 100))
+    assert(p("2012-06-15") == OgrDate.Parsed(2012, 6, 15, 0, 0, 0, 0))
+    assert(p("2020-11-03 04:05:06-05:00") == OgrDate.Parsed(2020, 11, 3, 4, 5, 6000, 80))
+    // fractional right-padding: .5 → 500 ms, .55 → 550, .555 → 555
+    assert(p("2018-02-09 10:20:30.5+03").ssMilli == 30500)
+    assert(p("2018-02-09 10:20:30.55Z").ssMilli == 30550)
+    assert(p("2018-02-09 10:20:30.555").ssMilli == 30555)
+    assert(p("2018-02-09 10:20:30.5+03").tzFlag == 112)
+    // compact ±HHMM timezone (no colon)
+    assert(p("2018-02-09 10:20:30+0230").tzFlag == 110)
+    // minutes-only time (no seconds)
+    assert(p("2018-02-09 10:20") == OgrDate.Parsed(2018, 2, 9, 10, 20, 0, 0))
+    // single-digit month/day tolerance (the reference accepts them)
+    assert(p("2018-2-9") == OgrDate.Parsed(2018, 2, 9, 0, 0, 0, 0))
+    for (bad <- Seq("garbage", "2018-13-01", "2018-02-30 25:00:00", "2018-02-09x", "18-02-09"))
+      intercept[IllegalArgumentException] { p(bad) }
+  }
+
   test("OGR VRT layer: config parse (CDATA, comments), field mapping, PointFromColumns") {
     import graft.core.OgrVrt
     val xml = """<?xml version="1.0"?>
