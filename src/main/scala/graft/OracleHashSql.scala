@@ -1235,6 +1235,49 @@ SELECT q_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
 FROM ps
 """
 
+  /** q258: MMR greedy selection replayed as a recursive CTE — the pool
+    * and pairwise sims use the q26 fixed-dot subquery, the recursion
+    * carries the selected set as a LIST column and each step re-derives
+    * the argmax of rel − max(sim to picked) with the engine's exact
+    * BIGINT arithmetic and (obj desc, doc asc) tie law. */
+  def q258Mmr: String = {
+    def fdot(a: String, b: String): String =
+      s"""(SELECT CAST(sum(CAST(floor(CAST($a[i.i] AS DOUBLE)*1000000.0) AS BIGINT)
+                 * CAST(floor(CAST($b[i.i] AS DOUBLE)*1000000.0) AS BIGINT)) AS BIGINT)
+          FROM generate_series(1, 64) i(i))"""
+    s"""
+WITH RECURSIVE
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.qid, e.vec_id AS doc, e.embedding AS dv, ${fdot("q.qv", "e.embedding")} AS rel
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+pool AS (SELECT qid, doc, dv, rel FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc) AS rn FROM scored)
+  WHERE rn <= 20),
+sims AS (
+  SELECT a.qid, a.doc AS a, b.doc AS b, ${fdot("a.dv", "b.dv")} AS sim
+  FROM pool a JOIN pool b ON a.qid = b.qid AND a.doc <> b.doc),
+sel(qid, step, picked, doc, rel, obj) AS (
+  SELECT qid, 1, [doc], doc, rel, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc) AS rn FROM pool)
+    WHERE rn = 1
+  UNION ALL
+  SELECT qid, step, list_append(picked, doc), doc, rel, obj FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY obj DESC, doc) AS rn FROM (
+      SELECT s.qid, s.step + 1 AS step, s.picked, c.doc, c.rel,
+        c.rel - max(si.sim) AS obj
+      FROM sel s
+      JOIN pool c ON c.qid = s.qid AND NOT list_contains(s.picked, c.doc)
+      JOIN sims si ON si.qid = s.qid AND si.a = c.doc AND list_contains(s.picked, si.b)
+      WHERE s.step < 5
+      GROUP BY s.qid, s.step, s.picked, c.doc, c.rel))
+  WHERE rn = 1)
+SELECT qid AS query_id, CAST(step AS BIGINT) AS sel_rank, doc AS neighbor_id,
+  rel AS rel_fx, obj AS obj_fx
+FROM sel
+"""
+  }
+
   /** q80: per-point LCC 2SP forward (Snyder/EPSG-9802, core/Lcc.forward)
     * replicated op-for-op under the q73 discipline: derived projection
     * constants (n, a·F, ρ0) embedded as the engine's exact runtime doubles,

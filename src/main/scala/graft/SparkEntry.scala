@@ -4804,6 +4804,17 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q258_mmr_rerank" -> ((s, dir) =>
+      // MMR diversified re-ranking (Carbonell & Goldstein 1998; λ=1/2,
+      // exact BIGINT fixed-point objective — operators/Ann.mmrTopK):
+      // top-20 relevance pool per query via the broadcast brute top-k,
+      // then the greedy rel−max-sim selection of 5, every step
+      // bit-replayed by the oracle's recursive CTE
+      Ann.mmrTopK(
+        s.read.parquet(s"$dir/embeddings.parquet").where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding",
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        poolK = 20, outK = 5)),
     "q257_ogr_parse_date" -> ((s, dir) => {
       // OGR datetime field parsing (reference: ogr/ogrutils.cpp ::
       // OGRParseDate, the scanner behind every text driver's
@@ -8897,7 +8908,8 @@ SELECT q_id, str, y AS py, mo AS pm, dd AS pd,
   CAST(CASE CAST(q_id % 6 AS INTEGER)
        WHEN 1 THEN 110 WHEN 2 THEN 100 WHEN 4 THEN 80 WHEN 5 THEN 112
        ELSE 0 END AS INTEGER) AS ptz
-FROM s"""
+FROM s""",
+    "q258_mmr_rerank" -> OracleHashSql.q258Mmr
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

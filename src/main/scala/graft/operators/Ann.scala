@@ -41,6 +41,76 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  final case class MmrRow(query_id: Long, sel_rank: Long, neighbor_id: Long,
+                          rel_fx: Long, obj_fx: Long)
+
+  /** MMR diversified re-ranking (public: Carbonell & Goldstein 1998,
+    * "The Use of MMR, Diversity-Based Reranking…" — the standard
+    * retrieval diversifier, the re-rank stage RAG pipelines run after
+    * ANN): greedily select outK items from the top-poolK relevance pool,
+    * each step maximizing  rel(c) − max_{s∈selected} sim(c, s)  — the
+    * λ = 1/2 MMR objective with the λ/(1−λ) factor absorbed into the
+    * shared fixed-point scale, so the WHOLE selection is exact BIGINT
+    * arithmetic (the q26 fixed-dot law: Σ floor(aᵢ·10⁶)·floor(bᵢ·10⁶))
+    * and every greedy step is bit-reproducible by the SQL oracle's
+    * recursive CTE. First pick = pure relevance (max-sim over ∅ := 0).
+    * Ties break to the smaller neighbor id at every step.
+    *
+    * 100-TB shape: the pool is bruteTopK's broadcast map-side top-k (the
+    * corpus never shuffles); the greedy loop runs per query over ≤ poolK
+    * candidates — O(outK·poolK²·dim) bounded integer work after ONE
+    * query-keyed shuffle of poolK·(dim+3) longs per query. */
+  def mmrTopK(queries: DataFrame, qId: String, qVec: String,
+              data: DataFrame, dId: String, dVec: String,
+              poolK: Int, outK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pool = bruteTopK(queries, qId, qVec, data, dId, dVec, poolK)
+    val vecs = data.select(col(dId).as("neighbor_id"),
+      col(dVec).cast("array<double>").as("dv"))
+    pool.join(vecs, "neighbor_id")
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("score").cast("long"), col("dv"))
+      .as[(Long, Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Double])]) =>
+        val cand = it.toArray.sortBy(c => (-c._3, c._2)) // rel desc, id asc
+        val fx = cand.map(_._4.map(v => math.floor(v * 1000000.0).toLong).toArray)
+        val n = cand.length
+        val used = new Array[Boolean](n)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrRow]
+        var step = 1
+        while (step <= math.min(outK, n)) {
+          var best = -1; var bestObj = Long.MinValue; var bestId = Long.MaxValue
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              var maxSim = 0L // max-sim over the empty set is 0 (first pick)
+              if (selected.nonEmpty) {
+                maxSim = Long.MinValue
+                selected.foreach { j =>
+                  val a = fx(i); val b = fx(j)
+                  var d = 0L; var k2 = 0
+                  while (k2 < a.length) { d += a(k2) * b(k2); k2 += 1 }
+                  if (d > maxSim) maxSim = d
+                }
+              }
+              val obj = cand(i)._3 - maxSim
+              if (obj > bestObj || (obj == bestObj && cand(i)._2 < bestId)) {
+                best = i; bestObj = obj; bestId = cand(i)._2
+              }
+            }
+            i += 1
+          }
+          used(best) = true; selected += best
+          out += MmrRow(qid, step.toLong, cand(best)._2, cand(best)._3, bestObj)
+          step += 1
+        }
+        out.iterator
+      }.toDF()
+  }
+
   /** Banded sign-LSH top-k: `bands` independent hash tables of
     * `rowsPerBand` deterministic hyperplanes each (sign_lsh_buckets);
     * candidates = data points sharing ANY band bucket with the query

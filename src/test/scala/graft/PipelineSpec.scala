@@ -846,6 +846,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(ks == ks.sorted, "u^(1/w) must increase with w for u < 1")
   }
 
+  test("MMR re-rank (q258): first pick is pure-relevance argmax; picks distinct; penalty active") {
+    val emb = spark.read.parquet(s"${TestSpark.SfSmall}/embeddings.parquet")
+    val out = Ann.mmrTopK(emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+      emb, "vec_id", "embedding", poolK = 20, outK = 5).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 5 && out.length == 25)
+    val brute = Ann.bruteTopK(emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((q, rows) <- byQ) {
+      val sorted = rows.sortBy(_.getLong(1))
+      // first pick = the relevance argmax (max-sim over empty set is 0)
+      assert(sorted.head.getLong(2) == brute(q), s"query $q first pick != brute rank-1")
+      assert(sorted.head.getLong(3) == sorted.head.getLong(4), "rank-1 obj must equal rel")
+      // no repeats
+      assert(sorted.map(_.getLong(2)).distinct.length == 5)
+    }
+    // full driver replay of the greedy (the exact integer law) — the
+    // operator's distributed selection must match it row for row.
+    // (obj CAN exceed rel: max-sim over selected is negative when the
+    // nearest selected vector points away — that's correct MMR.)
+    val pool = Ann.bruteTopK(emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 20)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .select("query_id", "neighbor_id", "score", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Float](3).map(v => math.floor(v.toDouble * 1000000.0).toLong).toArray))
+    val expect = pool.groupBy(_._1).toSeq.flatMap { case (q, cs0) =>
+      val cs = cs0.sortBy(c => (-c._3, c._2)).toBuffer
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Array[Long])]
+      (1 to 5).map { step =>
+        val scoredCs = cs.map { c =>
+          val maxSim = if (sel.isEmpty) 0L
+            else sel.map(s => c._4.zip(s._4).map { case (a, b) => a * b }.sum).max
+          (c, c._3 - maxSim)
+        }
+        val (pick, obj) = scoredCs.minBy { case (c, o) => (-o, c._2) }
+        cs -= pick; sel += ((pick._1, pick._2, pick._3, pick._4))
+        (q, step.toLong, pick._2, pick._3, obj)
+      }
+    }.toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect, "distributed MMR diverged from the driver greedy replay")
+  }
+
   test("char entropy (q252): closed-form anchors and normalization law") {
     F.ensureRegistered(spark)
     import spark.implicits._
