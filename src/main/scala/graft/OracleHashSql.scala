@@ -3073,6 +3073,32 @@ SELECT CAST(it AS BIGINT) AS it, lhs, rhs, freq FROM ($union)"""
         i -> CAST(unicode(substr($s, CAST(i AS INT), 1)) AS HUGEINT))),
       (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT)"""
 
+  /** q260: MERGE INTO law — base FULL OUTER JOIN batch on doc_id with
+    * row-level source-wins, fingerprints via the fpReplay fold over the
+    * normalize law (the engine normalizes INSIDE fingerprint64, so the
+    * ' v2' suffix concatenates before normalization on both sides). */
+  def q260MergeUpsert: String = {
+    def norm(e: String) = s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+    s"""
+WITH base AS (
+  SELECT doc_id, lang, ${fpReplay(norm("text"))} AS fp, CAST(1 AS BIGINT) AS version
+  FROM documents),
+upd AS (
+  SELECT doc_id, lang, ${fpReplay(norm("text || ' v2'"))} AS fp, CAST(2 AS BIGINT) AS version
+  FROM documents WHERE doc_id % 7 = 0),
+ins AS (
+  SELECT doc_id + 1000000 AS doc_id, lang, ${fpReplay(norm("text"))} AS fp,
+    CAST(1 AS BIGINT) AS version
+  FROM documents WHERE doc_id % 13 = 0),
+batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+  CASE WHEN b.doc_id IS NOT NULL THEN b.lang ELSE t.lang END AS lang,
+  CASE WHEN b.doc_id IS NOT NULL THEN b.fp ELSE t.fp END AS fp,
+  CASE WHEN b.doc_id IS NOT NULL THEN b.version ELSE t.version END AS version
+FROM base t FULL OUTER JOIN batch b ON b.doc_id = t.doc_id
+"""
+  }
+
   /** q218: ViT patchify — replay patch stats + Walsh-Hadamard projections
     * from the synth tile pixel law (the PNG codec legs are lossless,
     * q68/q186 precedent). px(x,y) = (tx·131 + ty·173 + x·7 + y·11 + 3)

@@ -4804,6 +4804,57 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q260_merge_upsert" -> ((s, dir) => {
+      // Iceberg-style MERGE INTO / copy-on-write upsert on the CatalogIO
+      // seam (S11; Iceberg spec v2 row-level ops): snap1 commits the base
+      // document index; a batch of updates (doc_id % 7 — new fingerprint,
+      // version 2) plus inserts (doc_id % 13 shifted ids) merges into
+      // snap2 via ONE full-outer key shuffle with row-level source-wins;
+      // the SECOND mergeStage call is a manifest no-op (idempotent
+      // resume, graded by the read-back being single-merge). Oracle: the
+      // full-outer-join law in SQL over the same fingerprint replay.
+      F.ensureRegistered(s)
+      val root = scratch("q260merge")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = docs.select(col("doc_id"), col("lang"),
+        call_function("fingerprint64", col("text")).as("fp"), lit(1L).as("version"))
+      graft.io.CatalogIO.commitStage(s, base, root, "job260", "snap1")
+      val batch = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"),
+          call_function("fingerprint64", concat(col("text"), lit(" v2"))).as("fp"),
+          lit(2L).as("version"))
+        .unionByName(docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            call_function("fingerprint64", col("text")).as("fp"), lit(1L).as("version")))
+      graft.io.CatalogIO.mergeStage(s, batch, root, "job260", "snap1", "snap2", "doc_id")
+      graft.io.CatalogIO.mergeStage(s, batch, root, "job260", "snap1", "snap2", "doc_id")
+      graft.io.CatalogIO.readStage(s, root, "job260", "snap2")
+        .select(col("doc_id"), col("lang"), col("fp"), col("version"))
+    }),
+    "q259_sinusoidal" -> ((s, dir) => {
+      // Sinusoidal (MODIS grid) projection round trip (reference:
+      // ogr/ogr_spatialref.cpp :: OGRSpatialReference::SetSinusoidal via
+      // ogrct.cpp; Snyder pp. 243–248 spherical form — the projection of
+      // the MODIS land tiles every gdalwarp MODIS workflow reprojects
+      // from): x = R·λ·cosφ, y = R·φ on the MODIS authalic sphere
+      // R = 6371007.181; inverse φ = y/R, λ = x/(R·cosφ). Pure
+      // mul/div/cos chain — identical IEEE ops both engines, only
+      // cos/toRadians ULPs remain, absorbed by cm / 1e-6-deg quanta.
+      // Equal-area like q249 (the spec's Jacobian law re-applies). Plan:
+      // scan → project, shuffle-free.
+      Synth.queryPoints(s, dir)
+        .withColumn("phi", expr("(lat / 180.0D) * pi()"))
+        .withColumn("lam", expr("(lon / 180.0D) * pi()"))
+        .withColumn("x", expr("6371007.181D * lam * cos(phi)"))
+        .withColumn("y", expr("6371007.181D * phi"))
+        .withColumn("phib", expr("y / 6371007.181D"))
+        .withColumn("lamb", expr("x / (6371007.181D * cos(phib))"))
+        .select(col("q_id"),
+          expr("CAST(floor(x * 100.0D + 0.5D) AS BIGINT)").as("x_cm"),
+          expr("CAST(floor(y * 100.0D + 0.5D) AS BIGINT)").as("y_cm"),
+          expr("CAST(floor(((lamb * 180.0D) / pi()) * 1000000.0D + 0.3D) AS BIGINT)").as("lon_udeg"),
+          expr("CAST(floor(((phib * 180.0D) / pi()) * 1000000.0D + 0.3D) AS BIGINT)").as("lat_udeg"))
+    }),
     "q258_mmr_rerank" -> ((s, dir) =>
       // MMR diversified re-ranking (Carbonell & Goldstein 1998; λ=1/2,
       // exact BIGINT fixed-point objective — operators/Ann.mmrTopK):
@@ -8909,7 +8960,21 @@ SELECT q_id, str, y AS py, mo AS pm, dd AS pd,
        WHEN 1 THEN 110 WHEN 2 THEN 100 WHEN 4 THEN 80 WHEN 5 THEN 112
        ELSE 0 END AS INTEGER) AS ptz
 FROM s""",
-    "q258_mmr_rerank" -> OracleHashSql.q258Mmr
+    "q258_mmr_rerank" -> OracleHashSql.q258Mmr,
+    "q259_sinusoidal" -> s"""
+WITH qp AS ($qptsSql),
+a AS (SELECT q_id, (lat / 180.0) * pi() AS phi, (lon / 180.0) * pi() AS lam FROM qp),
+f AS (SELECT q_id, phi, lam,
+    6371007.181 * lam * cos(phi) AS x, 6371007.181 * phi AS y FROM a),
+b AS (SELECT q_id, x, y, y / 6371007.181 AS phib FROM f),
+c AS (SELECT *, x / (6371007.181 * cos(phib)) AS lamb FROM b)
+SELECT q_id,
+  CAST(floor(x * 100.0 + 0.5) AS BIGINT) AS x_cm,
+  CAST(floor(y * 100.0 + 0.5) AS BIGINT) AS y_cm,
+  CAST(floor(((lamb * 180.0) / pi()) * 1000000.0 + 0.3) AS BIGINT) AS lon_udeg,
+  CAST(floor(((phib * 180.0) / pi()) * 1000000.0 + 0.3) AS BIGINT) AS lat_udeg
+FROM c""",
+    "q260_merge_upsert" -> OracleHashSql.q260MergeUpsert
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

@@ -62,6 +62,38 @@ object CatalogIO {
   def readStage(spark: SparkSession, root: String, jobId: String, stage: String): DataFrame =
     spark.read.parquet(Paths.get(root, jobId, stage, "data").toString)
 
+  /** Copy-on-write MERGE — the Iceberg `MERGE INTO` row-level law (spec
+    * v2 copy-on-write: WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED
+    * THEN INSERT *): target snapshot FULL OUTER JOIN source batch on
+    * `keyCol`; matched keys take the source ROW (per-row, not per-column
+    * coalesce — a legitimately-NULL source field must still win),
+    * source-only keys insert, target-only rows carry over. The merged
+    * result commits as a NEW stage — snapshot isolation / time travel:
+    * `fromStage` stays readable — and commitStage's manifest makes the
+    * whole merge idempotent (a re-run returns the committed count
+    * without recomputing). Returns the merged row count.
+    *
+    * 100-TB shape: ONE equi-shuffle on the merge key — the COW law
+    * (Iceberg rewrites the files containing matches; AQE broadcasts the
+    * batch side when it is small, which is the common upsert). A
+    * merge-on-read design would instead append delete files and fold at
+    * scan time — noted as the scale alternative for high-churn tables. */
+  def mergeStage(spark: SparkSession, batch: DataFrame, root: String,
+                 jobId: String, fromStage: String, toStage: String,
+                 keyCol: String): Long = {
+    val target = readStage(spark, root, jobId, fromStage)
+    val cols = target.columns
+    require(batch.columns.sameElements(cols),
+      s"mergeStage: batch schema ${batch.columns.mkString(",")} != target ${cols.mkString(",")}")
+    val t = target.select(cols.map(c => col(c).as(s"__t_$c")).toIndexedSeq: _*)
+    val b = batch.select(cols.map(c => col(c).as(s"__b_$c")).toIndexedSeq: _*)
+    val srcPresent = col(s"__b_$keyCol").isNotNull
+    val merged = t.join(b, col(s"__t_$keyCol") === col(s"__b_$keyCol"), "full_outer")
+      .select(cols.map(c =>
+        when(srcPresent, col(s"__b_$c")).otherwise(col(s"__t_$c")).as(c)).toIndexedSeq: _*)
+    commitStage(spark, merged, root, jobId, toStage)
+  }
+
   /** PARTITION-GRANULAR idempotent commit (the north-star "resume without
     * reprocessing committed tiles"): output is hive-partitioned by
     * `partCol`; a manifest lists the partition values already committed.

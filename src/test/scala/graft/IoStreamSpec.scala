@@ -29,6 +29,32 @@ class IoStreamSpec extends AnyFunSuite {
     assert(lin.columns.contains("job_id") && lin.columns.contains("committed_at"))
   }
 
+  test("mergeStage: MERGE INTO law — update/insert/carry, row-level source-wins, idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    CatalogIO.commitStage(spark, base, root, "jm", "snap1")
+    // batch: update k=2 (with a legitimately-NULL field — row-level
+    // source-wins must carry the NULL, not coalesce back to the target),
+    // insert k=9
+    val batch = Seq((2L, Option.empty[String], 99L), (9L, Some("z"), 900L))
+      .toDF("k", "s", "v")
+    val n = CatalogIO.mergeStage(spark, batch, root, "jm", "snap1", "snap2", "k")
+    assert(n == 4)
+    // idempotent: second call is a manifest no-op with the same count
+    assert(CatalogIO.mergeStage(spark, batch, root, "jm", "snap1", "snap2", "k") == 4)
+    val got = CatalogIO.readStage(spark, root, "jm", "snap2")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 10L), (2L, null, 99L), (3L, "c", 30L), (9L, "z", 900L)))
+    // time travel: the old snapshot is untouched
+    assert(CatalogIO.readStage(spark, root, "jm", "snap1").count() == 3)
+    // schema mismatch is loud
+    intercept[IllegalArgumentException] {
+      CatalogIO.mergeStage(spark, base.select("k", "s"), root, "jm", "snap1", "snap3", "k")
+    }
+  }
+
   test("multi-stage pipeline resumes stage-by-stage") {
     val root = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
     var stage1Computed = 0
