@@ -1278,6 +1278,32 @@ FROM sel
 """
   }
 
+  /** q261: geohash — the oracle recomputes the two 20-bit indices from
+    * the identical floor snap and rebuilds the 8-char base32 string with
+    * the same interleave, so the engine's DECODED indices must equal the
+    * direct ones (encode∘decode = id is the graded law). Integer shifts
+    * and masks only. */
+  def q261Geohash(qptsSql: String): String = {
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    def bitExpr(p: Int): String =
+      if (p % 2 == 0) s"((lonidx >> ${19 - p / 2}) & 1)"
+      else s"((latidx >> ${19 - (p - 1) / 2}) & 1)"
+    val chars = (0 until 8).map { j =>
+      val idx = (0 until 5).map(t => s"${bitExpr(5 * j + t)} * ${1L << (4 - t)}").mkString(" + ")
+      s"substring('$alpha', CAST(($idx) AS INT) + 1, 1)"
+    }
+    s"""
+WITH qp AS ($qptsSql),
+ix AS (
+  SELECT q_id,
+    least(CAST(floor((lon + 180.0) / 360.0 * 1048576.0) AS BIGINT), 1048575) AS lonidx,
+    least(CAST(floor((lat + 90.0) / 180.0 * 1048576.0) AS BIGINT), 1048575) AS latidx
+  FROM qp)
+SELECT q_id, ${chars.mkString(" || ")} AS gh, lonidx AS lon_idx, latidx AS lat_idx
+FROM ix
+"""
+  }
+
   /** q80: per-point LCC 2SP forward (Snyder/EPSG-9802, core/Lcc.forward)
     * replicated op-for-op under the q73 discipline: derived projection
     * constants (n, a·F, ρ0) embedded as the engine's exact runtime doubles,

@@ -4804,6 +4804,81 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q262_domain_tv" -> ((s, dir) => {
+      // Exact-integer TOTAL VARIATION distance between each source
+      // domain's token unigram distribution and the whole corpus — the
+      // domain-drift diagnostic behind mixture rebalancing (DoReMi-class
+      // pipelines reweight domains by distributional divergence; TV is
+      // the exactly-gradable family member: χ²/KL need per-term float
+      // division, TV over the COMMON denominator N_d·N stays BIGINT):
+      //   tv_milli = (Σ_t |o_t·N − c_t·N_d|) · 1000 div (2·N_d·N),
+      // where corpus terms ABSENT from the domain contribute the closed
+      // form N_d·(N − C_D) — no absent-pair materialization (C_D = the
+      // domain's corpus-count mass). 100-TB shape: one (source, term)
+      // hash agg, a vocab-bounded term agg, a term-keyed join back, the
+      // tiny per-source table broadcast; only driver value is scalar N.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("source"), explode(
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("term"))
+        .where(col("term") =!= "")
+      val dom = toks.groupBy("source", "term").agg(count(lit(1)).as("o"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corp = dom.groupBy("term").agg(sum(col("o")).as("c"))
+      val nd = dom.groupBy("source").agg(sum(col("o")).as("nd"))
+      val nTotal = corp.agg(sum(col("c"))).collect()(0).getLong(0)
+      dom.join(corp, "term").join(broadcast(nd), "source")
+        .withColumn("dterm", abs(col("o") * nTotal - col("c") * col("nd")))
+        .groupBy("source")
+        .agg(max(col("nd")).as("nd"), sum(col("dterm")).as("dsum"), sum(col("c")).as("cd"))
+        .select(col("source"), col("nd"),
+          expr(s"(dsum + nd * (${nTotal}L - cd)) * 1000L div (2L * nd * ${nTotal}L)")
+            .as("tv_milli"))
+    }),
+    "q261_geohash" -> ((s, dir) => {
+      // Geohash cell keys (public: Niemeyer 2008; the base32 sibling of
+      // the engine's Z-order/Hilbert families — same Morton interleave,
+      // lon bit first, 5 bits per character): encode each query point to
+      // 8 characters (20+20 bits) and DECODE the string back to the two
+      // 20-bit indices — the graded output carries the decoded indices,
+      // so an encode OR decode bug breaks the oracle equality (which
+      // recomputes the indices from the raw arithmetic). All integer
+      // bit ops after one identical-IEEE floor snap; bit-exact,
+      // shuffle-free scan → codegen'd projection.
+      val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+      // char j covers interleaved bit positions 5j..5j+4 (0 = MSB);
+      // even global position p → lon bit (19 - p/2), odd → lat bit
+      def bitExpr(p: Int): String =
+        if (p % 2 == 0) s"(shiftright(lonidx, ${19 - p / 2}) & 1L)"
+        else s"(shiftright(latidx, ${19 - (p - 1) / 2}) & 1L)"
+      val chars = (0 until 8).map { j =>
+        val idx = (0 until 5).map(t => s"${bitExpr(5 * j + t)} * ${1L << (4 - t)}L").mkString(" + ")
+        s"substring('$alpha', CAST(($idx) AS INT) + 1, 1)"
+      }
+      val ghExpr = s"concat(${chars.mkString(", ")})"
+      // decode: alphabet position of char j contributes its 5 bits back
+      val decBits = (0 until 8).flatMap { j =>
+        (0 until 5).map { t =>
+          val p = 5 * j + t
+          val bit = s"(shiftright(CAST(instr('$alpha', substring(gh, ${j + 1}, 1)) - 1 AS BIGINT), ${4 - t}) & 1L)"
+          (p, bit)
+        }
+      }
+      val lonDec = decBits.filter(_._1 % 2 == 0)
+        .map { case (p, b) => s"$b * ${1L << (19 - p / 2)}L" }.mkString(" + ")
+      val latDec = decBits.filter(_._1 % 2 == 1)
+        .map { case (p, b) => s"$b * ${1L << (19 - (p - 1) / 2)}L" }.mkString(" + ")
+      Synth.queryPoints(s, dir)
+        .withColumn("lonidx", expr("CAST(floor((lon + 180.0D) / 360.0D * 1048576.0D) AS BIGINT)"))
+        .withColumn("latidx", expr("CAST(floor((lat + 90.0D) / 180.0D * 1048576.0D) AS BIGINT)"))
+        // the +180/+90 edge: clamp the (impossible at this grid, but
+        // lawful) idx == 2^20 case back into 20 bits
+        .withColumn("lonidx", expr("least(lonidx, 1048575L)"))
+        .withColumn("latidx", expr("least(latidx, 1048575L)"))
+        .withColumn("gh", expr(ghExpr))
+        .select(col("q_id"), col("gh"),
+          expr(s"CAST($lonDec AS BIGINT)").as("lon_idx"),
+          expr(s"CAST($latDec AS BIGINT)").as("lat_idx"))
+    }),
     "q260_merge_upsert" -> ((s, dir) => {
       // Iceberg-style MERGE INTO / copy-on-write upsert on the CatalogIO
       // seam (S11; Iceberg spec v2 row-level ops): snap1 commits the base
@@ -8974,7 +9049,24 @@ SELECT q_id,
   CAST(floor(((lamb * 180.0) / pi()) * 1000000.0 + 0.3) AS BIGINT) AS lon_udeg,
   CAST(floor(((phib * 180.0) / pi()) * 1000000.0 + 0.3) AS BIGINT) AS lat_udeg
 FROM c""",
-    "q260_merge_upsert" -> OracleHashSql.q260MergeUpsert
+    "q260_merge_upsert" -> OracleHashSql.q260MergeUpsert,
+    "q261_geohash" -> OracleHashSql.q261Geohash(qptsSql),
+    "q262_domain_tv" ->
+      """WITH toks AS (
+  SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+t2 AS (SELECT * FROM toks WHERE term <> ''),
+dom AS (SELECT source, term, count(*) AS o FROM t2 GROUP BY 1, 2),
+corp AS (SELECT term, sum(o) AS c FROM dom GROUP BY 1),
+ndt AS (SELECT source, sum(o) AS nd FROM dom GROUP BY 1),
+nt AS (SELECT sum(c) AS n FROM corp),
+j AS (SELECT d.source, abs(d.o * nt.n - c.c * ndt.nd) AS dterm, c.c AS c, ndt.nd AS nd, nt.n AS n
+      FROM dom d JOIN corp c ON c.term = d.term JOIN ndt ON ndt.source = d.source CROSS JOIN nt),
+a AS (SELECT source, max(nd) AS nd, max(n) AS n, sum(dterm) AS dsum, sum(c) AS cd
+      FROM j GROUP BY source)
+SELECT source, CAST(nd AS BIGINT) AS nd,
+  CAST((dsum + nd * (n - cd)) * 1000 // (2 * nd * n) AS BIGINT) AS tv_milli
+FROM a"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
