@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.F
-import graft.operators.{Ann, Bpe, Contour, Dedup, Focal, Knn, Media, OgrSql, Osm, Pack, Polygonize, Proximity, Quality, Raster, SpatialJoin, Streaming, Viewshed}
+import graft.operators.{Ann, Bpe, Contour, Dedup, Focal, Knn, Media, Network, OgrSql, Osm, Pack, Polygonize, Proximity, Quality, Raster, SpatialJoin, Streaming, Viewshed}
 import graft.synth.Synth
 
 /** Driver contract (see /root/repo/SURVEY.md §7 + the builder prompt).
@@ -4804,6 +4804,34 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q263_network_sssp" -> ((s, dir) => {
+      // GNM single-source shortest path (reference: gnm/gnmgraph.cpp ::
+      // GNMGraph::DijkstraShortestPath behind gnmanalyse --dijkstra,
+      // [late-SVN]): a deterministic weighted road grid over the
+      // supplier ids (width-10 lattice + two express-edge tiers so the
+      // diameter stays in the tens at every SF) relaxed to the exact
+      // distance fixpoint by operators/Network.shortestPaths — BSP
+      // Bellman-Ford rounds with reliable-checkpoint lineage truncation.
+      // The oracle replays the graph with a recursive CTE bounded by a
+      // distance cap strictly above the true diameter. All integer.
+      val spark = s
+      import spark.implicits._
+      val ids = s.read.parquet(s"$dir/supplier.parquet")
+        .select((col("s_suppkey") - 1L).as("i"))
+      val n = ids.count()
+      val right = ids.where((col("i") + 1) % 10 =!= 0 && col("i") + 1 < n)
+        .select(col("i").as("src"), (col("i") + 1L).as("dst"),
+          (lit(1L) + (col("i") * 7L) % 7L).as("w"))
+      val down = ids.where(col("i") + 10 < n)
+        .select(col("i").as("src"), (col("i") + 10L).as("dst"),
+          (lit(1L) + (col("i") * 13L) % 5L).as("w"))
+      val ex1 = ids.where(col("i") + 33 < n)
+        .select(col("i").as("src"), (col("i") + 33L).as("dst"), lit(4L).as("w"))
+      val ex2 = ids.where(col("i") + 205 < n)
+        .select(col("i").as("src"), (col("i") + 205L).as("dst"), lit(9L).as("w"))
+      val edges = right.unionByName(down).unionByName(ex1).unionByName(ex2)
+      Network.shortestPaths(edges, source = 0L)
+    }),
     "q262_domain_tv" -> ((s, dir) => {
       // Exact-integer TOTAL VARIATION distance between each source
       // domain's token unigram distribution and the whole corpus — the
@@ -9066,7 +9094,22 @@ a AS (SELECT source, max(nd) AS nd, max(n) AS n, sum(dterm) AS dsum, sum(c) AS c
       FROM j GROUP BY source)
 SELECT source, CAST(nd AS BIGINT) AS nd,
   CAST((dsum + nd * (n - cd)) * 1000 // (2 * nd * n) AS BIGINT) AS tv_milli
-FROM a"""
+FROM a""",
+    "q263_network_sssp" ->
+      """WITH RECURSIVE sp AS (SELECT s_suppkey - 1 AS i FROM supplier),
+nt AS (SELECT count(*) AS n FROM sp),
+edges AS (
+  SELECT i AS src, i + 1 AS dst, 1 + (i * 7) % 7 AS w FROM sp, nt
+    WHERE (i + 1) % 10 <> 0 AND i + 1 < nt.n
+  UNION ALL SELECT i, i + 10, 1 + (i * 13) % 5 FROM sp, nt WHERE i + 10 < nt.n
+  UNION ALL SELECT i, i + 33, 4 FROM sp, nt WHERE i + 33 < nt.n
+  UNION ALL SELECT i, i + 205, 9 FROM sp, nt WHERE i + 205 < nt.n),
+walk(node, d) AS (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+  UNION
+  SELECT e.dst, w.d + e.w FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d + e.w <= 1000)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic network model analysis — single-source shortest path
+  * (reference: gnm/gnmgraph.cpp :: GNMGraph::DijkstraShortestPath, the
+  * `[late-SVN]` generic-network-model module behind gnmanalyse
+  * --dijkstra). The reference runs driver-side Dijkstra over an
+  * in-memory graph; the Spark re-expression is distributed
+  * label-correcting relaxation (Bellman-Ford rounds): each round relaxes
+  * EVERY edge with one equi-join + one min hash-agg, converging in
+  * max-shortest-path-edge-count rounds — the standard BSP/Pregel SSSP.
+  *
+  * 100-TB shape: the frontier table is (node, dist) LONG pairs; each
+  * round is one key-bounded equi-join (edges side partitioned by src,
+  * reusable across rounds) + one hash agg. Lineage truncates every round
+  * through a RELIABLE checkpoint (io/Checkpoints — the q33/q169 loop
+  * contract), so the iteration survives executor loss and resumes
+  * idempotently. Convergence = the (count, sum) signature of the dist
+  * table reaching a fixpoint — two driver scalars per round, never the
+  * table. Positive weights make the signature strictly monotone until
+  * the fixpoint, so the test is exact. */
+object Network {
+
+  /** edges: (src: long, dst: long, w: long), positive weights. Returns
+    * (node, dist) for every node reachable from `source`. */
+  def shortestPaths(edges: DataFrame, source: Long, maxRounds: Int = 200): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = Seq((source, 0L)).toDF("node", "d")
+    var prev = (-1L, -1L)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      require(rounds < maxRounds, s"SSSP did not converge in $maxRounds rounds")
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("d")).as("d"))
+      val ck = graft.io.Checkpoints.reliable(next)
+      val st = ck.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).collect()(0)
+      val sig = (st.getLong(0), st.getLong(1))
+      done = sig == prev
+      prev = sig
+      dist = ck
+      rounds += 1
+    }
+    e.unpersist(false)
+    dist.select(col("node"), col("d").as("dist"))
+  }
+}

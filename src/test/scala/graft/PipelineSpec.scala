@@ -892,6 +892,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expect, "distributed MMR diverged from the driver greedy replay")
   }
 
+  test("network SSSP (q263): distributed relaxation equals driver Dijkstra") {
+    import graft.operators.Network
+    import spark.implicits._
+    // deterministic scraggly graph: 60 nodes, ring + chords + a few
+    // unreachable stragglers (nodes 55..59 have no in-edges from 0's
+    // component)
+    val edges = ((0 until 54).map(i => (i.toLong, ((i + 1) % 55).toLong, 1L + (i * 7) % 9)) ++
+      (0 until 54 by 5).map(i => (i.toLong, ((i + 13) % 55).toLong, 2L + i % 3)) ++
+      Seq((55L, 56L, 1L), (57L, 58L, 2L))).toDF("src", "dst", "w")
+    val got = Network.shortestPaths(edges, 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver Dijkstra
+    val adj = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(e => (e._2, e._3)) }
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, 0L))(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (dist(u) == d) adj.getOrElse(u, Array.empty).foreach { case (v, w) =>
+        if (dist.get(v).forall(_ > d + w)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
+      }
+    }
+    assert(got == dist.toMap, "distributed SSSP diverged from driver Dijkstra")
+    // stragglers unreachable from 0 are absent, not infinite
+    assert(!got.contains(56L) && !got.contains(58L))
+  }
+
   test("char entropy (q252): closed-form anchors and normalization law") {
     F.ensureRegistered(spark)
     import spark.implicits._
