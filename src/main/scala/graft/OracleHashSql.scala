@@ -1304,6 +1304,26 @@ FROM ix
 """
   }
 
+  /** q264: curriculum interleave — per-bucket mix64 epoch-shuffle rank
+    * (the HUGEINT mix64 replay folded back to SIGNED order, matching the
+    * engine's long ordering) and the closed-form period-6 step law. */
+  def q264Curriculum: String =
+    s"""
+WITH d AS (SELECT doc_id,
+    CASE WHEN n_chars < 250 THEN 0 WHEN n_chars < 400 THEN 1 ELSE 2 END AS bucket,
+    ${toSigned(mix64("doc_id::HUGEINT"))} AS shuf
+  FROM documents),
+r AS (SELECT doc_id, bucket,
+    CAST(row_number() OVER (PARTITION BY bucket ORDER BY shuf, doc_id) - 1 AS BIGINT) AS r
+  FROM d)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, r,
+  CAST(CASE bucket
+    WHEN 0 THEN (r // 3) * 6 + [0, 2, 4][CAST(r % 3 AS INT) + 1]
+    WHEN 1 THEN (r // 2) * 6 + [1, 5][CAST(r % 2 AS INT) + 1]
+    ELSE r * 6 + 3 END AS BIGINT) AS step
+FROM r
+"""
+
   /** q80: per-point LCC 2SP forward (Snyder/EPSG-9802, core/Lcc.forward)
     * replicated op-for-op under the q73 discipline: derived projection
     * constants (n, a·F, ρ0) embedded as the engine's exact runtime doubles,
@@ -3233,6 +3253,31 @@ SELECT dd.doc_id,
   CAST(CASE WHEN coalesce(p.n_sym, 0) = 0 THEN 0
        ELSE (1000 * coalesce(p.n_chars, 0)) // p.n_sym END AS BIGINT) AS ratio_milli
 FROM documents dd LEFT JOIN pd p ON dd.doc_id = p.doc_id"""
+  }
+
+  /** q265: per-language fertility over the q216 encoded dictionary —
+    * same bpeLevels chain, one lang aggregate, exact integer milli. */
+  def q265BpeFertility: String = {
+    val k = 6
+    s"""WITH ${bpeLevels(k)},
+enc AS (
+  SELECT term, length(term) AS nch,
+    len(string_split(substr(syms, 2, length(syms) - 2), '..')) AS nsym
+  FROM s$k),
+d AS (
+  SELECT lang,
+    string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tk
+  FROM documents),
+ftok AS (SELECT lang, unnest(tk) AS term FROM d),
+ftok2 AS (SELECT * FROM ftok WHERE term <> ''),
+a AS (
+  SELECT lang, count(*) AS n_words, CAST(sum(e.nsym) AS BIGINT) AS n_sym,
+    CAST(sum(e.nch) AS BIGINT) AS n_chars
+  FROM ftok2 t JOIN enc e ON e.term = t.term GROUP BY 1)
+SELECT lang, CAST(n_words AS BIGINT) AS n_words, n_sym,
+  CAST(n_sym * 1000 // n_words AS BIGINT) AS fertility_milli,
+  CAST(CASE WHEN n_sym = 0 THEN 0 ELSE n_chars * 1000 // n_sym END AS BIGINT) AS cps_milli
+FROM a"""
   }
 
   /** q227 shared unigram piece vocabulary (piece → integer centinat

@@ -4804,6 +4804,61 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q265_bpe_fertility" -> ((s, dir) => {
+      // Tokenizer FERTILITY equity audit (the public multilingual-equity
+      // metric — BPE symbols per whitespace word, per language; mT5/
+      // XLM-R-era analyses use fertility to show a mixed-corpus
+      // tokenizer over-fragments low-resource languages): the q215
+      // 6-merge BPE applied via the q216 broadcast encoded dictionary,
+      // aggregated per lang in exact integer milli — fertility =
+      // Σ symbols ·1000 div Σ words, plus chars-per-symbol compression.
+      // 100-TB shape: vocab-sized broadcast join + ONE lang hash agg.
+      F.ensureRegistered(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val rules = Bpe.train(docs, 6)
+      val enc = Bpe.encodedDict(docs, rules)
+      val tok = docs.select(col("lang"), explode(
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("term"))
+        .where(col("term") =!= "")
+      tok.join(broadcast(enc), Seq("term"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum(col("nsym")).cast("long").as("n_sym"),
+          sum(col("nch")).cast("long").as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_sym"),
+          expr("n_sym * 1000L div n_words").as("fertility_milli"),
+          expr("CASE WHEN n_sym = 0 THEN 0L ELSE n_chars * 1000L div n_sym END").as("cps_milli"))
+    }),
+    "q264_curriculum" -> ((s, dir) => {
+      // Curriculum data ordering (public recipe family: Bengio et al.
+      // 2009 curriculum learning; practical LLM pipelines interleave
+      // difficulty buckets at a fixed ratio rather than sorting the
+      // corpus monotonically): docs bucket by length as the difficulty
+      // proxy (easy/medium/hard), shuffle WITHIN a bucket by the mix64
+      // epoch-shuffle law, and the global training order interleaves the
+      // buckets 3:2:1 on the fixed period-6 pattern [e,m,e,h,e,m] —
+      // step(r,b) = (r div c_b)·6 + off_b[r mod c_b], a CLOSED FORM per
+      // row, so the schedule is map-side after the per-bucket rank.
+      // When a bucket exhausts, its steps simply stop occurring (the
+      // schedule keeps holes rather than re-weighting — deterministic
+      // and replayable). 100-TB shape: the only sort is the per-bucket
+      // rank window (3 partitions — the q225 Feistel permutation is the
+      // sort-free scale path for per-bucket ranks, noted there); the
+      // schedule arithmetic is codegen'd projection.
+      F.ensureRegistered(s)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("bucket").orderBy(col("shuf"), col("doc_id"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bucket", expr(
+          "CASE WHEN n_chars < 250 THEN 0L WHEN n_chars < 400 THEN 1L ELSE 2L END"))
+        .withColumn("shuf", expr("mix64(doc_id)"))
+        .withColumn("r", (row_number().over(w) - 1).cast("long"))
+        .withColumn("step", expr(
+          """CASE bucket
+             WHEN 0L THEN (r div 3L) * 6L + element_at(array(0L, 2L, 4L), CAST(r % 3L AS INT) + 1)
+             WHEN 1L THEN (r div 2L) * 6L + element_at(array(1L, 5L), CAST(r % 2L AS INT) + 1)
+             ELSE r * 6L + 3L END"""))
+        .select(col("doc_id"), col("bucket"), col("r"), col("step"))
+    }),
     "q263_network_sssp" -> ((s, dir) => {
       // GNM single-source shortest path (reference: gnm/gnmgraph.cpp ::
       // GNMGraph::DijkstraShortestPath behind gnmanalyse --dijkstra,
@@ -9109,7 +9164,9 @@ walk(node, d) AS (
   UNION
   SELECT e.dst, w.d + e.w FROM walk w JOIN edges e ON e.src = w.node
   WHERE w.d + e.w <= 1000)
-SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node"""
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node""",
+    "q264_curriculum" -> OracleHashSql.q264Curriculum,
+    "q265_bpe_fertility" -> OracleHashSql.q265BpeFertility
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
