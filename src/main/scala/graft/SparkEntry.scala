@@ -4804,6 +4804,66 @@ object SparkEntry {
           expr("CAST(floor(st_x(u) * 1000000.0 + 0.5) AS BIGINT)").as("lon_e6"),
           expr("CAST(floor(st_y(u) * 1000000.0 + 0.5) AS BIGINT)").as("lat_e6"))
     }),
+    "q266_asof_join" -> ((s, dir) => {
+      // AS-OF JOIN (backward, inclusive) — the canonical event-to-
+      // latest-snapshot temporal join (public semantics: pandas
+      // merge_asof / kdb aj): each event picks the newest per-user
+      // dimension snapshot with sts <= ts. Spark-first law: UNION-TAG
+      // both sides and take a running last(snapshot, ignoreNulls) over
+      // (user, ts, kind) — ONE user-keyed shuffle with an in-partition
+      // sort, NO range explosion, no per-event scan; this is the
+      // scale-correct distributed as-of (a theta join would be O(n·m)).
+      // Snapshot at exactly the event ts wins (kind orders snapshots
+      // first) — matching the oracle's inclusive argmax.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val snaps = ev.select("user_id").distinct()
+        .withColumn("k", explode(expr("sequence(0, 9)")))
+        .withColumn("sts", expr(
+          """timestamp'2023-12-30 00:00:00'
+             + make_interval(0, 0, 0, 0, CAST(user_id % 7 AS INT), 0, 0)
+             + make_interval(0, 0, 0, CAST(k * 3 AS INT), 0, 0, 0)"""))
+        .withColumn("sval", expr("user_id * 100L + k"))
+      val tagged = snaps.select(col("user_id"), col("sts").as("ts"),
+          lit(0).as("kind"), lit(null).cast("long").as("event_id"), col("sval"))
+        .unionByName(ev.select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast("long").as("sval")))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_val", last(col("sval"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("user_id"), col("event_id"), col("asof_val"))
+    }),
+    "q267_range_join" -> ((s, dir) => {
+      // RANGE JOIN (interval containment) via TIME-BUCKET equi-join —
+      // the temporal twin of the engine's cells_cover spatial prune:
+      // windows explode to the 4-hour buckets they overlap, events key
+      // to their single bucket, and an ordinary equi-join on (bucket)
+      // plus the exact containment gate finds every (event, window)
+      // pair — never a theta/BNL join, and AQE handles bucket skew like
+      // any hot cell. Windows: 24 global 9-hour maintenance windows
+      // every 29 hours from Dec 31 16:00 (offsets chosen so windows
+      // straddle bucket boundaries and some events match 0 or 2 windows).
+      val bucketSec = 14400L
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts"))
+        // events.ts is TIMESTAMP_NTZ; the cast is epoch-preserving under
+        // the session's pinned UTC timeZone (the q120-family precedent)
+        .withColumn("b", expr(
+          s"CAST(unix_micros(CAST(ts AS TIMESTAMP)) div (${bucketSec}L * 1000000L) AS BIGINT)"))
+      val win = s.range(0, 24).toDF("w")
+        .withColumn("wstart", expr(
+          "timestamp'2023-12-31 16:00:00' + make_interval(0, 0, 0, 0, CAST(w * 29 AS INT), 0, 0)"))
+        .withColumn("wend", expr(
+          "wstart + make_interval(0, 0, 0, 0, 9, 0, 0)"))
+        .withColumn("b", explode(expr(
+          s"""sequence(unix_micros(wstart) div (${bucketSec}L * 1000000L),
+              unix_micros(wend) div (${bucketSec}L * 1000000L))""")))
+      ev.join(win, Seq("b"))
+        .where(col("ts") >= col("wstart") && col("ts") < col("wend"))
+        .select(col("event_id"), col("w").as("window_id"))
+    }),
     "q265_bpe_fertility" -> ((s, dir) => {
       // Tokenizer FERTILITY equity audit (the public multilingual-equity
       // metric — BPE symbols per whitespace word, per language; mT5/
@@ -9166,7 +9226,29 @@ walk(node, d) AS (
   WHERE w.d + e.w <= 1000)
 SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node""",
     "q264_curriculum" -> OracleHashSql.q264Curriculum,
-    "q265_bpe_fertility" -> OracleHashSql.q265BpeFertility
+    "q265_bpe_fertility" -> OracleHashSql.q265BpeFertility,
+    "q266_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, ts FROM events),
+u AS (SELECT DISTINCT user_id FROM ev),
+snaps AS (
+  SELECT user_id, k.k AS k,
+    TIMESTAMP '2023-12-30 00:00:00' + INTERVAL (user_id % 7) HOUR
+      + INTERVAL (k.k * 3) DAY AS sts,
+    user_id * 100 + k.k AS sval
+  FROM u, generate_series(0, 9) k(k)),
+j AS (
+  SELECT e.user_id, e.event_id, s.sval,
+    row_number() OVER (PARTITION BY e.event_id ORDER BY s.sts DESC) AS rn
+  FROM ev e JOIN snaps s ON s.user_id = e.user_id AND s.sts <= e.ts)
+SELECT user_id, event_id, CAST(sval AS BIGINT) AS asof_val FROM j WHERE rn = 1""",
+    "q267_range_join" ->
+      """WITH win AS (
+  SELECT w.w AS window_id,
+    TIMESTAMP '2023-12-31 16:00:00' + INTERVAL (w.w * 29) HOUR AS wstart,
+    TIMESTAMP '2023-12-31 16:00:00' + INTERVAL (w.w * 29 + 9) HOUR AS wend
+  FROM generate_series(0, 23) w(w))
+SELECT e.event_id, CAST(win.window_id AS BIGINT) AS window_id
+FROM events e JOIN win ON e.ts >= win.wstart AND e.ts < win.wend"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
