@@ -1304,6 +1304,48 @@ FROM ix
 """
   }
 
+  /** q268: KMV sketch — the mix64 53-bit uniform replay, per-group
+    * (h, suppkey)-ordered top-32 window, and the (k−1)·2^53 div h_(k)
+    * estimate; exact distinct count beside it. */
+  def q268KmvSketch: String =
+    s"""
+WITH pairs AS (SELECT DISTINCT CASE WHEN l_partkey % 2 = 0 THEN l_partkey % 256 ELSE 100000 + l_partkey END AS grp, l_suppkey FROM lineitem),
+h AS (SELECT grp, l_suppkey,
+    ${mix64("l_suppkey::HUGEINT")} % 9007199254740992 AS h FROM pairs),
+r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h, l_suppkey) AS rn FROM h),
+sk AS (SELECT grp, count(*) AS nk, max(h) AS hk FROM r WHERE rn <= 32 GROUP BY grp),
+ex AS (SELECT grp, count(*) AS exact_n FROM pairs GROUP BY grp)
+SELECT sk.grp, CAST(ex.exact_n AS BIGINT) AS exact_n,
+  CAST(CASE WHEN sk.nk < 32 THEN sk.nk
+       ELSE (31 * 9007199254740992) // sk.hk END AS BIGINT) AS est_n
+FROM sk JOIN ex ON ex.grp = sk.grp
+"""
+
+  /** q269: integer PageRank — the q263 graph (weights dropped), outdeg
+    * table, and TEN unrolled damped-floor-division iterations; all
+    * BIGINT, bit-exact. */
+  def q269Pagerank: String = {
+    val edgesCte = """sp AS (SELECT s_suppkey - 1 AS i FROM supplier),
+nt AS (SELECT count(*) AS n FROM sp),
+edges AS (
+  SELECT i AS src, i + 1 AS dst FROM sp, nt WHERE (i + 1) % 10 <> 0 AND i + 1 < nt.n
+  UNION ALL SELECT i, i + 10 FROM sp, nt WHERE i + 10 < nt.n
+  UNION ALL SELECT i, i + 33 FROM sp, nt WHERE i + 33 < nt.n
+  UNION ALL SELECT i, i + 205 FROM sp, nt WHERE i + 205 < nt.n),
+outd AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+m0 AS (SELECT i AS node, CAST(1000000 AS BIGINT) AS m FROM sp)"""
+    val iters = (1 to 10).map { t =>
+      s"""c$t AS (
+  SELECT e.dst AS node, sum(((m.m * 85) // 100) // o.od) AS cs
+  FROM edges e JOIN m${t - 1} m ON m.node = e.src JOIN outd o ON o.src = e.src
+  GROUP BY e.dst),
+m$t AS (
+  SELECT s.i AS node, 150000 + coalesce(c.cs, 0) AS m
+  FROM sp s LEFT JOIN c$t c ON c.node = s.i)"""
+    }.mkString(",\n")
+    s"WITH $edgesCte,\n$iters\nSELECT node, CAST(m AS BIGINT) AS rank_micro FROM m10"
+  }
+
   /** q264: curriculum interleave — per-bucket mix64 epoch-shuffle rank
     * (the HUGEINT mix64 replay folded back to SIGNED order, matching the
     * engine's long ordering) and the closed-form period-6 step law. */

@@ -43,6 +43,28 @@ object SparkEntry {
   private def scratch(prefix: String): String =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
 
+  /** The q263/q269 deterministic road network over the supplier ids:
+    * width-10 lattice (right/down edges, weights 1–7/1–5) + two express
+    * tiers (+33 w4, +205 w9) that keep the diameter in the tens at any
+    * SF. Returns (nodes(node), edges(src, dst, w)). */
+  private def gnmEdges(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ids = s.read.parquet(s"$dir/supplier.parquet")
+      .select((col("s_suppkey") - 1L).as("i"))
+    val n = ids.count()
+    val right = ids.where((col("i") + 1) % 10 =!= 0 && col("i") + 1 < n)
+      .select(col("i").as("src"), (col("i") + 1L).as("dst"),
+        (lit(1L) + (col("i") * 7L) % 7L).as("w"))
+    val down = ids.where(col("i") + 10 < n)
+      .select(col("i").as("src"), (col("i") + 10L).as("dst"),
+        (lit(1L) + (col("i") * 13L) % 5L).as("w"))
+    val ex1 = ids.where(col("i") + 33 < n)
+      .select(col("i").as("src"), (col("i") + 33L).as("dst"), lit(4L).as("w"))
+    val ex2 = ids.where(col("i") + 205 < n)
+      .select(col("i").as("src"), (col("i") + 205L).as("dst"), lit(9L).as("w"))
+    (ids.select(col("i").as("node")),
+      right.unionByName(down).unionByName(ex1).unionByName(ex2))
+  }
+
   /** Flagship: the SURVEY.md §7.2 minimum slice on sf0.001 — interleaved
     * docs table → explode text spans → parse WKT → point-in-polygon join
     * against region polygons → zoom-12 tile assignment. */
@@ -4929,23 +4951,42 @@ object SparkEntry {
       // Bellman-Ford rounds with reliable-checkpoint lineage truncation.
       // The oracle replays the graph with a recursive CTE bounded by a
       // distance cap strictly above the true diameter. All integer.
-      val spark = s
-      import spark.implicits._
-      val ids = s.read.parquet(s"$dir/supplier.parquet")
-        .select((col("s_suppkey") - 1L).as("i"))
-      val n = ids.count()
-      val right = ids.where((col("i") + 1) % 10 =!= 0 && col("i") + 1 < n)
-        .select(col("i").as("src"), (col("i") + 1L).as("dst"),
-          (lit(1L) + (col("i") * 7L) % 7L).as("w"))
-      val down = ids.where(col("i") + 10 < n)
-        .select(col("i").as("src"), (col("i") + 10L).as("dst"),
-          (lit(1L) + (col("i") * 13L) % 5L).as("w"))
-      val ex1 = ids.where(col("i") + 33 < n)
-        .select(col("i").as("src"), (col("i") + 33L).as("dst"), lit(4L).as("w"))
-      val ex2 = ids.where(col("i") + 205 < n)
-        .select(col("i").as("src"), (col("i") + 205L).as("dst"), lit(9L).as("w"))
-      val edges = right.unionByName(down).unionByName(ex1).unionByName(ex2)
-      Network.shortestPaths(edges, source = 0L)
+      Network.shortestPaths(gnmEdges(s, dir)._2, source = 0L)
+    }),
+    "q268_kmv_sketch" -> ((s, dir) => {
+      // KMV (k-minimum-values) distinct-count sketch (public: Bar-Yossef
+      // et al. 2002 — the mergeable distinct-sketch family HLL belongs
+      // to; KMV is the member whose estimate is EXACTLY replayable,
+      // being a pure order statistic of deterministic hashes: est =
+      // (k−1)·2^53 div h_(k) over the 53-bit mix64 uniform). Per
+      // part-class group: sketch estimate NEXT TO exact distinct
+      // supplier count, so the sketch error itself is graded. 100-TB
+      // shape: one pair-distinct agg, a bounded top-k window (fan-in k
+      // per group), one group agg; sketches merge by unioning hash sets
+      // — the property that makes the family the distributed standard.
+      F.ensureRegistered(s)
+      val pairs = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(expr("CASE WHEN l_partkey % 2 = 0 THEN l_partkey % 256 ELSE 100000 + l_partkey END").as("grp"), col("l_suppkey")).distinct()
+        .withColumn("h", expr("mix64(l_suppkey) & 9007199254740991L"))
+      val w = Window.partitionBy("grp").orderBy(col("h"), col("l_suppkey"))
+      val sk = pairs.withColumn("rn", row_number().over(w)).where(col("rn") <= 32)
+        .groupBy("grp").agg(count(lit(1)).as("nk"), max(col("h")).as("hk"))
+      val exact = pairs.groupBy("grp").agg(count(lit(1)).as("exact_n"))
+      sk.join(exact, "grp")
+        .select(col("grp"), col("exact_n"),
+          expr("CASE WHEN nk < 32L THEN nk ELSE (31L * 9007199254740992L) div hk END")
+            .as("est_n"))
+    }),
+    "q269_pagerank" -> ((s, dir) => {
+      // Integer PageRank over the q263 road network (Brin & Page 1998 —
+      // the link-quality prior web-corpus pipelines attach to documents;
+      // operators/Network.pagerankInt): 10 damped rounds in exact micro
+      // mass — floor-division contributions keep every sum BIGINT and
+      // order-independent, so the oracle unrolls the identical ten
+      // iterations and matches bit-for-bit (a float PageRank could not
+      // be hash-graded: shuffle-order ULP drift).
+      val (nodes, edges) = gnmEdges(s, dir)
+      Network.pagerankInt(edges, nodes, iters = 10)
     }),
     "q262_domain_tv" -> ((s, dir) => {
       // Exact-integer TOTAL VARIATION distance between each source
@@ -9248,7 +9289,9 @@ SELECT user_id, event_id, CAST(sval AS BIGINT) AS asof_val FROM j WHERE rn = 1""
     TIMESTAMP '2023-12-31 16:00:00' + INTERVAL (w.w * 29 + 9) HOUR AS wend
   FROM generate_series(0, 23) w(w))
 SELECT e.event_id, CAST(win.window_id AS BIGINT) AS window_id
-FROM events e JOIN win ON e.ts >= win.wstart AND e.ts < win.wend"""
+FROM events e JOIN win ON e.ts >= win.wstart AND e.ts < win.wend""",
+    "q268_kmv_sketch" -> OracleHashSql.q268KmvSketch,
+    "q269_pagerank" -> OracleHashSql.q269Pagerank
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

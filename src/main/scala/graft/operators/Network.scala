@@ -23,6 +23,38 @@ import org.apache.spark.sql.functions._
   * the fixpoint, so the test is exact. */
 object Network {
 
+  /** Exact-INTEGER PageRank (public: Brin & Page 1998 — the link-quality
+    * prior CommonCrawl-era corpus pipelines carry as a document-quality
+    * signal): damping 0.85 in integer micro-mass with floor division —
+    * m_{t+1}(v) = 150000 + Σ_{u→v} ((m_t(u)·85 div 100) div outdeg(u)),
+    * all BIGINT, so the sum is ORDER-INDEPENDENT (float PageRank sums
+    * neighbor contributions in nondeterministic shuffle order — ULP
+    * drift per run; integer mass is bit-stable and oracle-replayable).
+    * Floor losses and dangling mass simply leak (documented, still a
+    * fixed-point family; ranking order is what consumers read). Each of
+    * the fixed `iters` rounds is one equi-join + one hash agg with
+    * reliable-checkpoint lineage truncation.
+    *
+    * nodes: (node: long); edges: (src, dst) — weights ignored. */
+  def pagerankInt(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val outd = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val e = edges.select("src", "dst").join(outd, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var m = nodes.select(col("node")).withColumn("m", lit(1000000L))
+    var it = 0
+    while (it < iters) {
+      val contrib = e.join(m, m("node") === e("src"))
+        .select(col("dst").as("node"), expr("((m * 85L) div 100L) div od").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("cs"))
+      m = graft.io.Checkpoints.reliable(
+        nodes.select(col("node")).join(contrib, Seq("node"), "left")
+          .select(col("node"), (lit(150000L) + coalesce(col("cs"), lit(0L))).as("m")))
+      it += 1
+    }
+    e.unpersist(false)
+    m.select(col("node"), col("m").as("rank_micro"))
+  }
+
   /** edges: (src: long, dst: long, w: long), positive weights. Returns
     * (node, dist) for every node reachable from `source`. */
   def shortestPaths(edges: DataFrame, source: Long, maxRounds: Int = 200): DataFrame = {

@@ -919,6 +919,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got.contains(56L) && !got.contains(58L))
   }
 
+  test("integer PageRank (q269): no-in-edge floor, mass bound, determinism across partitionings") {
+    import graft.operators.Network
+    import spark.implicits._
+    val nodes = (0L until 30L).toDF("node")
+    val edges = ((0 until 29).map(i => (i.toLong, (i + 1).toLong)) ++
+      (0 until 30 by 3).map(i => (i.toLong, ((i + 7) % 30).toLong))).toDF("src", "dst")
+    val pr = Network.pagerankInt(edges.withColumn("w", lit(1L)), nodes, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a node with no in-edges sits at exactly the base mass
+    val hasIn = edges.select("dst").distinct().collect().map(_.getLong(0)).toSet
+    for (n <- 0L until 30L if !hasIn.contains(n)) assert(pr(n) == 150000L)
+    // floor losses only LEAK mass: total <= n * initial
+    assert(pr.values.sum <= 30L * 1000000L)
+    // bit-determinism: a different input partitioning yields identical masses
+    val pr2 = Network.pagerankInt(
+      edges.repartition(7).withColumn("w", lit(1L)), nodes.repartition(3), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr == pr2, "integer PageRank must be partitioning-invariant")
+  }
+
   test("char entropy (q252): closed-form anchors and normalization law") {
     F.ensureRegistered(spark)
     import spark.implicits._
