@@ -325,4 +325,36 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), q)
     }
   }
+
+  test("round-5 scalar surface (projections, GT, geohash, drivers, dates) is shuffle-free") {
+    // q248-q250 (GK/Albers), q253 (Hilbert), q254 (rotated GT), q256
+    // (OGR VRT), q257 (OGRParseDate), q259 (sinusoidal), q261 (geohash):
+    // all scan -> codegen'd projection; a refactor that introduces a
+    // shuffle or a join into any of them is a scale regression
+    for (q <- Seq("q248_gauss_kruger", "q249_albers_forward", "q250_albers_inverse",
+      "q253_hilbert_locality", "q254_rotated_gt", "q256_ogr_vrt",
+      "q257_ogr_parse_date", "q259_sinusoidal", "q261_geohash")) {
+      val p = plan(q)
+      assert(!p.contains(") Exchange"), s"$q:\n$p")
+      assert(!p.contains("Join"), q)
+    }
+  }
+
+  test("round-5 join surface: MMR pool broadcasts; range join is an equi-join; no cartesian anywhere") {
+    // q258's relevance pool is the broadcast brute top-k: the corpus
+    // side must NOT shuffle for the join (only the per-query grouping
+    // may); q267's interval join must be a bucket equi-join, never
+    // BNLJ/cartesian (the scale failure mode of naive range joins)
+    val mmr = plan("q258_mmr_rerank")
+    assert(mmr.contains("BroadcastNestedLoopJoin") || mmr.contains("BroadcastHashJoin"),
+      s"q258 pool join must broadcast the query side:\n$mmr")
+    val rj = plan("q267_range_join")
+    assert(!rj.contains("CartesianProduct") && !rj.contains("BroadcastNestedLoopJoin"),
+      s"q267 must stay an equi-join:\n$rj")
+    for (q <- Seq("q251_weighted_reservoir", "q252_char_entropy", "q255_suggested_warp",
+      "q262_domain_tv", "q264_curriculum", "q266_asof_join", "q268_kmv_sketch")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
 }
