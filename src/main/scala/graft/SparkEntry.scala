@@ -4953,6 +4953,23 @@ object SparkEntry {
       // distance cap strictly above the true diameter. All integer.
       Network.shortestPaths(gnmEdges(s, dir)._2, source = 0L)
     }),
+    "q270_langid_confusion" -> ((s, dir) => {
+      // Language-ID CONFUSION MATRIX — the evaluation half of q27 (every
+      // production lang-ID gate ships with its confusion audit against
+      // labeled data; CLD/fastText-lid papers report exactly this
+      // table): corpus truth label × q27's n-gram-heuristic prediction,
+      // with per-cell counts and the per-true-lang recall in exact ppm.
+      // 100-TB shape: map-side predict, ONE (true, pred) hash agg
+      // (5×6-bounded), a broadcast per-lang total joined back.
+      F.ensureRegistered(s)
+      val pred = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), F.lang_id(col("text")).as("pred_lang"))
+      val cells = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("lang").agg(sum(col("n")).as("nt"))
+      cells.join(broadcast(tot), "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("n * 1000000L div nt").as("cell_ppm"))
+    }),
     "q268_kmv_sketch" -> ((s, dir) => {
       // KMV (k-minimum-values) distinct-count sketch (public: Bar-Yossef
       // et al. 2002 — the mergeable distinct-sketch family HLL belongs
@@ -9291,7 +9308,35 @@ SELECT user_id, event_id, CAST(sval AS BIGINT) AS asof_val FROM j WHERE rn = 1""
 SELECT e.event_id, CAST(win.window_id AS BIGINT) AS window_id
 FROM events e JOIN win ON e.ts >= win.wstart AND e.ts < win.wend""",
     "q268_kmv_sketch" -> OracleHashSql.q268KmvSketch,
-    "q269_pagerank" -> OracleHashSql.q269Pagerank
+    "q269_pagerank" -> OracleHashSql.q269Pagerank,
+    "q270_langid_confusion" ->
+      """WITH toks AS (
+  SELECT doc_id, lang,
+    string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ts
+  FROM documents),
+scores AS (
+  SELECT doc_id, lang,
+    len(list_filter(ts, x -> x IN ('the','and','of','to','a'))) AS s_en,
+    len(list_filter(ts, x -> x IN ('der','und','die','nicht','ist'))) AS s_de,
+    len(list_filter(ts, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+    len(list_filter(ts, x -> x IN ('el','la','de','que','los'))) AS s_es,
+    len(list_filter(ts, x -> x IN ('的','是','了','在','我'))) AS s_zh
+  FROM toks),
+pred AS (
+  SELECT lang,
+    CASE
+      WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+      WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+      WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+      WHEN s_es >= s_zh THEN 'es'
+      ELSE 'zh' END AS pred_lang
+  FROM scores),
+cells AS (SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+tot AS (SELECT lang, sum(n) AS nt FROM cells GROUP BY 1)
+SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+  CAST(c.n * 1000000 // t.nt AS BIGINT) AS cell_ppm
+FROM cells c JOIN tot t ON t.lang = c.lang"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
