@@ -93,10 +93,13 @@ case class QualityScore(child: Expression)
 }
 
 case class Fingerprint64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     TextCore.fingerprint(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextCore.fingerprint($c.toString())")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "fingerprint64"
 }
@@ -108,10 +111,13 @@ case class Fingerprint64(child: Expression)
   * oracle-replayable bit pattern (the HUGEINT mix64 chain in
   * OracleHashSql replays it mod 2^64). */
 case class Mix64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     TextCore.mix64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextCore.mix64($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "mix64"
 }
@@ -411,10 +417,16 @@ case class OgrParseDate(child: Expression)
   * (q188) keys dimensions and signs from. Same hash the shingle/minhash
   * family uses internally, so the oracle replay already exists. */
 case class Hash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     TextCore.hash64(v.asInstanceOf[UTF8String].toString)
+  // static-call codegen keeps the surrounding projection inside
+  // whole-stage codegen (feature hashing is the hot inner loop of the
+  // q220/q239 classifier family)
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextCore.hash64($c.toString())")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "hash64"
 }
