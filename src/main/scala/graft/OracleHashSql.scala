@@ -1346,6 +1346,45 @@ m$t AS (
     s"WITH $edgesCte,\n$iters\nSELECT node, CAST(m AS BIGINT) AS rank_micro FROM m10"
   }
 
+  /** q271: layout audit — the q253 Hilbert chain applied per box tile
+    * (exploded via two generate_series), Morton by explicit bit
+    * interleave, row group = curve index div 256, DISTINCT counts. */
+  def q271LayoutAudit: String = {
+    def step(k: Int): String = {
+      val s = 1L << (8 - k)
+      val prev = if (k == 1) "h0" else s"h${k - 1}"
+      s"""r$k AS (SELECT q_id, tx0, ty0, x, y, d,
+    CASE WHEN (x & $s) <> 0 THEN 1 ELSE 0 END AS rx,
+    CASE WHEN (y & $s) <> 0 THEN 1 ELSE 0 END AS ry FROM $prev),
+h$k AS (SELECT q_id, tx0, ty0,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ($s - 1) - y ELSE y END) ELSE x END AS x,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ($s - 1) - x ELSE x END) ELSE y END AS y,
+    d + $s * $s * xor(3 * rx, ry) AS d
+  FROM r$k)"""
+    }
+    val morton = (0 until 8).map(b =>
+      s"((((tx0 >> $b) & 1) << ${2 * b + 1}) + (((ty0 >> $b) & 1) << ${2 * b}))")
+      .mkString(" + ")
+    s"""
+WITH sp AS (SELECT s_suppkey AS q_id FROM supplier),
+box AS (
+  SELECT q_id, (q_id * 37) % 230 AS x0, (q_id * 53) % 230 AS y0,
+    4 + q_id % 17 AS w, 4 + q_id % 11 AS h
+  FROM sp),
+txs AS (SELECT q_id, y0, h, x0 + unnest(range(0, w + 1)) AS tx0 FROM box),
+tiles AS (SELECT q_id, tx0, y0 + unnest(range(0, h + 1)) AS ty0 FROM txs),
+h0 AS (SELECT q_id, tx0, ty0, tx0 AS x, ty0 AS y, CAST(0 AS BIGINT) AS d FROM tiles),
+${(1 to 8).map(step).mkString(",\n")},
+fin AS (
+  SELECT h8.q_id, h8.tx0, h8.ty0, h8.d AS hd, $morton AS md
+  FROM h8)
+SELECT q_id, CAST(count(*) AS BIGINT) AS n_tiles,
+  CAST(count(DISTINCT hd // 32) AS BIGINT) AS rg_hilbert,
+  CAST(count(DISTINCT md // 32) AS BIGINT) AS rg_morton
+FROM fin GROUP BY q_id
+"""
+  }
+
   /** q264: curriculum interleave — per-bucket mix64 epoch-shuffle rank
     * (the HUGEINT mix64 replay folded back to SIGNED order, matching the
     * engine's long ordering) and the closed-form period-6 step law. */

@@ -4953,6 +4953,41 @@ object SparkEntry {
       // distance cap strictly above the true diameter. All integer.
       Network.shortestPaths(gnmEdges(s, dir)._2, source = 0L)
     }),
+    "q271_layout_audit" -> ((s, dir) => {
+      // Storage-layout PRUNING AUDIT — Hilbert vs Z-order row-group
+      // touch counts (the measurable version of q253's locality claim,
+      // and the decision input for how a 100-TB tile table should be
+      // key-sorted): on the full order-8 grid both curves are
+      // bijections, so a tile's ROW GROUP under either layout is just
+      // its curve index div 32 — closed form, no sort anywhere. Each
+      // query rectangle explodes to its tiles and counts DISTINCT row
+      // groups touched under each ordering; fewer groups = fewer
+      // min-max-pruned reads. The audit MEASURES rather than assumes:
+      // at this grid/box regime the curves tie on average (28 wins
+      // each, 44 ties at sf0.01) — rectangle-query group counts are
+      // near-equal between Hilbert and Morton, while Hilbert wins the
+      // envelope-area clustering metric (CoreSpec's pin); both facts
+      // inform the 100-TB layout choice. All integer, one bounded
+      // explode + one per-query agg.
+      F.ensureRegistered(s)
+      val morton = (0 until 8).map(b =>
+        s"(shiftleft(shiftright(tx, $b) & 1L, ${2 * b + 1}) + shiftleft(shiftright(ty, $b) & 1L, ${2 * b}))")
+        .mkString(" + ")
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("x0", expr("(q_id * 37) % 230"))
+        .withColumn("y0", expr("(q_id * 53) % 230"))
+        .withColumn("w", expr("4L + q_id % 17"))
+        .withColumn("h", expr("4L + q_id % 11"))
+        .withColumn("tx", explode(expr("sequence(x0, x0 + w)")))
+        .withColumn("ty", explode(expr("sequence(y0, y0 + h)")))
+        .withColumn("hd", call_function("hilbert_d", col("tx"), col("ty"), lit(8)))
+        .withColumn("md", expr(morton))
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_tiles"),
+          countDistinct(expr("hd div 32L")).as("rg_hilbert"),
+          countDistinct(expr("md div 32L")).as("rg_morton"))
+    }),
     "q270_langid_confusion" -> ((s, dir) => {
       // Language-ID CONFUSION MATRIX — the evaluation half of q27 (every
       // production lang-ID gate ships with its confusion audit against
@@ -9336,7 +9371,8 @@ cells AS (SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
 tot AS (SELECT lang, sum(n) AS nt FROM cells GROUP BY 1)
 SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
   CAST(c.n * 1000000 // t.nt AS BIGINT) AS cell_ppm
-FROM cells c JOIN tot t ON t.lang = c.lang"""
+FROM cells c JOIN tot t ON t.lang = c.lang""",
+    "q271_layout_audit" -> OracleHashSql.q271LayoutAudit
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
