@@ -4953,6 +4953,41 @@ object SparkEntry {
       // distance cap strictly above the true diameter. All integer.
       Network.shortestPaths(gnmEdges(s, dir)._2, source = 0L)
     }),
+    "q272_tile_modality_census" -> ((s, dir) => {
+      // Interleaved-doc TILE MODALITY CENSUS — the north-star table's
+      // per-tile content inventory (which zoom-8 tiles carry text
+      // evidence, media evidence, or both: the co-location signal a
+      // multimodal trainer samples by): text spans parse their WKT
+      // point back to the tile grid, media spans parse their tile://
+      // ref, and a TWO-LEVEL agg — (tile, doc) then tile — yields span
+      // counts, EXACT distinct docs, and the modality verdict. 100-TB
+      // shape: map-side span parsing (no join anywhere), two bounded
+      // hash aggs; the doc-distinct level never holds more than one row
+      // per (tile, doc).
+      F.ensureRegistered(s)
+      val spans = Synth.docs(s, dir)
+        .select(col("doc_id"), posexplode(col("spans")).as(Seq("i", "sp")))
+        .select(col("doc_id"), col("sp.kind").as("kind"),
+          col("sp.text").as("text"), col("sp.media_ref").as("mr"))
+      val tiled = spans
+        .withColumn("tx", when(col("kind") === "media",
+            expr("CAST(split(mr, '/')[3] AS BIGINT)"))
+          .otherwise(expr(
+            "CAST(floor((st_x(st_geomfromwkt(text)) + 180.0D) / 360.0D * 512) AS BIGINT)")))
+        .withColumn("ty", when(col("kind") === "media",
+            expr("CAST(split(mr, '/')[4] AS BIGINT)"))
+          .otherwise(expr(
+            "CAST(floor((90.0D - st_y(st_geomfromwkt(text))) / 180.0D * 256) AS BIGINT)")))
+      tiled.groupBy("tx", "ty", "doc_id")
+        .agg(sum(when(col("kind") === "text", 1L).otherwise(0L)).as("nt"),
+          sum(when(col("kind") === "media", 1L).otherwise(0L)).as("nm"))
+        .groupBy("tx", "ty")
+        .agg(sum(col("nt")).as("n_text"), sum(col("nm")).as("n_media"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("modality", expr(
+          """CASE WHEN n_text > 0 AND n_media > 0 THEN 'mixed'
+             WHEN n_media > 0 THEN 'media' ELSE 'text' END"""))
+    }),
     "q271_layout_audit" -> ((s, dir) => {
       // Storage-layout PRUNING AUDIT — Hilbert vs Z-order row-group
       // touch counts (the measurable version of q253's locality claim,
@@ -9372,7 +9407,23 @@ tot AS (SELECT lang, sum(n) AS nt FROM cells GROUP BY 1)
 SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
   CAST(c.n * 1000000 // t.nt AS BIGINT) AS cell_ppm
 FROM cells c JOIN tot t ON t.lang = c.lang""",
-    "q271_layout_audit" -> OracleHashSql.q271LayoutAudit
+    "q271_layout_audit" -> OracleHashSql.q271LayoutAudit,
+    "q272_tile_modality_census" -> s"""
+WITH pts AS ($ptsSql),
+sp AS (SELECT doc_key,
+    CAST(floor((lon + 180.0) / 360.0 * 512) AS BIGINT) AS tx,
+    CAST(floor((90.0 - lat) / 180.0 * 256) AS BIGINT) AS ty,
+    CASE WHEN line_no % 4 = 0 THEN 1 ELSE 0 END AS is_media
+  FROM pts),
+pdt AS (SELECT tx, ty, doc_key,
+    sum(CASE WHEN is_media = 0 THEN 1 ELSE 0 END) AS nt,
+    sum(is_media) AS nm
+  FROM sp GROUP BY 1, 2, 3)
+SELECT tx, ty, CAST(sum(nt) AS BIGINT) AS n_text, CAST(sum(nm) AS BIGINT) AS n_media,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CASE WHEN sum(nt) > 0 AND sum(nm) > 0 THEN 'mixed'
+       WHEN sum(nm) > 0 THEN 'media' ELSE 'text' END AS modality
+FROM pdt GROUP BY 1, 2"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
