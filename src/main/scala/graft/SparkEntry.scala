@@ -4953,6 +4953,32 @@ object SparkEntry {
       // distance cap strictly above the true diameter. All integer.
       Network.shortestPaths(gnmEdges(s, dir)._2, source = 0L)
     }),
+    "q273_equalize" -> ((s, dir) => {
+      // Histogram EQUALIZATION (reference: apps/gdalenhance.cpp — the
+      // enhancement utility's -equalize mode; classic law: LUT[v] =
+      // (cdf(v) − cdf_min)·255 div (N − cdf_min), all integer): over the
+      // q122 synthetic 1024×64 raster, ONE value histogram (256-bounded
+      // agg), a cumulative window over that tiny histogram, the scalar
+      // cdf_min/N folded in via a 1-row cross join — never a per-pixel
+      // second pass; the LUT is the graded artifact (256 rows) plus the
+      // equalized-image weighted checksum Σ lut[v]·cnt[v] mod 65535.
+      // 100-TB shape: per-pixel work is the map-side value projection;
+      // everything after is value-space (≤ 256 rows).
+      import org.apache.spark.sql.expressions.Window
+      val px = s.range(0L, 65536L).toDF("i")
+        .withColumn("gx", expr("i % 1024"))
+        .withColumn("gy", expr("i div 1024"))
+        .withColumn("v", expr(
+          "((gx div 64) * 131 + (gy div 64) * 173 + (gx % 64) * 7 + (gy % 64) * 11 + 3) % 256"))
+      val hist = px.groupBy("v").agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cdf", sum(col("cnt")).over(wc))
+      val mins = cum.agg(min(col("cdf")).as("cdf_min"), sum(col("cnt")).as("n"))
+      cum.crossJoin(broadcast(mins))
+        .withColumn("lut", expr("(cdf - cdf_min) * 255L div (n - cdf_min)"))
+        .select(col("v"), col("cnt"), col("cdf"), col("lut"),
+          expr("(lut * cnt) % 65535L").as("wsum_mod"))
+    }),
     "q272_tile_modality_census" -> ((s, dir) => {
       // Interleaved-doc TILE MODALITY CENSUS — the north-star table's
       // per-tile content inventory (which zoom-8 tiles carry text
@@ -9423,7 +9449,21 @@ SELECT tx, ty, CAST(sum(nt) AS BIGINT) AS n_text, CAST(sum(nm) AS BIGINT) AS n_m
   CAST(count(*) AS BIGINT) AS n_docs,
   CASE WHEN sum(nt) > 0 AND sum(nm) > 0 THEN 'mixed'
        WHEN sum(nm) > 0 THEN 'media' ELSE 'text' END AS modality
-FROM pdt GROUP BY 1, 2"""
+FROM pdt GROUP BY 1, 2""",
+    "q273_equalize" ->
+      """WITH px AS (
+  SELECT ((i.i % 1024) // 64) * 131 + ((i.i // 1024) // 64) * 173
+       + ((i.i % 1024) % 64) * 7 + ((i.i // 1024) % 64) * 11 + 3 AS raw
+  FROM generate_series(0, 65535) i(i)),
+hist AS (SELECT raw % 256 AS v, count(*) AS cnt FROM px GROUP BY 1),
+cum AS (SELECT v, cnt,
+    sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf
+  FROM hist),
+mins AS (SELECT min(cdf) AS cdf_min, sum(cnt) AS n FROM cum)
+SELECT c.v, CAST(c.cnt AS BIGINT) AS cnt, CAST(c.cdf AS BIGINT) AS cdf,
+  CAST((c.cdf - m.cdf_min) * 255 // (m.n - m.cdf_min) AS BIGINT) AS lut,
+  CAST(((c.cdf - m.cdf_min) * 255 // (m.n - m.cdf_min)) * c.cnt % 65535 AS BIGINT) AS wsum_mod
+FROM cum c CROSS JOIN mins m"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
