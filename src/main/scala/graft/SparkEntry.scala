@@ -4953,6 +4953,32 @@ object SparkEntry {
       // distance cap strictly above the true diameter. All integer.
       Network.shortestPaths(gnmEdges(s, dir)._2, source = 0L)
     }),
+    "q274_dissolve" -> ((s, dir) => {
+      // DISSOLVE / ST_Union-by-attribute (the classic ogr2ogr + SQLite-
+      // dialect aggregate-union workflow; reference: ogr/ogrsf_frmts/
+      // sqlite :: OGR2SQLITE spatial functions): the synth boxes
+      // dissolve into 16 attribute groups, the union folding LEFT-ASSOC
+      // over (region_id)-sorted geometries. The grade is CROSS-DERIVED:
+      // JTS area and total ring length of each dissolved geometry —
+      // exact dyadic shoelace on the ε-shifted integer lattice — must
+      // equal the oracle's INDEPENDENT covered-cell count and
+      // boundary-edge count, so the union geometry, its holes, and both
+      // measures confirm each other with no common code path. 100-TB
+      // shape: one group agg; a mega-group cascades tile-local folds
+      // (union is associative) — noted in the expression doc.
+      F.ensureRegistered(s)
+      Synth.regionWkt(s, dir)
+        .withColumn("g", col("region_id") % 16)
+        .withColumn("geom", call_function("st_geomfromwkt", col("wkt")))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_boxes"),
+          sort_array(collect_list(struct(col("region_id"), col("geom")))).as("gs"))
+        .withColumn("u", call_function("st_union_fold",
+          expr("transform(gs, x -> x.geom)")))
+        .select(col("g"), col("n_boxes"),
+          expr("CAST(st_area(u) AS BIGINT)").as("area_cells"),
+          expr("CAST(st_length(u) AS BIGINT)").as("perim_units"))
+    }),
     "q273_equalize" -> ((s, dir) => {
       // Histogram EQUALIZATION (reference: apps/gdalenhance.cpp — the
       // enhancement utility's -equalize mode; classic law: LUT[v] =
@@ -9463,7 +9489,28 @@ mins AS (SELECT min(cdf) AS cdf_min, sum(cnt) AS n FROM cum)
 SELECT c.v, CAST(c.cnt AS BIGINT) AS cnt, CAST(c.cdf AS BIGINT) AS cdf,
   CAST((c.cdf - m.cdf_min) * 255 // (m.n - m.cdf_min) AS BIGINT) AS lut,
   CAST(((c.cdf - m.cdf_min) * 255 // (m.n - m.cdf_min)) * c.cnt % 65535 AS BIGINT) AS wsum_mod
-FROM cum c CROSS JOIN mins m"""
+FROM cum c CROSS JOIN mins m""",
+    "q274_dissolve" -> s"""
+WITH boxes AS ($boxesSql),
+gb AS (SELECT box_id % 16 AS g, box_id,
+    CAST(floor(xmin) AS BIGINT) AS x0, CAST(floor(ymin) AS BIGINT) AS y0,
+    CAST(xmax - xmin AS BIGINT) AS w, CAST(ymax - ymin AS BIGINT) AS h
+  FROM boxes),
+cx AS (SELECT g, y0, h, x0 + unnest(range(0, w)) AS ccx FROM gb),
+cells0 AS (SELECT g, ccx, y0 + unnest(range(0, h)) AS ccy FROM cx),
+cells AS (SELECT DISTINCT g, ccx, ccy FROM cells0),
+area AS (SELECT g, count(*) AS area_cells FROM cells GROUP BY 1),
+adj AS (
+  SELECT c.g, count(*) AS covered_adj
+  FROM cells c JOIN cells n ON n.g = c.g AND
+    ((n.ccx = c.ccx + 1 AND n.ccy = c.ccy) OR (n.ccx = c.ccx - 1 AND n.ccy = c.ccy)
+     OR (n.ccx = c.ccx AND n.ccy = c.ccy + 1) OR (n.ccx = c.ccx AND n.ccy = c.ccy - 1))
+  GROUP BY c.g),
+nb AS (SELECT g, count(*) AS n_boxes FROM gb GROUP BY 1)
+SELECT a.g, CAST(nb.n_boxes AS BIGINT) AS n_boxes,
+  CAST(a.area_cells AS BIGINT) AS area_cells,
+  CAST(4 * a.area_cells - coalesce(adj.covered_adj, 0) AS BIGINT) AS perim_units
+FROM area a JOIN nb ON nb.g = a.g LEFT JOIN adj ON adj.g = a.g"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of

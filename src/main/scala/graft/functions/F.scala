@@ -53,6 +53,7 @@ object F {
         "st_equals"      -> (e => GeomPredicate(e(0), e(1), "equals")),
         "st_intersection" -> (e => GeomBinaryToGeom(e(0), e(1), "intersection")),
         "st_union"       -> (e => GeomBinaryToGeom(e(0), e(1), "union")),
+        "st_union_fold"  -> (e => StUnionFold(e.head)),
         "st_difference"  -> (e => GeomBinaryToGeom(e(0), e(1), "difference")),
         "st_symdifference" -> (e => GeomBinaryToGeom(e(0), e(1), "symdifference")),
         "st_distance"    -> (e => StDistance(e(0), e(1))),

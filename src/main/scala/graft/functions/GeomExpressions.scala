@@ -855,6 +855,33 @@ case class StLineSubstring(first: Expression, second: Expression, third: Express
   override def prettyName: String = "st_line_substring"
 }
 
+/** st_union_fold(array<wkb>) → wkb: LEFT-ASSOC sequential union over the
+  * array order (callers sort the array first, so the fold order — and
+  * with it every intermediate geometry — is deterministic). The
+  * aggregate-union primitive behind dissolve workflows (reference: the
+  * SQLite dialect's ST_Union aggregate, ogr/ogrsf_frmts/sqlite ::
+  * OGR2SQLITE_RegisterRegularFunction family). For a 100-TB mega-group,
+  * cascade: tile-local folds first, then fold the partials — union is
+  * associative, so the cascade is exact. */
+case class StUnionFold(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(arr.numElements() > 0, "st_union_fold: empty geometry array")
+    var g = GeomOps.fromWkb(arr.getBinary(0))
+    var i = 1
+    while (i < arr.numElements()) {
+      g = g.union(GeomOps.fromWkb(arr.getBinary(i)))
+      i += 1
+    }
+    GeomIO.toWkb(g)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_union_fold"
+}
+
 /** tm_forward / tm_inverse — the generalized Transverse Mercator
   * (Gauss-Krüger) transform with explicit projection parameters
   * (reference: ogr/ogr_spatialref.cpp :: OGRSpatialReference::SetTM —
