@@ -321,6 +321,35 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(se - 1760981.53) < 0.5 && math.abs(sn - -3828749.39) < 0.5)
   }
 
+  test("st_union_fold: tree cascade equals pairwise reference; area/perimeter exact on the lattice") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    // nine overlapping lattice boxes, one detached → union is a
+    // MultiPolygon with a known cell count
+    val wkts = (0 until 9).map { i =>
+      val x = (i % 3) * 2; val y = (i / 3) * 2 // 3x3 of 3-wide boxes, overlapping
+      s"POLYGON(($x $y, ${x + 3} $y, ${x + 3} ${y + 3}, $x ${y + 3}, $x $y))"
+    } :+ "POLYGON((20 20, 22 20, 22 21, 20 21, 20 20))"
+    val df = spark.range(0, 10).toDF("i")
+      .withColumn("wkt", expr(s"element_at(array(${wkts.map("'" + _ + "'").mkString(",")}), CAST(i + 1 AS INT))"))
+      .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+      .agg(sort_array(collect_list(struct(col("i"), col("g")))).as("gs"))
+      .select(call_function("st_union_fold", expr("transform(gs, x -> x.g)")).as("u"))
+      .select(expr("st_area(u)").as("a"), expr("st_length(u)").as("l"))
+    val r = df.collect()(0)
+    // 3x3 grid of 3-wide boxes spaced 2 apart covers a 7x7 square = 49,
+    // plus the detached 2x1 box
+    assert(r.getDouble(0) == 49.0 + 2.0, s"area ${r.getDouble(0)}")
+    assert(r.getDouble(1) == 28.0 + 6.0, s"perimeter ${r.getDouble(1)}")
+    // pairwise reference fold on the driver must agree
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val reader = new org.locationtech.jts.io.WKTReader(gf)
+    val ref = wkts.map(reader.read).reduce(_.union(_))
+    assert(ref.getArea == 51.0 && ref.getLength == 34.0)
+  }
+
   test("OGRParseDate: separators, fractions, TZFlag encoding, rejection") {
     import graft.core.OgrDate
     def p(s: String) = OgrDate.parse(s)
