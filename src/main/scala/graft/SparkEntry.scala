@@ -2735,7 +2735,7 @@ object SparkEntry {
         .withColumn("cx", expr("ax - CAST(q_id % 7 AS DOUBLE) / 8.0"))
         .withColumn("cy", expr("ay + 2.0"))
         .withColumn("wkt", expr(
-          """CASE WHEN q_id % 3 = 0 THEN
+          """CASE WHEN (q_id div 12) % 2 = 0 THEN
                format_string('LINESTRING(%s %s, %s %s)', ax, ay, bx, by)
              WHEN q_id % 3 = 1 THEN
                format_string('MULTILINESTRING((%s %s, %s %s), (%s %s, %s %s))',
@@ -3319,7 +3319,7 @@ object SparkEntry {
         .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
         .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
         .withColumn("wkt", expr(
-          """CASE WHEN q_id % 3 = 0 THEN format_string('POINT(%.2f %.2f)', ax, ay)
+          """CASE WHEN (q_id div 12) % 2 = 0 THEN format_string('POINT(%.2f %.2f)', ax, ay)
              WHEN q_id % 3 = 1 THEN format_string('LINESTRING(%.2f %.2f, %.2f %.2f)',
                ax, ay, ax + w, ay + h)
              ELSE format_string('POLYGON((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))',
@@ -3652,7 +3652,7 @@ object SparkEntry {
         .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
         .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
         .withColumn("wkt", expr(
-          """CASE WHEN q_id % 3 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+          """CASE WHEN (q_id div 12) % 2 = 0 THEN format_string('POINT(%s %s)', ax, ay)
              WHEN q_id % 3 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
                ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
              ELSE format_string('POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))',
@@ -4462,7 +4462,7 @@ object SparkEntry {
         .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
         .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
         .withColumn("wkt", expr(
-          """CASE WHEN q_id % 3 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+          """CASE WHEN (q_id div 12) % 2 = 0 THEN format_string('POINT(%s %s)', ax, ay)
              WHEN q_id % 3 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
                ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
              ELSE format_string('POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))',
@@ -4654,7 +4654,7 @@ object SparkEntry {
         .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
         .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
         .withColumn("wkt", expr(
-          """CASE WHEN q_id % 3 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+          """CASE WHEN (q_id div 12) % 2 = 0 THEN format_string('POINT(%s %s)', ax, ay)
              WHEN q_id % 3 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
                ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
              ELSE format_string(
@@ -4952,6 +4952,50 @@ object SparkEntry {
       // The oracle replays the graph with a recursive CTE bounded by a
       // distance cap strictly above the true diameter. All integer.
       Network.shortestPaths(gnmEdges(s, dir)._2, source = 0L)
+    }),
+    "q276_robots_match" -> ((s, dir) => {
+      // Robots-exclusion LONGEST-MATCH verdict (public: RFC 9309 §2.2.2
+      // — "the most specific match found MUST be used", the rule-set law
+      // every crawl pipeline applies before fetching): deterministic
+      // per-row URL paths match a 12-rule allow/deny table by longest
+      // matching PREFIX (ties break allow, the RFC rule). Distributed
+      // law: the URL explodes to its path-prefix chain (bounded by path
+      // depth), equi-joins the BROADCAST rule table on the prefix, and
+      // one argmax window per URL picks (len desc, allow desc) — never
+      // a per-rule scan of the corpus, never a LIKE theta join.
+      val rules = Seq(
+        ("/", 1), ("/private/", 0), ("/private/share/", 1), ("/tmp/", 0),
+        ("/api/", 0), ("/api/pub/", 1), ("/static/", 1), ("/static/int/", 0),
+        ("/user/", 1), ("/user/admin/", 0), ("/data/", 0), ("/data/open/", 1))
+      val spark = s
+      import spark.implicits._
+      val ruleDf = rules.toDF("prefix", "allow")
+      val segs = Seq("private", "share", "tmp", "api", "pub", "static",
+        "int", "user", "admin", "data", "open", "x")
+      val urls = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("q_id"))
+        .withColumn("p1", expr(s"element_at(array(${segs.map("'" + _ + "'").mkString(",")}), CAST(q_id % 12 AS INT) + 1)"))
+        // half the URLs (decided by a modulus INDEPENDENT of the p1 pick,
+        // so every child rule can fire) descend into p1's OWN child, so the
+        // two-level rules (/private/share/, /api/pub/, ...) genuinely
+        // fire; otherwise p2 is an unrelated segment
+        .withColumn("p2", expr(
+          s"""CASE WHEN (q_id div 12) % 2 = 0 THEN
+                CASE p1 WHEN 'private' THEN 'share' WHEN 'api' THEN 'pub'
+                        WHEN 'static' THEN 'int' WHEN 'user' THEN 'admin'
+                        WHEN 'data' THEN 'open' ELSE 'x' END
+              ELSE element_at(array(${segs.map("'" + _ + "'").mkString(",")}), CAST((q_id * 5) % 12 AS INT) + 1) END"""))
+        .withColumn("path", expr("concat('/', p1, '/', p2, '/page', CAST(q_id % 7 AS STRING))"))
+      // prefix chain: '/', '/p1/', '/p1/p2/' (every boundary the rules
+      // could sit on — rule prefixes here always end in '/')
+      val cand = urls.select(col("q_id"), col("path"),
+          explode(expr("array('/', concat('/', p1, '/'), concat('/', p1, '/', p2, '/'))")).as("prefix"))
+        .join(broadcast(ruleDf), Seq("prefix"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(length(col("prefix")).desc, col("allow").desc)
+      cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("q_id"), col("path"), col("prefix").as("rule"),
+          col("allow").cast("long").as("allow"))
     }),
     "q274_dissolve" -> ((s, dir) => {
       // DISSOLVE / ST_Union-by-attribute (the classic ogr2ogr + SQLite-
@@ -9510,7 +9554,35 @@ nb AS (SELECT g, count(*) AS n_boxes FROM gb GROUP BY 1)
 SELECT a.g, CAST(nb.n_boxes AS BIGINT) AS n_boxes,
   CAST(a.area_cells AS BIGINT) AS area_cells,
   CAST(4 * a.area_cells - coalesce(adj.covered_adj, 0) AS BIGINT) AS perim_units
-FROM area a JOIN nb ON nb.g = a.g LEFT JOIN adj ON adj.g = a.g"""
+FROM area a JOIN nb ON nb.g = a.g LEFT JOIN adj ON adj.g = a.g""",
+    "q276_robots_match" ->
+      """WITH rules(prefix, allow) AS (VALUES
+  ('/', 1), ('/private/', 0), ('/private/share/', 1), ('/tmp/', 0),
+  ('/api/', 0), ('/api/pub/', 1), ('/static/', 1), ('/static/int/', 0),
+  ('/user/', 1), ('/user/admin/', 0), ('/data/', 0), ('/data/open/', 1)),
+segs(i, seg) AS (VALUES (0,'private'),(1,'share'),(2,'tmp'),(3,'api'),(4,'pub'),
+  (5,'static'),(6,'int'),(7,'user'),(8,'admin'),(9,'data'),(10,'open'),(11,'x')),
+u AS (
+  SELECT s_suppkey AS q_id,
+    (SELECT seg FROM segs WHERE i = s_suppkey % 12) AS p1,
+    CASE WHEN (s_suppkey // 12) % 2 = 0 THEN
+      CASE (SELECT seg FROM segs WHERE i = s_suppkey % 12)
+        WHEN 'private' THEN 'share' WHEN 'api' THEN 'pub'
+        WHEN 'static' THEN 'int' WHEN 'user' THEN 'admin'
+        WHEN 'data' THEN 'open' ELSE 'x' END
+    ELSE (SELECT seg FROM segs WHERE i = (s_suppkey * 5) % 12) END AS p2
+  FROM supplier),
+urls AS (SELECT q_id, p1, p2,
+    '/' || p1 || '/' || p2 || '/page' || CAST(q_id % 7 AS VARCHAR) AS path
+  FROM u),
+cand AS (
+  SELECT q_id, path, c.prefix, r.allow
+  FROM urls, unnest(['/', '/' || p1 || '/', '/' || p1 || '/' || p2 || '/']) AS c(prefix)
+  JOIN rules r ON r.prefix = c.prefix),
+rnk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+    ORDER BY length(prefix) DESC, allow DESC) AS rn FROM cand)
+SELECT q_id, path, prefix AS rule, CAST(allow AS BIGINT) AS allow
+FROM rnk WHERE rn = 1"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
