@@ -4953,6 +4953,30 @@ object SparkEntry {
       // distance cap strictly above the true diameter. All integer.
       Network.shortestPaths(gnmEdges(s, dir)._2, source = 0L)
     }),
+    "q275_geo_manifest" -> ((s, dir) => {
+      // GeoParquet/Iceberg-style PARTITION METADATA emission (public
+      // specs: GeoParquet per-file bbox metadata, Iceberg manifest
+      // column bounds — the stats a scan planner prunes on): per zoom-2
+      // cell partition of the point corpus — the explicit partition key
+      // a 100-TB geo layout writes by — the exact bbox in 1/1024-degree
+      // integer units (the synth lattice, so min/max are EXACT — no
+      // float quantization at all), the row count, and the manifest
+      // JSON line itself, byte-pinned like the driver texts. Map-side
+      // key + ONE partial+final hash agg; nothing else moves.
+      val pts = Synth.points(s, dir)
+        .withColumn("tx", expr("CAST(floor((lon + 180.0D) / 360.0D * 4) AS BIGINT)"))
+        .withColumn("ty", expr("CAST(floor((90.0D - lat) / 180.0D * 4) AS BIGINT)"))
+        .withColumn("li", expr("CAST(lon * 1024.0D AS BIGINT)"))
+        .withColumn("la", expr("CAST(lat * 1024.0D AS BIGINT)"))
+      pts.groupBy("tx", "ty")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("li")).as("xmin_m"), max(col("li")).as("xmax_m"),
+          min(col("la")).as("ymin_m"), max(col("la")).as("ymax_m"))
+        .withColumn("manifest", format_string(
+          """{"cell":"2/%d/%d","rows":%d,"bbox_1024":[%d,%d,%d,%d]}""",
+          col("tx"), col("ty"), col("n_rows"),
+          col("xmin_m"), col("ymin_m"), col("xmax_m"), col("ymax_m")))
+    }),
     "q276_robots_match" -> ((s, dir) => {
       // Robots-exclusion LONGEST-MATCH verdict (public: RFC 9309 §2.2.2
       // — "the most specific match found MUST be used", the rule-set law
@@ -9582,7 +9606,20 @@ cand AS (
 rnk AS (SELECT *, row_number() OVER (PARTITION BY q_id
     ORDER BY length(prefix) DESC, allow DESC) AS rn FROM cand)
 SELECT q_id, path, prefix AS rule, CAST(allow AS BIGINT) AS allow
-FROM rnk WHERE rn = 1"""
+FROM rnk WHERE rn = 1""",
+    "q275_geo_manifest" -> s"""
+WITH pts AS ($ptsSql),
+g AS (SELECT
+    CAST(floor((lon + 180.0) / 360.0 * 4) AS BIGINT) AS tx,
+    CAST(floor((90.0 - lat) / 180.0 * 4) AS BIGINT) AS ty,
+    CAST(lon * 1024.0 AS BIGINT) AS li, CAST(lat * 1024.0 AS BIGINT) AS la
+  FROM pts),
+a AS (SELECT tx, ty, count(*) AS n_rows, min(li) AS xmin_m, max(li) AS xmax_m,
+    min(la) AS ymin_m, max(la) AS ymax_m FROM g GROUP BY 1, 2)
+SELECT tx, ty, CAST(n_rows AS BIGINT) AS n_rows, xmin_m, xmax_m, ymin_m, ymax_m,
+  printf('{"cell":"2/%d/%d","rows":%d,"bbox_1024":[%d,%d,%d,%d]}',
+    tx, ty, n_rows, xmin_m, ymin_m, xmax_m, ymax_m) AS manifest
+FROM a"""
   )
 
   /** Shared oracle fragment for q55/q58: per-dst-pixel source values of
