@@ -2735,7 +2735,7 @@ object SparkEntry {
         .withColumn("cx", expr("ax - CAST(q_id % 7 AS DOUBLE) / 8.0"))
         .withColumn("cy", expr("ay + 2.0"))
         .withColumn("wkt", expr(
-          """CASE WHEN (q_id div 12) % 2 = 0 THEN
+          """CASE WHEN q_id % 3 = 0 THEN
                format_string('LINESTRING(%s %s, %s %s)', ax, ay, bx, by)
              WHEN q_id % 3 = 1 THEN
                format_string('MULTILINESTRING((%s %s, %s %s), (%s %s, %s %s))',
@@ -3319,7 +3319,7 @@ object SparkEntry {
         .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
         .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
         .withColumn("wkt", expr(
-          """CASE WHEN (q_id div 12) % 2 = 0 THEN format_string('POINT(%.2f %.2f)', ax, ay)
+          """CASE WHEN q_id % 3 = 0 THEN format_string('POINT(%.2f %.2f)', ax, ay)
              WHEN q_id % 3 = 1 THEN format_string('LINESTRING(%.2f %.2f, %.2f %.2f)',
                ax, ay, ax + w, ay + h)
              ELSE format_string('POLYGON((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))',
@@ -3652,7 +3652,7 @@ object SparkEntry {
         .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
         .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
         .withColumn("wkt", expr(
-          """CASE WHEN (q_id div 12) % 2 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+          """CASE WHEN q_id % 3 = 0 THEN format_string('POINT(%s %s)', ax, ay)
              WHEN q_id % 3 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
                ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
              ELSE format_string('POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))',
@@ -4462,7 +4462,7 @@ object SparkEntry {
         .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
         .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
         .withColumn("wkt", expr(
-          """CASE WHEN (q_id div 12) % 2 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+          """CASE WHEN q_id % 3 = 0 THEN format_string('POINT(%s %s)', ax, ay)
              WHEN q_id % 3 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
                ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
              ELSE format_string('POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))',
@@ -4654,7 +4654,7 @@ object SparkEntry {
         .withColumn("w", expr("1.0D + CAST(q_id % 7 AS DOUBLE) / 2.0D"))
         .withColumn("h", expr("2.0D + CAST(q_id % 5 AS DOUBLE)"))
         .withColumn("wkt", expr(
-          """CASE WHEN (q_id div 12) % 2 = 0 THEN format_string('POINT(%s %s)', ax, ay)
+          """CASE WHEN q_id % 3 = 0 THEN format_string('POINT(%s %s)', ax, ay)
              WHEN q_id % 3 = 1 THEN format_string('LINESTRING(%s %s, %s %s, %s %s)',
                ax, ay, ax + w, ay + h, ax, ay + 2.0D * h)
              ELSE format_string(
