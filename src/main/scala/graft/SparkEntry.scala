@@ -43,6 +43,36 @@ object SparkEntry {
   private def scratch(prefix: String): String =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
 
+  /** OPTIMIZATION r6 (guide §2.2/§2.4): state-partition count for the
+    * drain-once streaming queries, derived from SOURCE bytes instead of
+    * inheriting the session's shuffle-partition constant. Stateful
+    * streaming pins state stores = shuffle partitions at query start
+    * (AQE is disabled for stateful plans) and every micro-batch pays a
+    * fixed commit/maintenance cost PER STORE — so stores target ~64 MB
+    * of source input each with a floor of 4: a 2 MB local backlog gets 4
+    * stores (measured: q223 8.1 s → 4.8 s vs 32 stores), a 100-TB
+    * backlog gets thousands. Emitted rows are partition-count invariant
+    * (the 7-core verify gate varies this by construction).
+    * GRAFT_STREAM_PARTS overrides for experiments. */
+  private def streamStateParts(srcs: String*): Int =
+    sys.env.get("GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+      def sz(p: String): Long = {
+        val f = new java.io.File(p)
+        val kids = if (f.isDirectory) f.listFiles else null
+        if (kids != null) kids.map(_.length).sum else f.length
+      }
+      math.max(4, (srcs.map(sz).sum >> 26).toInt)
+    }
+
+  /** Scope `spark.sql.shuffle.partitions` to a streaming query (the
+    * setting binds at query START); restores the session value for
+    * whatever runs next. */
+  private def withStreamParts[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** The q263/q269 deterministic road network over the supplier ids:
     * width-10 lattice (right/down edges, weights 1–7/1–5) + two express
     * tiers (+33 w4, +205 w9) that keep the diameter in the tens at any
@@ -495,7 +525,7 @@ object SparkEntry {
       // at this volume (scoped to the query, restored after — results
       // are partition-count-independent, see the 7-core gate)
       val prevParts120 = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts(src).toString)
       try {
         val q = Streaming.sessionizeStream(stream)
           .filter(so => so.user_id >= 0)
@@ -534,12 +564,14 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 1000000L)
       docs.unionByName(dup).write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(docs.schema).parquet(src)
-      val q = Streaming.streamingDedup(stream, "text", "ts")
-        .select(col("fp"))
-        .writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckp).outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
+      withStreamParts(s, streamStateParts(src)) {
+        val q = Streaming.streamingDedup(stream, "text", "ts")
+          .select(col("fp"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckp).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.read.parquet(out).select(col("fp"))
     }),
     "q154_stream_outer_join" -> ((s, dir) => {
@@ -584,7 +616,7 @@ object SparkEntry {
       // streaming query and restore for whoever runs next; results are
       // partition-count-independent (the 7-core gate already varies it).
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts(srcV, srcC).toString)
       try {
         val q = joined.writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", ckp).outputMode("append").start()
@@ -628,7 +660,7 @@ object SparkEntry {
       // windowed-agg state stores = shuffle partitions (same rationale
       // as q120/q154): scope 8 stores to the streaming query
       val prevParts143 = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts(src).toString)
       try {
         val q = agg.writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", ckp).outputMode("append").start()
@@ -703,10 +735,12 @@ object SparkEntry {
           joinType = "leftSemi")
         .select(col("view_id"), col("v_user"),
           unix_millis(col("vts")).as("vts_ms"))
-      val q = joined.writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckp).outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
+      withStreamParts(s, streamStateParts(srcV, srcC)) {
+        val q = joined.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckp).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.read.parquet(out).select(col("view_id"), col("v_user"), col("vts_ms"))
     }),
     "q140_stream_join" -> ((s, dir) => {
@@ -741,10 +775,12 @@ object SparkEntry {
           "v_user", "c_user", "vts", "cts", windowMs = 3600000L)
         .select(col("view_id"), col("click_id"),
           (unix_millis(col("cts")) - unix_millis(col("vts"))).as("delta_ms"))
-      val q = joined.writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckp).outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
+      withStreamParts(s, streamStateParts(srcV, srcC)) {
+        val q = joined.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckp).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.read.parquet(out).select(col("view_id"), col("click_id"), col("delta_ms"))
     }),
     "q30_sessionize" -> ((s, dir) => {
@@ -2300,29 +2336,29 @@ object SparkEntry {
       // pretrained-artifact stand-in, the q170/q180 literal-model
       // precedent). 100-TB shape: two hash aggs + map-side dot — no
       // vocabulary, no model state beyond 32 literals.
+      // OPTIMIZATION r6: the margin law is LINEAR in per-feature
+      // occurrences — the (doc,feat) tf agg, the hash, the (doc,dim) sv
+      // agg and the final weighted sum all commute into one per-row fold:
+      //   dot = Σ_occurrence sign(h)·w(dim(h)),  n_dims = |distinct dims|.
+      // So the whole classifier is a MAP-ONLY HOF chain over the feature
+      // hash array — no explode, no feature-string shuffle, no joins.
+      // The hash array is bound once via explode(transform(array(·),…))
+      // (Generate evaluates its child once per row — the q187
+      // evaluate-once discipline), so tokenize/bigram/hash64 each run
+      // exactly once per document. Output rows are bit-identical: every
+      // operation stays BIGINT and empty/NULL-text docs fall out as
+      // dot=0/n_dims=0 exactly like the old left-join coalesce.
       F.ensureRegistered(s)
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("toks", expr(
-          "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), t -> t <> '')"))
-        .withColumn("feats", expr(
-          """concat(toks, CASE WHEN size(toks) >= 2
-             THEN transform(sequence(1, size(toks) - 1),
-               i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))
-             ELSE CAST(array() AS ARRAY<STRING>) END)"""))
-      val dot = d.select(col("doc_id"), explode(col("feats")).as("feat"))
-        .groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
-        .withColumn("h", call_function("hash64", col("feat")))
-        .withColumn("dim", expr("((h % 32) + 32) % 32"))
-        .withColumn("sv", expr("CASE WHEN (shiftright(h, 5) & 1) = 0 THEN tf ELSE -tf END"))
-        .groupBy("doc_id", "dim").agg(sum(col("sv")).as("v"))
-        .groupBy("doc_id")
-        .agg(sum(expr("v * ((dim * 7919) % 31 - 15)")).as("dot"),
-          count(lit(1)).as("n_dims"))
-      d.select("doc_id").join(dot, Seq("doc_id"), "left")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(q220HashArr).as("hs"))
         .select(col("doc_id"),
-          coalesce(col("n_dims"), lit(0L)).as("n_dims"),
-          (coalesce(col("dot"), lit(0L)) + 3L).as("margin"),
-          expr("CAST(CASE WHEN coalesce(dot, 0) + 3 > 0 THEN 1 ELSE 0 END AS BIGINT)").as("label"))
+          coalesce(expr(
+            "CAST(size(array_distinct(transform(hs, h -> ((h % 32) + 32) % 32))) AS BIGINT)"),
+            lit(0L)).as("n_dims"),
+          (coalesce(q220Dot, lit(0L)) + 3L).as("margin"))
+        .withColumn("label", expr(
+          "CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS BIGINT)"))
+        .select("doc_id", "n_dims", "margin", "label")
     }),
     "q188_feature_hashing" -> ((s, dir) => {
       // hashing-trick featurization (public recipe: Weinberger et al.
@@ -4149,7 +4185,7 @@ object SparkEntry {
             .as("delta_ms"))
       // 8 state stores, scoped to the streaming query (q154 rationale)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts(srcV, srcC).toString)
       try {
         val q = joined.writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", ckp).outputMode("append").start()
@@ -4526,34 +4562,28 @@ object SparkEntry {
       // for the margins, then per-group extremes — windows partition by
       // the prompt key, whose fan-in is the candidate count per prompt
       // (bounded in any real pool), never corpus-wide.
+      // OPTIMIZATION r6: the q220 margin law is LINEAR in per-feature
+      // occurrences (tf-then-sign-then-dim-sum == per-occurrence
+      // sign·weight sum), so the whole dot product folds into a map-side
+      // HOF over the feature hash array — no feature-string shuffle, no
+      // (doc,feat)/(doc,dim) aggs, and crucially no 3× recompute of that
+      // pipeline for the chosen/rejected/count branches. The per-group
+      // extremes are ONE hash agg with max_by/min_by (VERDICT r5 #1) —
+      // partial aggregation map-side, no WindowExec — instead of two
+      // row_number() windows + a 3-way self-join. Identical rows: the
+      // (margin, doc_id) orderings are total (doc_id unique), so argmax/
+      // argmin match rank-1 rows exactly; all arithmetic stays BIGINT.
       F.ensureRegistered(s)
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("toks", expr(
-          "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), t -> t <> '')"))
-        .withColumn("feats", expr(
-          """concat(toks, CASE WHEN size(toks) >= 2
-             THEN transform(sequence(1, size(toks) - 1),
-               i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))
-             ELSE CAST(array() AS ARRAY<STRING>) END)"""))
-      val dot = d.select(col("doc_id"), explode(col("feats")).as("feat"))
-        .groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
-        .withColumn("h", call_function("hash64", col("feat")))
-        .withColumn("dim", expr("((h % 32) + 32) % 32"))
-        .withColumn("sv", expr("CASE WHEN (shiftright(h, 5) & 1) = 0 THEN tf ELSE -tf END"))
-        .groupBy("doc_id", "dim").agg(sum(col("sv")).as("v"))
-        .groupBy("doc_id")
-        .agg(sum(expr("v * ((dim * 7919) % 31 - 15)")).as("dot"))
-      val m = d.select("doc_id").join(dot, Seq("doc_id"), "left")
+      val m = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(q220HashArr).as("hs"))
         .select(col("doc_id"), expr("doc_id % 32").as("g"),
-          expr("coalesce(dot, 0L) + 3L").as("margin"))
-      val wTop = Window.partitionBy("g").orderBy(col("margin").desc, col("doc_id").asc)
-      val wBot = Window.partitionBy("g").orderBy(col("margin").asc, col("doc_id").asc)
-      val ch = m.withColumn("r", row_number().over(wTop)).where(col("r") === 1)
-        .select(col("g"), col("doc_id").as("chosen_id"), col("margin").as("cm"))
-      val rj = m.withColumn("r", row_number().over(wBot)).where(col("r") === 1)
-        .select(col("g"), col("doc_id").as("rejected_id"), col("margin").as("rm"))
-      val nc = m.groupBy("g").agg(count(lit(1)).as("n_cand"))
-      ch.join(rj, "g").join(nc, "g")
+          (coalesce(q220Dot, lit(0L)) + 3L).as("margin"))
+      m.groupBy("g").agg(
+          expr("max_by(doc_id, struct(margin, -doc_id))").as("chosen_id"),
+          max(col("margin")).as("cm"),
+          expr("min_by(doc_id, struct(margin, doc_id))").as("rejected_id"),
+          min(col("margin")).as("rm"),
+          count(lit(1)).as("n_cand"))
         .where(col("cm") > col("rm"))
         .select(col("g"), col("chosen_id"), col("rejected_id"),
           (col("cm") - col("rm")).as("gap"), col("n_cand"))
@@ -6067,6 +6097,30 @@ object SparkEntry {
       .select(col("rid"), col("gb"))
     (a, b)
   }
+
+  /** q220/q239 shared fastText-feature law, map-only form (OPTIMIZATION
+    * r6): the 1-element outer array binds the token array once, so the
+    * tokenize → bigram-concat → hash64 chain evaluates exactly once per
+    * document even though two downstream expressions consume it
+    * (explode/Generate materializes the hash array as a real attribute —
+    * the q187 evaluate-once discipline). Callers explode this and read
+    * the ARRAY<BIGINT> element as `hs`. */
+  private val q220HashArr: org.apache.spark.sql.Column = expr(
+    """transform(array(filter(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '),
+                              t -> t <> '')),
+         tk -> transform(concat(tk, CASE WHEN size(tk) >= 2
+             THEN transform(sequence(1, size(tk) - 1),
+               i -> concat(element_at(tk, i), '_', element_at(tk, i + 1)))
+             ELSE CAST(array() AS ARRAY<STRING>) END),
+           f -> hash64(f)))""")
+
+  /** The q220 dot product folded per row over `hs` (see q220HashArr):
+    * Σ sign(h)·w(dim(h)) — equal to the original tf→sv→dim-sum→weighted
+    * sum pipeline by linearity, in exact BIGINT arithmetic. */
+  private val q220Dot: org.apache.spark.sql.Column = expr(
+    """aggregate(hs, 0L, (acc, h) ->
+         acc + (CASE WHEN (shiftright(h, 5) & 1) = 0 THEN 1L ELSE -1L END)
+             * ((((h % 32) + 32) % 32) * 7919 % 31 - 15))""")
 
   private def gridCandidates(s: SparkSession, dir: String): DataFrame = {
     F.ensureRegistered(s)
