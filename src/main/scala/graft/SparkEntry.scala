@@ -246,14 +246,19 @@ object SparkEntry {
     "q11_pip_broadcast" -> ((s, dir) => {
       F.ensureRegistered(s)
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
-      SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat",
+      // project-before-exchange (guide §2.3): only pt_id/lon/lat survive
+      // to the output, so don't carry the other six point columns through
+      // the broadcast probe pipeline
+      SpatialJoin.pointInPolygon(polys, "geom",
+        Synth.points(s, dir).select("pt_id", "lon", "lat"), "lon", "lat",
         zoom = 7, broadcastPolys = true)
         .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
     }),
     "q12_pip_salted" -> ((s, dir) => {
       F.ensureRegistered(s)
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
-      SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat",
+      SpatialJoin.pointInPolygon(polys, "geom",
+        Synth.points(s, dir).select("pt_id", "lon", "lat"), "lon", "lat",
         zoom = 7, broadcastPolys = false, saltFactor = 8)
         .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
     }),
@@ -262,7 +267,8 @@ object SparkEntry {
       // salted (here the 0.5° hot-spot cluster); identical row set to q11
       F.ensureRegistered(s)
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
-      SpatialJoin.pointInPolygonAdaptive(polys, "geom", Synth.points(s, dir), "lon", "lat",
+      SpatialJoin.pointInPolygonAdaptive(polys, "geom",
+        Synth.points(s, dir).select("pt_id", "lon", "lat"), "lon", "lat",
         zoom = 7, saltFactor = 8, hotThreshold = 2000L)
         .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
     }),
@@ -1610,7 +1616,8 @@ object SparkEntry {
       // so the geodetic DuckDB oracle applies verbatim.
       F.ensureRegistered(s)
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
-      SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat",
+      SpatialJoin.pointInPolygon(polys, "geom",
+        Synth.points(s, dir).select("pt_id", "lon", "lat"), "lon", "lat",
         zoom = 7, broadcastPolys = true, mercator = true)
         .select(col("region_id").cast("long").as("box_id"), col("pt_id"))
     }),
@@ -2349,7 +2356,7 @@ object SparkEntry {
       // operation stays BIGINT and empty/NULL-text docs fall out as
       // dot=0/n_dims=0 exactly like the old left-join coalesce.
       F.ensureRegistered(s)
-      s.read.parquet(s"$dir/documents.parquet")
+      graft.core.Par.fan(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), explode(q220HashArr).as("hs"))
         .select(col("doc_id"),
           coalesce(expr(
@@ -4574,7 +4581,7 @@ object SparkEntry {
       // (margin, doc_id) orderings are total (doc_id unique), so argmax/
       // argmin match rank-1 rows exactly; all arithmetic stays BIGINT.
       F.ensureRegistered(s)
-      val m = s.read.parquet(s"$dir/documents.parquet")
+      val m = graft.core.Par.fan(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), explode(q220HashArr).as("hs"))
         .select(col("doc_id"), expr("doc_id % 32").as("g"),
           (coalesce(q220Dot, lit(0L)) + 3L).as("margin"))
@@ -5595,7 +5602,7 @@ object SparkEntry {
       // quantum. 100-TB shape: pure map-side HOF chain (no explode, no
       // shuffle — the alphabet is bounded, so the per-doc
       // distinct×filter scan is O(|Σ|·n) flat compute inside codegen).
-      s.read.parquet(s"$dir/documents.parquet")
+      graft.core.Par.fan(s.read.parquet(s"$dir/documents.parquet"))
         .withColumn("norm", expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"))
         .withColumn("n", expr("CAST(length(norm) AS BIGINT)"))
         .withColumn("cs", expr(
@@ -6124,7 +6131,11 @@ object SparkEntry {
 
   private def gridCandidates(s: SparkSession, dir: String): DataFrame = {
     F.ensureRegistered(s)
-    Synth.points(s, dir).select(
+    // fan: lineitem is one scan split (single row group), and this whole
+    // pipeline — 25-cell disk explode + radius filter + partial agg — is
+    // map-side work before the one exchange, i.e. single-core without the
+    // repartition (guide §2.5). Identity at real scale.
+    graft.core.Par.fan(Synth.points(s, dir)).select(
         col("l_quantity").cast("long").as("v"),
         ((col("lon") + 180.0) * 1024).cast("long").as("ix"),
         ((lit(90.0) - col("lat")) * 1024).cast("long").as("iy"),
@@ -6146,7 +6157,7 @@ object SparkEntry {
     * explode radius is sized by the LARGER half-axis. */
   private def gridCandidatesEllipse(s: SparkSession, dir: String): DataFrame = {
     F.ensureRegistered(s)
-    Synth.points(s, dir).select(
+    graft.core.Par.fan(Synth.points(s, dir)).select( // fan: see gridCandidates
         col("l_quantity").cast("long").as("v"),
         ((col("lon") + 180.0) * 1024).cast("long").as("ix"),
         ((lit(90.0) - col("lat")) * 1024).cast("long").as("iy"),

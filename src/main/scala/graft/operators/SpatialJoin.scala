@@ -88,11 +88,17 @@ object SpatialJoin {
     // anyway — caching it makes the join's second computation free.
     // __env is computed ONCE per polygon (before the cover explode) and
     // feeds the codegen'd envelope prefilter below.
-    val cov = polys.withColumn("__env", F.st_env_bounds(col(polyGeom)))
+    // fan: the sf inputs are single-row-group parquet (one scan split), so
+    // without a repartition the polygon WKT-parse/cover-explode and — on
+    // the broadcast path — the ENTIRE candidate join + JTS refine run on
+    // one core (guide §2.5). Identity when the scan is already parallel.
+    val cov = graft.core.Par.fan(polys)
+      .withColumn("__env", F.st_env_bounds(col(polyGeom)))
       .withColumn("__cell", explode(cover(col(polyGeom))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pts0 = if (broadcastPolys) graft.core.Par.fan(points) else points
     val pts = fanToZooms(
-      points.withColumn("__cell", encode(col(lonCol), col(latCol))),
+      pts0.withColumn("__cell", encode(col(lonCol), col(latCol))),
       coverZooms(cov), zoom)
     // point-probe fast path: no WKB point round-trip per candidate. The
     // envelope gate (reference: OGRLayer::FilterGeometry checks
@@ -140,7 +146,11 @@ object SpatialJoin {
                              predicate: String = "contains"): DataFrame = {
     val spark = polys.sparkSession
     F.ensureRegistered(spark)
-    val cov = polys
+    // fan both sides: single-row-group inputs are one scan split each, so
+    // the cover build AND — because the cold/hot cov joins broadcast — the
+    // whole candidate+refine pipeline would run on one core (guide §2.5);
+    // fanning the persisted pts also parallelizes every cached read below
+    val cov = graft.core.Par.fan(polys)
       .withColumn("__env", F.st_env_bounds(col(polyGeom)))
       .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -149,7 +159,8 @@ object SpatialJoin {
     // at scan-bound scale triples the job (measured 479 s vs 260 s at 128M
     // docs). MEMORY_AND_DISK: spills, never recomputes.
     val pts = fanToZooms(
-      points.withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom))),
+      graft.core.Par.fan(points)
+        .withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom))),
       coverZooms(cov), zoom)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tiny (cells over threshold) but referenced by four joins — persist
@@ -195,11 +206,13 @@ object SpatialJoin {
     F.ensureRegistered(spark)
     def cover(g: org.apache.spark.sql.Column) =
       if (mercator) F.cells_cover_merc(g, lit(zoom)) else F.cells_cover(g, lit(zoom))
-    val l0 = left.select(col(leftId), col(leftGeom))
+    // fan: single-split inputs would build both covers — and, when either
+    // join side ends up broadcast, the whole pair generation — on one core
+    val l0 = graft.core.Par.fan(left.select(col(leftId), col(leftGeom)))
       .withColumn("__envl", F.st_env_bounds(col(leftGeom)))
       .withColumn("__cell", explode(cover(col(leftGeom))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val r00 = right.select(col(rightId), col(rightGeom))
+    val r00 = graft.core.Par.fan(right.select(col(rightId), col(rightGeom)))
       .withColumn("__envr", F.st_env_bounds(col(rightGeom)))
       .withColumn("__cell", explode(cover(col(rightGeom))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -92,7 +92,10 @@ object Streaming {
     // listener (ensureReleaseListener) unpersists covers once the last
     // active streaming query stops; releaseStaticCovers() remains for
     // callers that want to free earlier.
-    val cov = polys.withColumn("__env", F.st_env_bounds(col(polyGeom)))
+    // fan: single-row-group static input → one-core WKT parse/cover build
+    // without the repartition; identity when already parallel (guide §2.5)
+    val cov = graft.core.Par.fan(polys)
+      .withColumn("__env", F.st_env_bounds(col(polyGeom)))
       .withColumn("__cell", explode(F.cells_cover(col(polyGeom), lit(zoom))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     staticCovers.add(cov)
@@ -103,8 +106,12 @@ object Streaming {
     // batch/stream row-set equality this operator promises). Single-zoom
     // covers — the common case — leave the point plan untouched.
     val zooms = SpatialJoin.coverZooms(cov)
+    // fanStream: each micro-batch of a single-row-group file source is one
+    // scan split, so the broadcast join + JTS refine below would run on
+    // one core; repartition spreads the batch to cluster parallelism
     val pts = SpatialJoin.fanToZooms(
-      points.withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom))),
+      graft.core.Par.fanStream(points)
+        .withColumn("__cell", F.cell_encode(col(lonCol), col(latCol), lit(zoom))),
       zooms, zoom)
     pts.join(broadcast(cov), Seq("__cell"))
       .where(SpatialJoin.envGateLonLat(lonCol, latCol) &&
