@@ -247,10 +247,21 @@ object Ann {
     val (assign, _) = kmeans(data, idCol, vecCol, kCells, iters, dim)
     val m = data.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(assign.select(col("id"), col("cluster")), Seq("id"))
+    // the pair join's only key is the cluster id — kCells keys cap the
+    // parallelism at kCells tasks while each task does O(cluster^2 * dim)
+    // exact-cosine work. Salt deterministically: a-side rows take
+    // pmod(hash(id_a), sp), the b-side replicates x sp (sp derived from
+    // cluster parallelism, never a constant) — same pairs, sp x the tasks
+    // (guide §2.5 hot-key salting).
+    val sp = math.max(1,
+      data.sparkSession.sparkContext.defaultParallelism / math.max(kCells, 1))
     val a = m.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+      .withColumn("__ps", pmod(hash(col("id_a")), lit(sp)))
     val b = m.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
+      .withColumn("__ps", explode(sequence(lit(0), lit(sp - 1))))
     val dropped = exactCosKeep(
-      a.join(b, Seq("cluster")).where(col("id_a") < col("id_b")),
+      a.join(b, Seq("cluster", "__ps")).where(col("id_a") < col("id_b"))
+        .drop("__ps"),
       "semDedup", minCosNum, minCosDen, fixedScale)
       .select(col("id_b").as("id")).distinct()
       .withColumn("hit", lit(1L))
@@ -283,9 +294,11 @@ object Ann {
   def kmeans(data: DataFrame, idCol: String, vecCol: String,
              k: Int = 8, iters: Int = 2, dim: Int = 64)
       : (DataFrame, Array[Array[Long]]) = {
-    val q = data.select(col(idCol).as("id"), expr(
+    // fan: single-split embedding sources put every per-vector HOF pass
+    // (k x dim distance transforms, per iteration) on one core (guide §2.5)
+    val q = graft.core.Par.fan(data.select(col(idCol).as("id"), expr(
       s"transform($vecCol, __x -> CAST(floor((CAST(__x AS DOUBLE) + 2.0D) * 1048576.0D) AS BIGINT))")
-      .as("qv"))
+      .as("qv")))
     // init: the k smallest ids, centroid index = rank by id (k rows)
     var cents: Array[Array[Long]] = q.orderBy(col("id")).limit(k).collect()
       .map(_.getSeq[Long](1).toArray)

@@ -39,7 +39,7 @@ object Dedup {
                  minJaccard: Double = 0.5): DataFrame = {
     F.ensureRegistered(df.sparkSession)
     val rows = numPerm / bands
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val sigs = graft.core.Par.fan(df.select(col(idCol).as("id"), col(textCol).as("text")))
       .withColumn("sig", F.minhash_sig(col("text"), numPerm, shingleK))
       .withColumn("band", explode(F.lsh_bands(col("sig"), bands, rows)))
       .select("id", "band")
@@ -83,7 +83,8 @@ object Dedup {
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
       s"shiftright(sim, ${offsets(i)}) & $mask"
     }.mkString("array(", ", ", ")")
-    val h = df.select(col(idCol).as("id"), F.simhash64(col(textCol)).as("sim"))
+    val h = graft.core.Par.fan(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), F.simhash64(col("__t")).as("sim"))
     val chunked = h.select(col("id"), col("sim"),
       posexplode(expr(chunkExpr)).as(Seq("chunk_i", "chunk")))
     val a = chunked.select(col("id").as("id_a"), col("sim").as("sim_a"), col("chunk_i"), col("chunk"))
@@ -108,8 +109,9 @@ object Dedup {
                     benchmark: DataFrame, benchTextCol: String,
                     k: Int = 3): DataFrame = {
     F.ensureRegistered(corpus.sparkSession)
-    val cs = corpus.select(col(idCol).as("doc_id"),
-      explode(call_function("shingles64", col(textCol), lit(k))).as("sh"))
+    val cs = graft.core.Par.fan(corpus.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        explode(call_function("shingles64", col(textCol), lit(k))).as("sh"))
     val bs = benchmark.select(
       explode(call_function("shingles64", col(benchTextCol), lit(k))).as("sh"))
       .distinct()
@@ -149,8 +151,9 @@ object Dedup {
     // 64-bit shingle hash (== the unsigned mod/div law the oracle replays)
     def pos1(c: String) = s"($c & ${mask}L)"
     def pos2(c: String) = s"(($c & ${mask << log2}L) div ${mBits}L)"
-    val cs = corpus.select(col(idCol).as("doc_id"),
-      explode(call_function("shingles64", col(textCol), lit(k))).as("sh"))
+    val cs = graft.core.Par.fan(corpus.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        explode(call_function("shingles64", col(textCol), lit(k))).as("sh"))
     val bsh = benchmark.select(
       explode(call_function("shingles64", col(benchTextCol), lit(k))).as("sh"))
       .distinct()
@@ -207,9 +210,11 @@ object Dedup {
                    denseVocabMax: Long = 4096L): DataFrame = {
     F.ensureRegistered(df.sparkSession)
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
-    val base = df.select(col(idCol).as("id"),
+    // fan: single-split sources put the whole gram explode on one core
+    // (guide §2.5); identity when the scan is already parallel
+    val base = graft.core.Par.fan(df.select(col(idCol).as("id"),
       (blockCol.map(col).getOrElse(lit(1))).as("blk"), norm.as("norm"))
-      .where(length(col("norm")) >= k)
+      .where(length(col("norm")) >= k))
     // Grams are carried as xxhash64 LONGS from the start, never strings:
     // 8 bytes/row through every shuffle, and a 64-bit collision can only
     // (a) merge two grams' df counts — df only drives the global ORDER,
@@ -430,9 +435,9 @@ object Dedup {
   def spanDedup(df: DataFrame, idCol: String, linesCol: String,
       spanLines: Int = 3): DataFrame = {
     F.ensureRegistered(df.sparkSession)
-    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+    val docs = graft.core.Par.fan(df.select(col(idCol).cast("long").as("doc_id"),
       col(linesCol).as("lines"),
-      size(col(linesCol)).cast("long").as("n_lines"))
+      size(col(linesCol)).cast("long").as("n_lines")))
     val spans = docs
       .where(col("n_lines") >= spanLines)
       .select(col("doc_id"), explode(expr(
@@ -483,7 +488,8 @@ object Dedup {
   def substrRepetition(docs: DataFrame, idCol: String, normCol: String,
                        k: Int = 32, stride: Int = 16): DataFrame = {
     F.ensureRegistered(docs.sparkSession)
-    val d = docs.select(col(idCol).as("doc_id"), col(normCol).as("norm"))
+    val d = graft.core.Par.fan(
+      docs.select(col(idCol).as("doc_id"), col(normCol).as("norm")))
     val g = d.select(col("doc_id"), explode(expr(
       s"""CASE WHEN length(norm) < $k THEN CAST(array() AS ARRAY<BIGINT>)
           ELSE transform(sequence(0, CAST((length(norm) - $k) div $stride AS INT)),
@@ -524,7 +530,10 @@ object Dedup {
     F.ensureRegistered(docs.sparkSession)
     val d = docs.select(col(idCol).as("doc_id"), col(normCol).as("norm"))
       .withColumn("nsp", expr(s"length(norm) div $k"))
-    val g = d.where(col("nsp") >= 1)
+    // fan only the explode branch: `d` also feeds the final join (whose map
+    // work runs post-shuffle anyway); fanning `d` itself would re-run the
+    // repartition once per consumer
+    val g = graft.core.Par.fan(d.where(col("nsp") >= 1))
       .select(col("doc_id"), col("nsp"), explode(expr(
         s"transform(sequence(0, CAST(nsp - 1 AS INT)), __i -> named_struct(" +
           s"'spi', CAST(__i AS BIGINT), " +
