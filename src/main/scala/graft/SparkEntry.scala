@@ -4223,19 +4223,33 @@ object SparkEntry {
       // over ≤ 40 rows per query + one top-5 window.
       import s.implicits._
       F.ensureRegistered(s)
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val toks = docs.select(col("doc_id"), expr(
-        "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), t -> t <> '')")
-        .as("toks"))
-      val st = toks.agg(sum(size(col("toks"))).as("s"), count(lit(1)).as("n")).head()
+      // OPTIMIZATION r6: ONE tokenization pass instead of three. The old
+      // plan tokenized once for the corpus-stats action, once for dl and
+      // once for the full-token explode (then filtered 7 literal terms via
+      // a broadcast join AFTER materializing every token as a row). The
+      // query terms are literals, so filter the token ARRAY map-side and
+      // explode only matches; dl/stats come from the same tiny projection
+      // (fan: single-split source, guide §2.5). `tk` is 3 narrow columns
+      // per doc — persisting it makes the stats action + both rankings
+      // share one tokenize.
+      val qtermList = Seq("spark", "table", "hash", "join", "merge", "vector", "stream")
+      val docs = graft.core.Par.fan(s.read.parquet(s"$dir/documents.parquet"))
+      val tk = docs.select(col("doc_id"), expr(
+          "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), t -> t <> '')")
+          .as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          expr(s"filter(toks, t -> t IN (${qtermList.map("'" + _ + "'").mkString(",")}))")
+            .as("mt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val st = tk.agg(sum(col("dl")).as("s"), count(lit(1)).as("n")).head()
       val sTot = st.getLong(0); val nDocs = st.getLong(1)
       val qterms = Seq(
         ("Q1", "spark"), ("Q1", "table"),
         ("Q2", "hash"), ("Q2", "join"), ("Q2", "merge"),
         ("Q3", "vector"), ("Q3", "stream")).toDF("qid", "term")
-      val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-      val rel = toks.select(col("doc_id"), explode(col("toks")).as("term"))
-        .join(broadcast(qterms.select("term").distinct()), "term")
+      val dl = tk.select(col("doc_id"), col("dl"))
+      val rel = tk.where(size(col("mt")) > 0)
+        .select(col("doc_id"), explode(col("mt")).as("term"))
       val tf = rel.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = rel.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))

@@ -42,4 +42,59 @@ object Checkpoints {
     }
     df.checkpoint() // eager: materializes now, truncates lineage
   }
+
+  /** Per-round lineage management for iterative loops (OPTIMIZATION r6,
+    * guide §5): an eager reliable checkpoint computes every round TWICE
+    * (the eager action plus the checkpoint-write job) and round-trips
+    * disk — paying that EVERY round dominated the tiny per-round joins of
+    * the SSSP/PageRank/pointer-jumping loops. A bare persist() is NOT a
+    * substitute: it leaves the logical plan growing, and analyzer/
+    * optimizer time explodes with round count (measured: q263 6.5 s →
+    * 97 s on persist-only rounds). `cut` instead materializes the round
+    * ONCE into a persisted InternalRow RDD and rebuilds a
+    * LogicalRDD-rooted DataFrame from it (graftshim.Frames) — constant
+    * plan size per round, one compute, no disk round-trip — and every
+    * `interval`-th round still goes through a true reliable checkpoint.
+    * Cluster safety: the persisted RDDs keep their lineage, so a lost
+    * block recomputes through at most `interval` rounds back to the last
+    * reliable cut (never the fatal localCheckpoint block loss). The
+    * previous round's RDD is unpersisted after the new round
+    * materializes. */
+  final class RoundCache(interval: Int = 8) {
+    private var r1: org.apache.spark.rdd.RDD[_] = null // most recent cut
+    private var r2: org.apache.spark.rdd.RDD[_] = null // the cut before it
+    private var idx = 0
+    /** LAZY cut: no eager job here — the caller's next action (a
+      * convergence signature, the following round's cut chain, or the
+      * loop's final result action) materializes the persisted RDD. A
+      * loop with no per-round driver decision (PageRank's fixed `iters`)
+      * therefore runs as ONE multi-stage job instead of 2·iters jobs.
+      * Release is deferred one cut (the previous round is this round's
+      * parent); unpersisting a never-computed RDD is a no-op, and
+      * lineage stays intact either way. */
+    def cut(df: DataFrame): DataFrame = {
+      val out =
+        if (interval > 0 && idx % interval == interval - 1) {
+          val ck = reliable(df)
+          release()
+          ck
+        } else {
+          val rdd = df.queryExecution.toRdd.map(_.copy())
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (r2 != null) r2.unpersist(false): Unit
+          r2 = r1
+          r1 = rdd
+          org.apache.spark.sql.graftshim.Frames.ofInternal(
+            df.sparkSession, rdd, df.schema)
+        }
+      idx += 1
+      out
+    }
+    /** Unpersist every tracked round (called on reliable cuts; loops may
+      * call at the end once their result is materialized elsewhere). */
+    def release(): Unit = {
+      if (r2 != null) { r2.unpersist(false): Unit; r2 = null }
+      if (r1 != null) { r1.unpersist(false): Unit; r1 = null }
+    }
+  }
 }

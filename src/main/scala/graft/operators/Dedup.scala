@@ -387,6 +387,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
+    val rc = new graft.io.Checkpoints.RoundCache()
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -406,7 +407,8 @@ object Dedup {
             coalesce(col("ll"), col("label"))).as("label"),
           (least(col("label"), coalesce(col("nl"), col("label")),
             coalesce(col("ll"), col("label"))) < col("label")).cast("long").as("chg"))
-      val ck = graft.io.Checkpoints.reliable(next)
+      // RoundCache: plan-truncating cached round, reliable cut every 8th
+      val ck = rc.cut(next)
       changed = ck.agg(coalesce(sum(col("chg")), lit(0L))).collect()(0).getLong(0)
       labels = ck.select("id", "label")
       rounds += 1

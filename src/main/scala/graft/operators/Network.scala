@@ -23,6 +23,22 @@ import org.apache.spark.sql.functions._
   * the fixpoint, so the test is exact. */
 object Network {
 
+  /** Scale-adaptive shuffle width for the BSP rounds (guide §2.2): each
+    * round shuffles only the (node, dist/mass) frontier — ~16 B rows —
+    * yet inherits the session's shuffle-partition constant, so at local
+    * graph sizes every round pays 32 task launches per stage for
+    * thousand-row tables. Derive partitions from the EDGE count (~1M
+    * edge-rows per partition, floor 4): a 4k-edge lattice gets 4, a
+    * 100-TB web graph gets thousands. Scoped to the loop, restored
+    * after; results are partition-count invariant. */
+  private def withGraphParts[T](df: DataFrame, edgeCount: Long)(body: => T): T = {
+    val s = df.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, edgeCount / 1000000L).toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Exact-INTEGER PageRank (public: Brin & Page 1998 — the link-quality
     * prior CommonCrawl-era corpus pipelines carry as a document-quality
     * signal): damping 0.85 in integer micro-mass with floor division —
@@ -40,19 +56,26 @@ object Network {
     val outd = edges.groupBy("src").agg(count(lit(1)).as("od"))
     val e = edges.select("src", "dst").join(outd, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ec = e.count()
+    withGraphParts(e, ec) {
     var m = nodes.select(col("node")).withColumn("m", lit(1000000L))
+    // RoundCache: one materialization per round into a plan-truncating
+    // cached RDD, reliable checkpoint every 8th round (guide §5; see
+    // io/Checkpoints for the measured pathologies of the alternatives)
+    val rc = new graft.io.Checkpoints.RoundCache()
     var it = 0
     while (it < iters) {
       val contrib = e.join(m, m("node") === e("src"))
         .select(col("dst").as("node"), expr("((m * 85L) div 100L) div od").as("c"))
         .groupBy("node").agg(sum(col("c")).as("cs"))
-      m = graft.io.Checkpoints.reliable(
+      m = rc.cut(
         nodes.select(col("node")).join(contrib, Seq("node"), "left")
           .select(col("node"), (lit(150000L) + coalesce(col("cs"), lit(0L))).as("m")))
       it += 1
     }
     e.unpersist(false)
     m.select(col("node"), col("m").as("rank_micro"))
+    }
   }
 
   /** edges: (src: long, dst: long, w: long), positive weights. Returns
@@ -62,8 +85,11 @@ object Network {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst"), col("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ec = e.count()
+    withGraphParts(e, ec) {
     var dist = Seq((source, 0L)).toDF("node", "d")
     var prev = (-1L, -1L)
+    val rc = new graft.io.Checkpoints.RoundCache()
     var rounds = 0
     var done = false
     while (!done) {
@@ -72,7 +98,8 @@ object Network {
         .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
       val next = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("d")).as("d"))
-      val ck = graft.io.Checkpoints.reliable(next)
+      // RoundCache: plan-truncating cached round, reliable cut every 8th
+      val ck = rc.cut(next)
       val st = ck.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).collect()(0)
       val sig = (st.getLong(0), st.getLong(1))
       done = sig == prev
@@ -82,5 +109,6 @@ object Network {
     }
     e.unpersist(false)
     dist.select(col("node"), col("d").as("dist"))
+    }
   }
 }

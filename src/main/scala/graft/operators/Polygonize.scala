@@ -222,6 +222,7 @@ object Polygonize {
         .distinct())
     var rep = graft.io.Checkpoints.reliable(
       nodes.select(col("node"), col("node").as("rep")))
+    val rc = new graft.io.Checkpoints.RoundCache()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -235,7 +236,8 @@ object Polygonize {
         .join(stepped.select(col("node").as("rep"), col("rep").as("rep2")).alias("r"),
           Seq("rep"), "left")
         .select(col("node"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
-      val jumpedCk = graft.io.Checkpoints.reliable(jumped)
+      // RoundCache: plan-truncating cached round, reliable cut every 8th
+      val jumpedCk = rc.cut(jumped)
       val diff = jumpedCk.withColumnRenamed("rep", "rep_new")
         .join(rep, Seq("node"))
         .where(col("rep_new") =!= col("rep")).limit(1).count()
