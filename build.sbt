@@ -34,14 +34,5 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Join strategy (optimization guide §3.1): let the planner pick
-  // shuffled-hash over sort-merge when its size conditions hold — the
-  // engine's pair joins carry embedding/gram ARRAY columns, and SMJ's
-  // sort of such rows is pure overhead; SHJ needs no sort and spills
-  // per-partition. Scale-independent (a per-partition build side must
-  // fit in memory on any cluster; AQE still falls back). Overridable:
-  // -DSPARK_EXTRA_OPTS via env is not needed — these are plain Spark
-  // confs any deployment can override at submit time.
-  "-Dspark.sql.join.preferSortMergeJoin=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

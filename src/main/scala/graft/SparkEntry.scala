@@ -3114,7 +3114,7 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val rules = Bpe.train(docs, 6)
       val enc = Bpe.encodedDict(docs, rules)
-      val tok = docs.select(col("doc_id"), posexplode(
+      val tok = graft.core.Par.fan(docs).select(col("doc_id"), posexplode(
           split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as(Seq("pos", "term")))
         .where(col("term") =!= "")
       val perDoc = tok.join(broadcast(enc), Seq("term"))

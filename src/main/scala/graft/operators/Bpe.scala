@@ -46,9 +46,12 @@ object Bpe {
   /** One merge rule: (lhs symbol, rhs symbol, weighted pair frequency). */
   final case class Rule(lhs: String, rhs: String, freq: Long)
 
-  private def termsOf(docs: DataFrame): DataFrame = docs
-    .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("term"))
-    .where(col("term") =!= "")
+  private def termsOf(docs: DataFrame): DataFrame =
+    // fan: single-split corpus sources put the full-corpus token explode
+    // on one core (guide §2.5); identity when already parallel
+    graft.core.Par.fan(docs.select(col("text")))
+      .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("term"))
+      .where(col("term") =!= "")
 
   /** Distinct-word dictionary with occurrence counts and the initial
     * (per-character) wrapped symbol string. ONE corpus-wide hash agg. */
