@@ -54,6 +54,7 @@ object F {
         "st_intersection" -> (e => GeomBinaryToGeom(e(0), e(1), "intersection")),
         "st_union"       -> (e => GeomBinaryToGeom(e(0), e(1), "union")),
         "st_union_fold"  -> (e => StUnionFold(e.head)),
+        "topk_by_score"  -> (e => TopKByScore(e(0), e(1), e(2))),
         "st_difference"  -> (e => GeomBinaryToGeom(e(0), e(1), "difference")),
         "st_symdifference" -> (e => GeomBinaryToGeom(e(0), e(1), "symdifference")),
         "st_distance"    -> (e => StDistance(e(0), e(1))),

@@ -32,13 +32,21 @@ object Ann {
     F.ensureRegistered(queries.sparkSession)
     val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv")))
     val d = data.select(col(dId).as("neighbor_id"), col(dVec).as("dv"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    // OPTIMIZATION r6 (VERDICT r5 #8): the rank used to be a row_number
+    // window over EVERY scored (query x corpus) row — the one remaining
+    // unbounded window input. topk_by_score is a bounded aggregate whose
+    // partial (map-side) phase already reduces each partition to <= k rows
+    // per query, so the exchange carries <= k * partitions rows per query.
+    // Same (score desc, neighbor_id asc) law, same output schema.
     d.crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", fixedDot("qv", "dv"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .groupBy("query_id")
+      .agg(call_function("topk_by_score", col("score"), col("neighbor_id"),
+        lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "e")))
+      .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
+        col("e.neighbor_id").as("neighbor_id"), col("e.score").as("score"))
   }
 
   final case class MmrRow(query_id: Long, sel_rank: Long, neighbor_id: Long,

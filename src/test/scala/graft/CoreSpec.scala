@@ -350,6 +350,74 @@ class CoreSpec extends AnyFunSuite {
     assert(ref.getArea == 51.0 && ref.getLength == 34.0)
   }
 
+  test("st_union_fold: two-level cascade equals the single-row fold on a mega-group") {
+    // The q274 dissolve plan (OPTIMIZATION r6) folds tile-keyed partial
+    // unions, then unions the partials — this pins cascade ≡ single fold
+    // on a mega-group fixture: 240 overlapping lattice boxes in ONE
+    // attribute group, partials keyed by id % 16. Union associativity +
+    // exact dyadic lattice arithmetic ⇒ identical area/perimeter.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    val boxes = spark.range(0, 240).toDF("i")
+      .withColumn("x", expr("(i % 20) * 2 + (i div 100)"))
+      .withColumn("y", expr("((i div 20) % 10) * 2"))
+      .withColumn("wkt", expr(
+        "concat('POLYGON((', x, ' ', y, ', ', x + 3, ' ', y, ', ', " +
+          "x + 3, ' ', y + 3, ', ', x, ' ', y + 3, ', ', x, ' ', y, '))')"))
+      .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+    val single = boxes
+      .agg(sort_array(collect_list(struct(col("i"), col("g")))).as("gs"))
+      .select(expr("st_area(st_union_fold(transform(gs, x -> x.g)))").as("a"),
+        expr("st_length(st_union_fold(transform(gs, x -> x.g)))").as("l"))
+      .collect()(0)
+    val cascade = boxes
+      .withColumn("sub", col("i") % 16)
+      .groupBy("sub")
+      .agg(sort_array(collect_list(struct(col("i"), col("g")))).as("gs"))
+      .withColumn("pu", call_function("st_union_fold", expr("transform(gs, x -> x.g)")))
+      .agg(sort_array(collect_list(struct(col("sub"), col("pu")))).as("ps"))
+      .select(expr("st_area(st_union_fold(transform(ps, x -> x.pu)))").as("a"),
+        expr("st_length(st_union_fold(transform(ps, x -> x.pu)))").as("l"))
+      .collect()(0)
+    assert(single.getDouble(0) == cascade.getDouble(0),
+      s"area ${single.getDouble(0)} vs ${cascade.getDouble(0)}")
+    assert(single.getDouble(1) == cascade.getDouble(1),
+      s"perimeter ${single.getDouble(1)} vs ${cascade.getDouble(1)}")
+  }
+
+  test("topk_by_score: bounded aggregate equals the row_number window law") {
+    // Pins the bruteTopK rewrite (OPTIMIZATION r6): the bounded top-k
+    // aggregate must reproduce row_number() over (score desc, id asc)
+    // rank-for-rank, including tie groups (equal scores break to the
+    // smaller id) and groups with fewer than k rows.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.F
+    F.ensureRegistered(spark)
+    val rows = spark.range(0, 2000).toDF("id")
+      .withColumn("grp", expr("id % 7"))
+      .withColumn("score", expr("(id * 7919) % 101")) // many ties
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    val ref = rows.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select(col("grp"), col("rank").cast("int").as("rank"), col("id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val got = rows.groupBy("grp")
+      .agg(call_function("topk_by_score", col("score"), col("id"), lit(5)).as("top"))
+      .select(col("grp"), posexplode(col("top")).as(Seq("r0", "e")))
+      .select(col("grp"), (col("r0") + 1).cast("int").as("rank"),
+        col("e.neighbor_id"), col("e.score"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == ref, s"topk mismatch: extra=${got -- ref} missing=${ref -- got}")
+    // under-full group: 3 rows, k = 5 — emits exactly 3, fully ranked
+    val small = spark.range(0, 3).toDF("id").withColumn("score", col("id") * 10)
+      .agg(call_function("topk_by_score", col("score"), col("id"), lit(5)).as("top"))
+      .select(expr("transform(top, x -> x.neighbor_id)").as("ids")).collect()(0)
+    assert(small.getSeq[Long](0) == Seq(2L, 1L, 0L))
+  }
+
   test("OGRParseDate: separators, fractions, TZFlag encoding, rejection") {
     import graft.core.OgrDate
     def p(s: String) = OgrDate.parse(s)
