@@ -5088,8 +5088,7 @@ object SparkEntry {
       // OPTIMIZATION r6 (VERDICT r5 #2): TWO-LEVEL union cascade. The
       // single-level fold collected EVERY group geometry into one
       // aggregation-buffer row — a hot attribute group at 100-TB scale
-      // OOMs that buffer. Now tile-keyed partial unions (sub = region_id
-      // div 16 mod 64, 64 bounded sub-buffers per group, each folded
+      // OOMs that buffer. Now tile-keyed partial unions (sub, each folded
       // in-task) feed a final fold of ≤64 partial geometries per group.
       // Union is associative+commutative and the grade is the dissolved
       // geometry's exact dyadic area/perimeter — invariant under fold
@@ -5097,7 +5096,7 @@ object SparkEntry {
       F.ensureRegistered(s)
       Synth.regionWkt(s, dir)
         .withColumn("g", col("region_id") % 16)
-        .withColumn("sub", (col("region_id") / 16) % 64)
+        .withColumn("sub", (col("region_id") / 16) % 16)
         .withColumn("geom", call_function("st_geomfromwkt", col("wkt")))
         .groupBy("g", "sub")
         .agg(count(lit(1)).as("n_part"),

@@ -304,9 +304,15 @@ object Ann {
       : (DataFrame, Array[Array[Long]]) = {
     // fan: single-split embedding sources put every per-vector HOF pass
     // (k x dim distance transforms, per iteration) on one core (guide §2.5)
+    // persist: q feeds the init collect, every iteration's pair agg AND
+    // the final assignment — without it each consumer re-runs the scan,
+    // the quantization transform and the fan repartition (q181 runs FOUR
+    // sub-kmeans: 16 re-evaluations measured). Vocab-sized; the session's
+    // per-query cache clear (or a caller unpersist) releases it.
     val q = graft.core.Par.fan(data.select(col(idCol).as("id"), expr(
       s"transform($vecCol, __x -> CAST(floor((CAST(__x AS DOUBLE) + 2.0D) * 1048576.0D) AS BIGINT))")
       .as("qv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init: the k smallest ids, centroid index = rank by id (k rows)
     var cents: Array[Array[Long]] = q.orderBy(col("id")).limit(k).collect()
       .map(_.getSeq[Long](1).toArray)
