@@ -66,11 +66,41 @@ object SparkEntry {
 
   /** Scope `spark.sql.shuffle.partitions` to a streaming query (the
     * setting binds at query START); restores the session value for
-    * whatever runs next. */
+    * whatever runs next.
+    *
+    * OPTIMIZATION r6 (guide §1/§2.4): also scope OFF the no-data
+    * micro-batches Spark inserts after any batch that advances the
+    * watermark. Every drain-once query here is already complete without
+    * them: eager-emission shapes (inner/semi joins, dropDuplicates,
+    * stream-static) never emit from eviction at all, and the sentinel
+    * protocol (q120/q143/q154/q228) explicitly processes its final
+    * flush inside the SECOND sentinel's data batch using the
+    * post-sentinel-1 watermark — the q120 comment has relied on that
+    * ("no reliance on no-data micro-batch timing") since round 4. Each
+    * suppressed batch saves a full state-store commit cycle across
+    * every store. */
   private def withStreamParts[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNd = s.conf.get(key)
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.conf.set(key, "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set(key, prevNd)
+    }
+  }
+
+  /** OPTIMIZATION r6 (guide §2.4/§6): the stream-stream queries used to
+    * feed their two file sources with two filtered writes — two scans of
+    * the events table, two write jobs. One partitioned write does it in
+    * one scan + one job; the parity key becomes a directory level
+    * (dropped from the data files), so each leaf dir carries exactly the
+    * old per-side schema. Returns (evenDir, oddDir). */
+  private def writeParitySources(ev: DataFrame, base: String): (String, String) = {
+    ev.withColumn("__par", (col("event_id") % 2).cast("int"))
+      .write.partitionBy("__par").mode("overwrite").parquet(base)
+    (s"$base/__par=0", s"$base/__par=1")
   }
 
   /** The q263/q269 deterministic road network over the supplier ids:
@@ -530,9 +560,7 @@ object SparkEntry {
       // stateful-streaming state stores = shuffle partitions; 8 beats 32
       // at this volume (scoped to the query, restored after — results
       // are partition-count-independent, see the 7-core gate)
-      val prevParts120 = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", streamStateParts(src).toString)
-      try {
+      withStreamParts(s, streamStateParts(src)) {
         val q = Streaming.sessionizeStream(stream)
           .filter(so => so.user_id >= 0)
           .writeStream.format("parquet").option("path", out)
@@ -546,7 +574,7 @@ object SparkEntry {
         sentinel(30); q.processAllAvailable()
         sentinel(31); q.processAllAvailable()
         q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts120)
+      }
       s.read.parquet(out)
         .select(col("user_id"), col("start_ms"), col("n_events"), col("first_event"))
     }),
@@ -594,12 +622,10 @@ object SparkEntry {
       F.ensureRegistered(s)
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
-      val srcV = scratch("q154v")
-      val srcC = scratch("q154c")
       val out = scratch("q154out")
       val ckp = scratch("q154ckp")
-      ev.where(col("event_id") % 2 === 0).write.mode("overwrite").parquet(srcV)
-      ev.where(col("event_id") % 2 === 1).write.mode("overwrite").parquet(srcC)
+      val srcBase = scratch("q154src")
+      val (srcV, srcC) = writeParitySources(ev, srcBase)
       val views = s.readStream.schema(ev.schema).parquet(srcV)
         .withWatermark("ts", "1 minute")
         .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
@@ -621,23 +647,24 @@ object SparkEntry {
       // them). The setting binds at query START, so scope it to the
       // streaming query and restore for whoever runs next; results are
       // partition-count-independent (the 7-core gate already varies it).
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", streamStateParts(srcV, srcC).toString)
-      try {
+      import s.implicits._
+      withStreamParts(s, streamStateParts(srcV, srcC)) {
         val q = joined.writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", ckp).outputMode("append").start()
         q.processAllAvailable()
         val maxMs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+        // one partitioned append lands the sentinel in BOTH source dirs
+        // in a single job (same rows the two per-side appends wrote)
         def sentinel(days: Long): Unit = {
-          val row = Seq((-1L, -1L, new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)))
-            .toDF("event_id", "user_id", "ts")
-          row.write.mode("append").parquet(srcV)
-          row.write.mode("append").parquet(srcC)
+          val t = new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)
+          Seq((-1L, -1L, t, 0), (-1L, -1L, t, 1))
+            .toDF("event_id", "user_id", "ts", "__par")
+            .write.partitionBy("__par").mode("append").parquet(srcBase)
         }
         sentinel(30); q.processAllAvailable()
         sentinel(31); q.processAllAvailable()
         q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.parquet(out).where(col("v_user") >= 0)
         .select(col("view_id"), col("click_id"), col("delta_ms"))
     }),
@@ -665,9 +692,7 @@ object SparkEntry {
         .select(unix_millis(col("window.start")).as("win_ms"), col("event_type"), col("n"))
       // windowed-agg state stores = shuffle partitions (same rationale
       // as q120/q154): scope 8 stores to the streaming query
-      val prevParts143 = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", streamStateParts(src).toString)
-      try {
+      withStreamParts(s, streamStateParts(src)) {
         val q = agg.writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", ckp).outputMode("append").start()
         q.processAllAvailable()
@@ -678,7 +703,7 @@ object SparkEntry {
         sentinel(30); q.processAllAvailable()
         sentinel(31); q.processAllAvailable()
         q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts143)
+      }
       s.read.parquet(out).where(col("event_type") =!= "__sentinel")
         .select(col("win_ms"), col("event_type"), col("n"))
     }),
@@ -722,12 +747,9 @@ object SparkEntry {
       F.ensureRegistered(s)
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
-      val srcV = scratch("q223v")
-      val srcC = scratch("q223c")
       val out = scratch("q223out")
       val ckp = scratch("q223ckp")
-      ev.where(col("event_id") % 2 === 0).write.mode("overwrite").parquet(srcV)
-      ev.where(col("event_id") % 2 === 1).write.mode("overwrite").parquet(srcC)
+      val (srcV, srcC) = writeParitySources(ev, scratch("q223src"))
       val views = s.readStream.schema(ev.schema).parquet(srcV)
         .withWatermark("ts", "40 days")
         .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
@@ -763,12 +785,9 @@ object SparkEntry {
       F.ensureRegistered(s)
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
-      val srcV = scratch("q140v")
-      val srcC = scratch("q140c")
       val out = scratch("q140out")
       val ckp = scratch("q140ckp")
-      ev.where(col("event_id") % 2 === 0).write.mode("overwrite").parquet(srcV)
-      ev.where(col("event_id") % 2 === 1).write.mode("overwrite").parquet(srcC)
+      val (srcV, srcC) = writeParitySources(ev, scratch("q140src"))
       val views = s.readStream.schema(ev.schema).parquet(srcV)
         .withWatermark("ts", "40 days")
         .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
@@ -4168,12 +4187,10 @@ object SparkEntry {
       F.ensureRegistered(s)
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
-      val srcV = scratch("q228v")
-      val srcC = scratch("q228c")
       val out = scratch("q228out")
       val ckp = scratch("q228ckp")
-      ev.where(col("event_id") % 2 === 0).write.mode("overwrite").parquet(srcV)
-      ev.where(col("event_id") % 2 === 1).write.mode("overwrite").parquet(srcC)
+      val srcBase = scratch("q228src")
+      val (srcV, srcC) = writeParitySources(ev, srcBase)
       val views = s.readStream.schema(ev.schema).parquet(srcV)
         .withWatermark("ts", "1 minute")
         .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
@@ -4191,23 +4208,23 @@ object SparkEntry {
           coalesce(unix_millis(col("cts")) - unix_millis(col("vts")), lit(-1L))
             .as("delta_ms"))
       // 8 state stores, scoped to the streaming query (q154 rationale)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", streamStateParts(srcV, srcC).toString)
-      try {
+      withStreamParts(s, streamStateParts(srcV, srcC)) {
         val q = joined.writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", ckp).outputMode("append").start()
         q.processAllAvailable()
         val maxMs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+        // one partitioned append lands the sentinel in BOTH source dirs
+        // in a single job (same rows the two per-side appends wrote)
         def sentinel(days: Long): Unit = {
-          val row = Seq((-1L, -1L, new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)))
-            .toDF("event_id", "user_id", "ts")
-          row.write.mode("append").parquet(srcV)
-          row.write.mode("append").parquet(srcC)
+          val t = new java.sql.Timestamp(maxMs + days * 24L * 3600 * 1000)
+          Seq((-1L, -1L, t, 0), (-1L, -1L, t, 1))
+            .toDF("event_id", "user_id", "ts", "__par")
+            .write.partitionBy("__par").mode("append").parquet(srcBase)
         }
         sentinel(30); q.processAllAvailable()
         sentinel(31); q.processAllAvailable()
         q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.parquet(out).where(col("u") >= 0)
         .select(col("view_id"), col("click_id"), col("delta_ms"))
     }),

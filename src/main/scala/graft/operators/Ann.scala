@@ -343,7 +343,10 @@ object Ann {
       }
       cents = next // clusters with no members kept their previous centroid
     }
-    (assigned.select(col("id"), col("cluster"), col("d2")), cents)
+    // qv (the lattice-quantized vector) rides along so consumers like
+    // ivfTopK can reuse it instead of re-quantizing raw floats per
+    // candidate row (OPTIMIZATION r6); existing callers select it away
+    (assigned.select(col("id"), col("cluster"), col("d2"), col("qv")), cents)
   }
 
   /** IVF top-k: probe the `nprobe` nearest coarse cells per query, exact
@@ -358,8 +361,15 @@ object Ann {
               nprobe: Int = 4, kCells: Int = 8, iters: Int = 2,
               dim: Int = 64): DataFrame = {
     val (assign, cents) = kmeans(data, idCol, vecCol, kCells, iters, dim)
-    val lists = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("dv"))
-      .join(assign.select(col("id").as("neighbor_id"), col("cluster")), Seq("neighbor_id"))
+    // OPTIMIZATION r6 (guide §2.3 "project before the exchange" /
+    // expression work): the inverted lists reuse kmeans' already-
+    // quantized qv — the old plan joined the raw corpus back in and
+    // re-ran BOTH lattice transforms per (query × candidate) row inside
+    // the probe join; now each side quantizes exactly once and the
+    // per-candidate work is the single zip_with d2. Same integers, same
+    // rows (pinned by the unchanged oracle).
+    val lists = assign.select(col("id").as("neighbor_id"), col("cluster"),
+      col("qv").as("qd"))
     val centsLit = cents.map(c => s"array(${c.mkString("L,")}L)")
       .mkString("array(", ",", ")")
     // query side: nprobe nearest centroids by the same exact d2 law
@@ -373,14 +383,12 @@ object Ann {
       .withColumn("cluster", explode(expr(
         s"transform(slice(array_sort(transform(cd2s, (__d, __i) -> " +
           s"named_struct('d', __d, 'c', CAST(__i AS BIGINT)))), 1, $nprobe), __s -> __s.c)")))
-      .select(col("query_id"), col("qvf"), col("cluster"))
+      .select(col("query_id"), col("qq"), col("cluster"))
     val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
     probes.join(lists, Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("d2", expr(
-        "aggregate(zip_with(" +
-          "transform(qvf, __x -> CAST(floor((CAST(__x AS DOUBLE) + 2.0D) * 1048576.0D) AS BIGINT)), " +
-          "transform(dv,  __x -> CAST(floor((CAST(__x AS DOUBLE) + 2.0D) * 1048576.0D) AS BIGINT)), " +
+        "aggregate(zip_with(qq, qd, " +
           "(__a, __b) -> (__a - __b) * (__a - __b)), 0L, (__s, __x) -> __s + __x)"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -403,14 +411,29 @@ object Ann {
          m: Int = 4, k: Int = 8, iters: Int = 2, dim: Int = 64): DataFrame = {
     val subDim = dim / m
     require(m * subDim == dim, s"pq: m=$m must divide dim=$dim")
-    val parts = (0 until m).map { s =>
-      val (a, _) = kmeans(data, idCol,
-        s"slice($vecCol, ${s * subDim + 1}, $subDim)", k, iters, subDim)
-      // weight = k^s packs the m sub-codes into one base-k integer
-      val w = Iterator.fill(s)(k.toLong).product
-      a.select(col("id").as("vec_id"), col("cluster"), col("d2"),
-        lit(w).as("w"))
-    }
+    // OPTIMIZATION r6 (guide §2.6 "overlap independent jobs"): the m
+    // sub-codebook trainings are fully independent (disjoint vector
+    // slices) but each one is a chain of small driver-blocking actions
+    // (init collect + one collect per Lloyd iteration); run them from a
+    // small thread pool so one sub-training's tail back-fills the
+    // cluster while another's next action is planned. Each training is
+    // deterministic in isolation, so the result is unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val parts =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence((0 until m).toList.map { s =>
+          scala.concurrent.Future {
+            val (a, _) = kmeans(data, idCol,
+              s"slice($vecCol, ${s * subDim + 1}, $subDim)", k, iters, subDim)
+            // weight = k^s packs the m sub-codes into one base-k integer
+            val w = Iterator.fill(s)(k.toLong).product
+            a.select(col("id").as("vec_id"), col("cluster"), col("d2"),
+              lit(w).as("w"))
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     parts.reduce(_ unionByName _)
       .groupBy("vec_id")
       .agg(sum(col("cluster") * col("w")).as("pq_code"),

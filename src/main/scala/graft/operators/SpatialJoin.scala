@@ -171,16 +171,28 @@ object SpatialJoin {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pred: Column = envGateLonLat(lonCol, latCol) &&
       F.st_predicate_point(predicate, col(polyGeom), col(lonCol), col(latCol))
-    val cold = pts.join(broadcast(hotCells), Seq("__cell"), "left_anti")
-      .join(cov.join(broadcast(hotCells), Seq("__cell"), "left_anti"), Seq("__cell"))
-    val s = saltFactor
-    val hot = pts.join(broadcast(hotCells), Seq("__cell"), "left_semi")
-      .withColumn("__salt", pmod(hash(col(lonCol), col(latCol)), lit(s)))
-      .join(cov.join(broadcast(hotCells), Seq("__cell"), "left_semi")
-        .withColumn("__salt", explode(sequence(lit(0), lit(s - 1)))),
-        Seq("__cell", "__salt"))
-      .drop("__salt")
-    cold.unionByName(hot).where(pred).drop("__cell", "__env")
+    // OPTIMIZATION r6 (guide §2.5 — AQE-style plan-time adaptivity): when
+    // the probe finds NO hot cell, the cold/hot split is four extra joins
+    // that all degenerate to identity — take the plain equi-join instead
+    // (identical rows: with hotCells empty, anti-joins pass everything
+    // and semi-joins pass nothing). The probe is a bounded action on the
+    // already-persisted hot-cell table; skewed inputs still take the
+    // salted split exactly as before.
+    if (hotCells.isEmpty) {
+      hotCells.unpersist(false)
+      pts.join(cov, Seq("__cell"), "inner").where(pred).drop("__cell", "__env")
+    } else {
+      val cold = pts.join(broadcast(hotCells), Seq("__cell"), "left_anti")
+        .join(cov.join(broadcast(hotCells), Seq("__cell"), "left_anti"), Seq("__cell"))
+      val s = saltFactor
+      val hot = pts.join(broadcast(hotCells), Seq("__cell"), "left_semi")
+        .withColumn("__salt", pmod(hash(col(lonCol), col(latCol)), lit(s)))
+        .join(cov.join(broadcast(hotCells), Seq("__cell"), "left_semi")
+          .withColumn("__salt", explode(sequence(lit(0), lit(s - 1)))),
+          Seq("__cell", "__salt"))
+        .drop("__salt")
+      cold.unionByName(hot).where(pred).drop("__cell", "__env")
+    }
   }
 
   /** Geometry × geometry join (both sides arbitrary WKB geometries).
@@ -237,6 +249,15 @@ object SpatialJoin {
         val hotCells = lp.groupBy("__cell").count()
           .where(col("count") > hotThreshold).select("__cell")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // OPTIMIZATION r6 (guide §2.5): no hot cell found → the split is
+        // four identity joins; take the plain equi-join (same rows — see
+        // pointInPolygonAdaptive). Skew still salts exactly as before.
+        if (hotCells.isEmpty) {
+          hotCells.unpersist(false)
+          lp.join(r0, Seq("__cell"), "inner")
+            .where(envOverlap)
+            .dropDuplicates(leftId, rightId)
+        } else {
         val s = saltFactor
         val cold = lp.join(broadcast(hotCells), Seq("__cell"), "left_anti")
           .join(r0.join(broadcast(hotCells), Seq("__cell"), "left_anti"), Seq("__cell"))
@@ -247,6 +268,7 @@ object SpatialJoin {
             Seq("__cell", "__salt"))
           .drop("__salt")
         cold.unionByName(hot).where(envOverlap).dropDuplicates(leftId, rightId)
+        }
       } else {
         l.join(r0, Seq("__cell"), "inner")
           .where(envOverlap)
