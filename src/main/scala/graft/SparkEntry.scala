@@ -6185,7 +6185,14 @@ object SparkEntry {
         ((col("lon") + 180.0) * 1024).cast("long").as("ix"),
         ((lit(90.0) - col("lat")) * 1024).cast("long").as("iy"),
         F.cell_encode(col("lon"), col("lat"), lit(5)).as("pcell"))
-      .withColumn("cell", explode(F.cell_disk(col("pcell"), lit(2))))
+      // OPTIMIZATION r6 (guide §2.3 "shuffle fewer bytes" applied to the
+      // explode): the radius gate proves a disk radius of 1 suffices — a
+      // point in cell p lies in [p·5760, (p+1)·5760), so its distance to
+      // an offset-2 cell center is ≥ 2·5760 + 2880 − 5759 = 8641 > 8192,
+      // i.e. every offset-2 candidate ALWAYS failed the d2 filter. The
+      // 9-cell disk emits exactly the surviving candidate set of the old
+      // 25-cell disk at 2.8× less explode/filter work.
+      .withColumn("cell", explode(F.cell_disk(col("pcell"), lit(1))))
       .withColumn("tx", F.cell_tx(col("cell")))
       .withColumn("ty", F.cell_ty(col("cell")))
       .withColumn("cx", col("tx") * 5760 + 2880)
@@ -6207,7 +6214,10 @@ object SparkEntry {
         ((col("lon") + 180.0) * 1024).cast("long").as("ix"),
         ((lit(90.0) - col("lat")) * 1024).cast("long").as("iy"),
         F.cell_encode(col("lon"), col("lat"), lit(5)).as("pcell"))
-      .withColumn("cell", explode(F.cell_disk(col("pcell"), lit(2))))
+      // disk radius 1 suffices exactly as in gridCandidates: the ellipse
+      // gate bounds |dx| ≤ 8192 (and |dy| ≤ 4096), while an offset-2
+      // cell's center is ≥ 8641 units away on that axis (OPTIMIZATION r6)
+      .withColumn("cell", explode(F.cell_disk(col("pcell"), lit(1))))
       .withColumn("tx", F.cell_tx(col("cell")))
       .withColumn("ty", F.cell_ty(col("cell")))
       .withColumn("dx", col("ix") - (col("tx") * 5760 + 2880))

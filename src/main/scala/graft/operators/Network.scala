@@ -94,18 +94,29 @@ object Network {
     var done = false
     while (!done) {
       require(rounds < maxRounds, s"SSSP did not converge in $maxRounds rounds")
-      val relaxed = dist.join(e, dist("node") === e("src"))
-        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
-      val next = dist.unionByName(relaxed)
-        .groupBy("node").agg(min(col("d")).as("d"))
-      // RoundCache: plan-truncating cached round, reliable cut every 8th
-      val ck = rc.cut(next)
-      val st = ck.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).collect()(0)
+      // OPTIMIZATION r6 (guide §1.2): TWO relaxation rounds per
+      // convergence probe. The lazy RoundCache cuts chain, so the probe
+      // action computes both rounds in ONE job — halving the driver
+      // round-trips the old probe-every-round loop paid. Detection is
+      // still exact: the (count, sum) signature is strictly monotone
+      // until the fixpoint, so equality across the 2-round stride occurs
+      // iff both rounds were identities; relaxation at the fixpoint is
+      // idempotent, so the result table is unchanged.
+      var inner = 0
+      while (inner < 2) {
+        val relaxed = dist.join(e, dist("node") === e("src"))
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        val next = dist.unionByName(relaxed)
+          .groupBy("node").agg(min(col("d")).as("d"))
+        // RoundCache: plan-truncating cached round, reliable cut every 8th
+        dist = rc.cut(next)
+        rounds += 1
+        inner += 1
+      }
+      val st = dist.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).collect()(0)
       val sig = (st.getLong(0), st.getLong(1))
       done = sig == prev
       prev = sig
-      dist = ck
-      rounds += 1
     }
     e.unpersist(false)
     dist.select(col("node"), col("d").as("dist"))

@@ -994,13 +994,26 @@ object Raster {
     * combine-order-free, which is what makes the oracle comparable. */
   def rat(tiles: DataFrame, nClasses: Int, classWidth: Double): DataFrame = {
     val cls = s"CAST(floor(p / ${classWidth}D) AS INT)"
+    // OPTIMIZATION r6 (guide §1.2 per-task work): one filter + one fold
+    // per class instead of four independent filter passes (size /
+    // array_min / array_max / sum re-filtered the tile each time — 4·
+    // nClasses·pixels lambda evals per tile; now (nClasses+1)·pixels).
+    // Value-identical: the fold visits the same filtered elements in the
+    // same order, so cnt/min/max match trivially and the double sum is
+    // the same IEEE op sequence.
     tiles
       .select(posexplode(expr(
-        s"""transform(sequence(0, ${nClasses - 1}), c -> named_struct(
-           'cnt', size(filter(pixels, p -> $cls = c)),
-           'mn', array_min(filter(pixels, p -> $cls = c)),
-           'mx', array_max(filter(pixels, p -> $cls = c)),
-           'sm', CAST(aggregate(filter(pixels, p -> $cls = c), 0.0D, (a, p) -> a + p) AS BIGINT)))""")))
+        s"""transform(sequence(0, ${nClasses - 1}), c ->
+           aggregate(filter(pixels, p -> $cls = c),
+             named_struct('cnt', 0, 'mn', CAST(NULL AS DOUBLE),
+                          'mx', CAST(NULL AS DOUBLE), 'sm', 0.0D),
+             (a, p) -> named_struct(
+               'cnt', a.cnt + 1,
+               'mn', least(coalesce(a.mn, p), p),
+               'mx', greatest(coalesce(a.mx, p), p),
+               'sm', a.sm + p),
+             a -> named_struct('cnt', a.cnt, 'mn', a.mn, 'mx', a.mx,
+               'sm', CAST(a.sm AS BIGINT))))""")))
       .select(col("pos").cast("long").as("cls"), col("col.*"))
       .groupBy("cls")
       .agg(sum(col("cnt")).cast("long").as("cnt"), min(col("mn")).as("mn"),
