@@ -390,28 +390,38 @@ object Dedup {
     val rc = new graft.io.Checkpoints.RoundCache()
     var changed = 1L
     var rounds = 0
+    // OPTIMIZATION r6 (guide §1.2, the q263 stride): TWO propagation
+    // rounds per convergence probe — the lazy cuts chain into one job,
+    // halving driver round-trips. Labels are monotone non-increasing, so
+    // a zero-change second round can only occur at the fixpoint, and an
+    // extra round at the fixpoint is an identity.
     while (changed > 0) {
       require(rounds < maxRounds, s"label propagation did not converge in $maxRounds rounds")
-      // min label among direct neighbors
-      val nbrMin = edges
-        .join(labels.select(col("id").as("a"), col("label").as("la")), Seq("a"))
-        .groupBy(col("b").as("id")).agg(min(col("la")).as("nl"))
-      // pointer jump: the label of my label (label(l) <= l always holds,
-      // so least() below can only improve)
-      val hop = labels.select(col("id").as("label"), col("label").as("ll"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .join(hop, Seq("label"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label")),
-            coalesce(col("ll"), col("label"))).as("label"),
-          (least(col("label"), coalesce(col("nl"), col("label")),
-            coalesce(col("ll"), col("label"))) < col("label")).cast("long").as("chg"))
-      // RoundCache: plan-truncating cached round, reliable cut every 8th
-      val ck = rc.cut(next)
-      changed = ck.agg(coalesce(sum(col("chg")), lit(0L))).collect()(0).getLong(0)
-      labels = ck.select("id", "label")
-      rounds += 1
+      var probe: DataFrame = null
+      var inner = 0
+      while (inner < 2) {
+        // min label among direct neighbors
+        val nbrMin = edges
+          .join(labels.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+          .groupBy(col("b").as("id")).agg(min(col("la")).as("nl"))
+        // pointer jump: the label of my label (label(l) <= l always holds,
+        // so least() below can only improve)
+        val hop = labels.select(col("id").as("label"), col("label").as("ll"))
+        val next = labels
+          .join(nbrMin, Seq("id"), "left")
+          .join(hop, Seq("label"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nl"), col("label")),
+              coalesce(col("ll"), col("label"))).as("label"),
+            (least(col("label"), coalesce(col("nl"), col("label")),
+              coalesce(col("ll"), col("label"))) < col("label")).cast("long").as("chg"))
+        // RoundCache: plan-truncating cached round, reliable cut every 8th
+        probe = rc.cut(next)
+        labels = probe.select("id", "label")
+        rounds += 1
+        inner += 1
+      }
+      changed = probe.agg(coalesce(sum(col("chg")), lit(0L))).collect()(0).getLong(0)
     }
     edges.unpersist(false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),

@@ -225,25 +225,40 @@ object Polygonize {
     val rc = new graft.io.Checkpoints.RoundCache()
     var iter = 0
     var done = false
+    // OPTIMIZATION r6 (guide §1.2): the old loop paid TWO driver actions
+    // per round — the round itself plus a join-against-previous diff
+    // job. The change flag is now computed INSIDE the round (labels only
+    // decrease, so `new < previous` captures exactly the old
+    // rep_new <> rep test), the convergence probe is the same action
+    // that materializes the round, and it runs every SECOND round (the
+    // lazy cuts chain into one job; a zero-change second round can only
+    // occur at the fixpoint since labels are monotone, and an extra
+    // round at the fixpoint is an identity).
     while (!done && iter < maxIter) {
-      val nbrMin = sym.join(rep.withColumnRenamed("node", "y"), Seq("y"))
-        .groupBy(col("x").as("node")).agg(min("rep").as("nbr_rep"))
-      val stepped = rep.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
-      // pointer jumping: rep := rep(rep)
-      val jumped = stepped.alias("l")
-        .join(stepped.select(col("node").as("rep"), col("rep").as("rep2")).alias("r"),
-          Seq("rep"), "left")
-        .select(col("node"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
-      // RoundCache: plan-truncating cached round, reliable cut every 8th
-      val jumpedCk = rc.cut(jumped)
-      val diff = jumpedCk.withColumnRenamed("rep", "rep_new")
-        .join(rep, Seq("node"))
-        .where(col("rep_new") =!= col("rep")).limit(1).count()
-      rep = jumpedCk
-      done = diff == 0
-      iter += 1
+      var inner = 0
+      var probe: DataFrame = null
+      while (inner < 2 && !done) {
+        val nbrMin = sym.join(rep.withColumnRenamed("node", "y"), Seq("y"))
+          .groupBy(col("x").as("node")).agg(min("rep").as("nbr_rep"))
+        val stepped = rep.join(nbrMin, Seq("node"), "left")
+          .select(col("node"), col("rep").as("rep_prev"),
+            least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        // pointer jumping: rep := rep(rep)
+        val jumped = stepped.alias("l")
+          .join(stepped.select(col("node").as("rep"), col("rep").as("rep2")).alias("r"),
+            Seq("rep"), "left")
+          .select(col("node"),
+            least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"),
+            (least(col("rep"), coalesce(col("rep2"), col("rep"))) <
+              col("rep_prev")).cast("long").as("chg"))
+        // RoundCache: plan-truncating cached round, reliable cut every 8th
+        probe = rc.cut(jumped)
+        rep = probe.select("node", "rep")
+        iter += 1
+        inner += 1
+      }
+      done = done ||
+        probe.agg(coalesce(sum(col("chg")), lit(0L))).collect()(0).getLong(0) == 0L
     }
     rep
   }
