@@ -1345,13 +1345,13 @@ object SparkEntry {
       // make the overlay area exact arithmetic → oracle-matched.
       F.ensureRegistered(s)
       val r = Synth.regionWkt(s, dir).withColumn("g", F.st_geomfromwkt(col("wkt")))
-      val a = r.select(col("region_id").as("id_a"), col("g").as("ga"))
-      val b = r.select(col("region_id").as("id_b"), col("g").as("gb"))
       // adaptive hot-cell salting armed: the synthetic giant boxes
       // (region_id % 97) are exactly the hot-cell case at 100× scale;
-      // below the threshold the plan degrades to the plain equi-join
-      SpatialJoin.geomJoin(a, "id_a", "ga", b, "id_b", "gb", zoom = 7,
-        saltFactor = 8, hotThreshold = 100000L)
+      // below the threshold the plan degrades to the plain equi-join.
+      // OPTIMIZATION r6: the self-join entry point builds ONE cover for
+      // both sides instead of two byte-identical ones (same join core).
+      SpatialJoin.geomSelfJoin(r, "region_id", "g", "id_a", "ga",
+        "id_b", "gb", zoom = 7, saltFactor = 8, hotThreshold = 100000L)
         .where(col("id_a") < col("id_b"))
         .withColumn("inter_area", F.st_area(F.st_intersection(col("ga"), col("gb"))))
         .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),

@@ -171,12 +171,16 @@ object Dedup {
       .where(expr("coalesce(bw1 & shiftleft(1L, CAST(p1 % 64 AS INT)), 0L) != 0L") &&
         expr("coalesce(bw2 & shiftleft(1L, CAST(p2 % 64 AS INT)), 0L) != 0L"))
       .select(col("doc_id"), col("sh"))
-    val bloomDocs = probes.select("doc_id").distinct()
-    val exactDocs = probes.join(bsh, Seq("sh"), "left_semi")
-      .select("doc_id").distinct().withColumn("__exact", lit(1L))
-    bloomDocs.join(exactDocs, Seq("doc_id"), "left")
-      .select(col("doc_id"), lit(1L).as("bloom_hit"),
-        coalesce(col("__exact"), lit(0L)).as("exact_hit"))
+    // OPTIMIZATION r6 (guide §2.4): the old bloomDocs/exactDocs pair
+    // evaluated the whole shingle-explode + probe chain TWICE (once per
+    // distinct, then joined). One left join against the (distinct)
+    // benchmark set plus one per-doc max computes both flags in a single
+    // pass — a doc's exact_hit is 1 iff ANY surviving shingle confirms,
+    // exactly the old semi-join-then-distinct law.
+    probes.join(bsh.withColumn("__e", lit(1L)), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(max(coalesce(col("__e"), lit(0L))).as("exact_hit"))
+      .select(col("doc_id"), lit(1L).as("bloom_hit"), col("exact_hit"))
   }
 
   /** Exact n-gram (character k-gram) Jaccard similarity join within an
@@ -458,6 +462,9 @@ object Dedup {
                 fingerprint64(array_join(slice(lines, i + 1, $spanLines), ' ')) AS fp))"""))
         .as("s"))
       .select(col("doc_id"), col("s.start").as("start"), col("s.fp").as("fp"))
+      // feeds BOTH the keeper agg and the removal join below — persist so
+      // the span explode + fingerprint runs once (OPTIMIZATION r6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = spans.groupBy("fp").agg(
       count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("start"))).as("keeper"))
@@ -466,6 +473,8 @@ object Dedup {
         !(col("doc_id") === col("keeper.doc_id") &&
           col("start") === col("keeper.start")))
       .select("doc_id", "start")
+      // feeds the removed-span count AND the covered-line agg (r6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val remAgg = removed.groupBy("doc_id")
       .agg(count(lit(1)).as("removed_spans"))
     val covAgg = removed

@@ -232,6 +232,46 @@ object SpatialJoin {
     // EITHER side that is <= its own cell's zoom; an intersecting pair
     // always meets at the coarser of its two cover zooms.
     val zooms = (coverZooms(l0) ++ coverZooms(r00)).distinct.sorted
+    geomJoinCore(l0, leftId, leftGeom, r00, rightId, rightGeom, zoom,
+      predicate, broadcastRight, saltFactor, hotThreshold, zooms)
+  }
+
+  /** Self-join variant (OPTIMIZATION r6, guide §2.4 "two operations keyed
+    * the same way can share one exchange" applied to the cover build): a
+    * geometry table joined against ITSELF used to build, persist and
+    * zoom-probe two byte-identical covers; one cover now feeds both join
+    * sides through renames. Join logic, salting and refine are exactly
+    * [[geomJoin]]'s — the output rows are identical by construction. */
+  def geomSelfJoin(geoms: DataFrame, idCol: String, geomCol: String,
+                   leftId: String, leftGeom: String,
+                   rightId: String, rightGeom: String,
+                   zoom: Int,
+                   predicate: String = "intersects",
+                   saltFactor: Int = 1,
+                   hotThreshold: Long = 100000L,
+                   mercator: Boolean = false): DataFrame = {
+    val spark = geoms.sparkSession
+    F.ensureRegistered(spark)
+    def cover(g: org.apache.spark.sql.Column) =
+      if (mercator) F.cells_cover_merc(g, lit(zoom)) else F.cells_cover(g, lit(zoom))
+    val cov = graft.core.Par.fan(geoms.select(col(idCol), col(geomCol)))
+      .withColumn("__env0", F.st_env_bounds(col(geomCol)))
+      .withColumn("__cell", explode(cover(col(geomCol))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val zooms = coverZooms(cov)
+    val l0 = cov.select(col(idCol).as(leftId), col(geomCol).as(leftGeom),
+      col("__env0").as("__envl"), col("__cell"))
+    val r00 = cov.select(col(idCol).as(rightId), col(geomCol).as(rightGeom),
+      col("__env0").as("__envr"), col("__cell"))
+    geomJoinCore(l0, leftId, leftGeom, r00, rightId, rightGeom, zoom,
+      predicate, broadcastRight = false, saltFactor, hotThreshold, zooms)
+  }
+
+  private def geomJoinCore(l0: DataFrame, leftId: String, leftGeom: String,
+                           r00: DataFrame, rightId: String, rightGeom: String,
+                           zoom: Int, predicate: String,
+                           broadcastRight: Boolean, saltFactor: Int,
+                           hotThreshold: Long, zooms: Seq[Int]): DataFrame = {
     val l = fanToZooms(l0, zooms, zoom)
     val r0 = fanToZooms(r00, zooms, zoom)
     // envelope-overlap prefilter (codegen'd) applied BEFORE the pair
