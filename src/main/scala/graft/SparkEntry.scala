@@ -5171,15 +5171,20 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("spans")).as(Seq("i", "sp")))
         .select(col("doc_id"), col("sp.kind").as("kind"),
           col("sp.text").as("text"), col("sp.media_ref").as("mr"))
+      // OPTIMIZATION r6: parse the WKT point ONCE per text span (tx and
+      // ty each re-parsed it); the CASE keeps the parse conditional on
+      // kind exactly like the old when/otherwise branches
       val tiled = spans
+        .withColumn("__pt", expr(
+          "CASE WHEN kind = 'media' THEN NULL ELSE st_geomfromwkt(text) END"))
         .withColumn("tx", when(col("kind") === "media",
             expr("CAST(split(mr, '/')[3] AS BIGINT)"))
           .otherwise(expr(
-            "CAST(floor((st_x(st_geomfromwkt(text)) + 180.0D) / 360.0D * 512) AS BIGINT)")))
+            "CAST(floor((st_x(__pt) + 180.0D) / 360.0D * 512) AS BIGINT)")))
         .withColumn("ty", when(col("kind") === "media",
             expr("CAST(split(mr, '/')[4] AS BIGINT)"))
           .otherwise(expr(
-            "CAST(floor((90.0D - st_y(st_geomfromwkt(text))) / 180.0D * 256) AS BIGINT)")))
+            "CAST(floor((90.0D - st_y(__pt)) / 180.0D * 256) AS BIGINT)")))
       tiled.groupBy("tx", "ty", "doc_id")
         .agg(sum(when(col("kind") === "text", 1L).otherwise(0L)).as("nt"),
           sum(when(col("kind") === "media", 1L).otherwise(0L)).as("nm"))
