@@ -89,13 +89,10 @@ object Synth {
     * %.10f prints k/1024 coordinates exactly → WKT round-trips losslessly. */
   def docs(spark: SparkSession, sfDir: String): DataFrame = {
     val pts = points(spark, sfDir)
-    // OPTIMIZATION r6 (guide §2.4): the span offset used to come from a
-    // row_number window over the full point table (a corpus-wide
-    // shuffle + SORT before the groupBy); (line_no, part_key, supp_key)
-    // is unique within a doc, so sorting the collected per-doc array by
-    // that key and indexing it assigns the IDENTICAL offsets with the
-    // sort reduced to ~4-element arrays inside the one hash agg.
+    val w = Window.partitionBy(col("doc_key"))
+      .orderBy(col("line_no"), col("part_key"), col("supp_key"))
     val spans = pts
+      .withColumn("offset", (row_number().over(w) - 1).cast("int"))
       .withColumn("kind", when(col("line_no") % 4 === 0, "media").otherwise("text"))
       .withColumn("tx", floor((col("lon") + 180.0) / 360.0 * 512).cast("long"))
       .withColumn("ty", floor((lit(90.0) - col("lat")) / 180.0 * 256).cast("long"))
@@ -108,11 +105,10 @@ object Synth {
     spans
       .groupBy(col("doc_key"))
       .agg(sort_array(collect_list(struct(
-        col("line_no"), col("part_key"), col("supp_key"),
-        col("kind"), col("text"), col("media_ref")))).as("ordered"))
+        col("offset"), col("kind"), col("text"), col("media_ref")))).as("ordered"))
       .select(
         format_string("doc-%09d", col("doc_key")).as("doc_id"),
-        expr("transform(ordered, (s, i) -> struct(s.kind as kind, s.text as text, s.media_ref as media_ref, CAST(i AS INT) as offset))").as("spans"))
+        expr("transform(ordered, s -> struct(s.kind as kind, s.text as text, s.media_ref as media_ref, s.offset as offset))").as("spans"))
   }
 
   // ---- OSM-style inputs (SURVEY §3.1 S10): nodes / ways / relations ----
