@@ -216,4 +216,43 @@ class SpatialJoinSpec extends AnyFunSuite {
       .groupBy("q_id").count().collect()
     assert(got.forall(_.getLong(1) == 25))
   }
+
+  // OPTIMIZATION r6: the adaptive operators skip the cold/hot split when
+  // the probe finds no hot cell — pin that branch's rows against the
+  // broadcast reference (the threshold is set above any cell count, so
+  // the plain-join branch is the one executing).
+  test("adaptive PIP with empty hot-cell set (plain-join branch) matches broadcast") {
+    F.ensureRegistered(spark)
+    val polys = Synth.regionWkt(spark, TestSpark.SfSmall)
+      .withColumn("geom", F.st_geomfromwkt(col("wkt")))
+    val points = Synth.points(spark, TestSpark.SfSmall)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("region_id").cast("long"), col("pt_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bc = pairs(SpatialJoin.pointInPolygon(polys, "geom", points, "lon", "lat", 5))
+    val noHot = pairs(SpatialJoin.pointInPolygonAdaptive(polys, "geom", points,
+      "lon", "lat", 5, saltFactor = 4, hotThreshold = Long.MaxValue))
+    assert(bc == noHot, "broadcast vs empty-hot-set adaptive mismatch")
+  }
+
+  // OPTIMIZATION r6: geomSelfJoin builds ONE cover for both sides — rows
+  // must equal the two-cover geomJoin on the same inputs, in both the
+  // plain and the forced-hot salted regimes.
+  test("geomSelfJoin == geomJoin on the same table (plain and salted)") {
+    F.ensureRegistered(spark)
+    val r = Synth.regionWkt(spark, TestSpark.SfSmall).limit(80)
+      .withColumn("g", F.st_geomfromwkt(col("wkt")))
+    val a = r.select(col("region_id").as("id_a"), col("g").as("ga"))
+    val b = r.select(col("region_id").as("id_b"), col("g").as("gb"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val two = pairs(SpatialJoin.geomJoin(a, "id_a", "ga", b, "id_b", "gb", 4))
+    val one = pairs(SpatialJoin.geomSelfJoin(r, "region_id", "g",
+      "id_a", "ga", "id_b", "gb", 4))
+    assert(two == one, s"two-cover ${two.size} vs self-join ${one.size}")
+    val oneSalted = pairs(SpatialJoin.geomSelfJoin(r, "region_id", "g",
+      "id_a", "ga", "id_b", "gb", 4, saltFactor = 4, hotThreshold = 3L))
+    assert(two == oneSalted, s"two-cover ${two.size} vs salted self ${oneSalted.size}")
+  }
 }
