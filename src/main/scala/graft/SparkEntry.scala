@@ -392,7 +392,12 @@ object SparkEntry {
     "q15_zonal_stats" -> ((s, dir) => {
       F.ensureRegistered(s)
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
-      SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat", zoom = 7)
+      // project-before-probe (guide §2.3, the q11 discipline): the agg
+      // reads pt_id/l_quantity only — drop the other six point columns
+      // before the broadcast probe pipeline
+      SpatialJoin.pointInPolygon(polys, "geom",
+        Synth.points(s, dir).select("pt_id", "l_quantity", "lon", "lat"),
+        "lon", "lat", zoom = 7)
         .groupBy(col("region_id").cast("long").as("box_id"))
         .agg(count(lit(1)).as("n_points"),
           sum(col("l_quantity").cast("long")).as("sum_qty"),
@@ -3204,7 +3209,11 @@ object SparkEntry {
       // q15 + one extra keyed agg.
       F.ensureRegistered(s)
       val polys = Synth.regionWkt(s, dir).withColumn("geom", F.st_geomfromwkt(col("wkt")))
-      SpatialJoin.pointInPolygon(polys, "geom", Synth.points(s, dir), "lon", "lat", zoom = 7)
+      // project-before-probe (guide §2.3): only l_quantity feeds the
+      // majority agg — drop the unused point columns before the probe
+      SpatialJoin.pointInPolygon(polys, "geom",
+        Synth.points(s, dir).select("l_quantity", "lon", "lat"),
+        "lon", "lat", zoom = 7)
         .withColumn("cls", (col("l_quantity").cast("long") % 10))
         .groupBy(col("region_id").cast("long").as("box_id"), col("cls"))
         .agg(count(lit(1)).as("cnt"))

@@ -180,9 +180,18 @@ object Polygonize {
   def resolveLabels(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
                     driverThreshold: Long = 4000000L): DataFrame = {
     val spark = nodes.sparkSession
-    val nEdges = edges.count()
-    if (nEdges <= driverThreshold) {
-      import spark.implicits._
+    // OPTIMIZATION r6 (guide §1.2): the old branch probe was a count()
+    // job FOLLOWED by toLocalIterator — which launches one job PER
+    // PARTITION of the edge table, so every polygonize/sieve/contour
+    // query paid a dozen tiny sequential jobs here. One bounded typed
+    // collect (threshold+1 rows max) answers the branch question AND
+    // delivers the edges in a single job; union-find's min-root merge
+    // law makes the component representatives order-independent, so the
+    // result is unchanged.
+    import spark.implicits._
+    val collected = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].limit((driverThreshold + 1).toInt).collect()
+    if (collected.length <= driverThreshold) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -190,8 +199,7 @@ object Polygonize {
         while (p != x) { val gp = parent.getOrDefault(p, p); parent.put(x, gp); x = p; p = gp }
         x
       }
-      edges.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
-        .toLocalIterator().forEachRemaining { case (a, b) =>
+      collected.foreach { case (a, b) =>
           val ra = find(a); val rb = find(b)
           if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
         }
