@@ -79,30 +79,41 @@ object Bpe {
     * shuffles) and collects exactly one row. */
   def train(docs: DataFrame, k: Int): Seq[Rule] = {
     val d0 = dict(docs).persist()
-    try {
-      val rules = ArrayBuffer.empty[Rule]
-      for (it <- 1 to k) {
-        val top = d0
-          .withColumn("syms", applyRules(rules.toSeq, col("syms")))
-          .withColumn("ss", symbols(col("syms")))
-          .where(size(col("ss")) >= 2)
-          .select(col("wcnt"), explode(expr(
-            "transform(sequence(1, size(ss) - 1), i -> named_struct('l', element_at(ss, i), 'r', element_at(ss, i + 1)))")).as("p"))
-          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-          .agg(sum(col("wcnt")).as("freq"))
-          .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
-          .limit(1).collect()
-        require(top.nonEmpty, s"bpe: no adjacent pairs left at iteration $it")
-        rules += Rule(top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      }
-      rules.toSeq
-    } finally { d0.unpersist(); () }
+    try trainOn(d0, k) finally { d0.unpersist(); () }
+  }
+
+  /** Training loop over an already-persisted dictionary (OPTIMIZATION r6:
+    * lets a caller that also needs the encoded dictionary build `dict`
+    * ONCE instead of once for training and once for encoding — one fewer
+    * full corpus tokenize + hash agg per query). */
+  def trainOn(d0: DataFrame, k: Int): Seq[Rule] = {
+    val rules = ArrayBuffer.empty[Rule]
+    for (it <- 1 to k) {
+      val top = d0
+        .withColumn("syms", applyRules(rules.toSeq, col("syms")))
+        .withColumn("ss", symbols(col("syms")))
+        .where(size(col("ss")) >= 2)
+        .select(col("wcnt"), explode(expr(
+          "transform(sequence(1, size(ss) - 1), i -> named_struct('l', element_at(ss, i), 'r', element_at(ss, i + 1)))")).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("wcnt")).as("freq"))
+        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      require(top.nonEmpty, s"bpe: no adjacent pairs left at iteration $it")
+      rules += Rule(top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+    }
+    rules.toSeq
   }
 
   /** Per-word encoding under a trained rule chain: wrapped symbol string,
     * symbol count, source char count, and the space-joined symbol text
     * (".th..e." → "th e") used for stream fingerprints. Vocab-sized. */
-  def encodedDict(docs: DataFrame, rules: Seq[Rule]): DataFrame = dict(docs)
+  def encodedDict(docs: DataFrame, rules: Seq[Rule]): DataFrame =
+    encodedDictFrom(dict(docs), rules)
+
+  /** Encoding surface over an existing dictionary DataFrame (same rows as
+    * [[dict]]) — pairs with [[trainOn]] to share one dict build. */
+  def encodedDictFrom(d0: DataFrame, rules: Seq[Rule]): DataFrame = d0
     .withColumn("enc", applyRules(rules, col("syms")))
     .select(col("term"), length(col("term")).cast("long").as("nch"),
       size(symbols(col("enc"))).cast("long").as("nsym"),
