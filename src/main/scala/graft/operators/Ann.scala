@@ -189,9 +189,11 @@ object Ann {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // vector payloads join back by id (shuffle joins; candidates are the
-    // small side after LSH pruning — AQE broadcasts when genuinely small)
-    val va = d.select(col("id").as("id_a"), col("v").as("va"))
-    val vb = d.select(col("id").as("id_b"), col("v").as("vb"))
+    // small side after LSH pruning — AQE broadcasts when genuinely small);
+    // squared norms ride along, computed once per vector (r6)
+    val dn = d.withColumn("n2", F.fixed_dot(col("v"), col("v"), fixedScale))
+    val va = dn.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+    val vb = dn.select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))
     exactCosKeep(cand.join(va, Seq("id_a")).join(vb, Seq("id_b")),
       "cosineDupPairs", minCosNum, minCosDen, fixedScale)
       .select("id_a", "id_b", "dot_fp")
@@ -220,10 +222,12 @@ object Ann {
         col("na2") > lit(Long.MaxValue / minCosNum) ||
         col("nb2") > lit(Long.MaxValue / minCosNum) ||
         (rhsB > lit(0L) && col("na2") * lit(minCosNum) > lit(Long.MaxValue) / rhsB)
+    // OPTIMIZATION r6: the squared norms depend only on the VECTOR, not
+    // the pair — callers precompute na2/nb2 once per vector (O(corpus·dim)
+    // instead of O(pairs·dim)); only the cross dot runs per pair. Same
+    // fixed_dot arithmetic, same values.
     pairs
       .withColumn("dot_fp", fdot("va", "vb"))
-      .withColumn("na2", fdot("va", "va"))
-      .withColumn("nb2", fdot("vb", "vb"))
       .where(assert_true(!overflow, lit(
         s"$who: fixed-point magnitudes would wrap Long in the exact " +
           s"comparison (threshold $minCosNum/$minCosDen) — lower fixedScale")).isNull &&
@@ -263,9 +267,15 @@ object Ann {
     // (guide §2.5 hot-key salting).
     val sp = math.max(1,
       data.sparkSession.sparkContext.defaultParallelism / math.max(kCells, 1))
-    val a = m.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+    // squared norms once per vector, not per pair (r6); mn feeds both join
+    // sides, so persist the small (corpus-row-count) table
+    val mn = m.withColumn("__n2", F.fixed_dot(col("v"), col("v"), fixedScale))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = mn.select(col("cluster"), col("id").as("id_a"), col("v").as("va"),
+        col("__n2").as("na2"))
       .withColumn("__ps", pmod(hash(col("id_a")), lit(sp)))
-    val b = m.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
+    val b = mn.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"),
+        col("__n2").as("nb2"))
       .withColumn("__ps", explode(sequence(lit(0), lit(sp - 1))))
     val dropped = exactCosKeep(
       a.join(b, Seq("cluster", "__ps")).where(col("id_a") < col("id_b"))
